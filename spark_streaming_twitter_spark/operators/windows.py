@@ -1,0 +1,114 @@
+"""Time-window counting — reference Q2/Q3 in batch-expressible form.
+
+Q2 "TweetPerSecondCountSpark" = tumbling count
+(TwitterDatasetTrendingHashtag.java:88-90: ``groupBy(window(ts,"1 seconds"))
+.count()``). Q3 "TotalTweetCountSpark" = running total; the reference funnels
+every row to a single constant key through mapGroupsWithState
+(TwitterDatasetTrendingHashtag.java:97-107) — one task owns the world. Our
+shape: aggregate per time bucket FIRST (sharded, partial+final hash agg),
+then a cumulative sum over the tiny bucket table; the single-partition window
+touches only #buckets rows, never the raw input.
+
+The streaming forms live in ``spark_streaming_twitter_spark.streaming``;
+these batch analogues are the oracle-checkable twins over ``events``.
+
+Oracle parity conventions: window boundaries emitted as epoch seconds
+(BIGINT) on both sides; counts are BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_streaming_twitter_spark.catalog import table
+from spark_streaming_twitter_spark.registry import query
+
+
+def tumbling_counts(df: DataFrame, ts_col: str, duration: str) -> DataFrame:
+    """Tumbling-window count: ``groupBy(window(ts, duration)).count()``."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("bucket_ts"), "n")
+    )
+
+
+def sliding_counts(df: DataFrame, ts_col: str, duration: str, slide: str) -> DataFrame:
+    """Sliding-window count (reference W1/W2 shape).
+
+    Spark's ``window(ts, d, s)`` replicates each row into d/s overlapping
+    windows via a Generate — the same expansion a DStream
+    ``reduceByKeyAndWindow`` does (TwitterDStreamTrendingHashtag.java:82-83),
+    but computed incrementally per window by the hash aggregate.
+    """
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("window_start"), "n")
+    )
+
+
+@query(
+    "events_per_minute",
+    oracle="""
+SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket_ts,
+       count(*) AS n
+FROM events GROUP BY 1
+""",
+    doc="Reference Q2 (tweets-per-second throughput gauge) as tumbling "
+    "1-minute counts over events.ts (TwitterDatasetTrendingHashtag.java:88-90).",
+    bench=True,
+)
+def events_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("ts")
+    return tumbling_counts(ev, "ts", "1 minute")
+
+
+@query(
+    "events_sliding_10m_5m",
+    oracle="""
+WITH ev AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+expanded AS (
+  SELECT unnest(generate_series(e - (e % 300) - 300, e - (e % 300), 300)) AS ws
+  FROM ev
+)
+SELECT ws AS window_start, count(*) AS n
+FROM expanded GROUP BY 1
+""",
+    doc="Reference W1/W2 sliding window (window=10 min, slide=5 min) over "
+    "events.ts; each event lands in exactly window/slide = 2 buckets.",
+)
+def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("ts")
+    return sliding_counts(ev, "ts", "10 minutes", "5 minutes")
+
+
+@query(
+    "running_event_total",
+    oracle="""
+WITH buckets AS (
+  SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket_ts,
+         count(*) AS bucket_count
+  FROM events GROUP BY 1
+)
+SELECT bucket_ts, bucket_count,
+       CAST(sum(bucket_count) OVER (ORDER BY bucket_ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_count
+FROM buckets
+""",
+    doc="Reference Q3 (TotalTweetCountSpark running total) without the "
+    "constant-key funnel (TwitterDatasetTrendingHashtag.java:99): per-minute "
+    "sharded counts, then a cumulative sum over #buckets rows only.",
+    bench=True,
+)
+def running_event_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("ts")
+    buckets = (
+        ev.groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+        .select(F.unix_timestamp("w.start").alias("bucket_ts"), "bucket_count")
+    )
+    w = Window.orderBy("bucket_ts").rowsBetween(Window.unboundedPreceding, 0)
+    return buckets.withColumn("running_count", F.sum("bucket_count").over(w))
