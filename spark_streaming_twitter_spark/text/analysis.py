@@ -1,0 +1,277 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Generalizes the reference's entire scalar-text surface — the hashtag regex
+flatMap (TwitterDStreamTrendingHashtag.java:60-78, Pattern ``#\\w+``) and the
+unused ``lang`` field it carries but never reads (Tweet.java:21) — into the
+text-statistics toolkit an LLM-data pipeline needs: token counting, quality
+scoring, language ID, and document fingerprinting.
+
+Everything here is built-in column expressions (split / regexp_extract_all /
+transform / slice / explode) — JVM-side, whole-stage-codegen'd, no Python in
+any hot path. Per-document work is embarrassingly parallel: no shuffle except
+where an explicit groupBy is documented.
+
+Oracle-parity rules for float outputs: every DuckDB expression keeps at least
+one DOUBLE operand per arithmetic op (DuckDB literals like ``100.0`` are
+DECIMAL and would silently switch the whole expression to exact decimal
+math); both engines then evaluate the identical IEEE-754 expression tree, so
+values match bitwise with no rounding hacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_streaming_twitter_spark.catalog import table
+from spark_streaming_twitter_spark.functions.hashing import (
+    portable_hash,
+    portable_hash_sql,
+)
+from spark_streaming_twitter_spark.registry import query
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol —
+# the regex class GPT-2-style byte-pair encoders apply before merges.
+_BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+# Tiny per-language marker lexicons for the language-ID heuristic (the
+# Cavnar-Trenkle n-gram profile method reduced to its stopword core). Real
+# pipelines plug in fastText here; the vote's exact output is oracle-pinned.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "y", "es", "una"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+
+def tokens(text_col: Column) -> Column:
+    """Whitespace tokens, empties dropped (split on ``\\s+`` runs)."""
+    return F.filter(F.split(text_col, r"\s+"), lambda t: t != "")
+
+
+def bpe_tokens(text_col: Column) -> Column:
+    """BPE-style pre-tokens: letter runs, digit runs, single symbols."""
+    return F.regexp_extract_all(text_col, F.lit(_BPE_RE), 0)
+
+
+@query(
+    "doc_token_stats",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws_toks,
+         regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]') AS bpe_toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(ws_toks) AS INT) AS n_tokens,
+       CAST(len(bpe_toks) AS INT) AS n_bpe_tokens,
+       CAST(len(list_distinct(ws_toks)) AS INT) AS n_types,
+       CAST(len(ws_toks) AS DOUBLE)
+         / GREATEST(len(list_distinct(ws_toks)), 1) AS ttr_inv
+FROM toks
+""",
+    doc="Token counting (SURVEY.md §2.8 text analysis): whitespace tokens + "
+    "BPE-ish regex pre-tokens + type count and inverse type-token ratio. "
+    "Pure per-row Project — zero shuffle at any scale.",
+    bench=True,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = tokens(F.col("text"))
+    bpe = bpe_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(ws)).alias("n_types"),
+        (
+            F.size(ws).cast("double")
+            / F.greatest(F.size(F.array_distinct(ws)), F.lit(1))
+        ).alias("ttr_inv"),
+    )
+
+
+@query(
+    "doc_quality_scores",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, n_chars, text,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(n_chars AS DOUBLE) / GREATEST(len(toks), 1) AS mean_token_len,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+           / GREATEST(n_chars, 1) AS punct_ratio,
+         CAST(len(list_filter(toks,
+                  t -> list_contains(['the','a','of','and','to','is','in'], t)))
+              AS DOUBLE) / GREATEST(len(toks), 1) AS stopword_ratio
+  FROM toks
+)
+SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+       0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         + 0.3 * (1.0 - punct_ratio)
+         + 0.3 * LEAST(stopword_ratio * 5.0, 1.0) AS quality
+FROM scored
+""",
+    doc="Quality scoring (length/punct/stopword ratios -> [0,1] score), the "
+    "C4/Gopher-style heuristic filter stage of a training-data pipeline. "
+    "Per-row expressions only — no shuffle.",
+    bench=True,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    toks = tokens(F.col("text"))
+    stop = F.array([F.lit(s) for s in ("the", "a", "of", "and", "to", "is", "in")])
+    n_tokens = F.size(toks)
+    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"), 0))
+    scored = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (F.col("n_chars").cast("double") / F.greatest(n_tokens, F.lit(1))).alias(
+            "mean_token_len"
+        ),
+        (punct.cast("double") / F.greatest(F.col("n_chars"), F.lit(1))).alias(
+            "punct_ratio"
+        ),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double")
+            / F.greatest(n_tokens, F.lit(1))
+        ).alias("stopword_ratio"),
+    )
+    quality = (
+        0.4 * F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.col("punct_ratio"))
+        + 0.3 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+    )
+    return scored.withColumn("quality", quality)
+
+
+def _lang_marker_rows() -> list[tuple[str, str]]:
+    return [(lang, m) for lang, markers in _LANG_MARKERS.items() for m in markers]
+
+
+@query(
+    "doc_lang_id",
+    oracle=f"""
+WITH markers (m_lang, marker) AS (
+  VALUES {", ".join(f"('{lang}', '{m}')" for lang, m in _lang_marker_rows())}
+),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+),
+votes AS (
+  SELECT t.doc_id, m.m_lang, count(*) AS n_hits
+  FROM toks t JOIN markers m ON t.tok = m.marker
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, m_lang, n_hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_hits DESC, m_lang ASC) AS rn
+  FROM votes
+)
+SELECT d.doc_id, d.lang,
+       coalesce(r.m_lang, 'und') AS pred_lang,
+       coalesce(r.n_hits, 0) AS n_marker_hits
+FROM documents d
+LEFT JOIN ranked r ON d.doc_id = r.doc_id AND r.rn = 1
+""",
+    doc="Language-ID heuristic: marker-token vote per language. The marker "
+    "lexicon joins as a broadcast — the token stream never shuffles for the "
+    "join; the vote agg shuffles (doc_id, lang) pairs only. 'und' = no "
+    "markers matched. Deterministic tie-break: min lang code.",
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    markers = spark.createDataFrame(_lang_marker_rows(), ["m_lang", "marker"])
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    votes = (
+        toks.join(F.broadcast(markers), toks.tok == markers.marker)
+        .groupBy("doc_id", "m_lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("m_lang").asc()
+    )
+    best = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("m_lang").alias("pred_lang"), "n_hits")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_marker_hits"),
+        )
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+         md5(array_to_string(toks, ' ')) AS content_md5,
+         CASE WHEN len(toks) >= 5
+              THEN list_transform(generate_series(1, len(toks) - 4),
+                                  i -> array_to_string(toks[i:i+4], ' '))
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM toks
+),
+exploded AS (
+  SELECT doc_id, content_md5, unnest(shingles) AS sh FROM shingled
+)
+SELECT doc_id, content_md5,
+       min({portable_hash_sql("sh")}) AS min_shingle_hash,
+       max({portable_hash_sql("sh")}) AS max_shingle_hash,
+       CAST(count(DISTINCT sh) AS INT) AS n_distinct_shingles
+FROM exploded
+GROUP BY doc_id, content_md5
+""",
+    doc="Document fingerprinting: whole-content md5 + rolling 5-token "
+    "shingle hashes (min/max = a 2-sketch of the shingle set; the same "
+    "shingle->hash pipeline MinHash dedup builds on). Per-row generate + "
+    "per-doc agg — shuffle carries (doc_id, hash) pairs only.",
+    bench=True,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+    # 5-token shingles via transform over an index sequence; documents
+    # shorter than 5 tokens contribute their whole text as one shingle.
+    shingles = F.when(
+        F.size("toks") >= 5,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 5),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, 5)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("toks"))))
+    exploded = with_toks.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.col("toks"))).alias("content_md5"),
+        F.explode(shingles).alias("sh"),
+    )
+    return exploded.groupBy("doc_id", "content_md5").agg(
+        F.min(portable_hash(F.col("sh"))).alias("min_shingle_hash"),
+        F.max(portable_hash(F.col("sh"))).alias("max_shingle_hash"),
+        F.count_distinct(F.col("sh")).cast("int").alias("n_distinct_shingles"),
+    )
