@@ -1,0 +1,610 @@
+"""Deduplication operators over ``documents`` / ``embeddings``.
+
+The reference has no dedup at all (SURVEY.md §2.7); this module supplies the
+dedup family a training-data pipeline needs (SURVEY.md §2.8), each one a
+pure-DataFrame composition with an exact SQL oracle twin:
+
+- exact dedup            — content-hash groupBy (``dedup_exact``)
+- MinHash + LSH banding  — shingle → k seeded min-hashes → band keys →
+                           bucket self-join (``dedup_minhash_lsh_pairs``)
+- near-dup end-to-end    — LSH candidates verified with exact Jaccard, then
+                           a keep-min-id drop list (``dedup_near_duplicates``,
+                           ``dedup_drop_list``)
+- n-gram Jaccard         — exact shingle-set similarity for verification
+                           (``dedup_ngram_jaccard_pairs``)
+- SimHash                — 60-bit sign-of-sum signature + chunk-LSH hamming
+                           pairs (``dedup_simhash_signatures``, ``_pairs``)
+- embedding cosine       — exact high-cosine pairs with integer-scaled dot
+                           products (``dedup_embedding_cosine_pairs``)
+
+Scale design (100 TB):
+- Every pipeline is shuffle-keyed on high-cardinality values (shingle hash,
+  band key, simhash chunk) — no constant-key funnels.
+- LSH band buckets are the only skew risk (a boilerplate shingle shared by
+  millions of docs). AQE skew-join splitting handles moderate skew; for
+  adversarial data, cap bucket size with a per-bucket row_number filter
+  before the self-join (drops only pathological buckets, documented recall
+  trade-off).
+- The exact Jaccard verification joins shingles ONLY for candidate pairs —
+  the full O(n^2) comparison never materializes.
+- The brute-force cosine self-join here is the correctness baseline;
+  the scale path (random-hyperplane LSH prefilter) lives in
+  ``similarity.ann`` and reuses these verified semantics.
+
+Float-parity: ratios (Jaccard, cosine) are single divisions of exactly
+computed integers — deterministic IEEE-754, bitwise equal across engines.
+Dot products are computed in scaled-integer space (float*float products are
+exact in double; scaling by 2^40 is exact; the bigint sum is order-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_twitter_spark.catalog import table
+from spark_streaming_twitter_spark.functions.hashing import (
+    portable_hash,
+    portable_hash_sql,
+    seeded_hash,
+    seeded_hash_sql,
+)
+from spark_streaming_twitter_spark.registry import query
+from spark_streaming_twitter_spark.text.analysis import tokens
+
+# MinHash configuration: k = BANDS * ROWS_PER_BAND seeded hash functions.
+# With r=4, b=4 the candidate probability is 1-(1-j^4)^4 — steep around
+# jaccard ~0.7, the classic near-dup operating point.
+MINHASH_BANDS = 4
+MINHASH_ROWS = 4
+SHINGLE_N = 3
+
+# SimHash: 60 bits keeps the signature a positive BIGINT in both engines.
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4  # 4 x 15-bit chunks; guarantees recall for hamming <= 3
+
+DOT_SCALE = float(1 << 40)  # exact power-of-two scaling for float products
+
+
+def shingles(toks: Column, n: int) -> Column:
+    """Distinct n-token shingles of a token array (whole text if < n)."""
+    arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(arr)
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): one row per distinct 3-token shingle per document."""
+    return docs.select(
+        "doc_id",
+        F.explode(shingles(tokens(F.lower(F.col("text"))), SHINGLE_N)).alias("sh"),
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_shingles(table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+_SHINGLES_SQL = rf"""
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(toks) >= {SHINGLE_N}
+                THEN list_transform(
+                       generate_series(1, len(toks) - {SHINGLE_N - 1}),
+                       i -> array_to_string(toks[i:i+{SHINGLE_N - 1}], ' '))
+                ELSE [array_to_string(toks, ' ')] END)) AS sh
+  FROM toks
+)
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_md5,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    doc="Exact dedup via content-hash groupBy: one shuffle keyed by md5 — "
+    "the 100 TB shape (dropDuplicates on a hash column, never on the raw "
+    "text). keep = min doc_id per content group.",
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_buckets(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): LSH bucket assignment from a shingle stream."""
+    k = MINHASH_BANDS * MINHASH_ROWS
+    per_seed = sh.select("doc_id", "sh").select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed"),
+        "sh",
+    ).select(
+        "doc_id",
+        "seed",
+        portable_hash(
+            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))
+        ).alias("h"),
+    )
+    mh = per_seed.groupBy("doc_id", "seed").agg(F.min("h").alias("m"))
+    banded = mh.withColumn("band", (F.col("seed") / MINHASH_ROWS).cast("int"))
+    sig = (
+        banded.groupBy("doc_id", "band")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "m"))),
+                lambda x: x["m"].cast("string"),
+            ).alias("ms")
+        )
+        .select(
+            "doc_id", "band", F.md5(F.concat_ws(",", F.col("ms"))).alias("band_key")
+        )
+    )
+    return sig
+
+
+def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """Same-bucket self-join -> (doc_a, doc_b, n_bands) candidate pairs."""
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+_MINHASH_BUCKETS_SQL = f"""
+{_SHINGLES_SQL},
+per_seed AS (
+  SELECT doc_id, seed,
+         CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || sh), 1, 15))
+              AS BIGINT) AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {MINHASH_BANDS * MINHASH_ROWS - 1})) AS seed)
+),
+mh AS (
+  SELECT doc_id, seed, min(h) AS m FROM per_seed GROUP BY 1, 2
+),
+buckets AS (
+  SELECT doc_id, CAST(seed // {MINHASH_ROWS} AS INT) AS band,
+         md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, band
+)
+"""
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+WITH {_MINHASH_BUCKETS_SQL}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+FROM buckets a
+JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+    doc="MinHash-LSH candidate pairs: 3-token shingles -> 16 seeded "
+    "min-hashes -> 4 bands x 4 rows -> bucket self-join. Shuffles are keyed "
+    "on (doc,seed) then (band,band_key) — both high-cardinality. The "
+    "self-join compares only same-bucket docs, never O(n^2).",
+    bench=True,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(minhash_buckets(_doc_shingles(spark, sf_dir)))
+
+
+_JACCARD_PAIRS_SQL = f"""
+{_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b, n_common,
+         CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+)
+"""
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_JACCARD_PAIRS_SQL}
+SELECT doc_a, doc_b, n_common, jaccard FROM jac WHERE jaccard >= 0.5
+""",
+    doc="Exact n-gram (3-token shingle) Jaccard similarity >= 0.5: inverted "
+    "shingle join computes intersections without a cross product; set sizes "
+    "join back broadcast-style. Jaccard = int/int division — bit-exact "
+    "across engines.",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+@query(
+    "dedup_near_duplicates",
+    oracle=f"""
+WITH {_MINHASH_BUCKETS_SQL},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.8
+""",
+    doc="End-to-end near-dup detection, the production 100 TB shape: "
+    "MinHash-LSH generates candidates, exact Jaccard verifies ONLY those "
+    "pairs (shingle join restricted by a semi-join to candidates), "
+    "threshold 0.8. Never touches the O(n^2) pair space.",
+    bench=True,
+)
+def dedup_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("__doc_b"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(a, "doc_a")
+        .join(
+            b,
+            (F.col("doc_b") == F.col("__doc_b")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (
+        F.col("n_common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_common"))
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.8)
+    )
+
+
+@query(
+    "dedup_drop_list",
+    oracle=f"""
+WITH {_MINHASH_BUCKETS_SQL},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT DISTINCT i.doc_b AS drop_doc_id
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.8
+""",
+    doc="Greedy keep-min-id dedup policy: a doc is dropped iff it has a "
+    "verified near-dup with a smaller id. One DISTINCT over the verified "
+    "pair stream — no iterative connected components needed for the "
+    "keep-one-per-pairwise-cluster policy.",
+)
+def dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        dedup_near_duplicates(spark, sf_dir)
+        .select(F.col("doc_b").alias("drop_doc_id"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 60-bit sign-of-sums signature over distinct tokens.
+
+    Spark shape: ONE aggregation with 60 conditional sums (partial+final,
+    single shuffle on doc_id) — not 60 passes, and not a per-(doc,bit) row
+    explosion (which would multiply the shuffle by 60x). The JIT huge-method
+    conf in session.py keeps the wide generated aggregate compiled.
+    """
+    # plain explode (not explode_outer): a token-less doc yields no rows,
+    # matching SQL unnest semantics on both engines.
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias("tok")
+    )
+    h = portable_hash(F.col("tok"))
+    with_h = toks.select("doc_id", h.alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = with_h.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+_SIMHASH_SQL = rf"""
+toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')))
+           AS tok
+  FROM documents
+),
+bit_votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (({portable_hash_sql("tok")} >> bit) & 1) = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM toks
+  CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit)
+  GROUP BY doc_id, bit
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM bit_votes GROUP BY doc_id
+)
+"""
+
+
+@query(
+    "dedup_simhash_signatures",
+    oracle=f"WITH {_SIMHASH_SQL} SELECT doc_id, simhash FROM sigs",
+    doc="SimHash: 60-bit sign-of-sum signature over distinct tokens "
+    "(Charikar random-hyperplane sketch on the token hypercube). One "
+    "shuffle keyed by doc_id; the 60 bit-votes are a single wide "
+    "partial+final aggregate, not 60 passes.",
+    bench=True,
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_signatures(spark, sf_dir)
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH {_SIMHASH_SQL},
+chunks AS (
+  SELECT doc_id, simhash, c,
+         (simhash >> (c * 15)) & 32767 AS chunk_val
+  FROM sigs
+  CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_CHUNKS - 1})) AS c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM chunks a
+  JOIN chunks b ON a.c = b.c AND a.chunk_val = b.chunk_val
+               AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= 8
+""",
+    doc="SimHash near-dup pairs: 4 x 15-bit chunk LSH (pigeonhole: any pair "
+    "with hamming <= 3 shares a chunk — guaranteed recall at that radius) "
+    "then exact hamming <= 8 verify via bit_count(xor). The chunk join is "
+    "the only shuffle over pairs; never O(n^2).",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _simhash_signatures(spark, sf_dir)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_CHUNKS - 1))).alias("c"),
+    ).withColumn(
+        # F.shiftright only takes a literal bit count; use the SQL form for a
+        # per-row shift amount.
+        "chunk_val",
+        F.expr("shiftright(simhash, c * 15)").bitwiseAND(F.lit(32767)),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming")).where(
+        F.col("hamming") <= 8
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (exact baseline; ANN scale path in similarity/)
+# --------------------------------------------------------------------------
+
+
+def scaled_dot(a: Column, b: Column) -> Column:
+    """Exact, order-independent dot product of two float arrays.
+
+    float32*float32 promoted to double is EXACT (48-bit product mantissa);
+    multiplying by 2^40 is exact (power of two); rounding to BIGINT is then
+    deterministic, and the BIGINT sum is order-free — so Spark and DuckDB
+    agree bitwise, and so do any two cluster topologies. Fully JVM-side
+    (zip_with + aggregate), no Python.
+    """
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.round(x.cast("double") * y.cast("double") * DOT_SCALE).cast(
+            "bigint"
+        ),
+    )
+    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def scaled_norm2(a: Column) -> Column:
+    """Exact scaled squared norm (same construction as :func:`scaled_dot`)."""
+    sq = F.transform(
+        a, lambda x: F.round(x.cast("double") * x.cast("double") * DOT_SCALE).cast("bigint")
+    )
+    return F.aggregate(sq, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+_SCALED_DOT_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) "
+    f"* {DOT_SCALE!r}) AS BIGINT)))"
+)
+
+
+def scaled_dot_sql(a: str, b: str) -> str:
+    return _SCALED_DOT_SQL.format(a=a, b=b)
+
+
+@query(
+    "dedup_embedding_cosine_pairs",
+    oracle=f"""
+WITH norms AS (
+  SELECT vec_id, embedding,
+         {scaled_dot_sql("embedding", "embedding")} AS n2
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST({scaled_dot_sql("a.embedding", "b.embedding")} AS DOUBLE)
+         / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+FROM norms a
+JOIN norms b ON a.vec_id < b.vec_id
+WHERE CAST({scaled_dot_sql("a.embedding", "b.embedding")} AS DOUBLE)
+        / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.45
+""",
+    doc="Embedding-cosine near-dup pairs (exact baseline): self-join with "
+    "integer-scaled dot products — bitwise deterministic on any engine or "
+    "cluster topology. Threshold 0.45 (the fixtures plant no >0.52 pairs). "
+    "O(n^2) by design as the correctness oracle for the ANN path in "
+    "similarity.ann — at 100 TB only the LSH-prefiltered variant runs.",
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    norms = emb.withColumn("n2", scaled_norm2(F.col("embedding")))
+    a = norms.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("n2").alias("n2_a"),
+    )
+    b = norms.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("n2").alias("n2_b"),
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cosine = scaled_dot(F.col("emb_a"), F.col("emb_b")).cast("double") / (
+        F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double"))
+    )
+    return (
+        pairs.select("vec_a", "vec_b", cosine.alias("cosine"))
+        .where(F.col("cosine") >= 0.45)
+    )

@@ -54,6 +54,7 @@ def load_all() -> dict[str, QuerySpec]:
     import spark_streaming_twitter_spark.operators.relational  # noqa: F401
     import spark_streaming_twitter_spark.operators.trending  # noqa: F401
     import spark_streaming_twitter_spark.operators.windows  # noqa: F401
+    import spark_streaming_twitter_spark.dedup.dedup  # noqa: F401
     import spark_streaming_twitter_spark.dedup.queries  # noqa: F401
     import spark_streaming_twitter_spark.similarity.queries  # noqa: F401
     import spark_streaming_twitter_spark.text.analysis  # noqa: F401

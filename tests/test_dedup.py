@@ -1,0 +1,80 @@
+"""Behavioral tests for the dedup family on constructed near-duplicates.
+
+The oracle-parity suite proves Spark==DuckDB on the fixtures; these tests
+prove the algorithms DETECT what they should: planted near-dups are found,
+unrelated docs are not.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_twitter_spark.dedup.dedup import (
+    doc_shingles,
+    lsh_candidate_pairs,
+    minhash_buckets,
+    scaled_dot,
+    scaled_norm2,
+    simhash_signatures,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside "
+    "the old house near the river bank under the summer sun"
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("summer", "winter")),          # 1-token edit: near-dup
+        (2, BASE.replace("quick brown", "slow red")),   # 2-token edit: near-dup
+        (3, "completely different text about spark sql aggregation plans "
+            "and shuffle partitioning strategies for large clusters with "
+            "many executors running adaptive query execution every day"),
+        (4, BASE),                                      # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_lsh_finds_planted_near_dups(near_dup_docs):
+    pairs = lsh_candidate_pairs(minhash_buckets(doc_shingles(near_dup_docs)))
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 4) in got, "exact dup must always collide in every band"
+    assert (0, 1) in got, "1-token edit should be an LSH candidate"
+    assert not any(3 in p for p in got), "unrelated doc must not pair"
+
+
+def test_exact_dup_matches_all_bands(near_dup_docs):
+    pairs = lsh_candidate_pairs(minhash_buckets(doc_shingles(near_dup_docs)))
+    row = pairs.where((F.col("doc_a") == 0) & (F.col("doc_b") == 4)).collect()
+    assert row and row[0].n_bands == 4
+
+
+def test_simhash_distance_orders_by_similarity(near_dup_docs):
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(near_dup_docs).collect()}
+    ham = lambda a, b: bin(sigs[a] ^ sigs[b]).count("1")
+    assert ham(0, 4) == 0, "identical docs -> identical simhash"
+    assert ham(0, 1) < ham(0, 3), "near-dup must be closer than unrelated"
+    assert ham(0, 1) <= 8
+    assert ham(0, 3) > 8
+
+
+def test_scaled_dot_is_exact_cosine(spark):
+    import math
+
+    a = [0.6, 0.8, 0.0]
+    b = [0.8, 0.6, 0.0]
+    df = spark.createDataFrame(
+        [(a, b)], ["va", "vb"]
+    ).select(
+        scaled_dot(F.col("va"), F.col("vb")).alias("dot"),
+        scaled_norm2(F.col("va")).alias("na"),
+        scaled_norm2(F.col("vb")).alias("nb"),
+    )
+    r = df.collect()[0]
+    cos = r.dot / math.sqrt(r.na * r.nb)
+    assert abs(cos - 0.96) < 1e-9  # (0.48+0.48)/1
