@@ -39,6 +39,8 @@ exact in double; scaling by 2^40 is exact; the bigint sum is order-free).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,18 +48,30 @@ from spark_streaming_twitter_spark.catalog import table
 from spark_streaming_twitter_spark.functions.hashing import (
     portable_hash,
     portable_hash_sql,
-    seeded_hash,
-    seeded_hash_sql,
 )
 from spark_streaming_twitter_spark.registry import query
 from spark_streaming_twitter_spark.text.analysis import tokens
 
-# MinHash configuration: k = BANDS * ROWS_PER_BAND seeded hash functions.
-# With r=4, b=4 the candidate probability is 1-(1-j^4)^4 — steep around
-# jaccard ~0.7, the classic near-dup operating point.
+# MinHash configuration: k = BANDS * ROWS_PER_BAND hash functions from the
+# affine family h_i(x) = (A_i * h(x) + B_i) mod P over one base md5-derived
+# hash — one md5 per shingle instead of k (16x fewer md5s in the hot path),
+# same collision guarantees. A_i, h < 2^30 keeps A_i*h + B_i < 2^61: no
+# overflow in either engine's BIGINT. With r=4, b=4 the candidate
+# probability is 1-(1-j^4)^4 — steep around jaccard ~0.7.
 MINHASH_BANDS = 4
 MINHASH_ROWS = 4
+MINHASH_P = 1073741789  # largest prime < 2^30
 SHINGLE_N = 3
+
+
+def _affine_coeff(i: int, which: str) -> int:
+    """Deterministic A_i/B_i in [1, P): first 15 md5 hex chars mod P."""
+    h = int(hashlib.md5(f"minhash:{which}:{i}".encode()).hexdigest()[:15], 16)
+    return h % (MINHASH_P - 1) + 1
+
+
+_MINHASH_A = [_affine_coeff(i, "a") for i in range(MINHASH_BANDS * MINHASH_ROWS)]
+_MINHASH_B = [_affine_coeff(i, "b") for i in range(MINHASH_BANDS * MINHASH_ROWS)]
 
 # SimHash: 60 bits keeps the signature a positive BIGINT in both engines.
 SIMHASH_BITS = 60
@@ -137,34 +151,48 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_buckets(sh: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key): LSH bucket assignment from a shingle stream."""
+    """(doc_id, band, band_key): LSH bucket assignment from a shingle stream.
+
+    One md5 per shingle; the k=16 signature slots are affine transforms of
+    that base hash, aggregated as ONE wide min-aggregate (single shuffle
+    keyed by doc_id — no seed-explosion multiplying the shuffle by k).
+    """
     k = MINHASH_BANDS * MINHASH_ROWS
-    per_seed = sh.select("doc_id", "sh").select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed"),
-        "sh",
-    ).select(
-        "doc_id",
-        "seed",
-        portable_hash(
-            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))
-        ).alias("h"),
+    base = sh.select(
+        "doc_id", (portable_hash(F.col("sh")) % MINHASH_P).alias("h")
     )
-    mh = per_seed.groupBy("doc_id", "seed").agg(F.min("h").alias("m"))
-    banded = mh.withColumn("band", (F.col("seed") / MINHASH_ROWS).cast("int"))
-    sig = (
-        banded.groupBy("doc_id", "band")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "m"))),
-                lambda x: x["m"].cast("string"),
-            ).alias("ms")
-        )
-        .select(
-            "doc_id", "band", F.md5(F.concat_ws(",", F.col("ms"))).alias("band_key")
-        )
+    mins = base.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * _MINHASH_A[i] + _MINHASH_B[i]) % MINHASH_P).alias(
+                f"m{i}"
+            )
+            for i in range(k)
+        ]
     )
-    return sig
+    # One explode, not a 4-way union: a union of N projections of the same
+    # aggregate makes Spark recompute the upstream pipeline N times (and 2N
+    # times on each side of a self-join); the exploded array form keeps a
+    # single linear plan.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{band * MINHASH_ROWS + r}").cast("string")
+                            for r in range(MINHASH_ROWS)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for band in range(MINHASH_BANDS)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
 def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
@@ -183,21 +211,25 @@ def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_band_select_sql(band: int) -> str:
+    key = " || ',' || ".join(
+        f"CAST(m{band * MINHASH_ROWS + r} AS VARCHAR)" for r in range(MINHASH_ROWS)
+    )
+    return f"SELECT doc_id, {band} AS band, md5({key}) AS band_key FROM mins"
+
+
 _MINHASH_BUCKETS_SQL = f"""
 {_SHINGLES_SQL},
-per_seed AS (
-  SELECT doc_id, seed,
-         CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || sh), 1, 15))
-              AS BIGINT) AS h
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {MINHASH_BANDS * MINHASH_ROWS - 1})) AS seed)
+per_sh AS (
+  SELECT doc_id, {portable_hash_sql("sh")} % {MINHASH_P} AS h FROM sh
 ),
-mh AS (
-  SELECT doc_id, seed, min(h) AS m FROM per_seed GROUP BY 1, 2
+mins AS (
+  SELECT doc_id,
+         {", ".join(f"min((h * {_MINHASH_A[i]} + {_MINHASH_B[i]}) % {MINHASH_P}) AS m{i}" for i in range(MINHASH_BANDS * MINHASH_ROWS))}
+  FROM per_sh GROUP BY doc_id
 ),
 buckets AS (
-  SELECT doc_id, CAST(seed // {MINHASH_ROWS} AS INT) AS band,
-         md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY seed)) AS band_key
-  FROM mh GROUP BY doc_id, band
+  {" UNION ALL ".join(_minhash_band_select_sql(b) for b in range(MINHASH_BANDS))}
 )
 """
 

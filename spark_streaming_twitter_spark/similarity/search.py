@@ -1,0 +1,443 @@
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2.8).
+
+Three tiers, each a different point on the exactness/scale curve:
+
+1. ``similarity_topk_cosine`` — exact brute-force top-k: query-set x corpus
+   join with integer-scaled dot products (see ``dedup.dedup.scaled_dot``:
+   bitwise-deterministic on any engine/topology). The correctness baseline.
+2. ``similarity_ann_lsh_topk`` — random-hyperplane LSH (Charikar): 4 bands
+   of 8 sign-bits each; a candidate needs only one matching band. Exact
+   cosine re-rank on candidates only. The 100 TB path: the corpus is
+   bucketed ONCE (4 rows/vector), queries probe buckets via an equi-join —
+   no cross product anywhere.
+3. ``similarity_ivf_topk`` — IVF-style two-stage search: coarse centroids
+   (per-label exact integer mean), queries route to the nearest centroid,
+   exact search within that cell only. At scale the cell id is the shuffle/
+   partition key, giving data locality the flat index can't.
+
+Plus ``similarity_topk_numpy`` (rows-only): the same brute-force ranking via
+``mapInPandas`` + numpy matmul — the Arrow-batched escape hatch pattern for
+when per-element expressions become the bottleneck (a 1536-dim production
+embedding). Kept out of the oracle set: BLAS reassociates float sums, so its
+scores are not bitwise portable (ranking ties could then differ) — the
+expression-based exact variant is the contract.
+
+The hyperplane weights are deterministic int literals generated from md5 in
+Python and embedded in BOTH the Spark plan and the DuckDB oracle — no
+runtime hashing in the hot path, and at cluster scale they ship inside the
+serialized plan (a few KB), not as a side table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from spark_streaming_twitter_spark.catalog import table
+from spark_streaming_twitter_spark.dedup.dedup import (
+    scaled_dot,
+    scaled_dot_sql,
+    scaled_norm2,
+)
+from spark_streaming_twitter_spark.registry import query
+
+TOP_K = 5
+QUERY_STRIDE = 100  # vec_id % stride == 0 -> query set (corpus stays full)
+DIM = 64
+LSH_BANDS = 4
+LSH_BITS = 8  # sign bits per band
+QUANT = float(1 << 20)  # element quantization for integer plane dots
+
+
+def _plane_weight(band: int, bit: int, d: int) -> int:
+    """Deterministic pseudo-random hyperplane weight in [-1000, 1000]."""
+    h = hashlib.md5(f"{band}:{bit}:{d}".encode()).hexdigest()
+    return int(h[:15], 16) % 2001 - 1000
+
+
+_PLANES: list[list[list[int]]] = [
+    [[_plane_weight(band, bit, d) for d in range(DIM)] for bit in range(LSH_BITS)]
+    for band in range(LSH_BANDS)
+]
+
+
+def _quantized(col: Column) -> Column:
+    """Element-wise round(x * 2^20) as BIGINT (exact, portable)."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * QUANT).cast("bigint"))
+
+
+def _band_sig(qcol: Column, band: int) -> Column:
+    """8-bit sign signature of a quantized vector against one plane band."""
+    sig = None
+    for bit in range(LSH_BITS):
+        plane = F.array(*[F.lit(w) for w in _PLANES[band][bit]])
+        dot = F.aggregate(
+            F.zip_with(qcol, plane, lambda x, w: x * w),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dot > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sig
+
+
+def _band_sig_sql(vec: str, band: int) -> str:
+    bits = []
+    for bit in range(LSH_BITS):
+        plane = "[" + ", ".join(str(w) for w in _PLANES[band][bit]) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip(q_{vec}, {plane}), "
+            "p -> CAST(p[1] AS BIGINT) * p[2]))"
+        )
+        bits.append(f"CASE WHEN {dot} > 0 THEN {1 << bit} ELSE 0 END")
+    return " + ".join(bits)
+
+
+_QUANT_SQL = (
+    "list_transform({vec}, x -> CAST(round(CAST(x AS DOUBLE) * %r) AS BIGINT))"
+    % QUANT
+)
+
+
+def _corpus_with_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.withColumn("n2", scaled_norm2(F.col("embedding")))
+
+
+_COSINE_SQL = (
+    f"CAST({{dot}} AS DOUBLE) / (sqrt(CAST({{na}} AS DOUBLE)) * "
+    "sqrt(CAST({nb} AS DOUBLE)))"
+)
+
+
+def _topk_filter(scored: DataFrame) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+_ORACLE_PRELUDE = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding,
+         {scaled_dot_sql("embedding", "embedding")} AS n2
+  FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2
+  FROM corpus WHERE vec_id % {QUERY_STRIDE} = 0
+)
+"""
+
+
+@query(
+    "similarity_topk_cosine",
+    oracle=f"""
+{_ORACLE_PRELUDE},
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST({scaled_dot_sql("q.q_emb", "c.embedding")} AS DOUBLE)
+           / (sqrt(CAST(q.q_n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+           AS cosine
+  FROM queries q JOIN corpus c ON q.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc="Exact brute-force cosine top-k: the query set broadcasts against "
+    "the corpus scan (queries << corpus), so the corpus never shuffles; "
+    "per-query ranking shuffles only (query, neighbor, score) triples. "
+    "Integer-scaled dots -> bitwise-deterministic scores and ranks.",
+    bench=True,
+)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_with_norms(spark, sf_dir)
+    queries = corpus.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    pairs = corpus.join(
+        F.broadcast(queries), F.col("query_id") != F.col("vec_id")
+    )
+    cosine = scaled_dot(F.col("q_emb"), F.col("embedding")).cast("double") / (
+        F.sqrt(F.col("q_n2").cast("double")) * F.sqrt(F.col("n2").cast("double"))
+    )
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine")
+    )
+    return _topk_filter(scored)
+
+
+@query(
+    "similarity_ann_lsh_topk",
+    oracle=f"""
+{_ORACLE_PRELUDE},
+quantized AS (
+  SELECT vec_id, embedding, n2,
+         {_QUANT_SQL.format(vec="embedding")} AS q_embedding
+  FROM corpus
+),
+buckets AS (
+  SELECT vec_id, embedding, n2, band,
+         CASE band {" ".join(f"WHEN {b} THEN {_band_sig_sql('embedding', b)}" for b in range(LSH_BANDS))} END AS sig
+  FROM quantized
+  CROSS JOIN (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS band)
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM buckets qb
+  JOIN buckets cb ON qb.band = cb.band AND qb.sig = cb.sig
+                 AND qb.vec_id <> cb.vec_id
+  WHERE qb.vec_id % {QUERY_STRIDE} = 0
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST({scaled_dot_sql("q.embedding", "n.embedding")} AS DOUBLE)
+           / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(n.n2 AS DOUBLE)))
+           AS cosine
+  FROM cand c
+  JOIN corpus q ON q.vec_id = c.query_id
+  JOIN corpus n ON n.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc="ANN via random-hyperplane LSH: 4 bands x 8 sign-bits (integer "
+    "plane dots on 2^20-quantized elements — exact and portable); corpus "
+    "bucketed once, queries probe via equi-join on (band, sig), exact "
+    "cosine re-rank on candidates only. Probabilistic recall by design; "
+    "the oracle replicates the same algorithm so results are identical.",
+    bench=True,
+)
+def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_with_norms(spark, sf_dir)
+    quantized = corpus.withColumn("q_embedding", _quantized(F.col("embedding")))
+    per_band = [
+        quantized.select(
+            "vec_id",
+            "embedding",
+            "n2",
+            F.lit(band).alias("band"),
+            _band_sig(F.col("q_embedding"), band).alias("sig"),
+        )
+        for band in range(LSH_BANDS)
+    ]
+    buckets = per_band[0]
+    for df in per_band[1:]:
+        buckets = buckets.unionAll(df)
+    qb = buckets.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), "band", "sig"
+    )
+    cand = (
+        qb.join(
+            buckets.select(F.col("vec_id").alias("neighbor_id"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = corpus.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    n = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("n2").alias("n_n2"),
+    )
+    cosine = scaled_dot(F.col("q_emb"), F.col("n_emb")).cast("double") / (
+        F.sqrt(F.col("q_n2").cast("double")) * F.sqrt(F.col("n_n2").cast("double"))
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+    )
+    return _topk_filter(scored)
+
+
+@query(
+    "similarity_ivf_topk",
+    oracle=f"""
+{_ORACLE_PRELUDE},
+quantized AS (
+  SELECT c.vec_id, e.label, {_QUANT_SQL.format(vec="c.embedding")} AS qv, c.n2
+  FROM corpus c JOIN embeddings e ON c.vec_id = e.vec_id
+),
+dims AS (
+  SELECT vec_id, label, qv, n2,
+         unnest(generate_series(1, {DIM})) AS d
+  FROM quantized
+),
+centroid_dims AS (
+  SELECT label, d, CAST(sum(qv[d]) // count(*) AS BIGINT) AS c
+  FROM dims GROUP BY label, d
+),
+centroids AS (
+  SELECT label, list(c ORDER BY d) AS cvec FROM centroid_dims GROUP BY label
+),
+routed AS (
+  SELECT q.vec_id AS query_id, c.label,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_sum(list_transform(list_zip(q.qv, c.cvec),
+                                            p -> CAST(p[1] AS BIGINT) * p[2]))
+                    DESC, c.label ASC) AS rn
+  FROM quantized q CROSS JOIN centroids c
+  WHERE q.vec_id % {QUERY_STRIDE} = 0
+),
+cell AS (SELECT query_id, label FROM routed WHERE rn = 1),
+scored AS (
+  SELECT cell.query_id, n.vec_id AS neighbor_id,
+         CAST({scaled_dot_sql("q.embedding", "n.embedding")} AS DOUBLE)
+           / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(n.n2 AS DOUBLE)))
+           AS cosine
+  FROM cell
+  JOIN quantized qn ON qn.label = cell.label
+  JOIN corpus n ON n.vec_id = qn.vec_id AND n.vec_id <> cell.query_id
+  JOIN corpus q ON q.vec_id = cell.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc="IVF-style two-stage search: coarse centroids = exact integer mean "
+    "per label cell (floor-div of bigint dim-sums — no float accumulation), "
+    "queries route to argmax-dot centroid, exact search within the cell "
+    "only. At scale the cell id partitions the corpus: each query touches "
+    "1/n_cells of the data with co-located shuffle reads.",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    corpus = emb.withColumn("n2", scaled_norm2(F.col("embedding"))).withColumn(
+        "qv", _quantized(F.col("embedding"))
+    )
+    # exact per-dim integer centroid: posexplode -> (label, d, sum//count)
+    dims = corpus.select(
+        "label", F.posexplode(F.col("qv")).alias("d0", "v")
+    )
+    centroid_dims = dims.groupBy("label", "d0").agg(
+        F.floor(F.sum("v") / F.count(F.lit(1))).cast("bigint").alias("c")
+    )
+    centroids = (
+        centroid_dims.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d0", "c"))), lambda x: x["c"]
+            ).alias("cvec")
+        )
+    )
+    queries = corpus.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    cdot = F.aggregate(
+        F.zip_with(F.col("q_qv"), F.col("cvec"), lambda x, w: x * w),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w_route = Window.partitionBy("query_id").orderBy(
+        F.col("cdot").desc(), F.col("label").asc()
+    )
+    cell = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("cdot", cdot)
+        .withColumn("rn", F.row_number().over(w_route))
+        .where(F.col("rn") == 1)
+        .select("query_id", "label", "q_emb", "q_n2")
+    )
+    neighbors = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("embedding").alias("n_emb"),
+        F.col("n2").alias("n_n2"),
+    )
+    cosine = scaled_dot(F.col("q_emb"), F.col("n_emb")).cast("double") / (
+        F.sqrt(F.col("q_n2").cast("double")) * F.sqrt(F.col("n_n2").cast("double"))
+    )
+    scored = (
+        neighbors.join(F.broadcast(cell), "label")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+    )
+    return _topk_filter(scored)
+
+
+@query(
+    "similarity_topk_numpy",
+    oracle=None,  # BLAS float sums are not bitwise portable; rows-only.
+    doc="Brute-force top-k via mapInPandas + numpy matmul: the Arrow-batched "
+    "Pandas-UDF pattern for high-dim embeddings where per-element Catalyst "
+    "expressions dominate. Query matrix rides the closure (broadcast); each "
+    "Arrow batch of corpus vectors does one (batch x dim)@(dim x q) GEMM; "
+    "a final exact per-query top-k merge runs on the tiny partial results.",
+)
+def similarity_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = (
+        emb.where(F.col("vec_id") % QUERY_STRIDE == 0).collect()
+    )  # query set is tiny by contract (vec_id % stride)
+    q_ids = np.array([r.vec_id for r in qrows])
+    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def topk_batches(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            cos = (mat @ q_mat.T) / np.outer(norms, q_norm)
+            out = []
+            for qi, qid in enumerate(q_ids):
+                col = cos[:, qi]
+                mask = ids != qid
+                cand_ids, cand_cos = ids[mask], col[mask]
+                k = min(TOP_K, len(cand_ids))
+                if k == 0:
+                    continue
+                part = np.argpartition(-cand_cos, k - 1)[:k]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cand_ids[part],
+                            "cosine": cand_cos[part],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    partial = emb.mapInPandas(
+        topk_batches, "query_id long, neighbor_id long, cosine double"
+    )
+    return _topk_filter(partial)

@@ -269,9 +269,9 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.concat_ws(" ", F.col("toks"))).alias("content_md5"),
         F.explode(shingles).alias("sh"),
-    )
+    ).withColumn("h", portable_hash(F.col("sh")))  # hash once, agg twice
     return exploded.groupBy("doc_id", "content_md5").agg(
-        F.min(portable_hash(F.col("sh"))).alias("min_shingle_hash"),
-        F.max(portable_hash(F.col("sh"))).alias("max_shingle_hash"),
+        F.min("h").alias("min_shingle_hash"),
+        F.max("h").alias("max_shingle_hash"),
         F.count_distinct(F.col("sh")).cast("int").alias("n_distinct_shingles"),
     )
