@@ -1,0 +1,240 @@
+"""Streaming queries: the reference's three continuous queries plus the
+streaming-semantics surface (SURVEY.md §2.5), oracle-checked.
+
+Each registry entry drives a real Structured Streaming query over the events
+fixture (file source standing in for Kafka), runs it to completion, and
+returns the result as a batch DataFrame — so the driver's DuckDB oracle
+verifies actual STREAMING state, not a batch lookalike:
+
+- Q2 (tweets/sec, TwitterDatasetTrendingHashtag.java:88-90)   ->
+  ``stream_events_per_minute`` (complete) and ``..._append`` (watermark
+  emission semantics IN the oracle: only windows closed by the final
+  watermark appear).
+- Q3 (running total, :97-107) -> ``stream_running_total``: built-in
+  ``groupBy().count()``. The reference shuffles EVERY ROW to one constant
+  key's task (:99); Spark's partial aggregation shuffles one partial count
+  per partition per trigger — the same answer with no hot key. The faithful
+  per-key stateful form is ``stream_user_event_counts_stateful``
+  (applyInPandasWithState = PySpark's mapGroupsWithState, :458-492), but
+  sharded by user_id, never by a constant.
+- Q1 (trending, :77-86) -> ``stream_trending_event_type``: streaming
+  pre-aggregation (window x type counts, incremental state) + batch argmax
+  over the aggregate — the lambda/serving split that replaces the
+  map-buffer UDAF (:140-210).
+- session windows / dropDuplicates: capability extensions (§2.8 streaming).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_twitter_spark.registry import query
+from spark_streaming_twitter_spark.streaming.harness import (
+    run_to_memory,
+    stream_events,
+)
+
+WATERMARK = "300 seconds"  # the reference's delay on all three queries (W4)
+
+
+@query(
+    "stream_events_per_minute",
+    oracle="""
+SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket_ts,
+       count(*) AS n
+FROM events GROUP BY 1
+""",
+    doc="Reference Q2 as a real streaming query: tumbling 1-minute counts, "
+    "complete mode; final streaming state must equal the batch answer. "
+    "Partial+final agg per micro-batch; state keyed by window — sharded.",
+)
+def stream_events_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(F.unix_timestamp("w.start").alias("bucket_ts"), "n")
+
+
+@query(
+    "stream_events_per_minute_append",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS max_ts FROM events)
+SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket_ts,
+       count(*) AS n
+FROM events
+GROUP BY 1
+HAVING CAST(epoch(date_trunc('minute', min(ts)) + INTERVAL 1 MINUTE) AS BIGINT)
+         <= (SELECT CAST(floor(epoch(max_ts - INTERVAL 300 SECOND)) AS BIGINT) FROM mx)
+""",
+    doc="Append-mode emission semantics, oracle-pinned: a window appears "
+    "iff its end <= final watermark (max event time - 300 s). The last "
+    "open window stays in state — exactly what the oracle's HAVING "
+    "reproduces. This is W4/W5 (watermark + output mode) made testable.",
+)
+def stream_events_per_minute_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(agg, output_mode="append")
+    return out.select(F.unix_timestamp("w.start").alias("bucket_ts"), "n")
+
+
+@query(
+    "stream_running_total",
+    oracle="SELECT count(*) AS total FROM events",
+    doc="Reference Q3 (TotalTweetCountSpark) as the built-in streaming "
+    "global count: partial counts per partition merge into one state row — "
+    "no constant-key row shuffle (contrast "
+    "TwitterDatasetTrendingHashtag.java:99 where one task owns every row).",
+)
+def stream_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    out = run_to_memory(
+        ev.groupBy().agg(F.count(F.lit(1)).alias("total")), output_mode="complete"
+    )
+    return out
+
+
+@query(
+    "stream_trending_event_type",
+    oracle="""
+WITH counts AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_ts,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT bucket_ts, event_type, n,
+         row_number() OVER (PARTITION BY bucket_ts
+                            ORDER BY n DESC, event_type DESC) AS rn
+  FROM counts
+)
+SELECT bucket_ts, event_type AS top_type, n AS top_count
+FROM ranked WHERE rn = 1
+""",
+    doc="Reference Q1 as stream + serving split: the streaming stage keeps "
+    "(window x event_type) counts incrementally (complete mode, sharded "
+    "state); the argmax runs as a batch query over that aggregate — the "
+    "two-stage decomposition of the map-buffer UDAF "
+    "(TwitterDatasetTrendingHashtag.java:140-210). Tie-break: max type.",
+)
+def stream_trending_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    counts = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mat = run_to_memory(counts, output_mode="complete")
+    return (
+        mat.groupBy(F.unix_timestamp("w.start").alias("bucket_ts"))
+        .agg(F.max(F.struct("n", "event_type")).alias("m"))
+        .select(
+            "bucket_ts",
+            F.col("m.event_type").alias("top_type"),
+            F.col("m.n").alias("top_count"),
+        )
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+WITH marks AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL 5 MINUTE
+              THEN 0 ELSE 1 END AS new_session
+  FROM events
+),
+grouped AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marks
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(max(ts) + INTERVAL 5 MINUTE)) AS BIGINT) AS session_end,
+       count(*) AS n_events
+FROM grouped
+GROUP BY user_id, session_id
+""",
+    doc="Session windows (5-minute gap) per user — absent from the "
+    "reference (§2.5 'not present'), native in Structured Streaming. "
+    "Oracle = the classic gaps-and-islands rewrite; Spark's session_window "
+    "end = last event + gap, mirrored in the oracle.",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.unix_timestamp("w.start").alias("session_start"),
+        F.unix_timestamp("w.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@query(
+    "stream_dedup_user_event_types",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="Streaming exact dedup: dropDuplicates on (user_id, event_type) — "
+    "state keyed by the dedup key (sharded), append mode. The streaming "
+    "form of dedup_exact; with a watermark the state is evictable "
+    "(dropDuplicatesWithinWatermark) for unbounded keys.",
+)
+def stream_dedup_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    deduped = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return run_to_memory(deduped, output_mode="append")
+
+
+@query(
+    "stream_user_event_counts_stateful",
+    oracle="SELECT user_id, count(*) AS n_events FROM events GROUP BY 1",
+    doc="applyInPandasWithState (PySpark's mapGroupsWithState, reproducing "
+    "TwitterDatasetTrendingHashtag.java:458-492) with the constant-key "
+    "funnel (:99) fixed: state is per user_id, so the shuffle and the state "
+    "store shard across the cluster. Arrow-batched state updates; NoTimeout "
+    "like the reference (W6). Final state per key == batch group-by count.",
+)
+def stream_user_event_counts_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir).select("user_id")
+
+    def update_counts(key, pdf_iter, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    updates = ev.groupBy("user_id").applyInPandasWithState(
+        update_counts,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mat = run_to_memory(updates, output_mode="update")
+    # A key re-emits on every micro-batch it appears in; the final state is
+    # the max (counts are monotone). One tiny agg over #users rows.
+    return mat.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

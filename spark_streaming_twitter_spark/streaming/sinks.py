@@ -1,0 +1,111 @@
+"""Time-series sink: the reference's InfluxDB output re-expressed.
+
+The reference writes one point per result row, opening an InfluxDB HTTP
+connection PER RECORD in v1 (TwitterDStreamTrendingHashtag.java:102-124) and
+per partition-epoch in v2 (ForeachWriter open/process/close,
+TwitterDatasetTrendingHashtag.java:212-263). Point shape everywhere:
+``(time, measurement, tags{...}, fields{...})`` with measurement names
+``TrendingHashTagSpark`` / ``TweetPerSecondCountSpark`` /
+``TotalTweetCountSpark`` and the window END as the point time (:243, :295).
+
+Our sink is ``foreachBatch``-based:
+- the result DataFrame is normalized to the point schema
+  ``(time TIMESTAMP, measurement STRING, tags MAP<STRING,STRING>,
+  fields MAP<STRING,DOUBLE>)`` — Catalyst-side, no Python per row;
+- each epoch does ONE distributed write (parquet append by default —
+  pluggable: anything accepting a batch DataFrame), so I/O cost is
+  per-partition-per-epoch, the minimum Structured Streaming allows;
+- idempotence: the epoch id rides along as a column, so replayed epochs
+  (failure recovery) overwrite-by-key instead of double-writing.
+
+``to_influx_line`` renders the wire format (Influx line protocol) as a
+column expression for sinks that speak it — still no Python in the path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+POINT_SCHEMA = (
+    "time timestamp, measurement string, tags map<string,string>, "
+    "fields map<string,double>"
+)
+
+
+def as_points(
+    df: DataFrame,
+    measurement: str,
+    time_col: str,
+    tag_cols: list[str],
+    field_cols: list[str],
+) -> DataFrame:
+    """Normalize a result DataFrame to the time-series point schema.
+
+    Mirrors the reference's point construction (tags = string dims, fields =
+    numeric values, time = window end / watermark) as pure column ops.
+    """
+    tags = F.create_map(
+        *[x for c in tag_cols for x in (F.lit(c), F.col(c).cast("string"))]
+    )
+    fields = F.create_map(
+        *[x for c in field_cols for x in (F.lit(c), F.col(c).cast("double"))]
+    )
+    return df.select(
+        F.col(time_col).cast("timestamp").alias("time"),
+        F.lit(measurement).alias("measurement"),
+        tags.alias("tags"),
+        fields.alias("fields"),
+    )
+
+
+def to_influx_line(precision_s: bool = True) -> Column:
+    """Influx line protocol: ``measurement,tag=v field=v ts`` as a column.
+
+    Works on the point schema; map entries are sorted by key for a
+    deterministic wire string.
+    """
+    tag_part = F.array_join(
+        F.transform(
+            F.array_sort(F.map_keys(F.col("tags"))),
+            lambda k: F.concat(k, F.lit("="), F.element_at(F.col("tags"), k)),
+        ),
+        ",",
+    )
+    field_part = F.array_join(
+        F.transform(
+            F.array_sort(F.map_keys(F.col("fields"))),
+            lambda k: F.concat(
+                k, F.lit("="), F.element_at(F.col("fields"), k).cast("string")
+            ),
+        ),
+        ",",
+    )
+    ts = F.unix_timestamp("time") if precision_s else F.unix_micros("time")
+    return F.concat_ws(
+        " ",
+        F.when(tag_part != "", F.concat_ws(",", F.col("measurement"), tag_part))
+        .otherwise(F.col("measurement")),
+        field_part,
+        ts.cast("string"),
+    )
+
+
+def parquet_point_writer(path: str) -> Callable[[DataFrame, int], None]:
+    """Default pluggable writer: epoch-stamped parquet append.
+
+    One distributed write per epoch; downstream dedup key is
+    (measurement, time, tags, epoch) — replayed epochs are idempotent
+    under overwrite-by-epoch readers.
+    """
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    return write

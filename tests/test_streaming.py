@@ -1,0 +1,185 @@
+"""Multi-micro-batch streaming semantics tests (SURVEY.md §2.5 W4/W5/W6).
+
+The oracle suite checks final state; these tests check the PATH there:
+late-data dropping past the watermark, update-mode re-emission, and
+cross-batch stateful accumulation. Files written one-per-batch into a tmp
+dir drive deterministic micro-batch boundaries (file source lists new files
+each trigger).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SCHEMA = "user_id long, ts timestamp, event string"
+
+
+def _write_batch(d: str, name: str, rows: list[dict]) -> None:
+    with open(os.path.join(d, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _stream(spark, d):
+    return spark.readStream.schema(SCHEMA).json(d)
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    return str(tmp_path)
+
+
+def test_watermark_drops_late_rows(spark, stream_dir):
+    src = _stream(spark, stream_dir)
+    agg = (
+        src.withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        _write_batch(
+            stream_dir,
+            "b1.json",
+            [
+                {"user_id": 1, "ts": "2024-01-01 10:00:10", "event": "a"},
+                {"user_id": 1, "ts": "2024-01-01 10:00:40", "event": "a"},
+                {"user_id": 1, "ts": "2024-01-01 10:05:00", "event": "a"},
+            ],
+        )
+        q.processAllAvailable()  # watermark -> 10:03:00
+        _write_batch(
+            stream_dir,
+            "b2.json",
+            [
+                # late: its window [10:00, 10:01) closed at watermark 10:03
+                {"user_id": 1, "ts": "2024-01-01 10:00:50", "event": "late"},
+                {"user_id": 1, "ts": "2024-01-01 10:10:00", "event": "a"},
+            ],
+        )
+        q.processAllAvailable()
+        _write_batch(
+            stream_dir,
+            "b3.json",
+            [{"user_id": 1, "ts": "2024-01-01 10:20:00", "event": "a"}],
+        )
+        q.processAllAvailable()  # advance watermark so 10:00 + 10:05 windows emit
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = {
+        r["start"].strftime("%H:%M"): r["n"]
+        for r in spark.table("wm_test").select("w.start", "n").collect()
+    }
+    assert got["10:00"] == 2, f"late row must be dropped, got {got}"
+    assert got["10:05"] == 1
+
+
+def test_update_mode_reemits_changed_windows(spark, stream_dir):
+    src = _stream(spark, stream_dir)
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("upd_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        _write_batch(
+            stream_dir, "b1.json", [{"user_id": 1, "ts": "2024-01-01 10:00:10", "event": "a"}]
+        )
+        q.processAllAvailable()
+        _write_batch(
+            stream_dir, "b2.json", [{"user_id": 1, "ts": "2024-01-01 10:00:20", "event": "a"}]
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    ns = sorted(r.n for r in spark.table("upd_test").collect())
+    assert ns == [1, 2], f"update mode re-emits the window per change: {ns}"
+
+
+def test_stateful_counts_accumulate_across_batches(spark, stream_dir):
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _stream(spark, stream_dir).select("user_id")
+
+    def update_counts(key, pdf_iter, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    updates = src.groupBy("user_id").applyInPandasWithState(
+        update_counts,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        updates.writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        _write_batch(
+            stream_dir,
+            "b1.json",
+            [
+                {"user_id": 1, "ts": "2024-01-01 10:00:00", "event": "a"},
+                {"user_id": 1, "ts": "2024-01-01 10:00:01", "event": "a"},
+                {"user_id": 2, "ts": "2024-01-01 10:00:02", "event": "a"},
+            ],
+        )
+        q.processAllAvailable()
+        _write_batch(
+            stream_dir,
+            "b2.json",
+            [{"user_id": 1, "ts": "2024-01-01 10:01:00", "event": "a"}],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    rows = spark.table("state_test").collect()
+    per_user_final = {}
+    for r in rows:
+        per_user_final[r.user_id] = max(per_user_final.get(r.user_id, 0), r.n_events)
+    assert per_user_final == {1: 3, 2: 1}
+    # user 1 must have been emitted twice: once per batch, cumulative
+    u1 = sorted(r.n_events for r in rows if r.user_id == 1)
+    assert u1 == [2, 3]
+
+
+def test_foreach_batch_receives_epochs(spark, stream_dir):
+    from spark_streaming_twitter_spark.streaming.harness import run_foreach_batch
+
+    src = _stream(spark, stream_dir)
+    _write_batch(
+        stream_dir, "b1.json", [{"user_id": 1, "ts": "2024-01-01 10:00:00", "event": "a"}]
+    )
+    seen: list[tuple[int, int]] = []
+
+    def sink(df, epoch_id):
+        seen.append((epoch_id, df.count()))
+
+    run_foreach_batch(src.select("user_id"), sink, output_mode="append")
+    assert seen and seen[0][1] == 1
