@@ -1,0 +1,115 @@
+"""Tweet ingest: the reference's Kafka->JSON->record path, Catalyst-native.
+
+Reference pipeline (SURVEY.md §2.2):
+- P1 cast-projection of raw Kafka binary key/value to strings
+  (TwitterDatasetTrendingHashtag.java:74)
+- P2/P3 Jackson POJO parse of the status JSON into ``Tweet(text, timestamp,
+  lang)`` (Tweet.java:10-21); v1 swallows parse errors -> null record
+  (TwitterDStreamTrendingHashtag.java:224-233), v2 would crash the task
+- P4 the null records are never filtered — a latent NPE downstream
+
+Ours: ``from_json`` in PERMISSIVE mode (the v1 tolerant semantics, now
+Catalyst-visible so the Kafka scan prunes to ``value`` and the JSON parse
+prunes to the 3-field schema) + an EXPLICIT null filter. The upstream
+producer appends an epoch-millis ``timestamp`` field to the raw status
+(Tweet.java:65, last key, consumed via the bean setter Tweet.java:38-41) —
+parsed here with ``timestamp_millis``.
+
+The known reference quirk is pinned by tests and kept: hashtags are
+extracted from the top-level ``text`` ONLY, so a truncated retweet's
+hashtags (living in ``extended_tweet.entities.hashtags``) are missed
+(SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from spark_streaming_twitter_spark.catalog import table
+from spark_streaming_twitter_spark.operators.trending import extract_hashtags
+from spark_streaming_twitter_spark.registry import query
+
+# The 3 fields the reference keeps (Tweet.java:10-21); everything else in
+# the ~100-field status document is dropped (ignoreUnknown=true).
+# ``timestamp`` arrives as an epoch-millis STRING from the producer.
+TWEET_JSON_SCHEMA = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("timestamp", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def parse_tweets(kafka_shaped: DataFrame) -> DataFrame:
+    """(key,value) Kafka-shaped rows -> (text, ts, lang) tweet records.
+
+    PERMISSIVE parse: malformed JSON yields null fields, then the explicit
+    ``text IS NOT NULL`` filter drops them (the filter the reference forgot,
+    SURVEY.md P4). All expression-level: prunable, codegen'd, no Python.
+    """
+    parsed = kafka_shaped.selectExpr(
+        "CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value"
+    ).select(
+        F.from_json(
+            F.col("value"), TWEET_JSON_SCHEMA, {"mode": "PERMISSIVE"}
+        ).alias("t")
+    )
+    return parsed.select(
+        F.col("t.text").alias("text"),
+        F.timestamp_millis(F.col("t.timestamp").cast("bigint")).alias("ts"),
+        F.col("t.lang").alias("lang"),
+    ).where(F.col("text").isNotNull())
+
+
+def hashtag_counts(tweets: DataFrame) -> DataFrame:
+    """Per-hashtag totals with first-seen event time — Q1's batch core."""
+    tags = extract_hashtags(tweets, "text")
+    return tags.groupBy("hashtag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.unix_timestamp("ts")).alias("first_seen_epoch"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@query(
+    "tweet_hashtag_pipeline",
+    oracle="""
+SELECT '#' || source AS hashtag,
+       count(*) AS n,
+       min(doc_id) AS first_seen_epoch,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+WHERE doc_id % 97 <> 0
+GROUP BY source
+""",
+    doc="End-to-end ingest parity: documents are wrapped into Kafka-shaped "
+    "(key,value) rows with a producer-style JSON payload ('#'||source "
+    "prepended to text, epoch-millis timestamp, lang), 1 row in 97 is "
+    "corrupted on purpose; the pipeline must cast (P1), parse PERMISSIVE "
+    "(P2/P3), drop malformed (P4), extract hashtags via regex explode "
+    "(F1/F2), and aggregate. The oracle computes the expected answer "
+    "directly — the JSON round-trip must be lossless.",
+    bench=True,
+)
+def tweet_hashtag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    payload = F.to_json(
+        F.struct(
+            F.concat(F.lit("#"), F.col("source"), F.lit(" "), F.col("text")).alias(
+                "text"
+            ),
+            (F.col("doc_id") * 1000).cast("string").alias("timestamp"),
+            F.col("lang").alias("lang"),
+        )
+    )
+    kafka_shaped = docs.select(
+        F.col("doc_id").cast("string").cast("binary").alias("key"),
+        F.when(F.col("doc_id") % 97 == 0, F.lit('{"broken'))
+        .otherwise(payload)
+        .cast("binary")
+        .alias("value"),
+    )
+    return hashtag_counts(parse_tweets(kafka_shaped))
