@@ -1,0 +1,58 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly one JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {"<name>": <sec>, ...}, "sf": <float>}
+
+Each query is materialized with a full collect (the driver's correctness
+harness collects too, so this measures the same path users run). The
+registry's ``bench=True`` specs are the headline set — the reference's three
+query shapes plus the heaviest relational/LLM-pipeline operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_streaming_twitter_spark.registry import load_all
+from spark_streaming_twitter_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="bench")
+    specs = load_all()
+    bench_specs = {n: s for n, s in specs.items() if s.bench}
+
+    # Warm the JVM + parquet footers with one tiny action so query timings
+    # measure the plan, not session startup.
+    next(iter(bench_specs.values())).fn(spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(bench_specs.items()):
+        t0 = time.perf_counter()
+        n = len(spec.fn(spark, sf_dir).collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -633,3 +633,48 @@ def above_avg_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_rich_customers"))
     )
+
+
+# --------------------------------------------------------------------------
+# SQL text surface (the reference's only SQL is one selectExpr cast —
+# TwitterDatasetTrendingHashtag.java:74; ours is the full Spark SQL parser
+# over registered fixture views)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sql_revenue_by_region",
+    oracle=f"""
+SELECT r_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    doc="Same ANSI SQL text executed by BOTH engines (spark.sql over "
+    "registered views vs DuckDB): five-table star join. Catalyst plans the "
+    "dim chain as broadcast joins off the lineitem scan; the SQL parser "
+    "surface itself is the operator under test.",
+)
+def sql_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               count(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
