@@ -1,0 +1,250 @@
+"""Advanced relational operators: as-of join, exact quantiles, skew-safe
+salted aggregation, array functions, grouping sets, unpivot.
+
+These are the §2.8 operators Spark has no single built-in for — each is a
+COMPOSITION of DataFrame primitives (the survey's design rule: custom
+operators become compositions first, Pandas UDFs only when semantics force
+it; none of these do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_streaming_twitter_spark.catalog import table, register_views
+from spark_streaming_twitter_spark.functions.numeric import dsum, dsum_sql
+from spark_streaming_twitter_spark.registry import query
+
+
+@query(
+    "asof_signup_before_purchase",
+    oracle="""
+WITH signups AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'signup'
+),
+purchases AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+       CAST(floor(epoch(s.ts)) AS BIGINT) AS signup_epoch,
+       CAST(floor(epoch(p.ts)) - floor(epoch(s.ts)) AS BIGINT) AS gap_seconds
+FROM purchases p
+ASOF JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+    doc="As-of (backward) join — each purchase matched to the latest "
+    "signup at-or-before it. Spark lacks ASOF JOIN (DuckDB's is native, "
+    "which is the oracle); the composition is the union-tag trick: union "
+    "both sides, one window pass per user carries the last signup ts "
+    "forward (last_value ignoring nulls), filter to purchases. ONE shuffle "
+    "on user_id — same cost as a co-partitioned merge join; never builds "
+    "the O(purchases x signups) range-join intermediate.",
+    bench=True,
+)
+def asof_signup_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    tagged = ev.where(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id",
+        "ts",
+        # signups sort before purchases at equal ts, so a same-instant
+        # signup is visible to the purchase (matches ASOF's ts >= semantics)
+        F.when(F.col("event_type") == "signup", 0).otherwise(1).alias("tag"),
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("signup_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumn(
+        "last_signup_ts", F.last("signup_ts", ignorenulls=True).over(w)
+    )
+    return (
+        carried.where((F.col("tag") == 1) & F.col("last_signup_ts").isNotNull())
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").alias("purchase_epoch"),
+            F.unix_timestamp("last_signup_ts").alias("signup_epoch"),
+            (F.unix_timestamp("ts") - F.unix_timestamp("last_signup_ts")).alias(
+                "gap_seconds"
+            ),
+        )
+    )
+
+
+@query(
+    "exact_value_quantiles",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS median_value,
+       max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90_value,
+       max(CASE WHEN rn = n THEN value END) AS max_value
+FROM ranked
+GROUP BY event_type
+""",
+    doc="Exact quantiles via rank selection (value at ceil(q*n) in "
+    "(value, id) order) — deterministic under ties and engine-portable, "
+    "unlike interpolating percentile built-ins whose interpolation "
+    "formulas differ. One shuffle on the group key; at 100 TB swap in "
+    "approx_percentile for fixed-size sketches (see approx_distinct_parts "
+    "for the sketch-class pattern).",
+)
+def exact_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def at(q_expr) -> F.Column:
+        return F.max(F.when(F.col("rn") == q_expr, F.col("value")))
+
+    return ranked.groupBy("event_type").agg(
+        at(F.ceil(0.5 * F.col("n"))).alias("median_value"),
+        at(F.ceil(0.9 * F.col("n"))).alias("p90_value"),
+        at(F.col("n")).alias("max_value"),
+    )
+
+
+@query(
+    "salted_user_event_counts",
+    oracle="SELECT user_id, count(*) AS n_events FROM events GROUP BY 1",
+    doc="Skew-safe two-stage aggregation: stage 1 counts per (key, salt) "
+    "with salt = event_id % 8 — a hot key's rows spread over 8 reducers — "
+    "stage 2 sums the 8 partials per key. Identical result to the plain "
+    "groupBy (the oracle), 8x the partial rows, no hot partition. The "
+    "pattern to reach for when AQE skew handling isn't enough (e.g. "
+    "a single null-ish join/group key owning 30%% of a 100 TB table).",
+)
+def salted_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id")
+    stage1 = ev.groupBy(
+        "user_id", (F.col("event_id") % 8).alias("salt")
+    ).agg(F.count(F.lit(1)).alias("partial_n"))
+    return stage1.groupBy("user_id").agg(F.sum("partial_n").alias("n_events"))
+
+
+@query(
+    "doc_array_functions",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_alpha,
+       list_contains(toks, 'spark') AS has_spark,
+       list_reverse(toks)[1] AS last_token,
+       CAST(len(list_filter(toks, t -> len(t) > 5)) AS INT) AS n_long_tokens
+FROM toks
+""",
+    doc="Array scalar surface: sort/distinct/slice/contains/reverse/"
+    "element/lambda-filter over token arrays — all codegen'd per-row "
+    "expressions, zero shuffle. Array outputs serialize to strings for "
+    "the cross-engine compare (both sort strings in binary collation).",
+)
+def doc_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.text.analysis import tokens
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",").alias(
+            "first3_alpha"
+        ),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.element_at(F.reverse(toks), 1).alias("last_token"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias("n_long_tokens"),
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle=f"""
+SELECT r_name, o_orderpriority,
+       {dsum_sql('o_totalprice')} AS total_price,
+       CAST(GROUPING(r_name) AS INT) AS g_region,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())
+""",
+    doc="Explicit GROUPING SETS (beyond rollup/cube) with GROUPING() "
+    "markers, via the SQL surface on both engines — one Expand + "
+    "HashAggregate pass, not three scans.",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_price,
+               CAST(GROUPING(r_name) AS INT) AS g_region,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "unpivot_order_totals",
+    oracle=f"""
+WITH pivoted AS (
+  SELECT o_orderpriority,
+         {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS open_total,
+         {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS filled_total
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'open_total' AS status_kind, open_total AS total
+FROM pivoted
+UNION ALL
+SELECT o_orderpriority, 'filled_total' AS status_kind, filled_total AS total
+FROM pivoted
+""",
+    doc="Unpivot (wide->long) via stack() over the conditional-agg pivot — "
+    "a Generate, no extra shuffle beyond the pivot's own agg.",
+)
+def unpivot_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+
+    def status_total(status: str) -> F.Column:
+        return F.sum(
+            F.when(
+                F.col("o_orderstatus") == status,
+                F.col("o_totalprice").cast("decimal(18,6)"),
+            )
+        ).cast("double")
+
+    pivoted = orders.groupBy("o_orderpriority").agg(
+        status_total("O").alias("open_total"),
+        status_total("F").alias("filled_total"),
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.expr(
+            "stack(2, 'open_total', open_total, 'filled_total', filled_total) "
+            "AS (status_kind, total)"
+        ),
+    )
