@@ -238,3 +238,76 @@ def stream_user_event_counts_stateful(spark: SparkSession, sf_dir: str) -> DataF
     # A key re-emits on every micro-batch it appears in; the final state is
     # the max (counts are monotone). One tiny agg over #users rows.
     return mat.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+WITH ev AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+expanded AS (
+  SELECT unnest(generate_series(e - (e % 300) - 300, e - (e % 300), 300)) AS ws
+  FROM ev
+)
+SELECT ws AS window_start, count(*) AS n
+FROM expanded GROUP BY 1
+""",
+    doc="Reference W1/W2 sliding window (10 min window / 5 min slide) as a "
+    "real streaming query, complete mode: each event lands in 2 overlapping "
+    "windows (a Generate, the streaming equivalent of DStream "
+    "reduceByKeyAndWindow at TwitterDStreamTrendingHashtag.java:82-83 — but "
+    "incremental per-window state instead of recomputing the full window "
+    "every slide).",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(F.unix_timestamp("w.start").alias("window_start"), "n")
+
+
+@query(
+    "stream_stream_join_conversions",
+    oracle="""
+SELECT s.user_id,
+       CAST(floor(epoch(s.ts)) AS BIGINT) AS signup_epoch,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON s.user_id = p.user_id
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+""",
+    doc="Stream-stream inner interval join (absent from the reference, "
+    "SURVEY.md §2.5 'not present'): signups join purchases within 1 hour, "
+    "both sides watermarked so the join state is bounded by the interval + "
+    "delay — the watermark is what makes a stream-stream join feasible at "
+    "all (unbounded state otherwise). Equi-key user_id carries the "
+    "shuffle; the time band evaluates inside the join.",
+)
+def stream_stream_join_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", WATERMARK)
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", WATERMARK)
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    out = run_to_memory(joined, output_mode="append")
+    return out.select(
+        "user_id",
+        F.unix_timestamp("s_ts").alias("signup_epoch"),
+        F.unix_timestamp("p_ts").alias("purchase_epoch"),
+    )

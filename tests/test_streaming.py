@@ -183,3 +183,50 @@ def test_foreach_batch_receives_epochs(spark, stream_dir):
 
     run_foreach_batch(src.select("user_id"), sink, output_mode="append")
     assert seen and seen[0][1] == 1
+
+
+def test_checkpoint_restores_state_across_restart(spark, stream_dir, tmp_path):
+    """The reference configures NO checkpointing (SURVEY.md §4); ours
+    recovers aggregation state from the checkpoint across a stop/restart."""
+    ckpt = str(tmp_path / "ckpt")
+
+    def start_query():
+        src = _stream(spark, stream_dir)
+        agg = src.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        return (
+            agg.writeStream.format("memory")
+            .queryName("ckpt_test")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _write_batch(
+        stream_dir,
+        "b1.json",
+        [
+            {"user_id": 1, "ts": "2024-01-01 10:00:00", "event": "a"},
+            {"user_id": 1, "ts": "2024-01-01 10:00:01", "event": "a"},
+        ],
+    )
+    q = start_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    _write_batch(
+        stream_dir,
+        "b2.json",
+        [{"user_id": 1, "ts": "2024-01-01 10:01:00", "event": "a"}],
+    )
+    q = start_query()  # fresh query object, same checkpoint
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    rows = {r.user_id: r.n for r in spark.table("ckpt_test").collect()}
+    assert rows == {1: 3}, f"state must survive restart: {rows}"
