@@ -640,3 +640,110 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("vec_a", "vec_b", cosine.alias("cosine"))
         .where(F.col("cosine") >= 0.45)
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup groups: connected components over the near-dup pair graph
+# --------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Min-label propagation to a fixpoint: (node, group_id=min reachable id).
+
+    The driver-coordinated iterative-join pattern for algorithms Catalyst
+    can't express in one plan. Each round: every node takes the min of its
+    own label and its neighbors' labels; stop when no label changes.
+    Rounds needed = graph diameter (near-dup clusters are shallow — pairs
+    chain through shared shingles, so diameters of 2-4 are typical).
+
+    Scale notes: each round is one shuffle join keyed by node id; label
+    tables are #nodes rows (tiny next to the corpus). localCheckpoint per
+    round truncates the lineage so plan size stays constant across rounds.
+    For web-scale graphs swap in the large-star/small-star algorithm — the
+    loop skeleton is identical.
+    """
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    labels = nodes.select(F.col("id").alias("node"), F.col("id").alias("label"))
+    while True:
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (
+                    F.coalesce("nbr_label", F.col("label")) < F.col("label")
+                ).alias("changed"),
+            )
+        ).localCheckpoint()
+        n_changed = updated.where(F.col("changed")).count()
+        labels = updated.select("node", "label")
+        if n_changed == 0:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("group_id")
+            )
+
+
+@query(
+    "dedup_group_ids",
+    oracle=f"""
+WITH {_MINHASH_BUCKETS_SQL},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a AS a, i.doc_b AS b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.8
+),
+members AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  WITH RECURSIVE r(node, label) AS (
+    SELECT id, id FROM members
+    UNION
+    SELECT e.b, r.label FROM r JOIN edges e ON e.a = r.node
+  )
+  SELECT node, min(label) AS group_id FROM r GROUP BY node
+)
+SELECT node AS doc_id, group_id FROM reach
+""",
+    doc="Dedup groups: connected components over the verified near-dup "
+    "pair graph (keep-one-per-CLUSTER, not per pair — A~B~C collapses to "
+    "one group even when A!~C directly). Spark: driver-coordinated "
+    "min-label propagation loop, one keyed join per round, diameter "
+    "rounds. Oracle: DuckDB recursive CTE computing min reachable id.",
+)
+def dedup_group_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_near_duplicates(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    # materialize the (small) pair set once; the CC loop re-reads it per round
+    pairs = pairs.localCheckpoint()
+    nodes = (
+        pairs.select(F.col("a").alias("id"))
+        .unionAll(pairs.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    return connected_components(pairs, nodes)

@@ -1,0 +1,106 @@
+"""Property-based tests (SURVEY.md §5.4): engine results vs plain-Python
+reference implementations on randomized inputs.
+
+Each example round-trips a Spark job, so example counts are kept small;
+the properties cover the argmax/dedup/vector cores where randomized inputs
+catch tie-break and boundary bugs fixtures can't.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spark_streaming_twitter_spark.dedup.dedup import (
+    scaled_dot,
+    scaled_norm2,
+    shingles,
+)
+from spark_streaming_twitter_spark.operators.trending import trending
+from spark_streaming_twitter_spark.text.analysis import tokens
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+TAGS = ["a", "b", "c", "dd", "ee"]
+
+
+@given(st.lists(st.sampled_from(TAGS), min_size=1, max_size=40))
+@_SETTINGS
+def test_trending_argmax_matches_python(spark, tags):
+    df = spark.createDataFrame([(t,) for t in tags], ["term"]).withColumn(
+        "bucket", F.lit(1)
+    )
+    got = trending(df, ["bucket"]).collect()[0]
+    # python reference: max count, min term on ties
+    counts: dict[str, int] = {}
+    for t in tags:
+        counts[t] = counts.get(t, 0) + 1
+    best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    assert (got.top_term, got.term_count) == best
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(TAGS), min_size=3, max_size=12), min_size=2, max_size=4
+    )
+)
+@_SETTINGS
+def test_shingle_sets_match_python(spark, docs):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.sh)
+        for r in df.select(
+            "doc_id", F.explode(shingles(tokens(F.col("text")), 3)).alias("sh")
+        ).collect()
+    }
+    want = set()
+    for i, toks in enumerate(docs):
+        if len(toks) >= 3:
+            for j in range(len(toks) - 2):
+                want.add((i, " ".join(toks[j : j + 3])))
+        else:
+            want.add((i, " ".join(toks)))
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+        min_size=4,
+        max_size=16,
+    ),
+    st.data(),
+)
+@_SETTINGS
+def test_scaled_dot_matches_numpy(spark, a, data):
+    b = data.draw(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+            min_size=len(a),
+            max_size=len(a),
+        )
+    )
+    r = (
+        spark.createDataFrame([(a, b)], "va array<float>, vb array<float>")
+        .select(
+            scaled_dot(F.col("va"), F.col("vb")).alias("dot"),
+            scaled_norm2(F.col("va")).alias("na"),
+        )
+        .collect()[0]
+    )
+    import numpy as np
+
+    av = np.array(a, dtype=np.float32).astype(np.float64)
+    bv = np.array(b, dtype=np.float32).astype(np.float64)
+    scale = float(1 << 40)
+    assert abs(r.dot / scale - float(av @ bv)) <= len(a) * 0.5 / scale * 2
+    assert abs(r.na / scale - float(av @ av)) <= len(a) * 0.5 / scale * 2
+    assert math.isfinite(r.dot)
