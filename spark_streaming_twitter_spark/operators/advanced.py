@@ -248,3 +248,116 @@ def unpivot_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (status_kind, total)"
         ),
     )
+
+
+@query(
+    "customer_order_window_frames",
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS od,
+         o_totalprice
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+            OVER (PARTITION BY o_custkey ORDER BY od
+                  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+         AS DOUBLE) AS spend_7d,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey)
+         OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_order,
+       nth_value(o_orderkey, 2)
+         OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_order,
+       ntile(4) OVER w AS quartile
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey)
+""",
+    doc="Window FRAME specs + navigation: RANGE frame over epoch seconds "
+    "(7-day trailing spend — peers at equal dates all included), "
+    "first/last/nth_value with explicit full frames, ntile. One shuffle on "
+    "o_custkey serves every window (shared partitioning).",
+)
+def customer_order_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    od = F.unix_timestamp("o_orderdate")
+    o = orders.select(
+        "o_custkey", "o_orderkey", od.alias("od"), "o_totalprice"
+    )
+    w_order = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    w_range = (
+        Window.partitionBy("o_custkey").orderBy("od").rangeBetween(-604800, 0)
+    )
+    w_full = w_order.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w_range)
+        .cast("double")
+        .alias("spend_7d"),
+        F.first("o_orderkey").over(w_order).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+        F.ntile(4).over(w_order).alias("quartile"),
+    )
+
+
+@query(
+    "lineitem_math_functions",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS abs_centered,
+       sign(l_discount - 0.05) AS disc_sign,
+       CAST(floor(l_quantity / 10) AS BIGINT) AS qty_decile,
+       CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+       sqrt(l_extendedprice) AS price_sqrt,
+       l_extendedprice * l_extendedprice AS price_sq,
+       CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax) AS min_rate
+FROM lineitem
+""",
+    doc="Math scalar surface restricted to IEEE-exact ops (abs/sign/floor/"
+    "ceil/sqrt/mod/greatest/least and explicit squares — no transcendentals, "
+    "whose libm implementations differ across engines in the last ulp). "
+    "Pure per-row codegen; zero shuffle.",
+)
+def lineitem_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_centered"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.floor(F.col("l_quantity") / 10).alias("qty_decile"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        (F.col("l_extendedprice") * F.col("l_extendedprice")).alias("price_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@query(
+    "approx_value_percentiles",
+    oracle=None,  # t-digest/KLL sketches are engine-specific; rows-only.
+    doc="approx_percentile sketches — the 100 TB quantile path (fixed-size "
+    "mergeable sketch vs the exact rank-selection in "
+    "exact_value_quantiles). No oracle: sketch estimates are "
+    "engine-specific by design.",
+)
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", 0.5).alias("approx_median"),
+        F.approx_percentile("value", 0.9).alias("approx_p90"),
+    )
