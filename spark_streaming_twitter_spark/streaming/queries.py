@@ -311,3 +311,78 @@ def stream_stream_join_conversions(spark: SparkSession, sf_dir: str) -> DataFram
         F.unix_timestamp("s_ts").alias("signup_epoch"),
         F.unix_timestamp("p_ts").alias("purchase_epoch"),
     )
+
+
+@query(
+    "stream_tweet_trending_e2e",
+    oracle="""
+WITH tweets AS (
+  SELECT '#' || source AS hashtag, doc_id * 60 AS e FROM documents
+),
+expanded AS (
+  SELECT hashtag,
+         unnest(generate_series(e - (e % 300) - 300, e - (e % 300), 300)) AS ws
+  FROM tweets
+),
+counts AS (
+  SELECT ws, hashtag, count(*) AS n FROM expanded GROUP BY 1, 2
+),
+ranked AS (
+  SELECT ws, hashtag, n,
+         row_number() OVER (PARTITION BY ws ORDER BY n DESC, hashtag DESC) AS rn
+  FROM counts
+)
+SELECT ws AS window_start, hashtag AS top_hashtag, n AS top_count
+FROM ranked WHERE rn = 1
+""",
+    doc="The reference's ENTIRE program as one pipeline: producer JSON "
+    "tweets (built from documents, one per minute, written to a spool dir) "
+    "-> streaming text source -> Kafka-shaped cast + PERMISSIVE from_json "
+    "(P1-P3) -> null filter (P4) -> hashtag regex explode (F1/F2) -> "
+    "watermarked sliding window(10m,5m) x hashtag counts (A1, W1/W2/W4) -> "
+    "argmax per window (A2/A3 two-stage). Final streaming state must equal "
+    "the DuckDB batch answer over the same synthetic tweets.",
+)
+def stream_tweet_trending_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from spark_streaming_twitter_spark.catalog import table
+    from spark_streaming_twitter_spark.operators.trending import extract_hashtags
+    from spark_streaming_twitter_spark.sources.tweets import parse_tweets
+
+    docs = table(spark, sf_dir, "documents")
+    payload = F.to_json(
+        F.struct(
+            F.concat(F.lit("#"), F.col("source"), F.lit(" "), F.col("text")).alias(
+                "text"
+            ),
+            (F.col("doc_id") * 60000).cast("string").alias("timestamp"),
+            F.col("lang").alias("lang"),
+        )
+    )
+    spool = str(
+        Path(tempfile.gettempdir())
+        / ("tweet_spool_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    )
+    docs.select(payload.alias("value")).coalesce(4).write.mode("overwrite").text(spool)
+
+    raw = spark.readStream.text(spool)
+    tweets = parse_tweets(raw.select(F.lit(None).cast("string").alias("key"), "value"))
+    counts = (
+        extract_hashtags(tweets, "text")
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "hashtag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mat = run_to_memory(counts, output_mode="complete")
+    return (
+        mat.groupBy(F.unix_timestamp("w.start").alias("window_start"))
+        .agg(F.max(F.struct("n", "hashtag")).alias("m"))
+        .select(
+            "window_start",
+            F.col("m.hashtag").alias("top_hashtag"),
+            F.col("m.n").alias("top_count"),
+        )
+    )
