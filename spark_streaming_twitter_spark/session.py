@@ -42,9 +42,18 @@ def get_spark(
         # Spark's generated partial-aggregate method for multi-decimal-sum
         # plans exceeds HotSpot's 8000-byte huge-method limit, so the hot
         # loop runs bytecode-interpreted (~60x slower: 19s -> 2.8s for one
-        # decimal sum over sf0.1 lineitem). Lift the limit so C2 compiles it.
-        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
-        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        # decimal sum over sf0.1 lineitem). Lift the limit so C2 compiles it
+        # — and grow the code cache to hold the compiled output: a session
+        # running many generated plans fills the 240 MB default, after which
+        # the JIT stops compiling and EVERY query degrades ~4x.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=1g",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=1g",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
