@@ -1,0 +1,44 @@
+"""Physical-plan auditing: assert the optimizer produced the plan we want.
+
+Correctness tests prove the right ANSWER; these helpers prove the right
+PLAN — pushdown reached the scan, dims broadcast, top-k avoided a global
+sort. At 100 TB a silent plan regression (a filter that stops pushing, a
+broadcast that falls back to shuffle) is a production incident; the plan
+tests in ``tests/test_plan_shapes.py`` pin the shapes.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class PlanFeatures:
+    pushed_filters: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+    join_nodes: list[str] = field(default_factory=list)
+    has_take_ordered: bool = False
+    has_generate: bool = False
+    n_exchanges: int = 0
+    raw: str = ""
+
+
+def plan_features(df: DataFrame) -> PlanFeatures:
+    """Extract scale-relevant features from the executed (pre-run) plan."""
+    raw = df._jdf.queryExecution().executedPlan().toString()
+    return PlanFeatures(
+        pushed_filters=[
+            m.group(1)
+            for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", raw)
+            if m.group(1)
+        ],
+        read_schemas=re.findall(r"ReadSchema: (\S+)", raw),
+        join_nodes=re.findall(r"(\w+Join)\b", raw),
+        has_take_ordered="TakeOrderedAndProject" in raw,
+        has_generate="Generate" in raw,
+        n_exchanges=raw.count("Exchange "),
+        raw=raw,
+    )

@@ -1,0 +1,82 @@
+"""Plan-shape regression tests: the optimizer must keep producing the
+100 TB-safe physical plans documented in SCALE.md. A failure here means a
+plan regressed (lost pushdown, broadcast fell back to shuffle, a global
+sort appeared) even if answers are still correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_streaming_twitter_spark.plans.audit import plan_features
+from spark_streaming_twitter_spark.registry import load_all
+
+SPECS = load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def _features(spark, name):
+    return plan_features(SPECS[name].fn(spark, SF))
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    f = _features(spark, "pricing_summary")
+    assert any("l_shipdate" in p for p in f.pushed_filters), f.pushed_filters
+    # 7 of 11 lineitem columns read — pruning reached the scan
+    assert f.read_schemas and "l_orderkey" not in f.read_schemas[0]
+    assert "l_quantity" in f.read_schemas[0]
+
+
+def test_dim_joins_broadcast(spark):
+    # pure dim-enrichment queries: every join must broadcast
+    for name in ("part_brand_revenue", "nation_region_rollup"):
+        f = _features(spark, name)
+        assert "BroadcastHashJoin" in f.join_nodes, (name, f.join_nodes)
+        assert "SortMergeJoin" not in f.join_nodes, (
+            f"{name}: dim join must broadcast, not shuffle-sort-merge"
+        )
+    # doc_lang_id: the marker-lexicon join must broadcast; the final
+    # doc-keyed result join is fact-fact and legitimately sort-merges
+    f = _features(spark, "doc_lang_id")
+    assert "BroadcastHashJoin" in f.join_nodes, f.join_nodes
+
+
+def test_topk_never_global_sorts(spark):
+    for name in ("top_revenue_orders", "top_lineitems_global"):
+        f = _features(spark, name)
+        assert f.has_take_ordered, f"{name} must plan TakeOrderedAndProject"
+        assert "Sort " not in f.raw.replace("SortMergeJoin", ""), (
+            f"{name} must not plan a global Sort"
+        )
+
+
+def test_semi_anti_joins_planned(spark):
+    f = _features(spark, "customers_with_orders")
+    assert any("LeftSemi" in line for line in f.raw.splitlines()), f.join_nodes
+    f = _features(spark, "customers_without_orders")
+    assert any("LeftAnti" in line for line in f.raw.splitlines()), f.join_nodes
+
+
+def test_trending_is_two_stage_with_explode(spark):
+    f = _features(spark, "trending_terms_by_source")
+    assert f.has_generate, "term explode must be a native Generate"
+    # stage1 agg shuffle + window argmax shuffle; no more
+    assert f.n_exchanges <= 3, f.raw
+
+
+def test_similarity_broadcasts_query_side(spark):
+    f = _features(spark, "similarity_topk_cosine")
+    assert any("BroadcastNestedLoopJoin" in line for line in f.raw.splitlines()), (
+        "query set must broadcast; corpus must stream"
+    )
+
+
+def test_scan_prunes_before_python_stage(spark):
+    f = _features(spark, "media_frame_samples")
+    # the kind filter must evaluate before mapInPandas (no payload for
+    # non-video rows crosses into Python)
+    raw = f.raw
+    assert "MapInPandas" in raw
+    assert raw.index("Filter") > raw.index("MapInPandas"), (
+        "plan prints top-down: Filter must be BELOW (after) MapInPandas"
+    )
