@@ -361,3 +361,73 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("value", 0.5).alias("approx_median"),
         F.approx_percentile("value", 0.9).alias("approx_p90"),
     )
+
+
+@query(
+    "null_semantics_orders",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         nullif(o_orderstatus, 'P') AS status_n
+  FROM orders
+),
+ranked AS (
+  SELECT o_orderpriority, o_orderkey, status_n,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY status_n ASC NULLS FIRST,
+                                     o_orderkey ASC) AS rn
+  FROM o
+)
+SELECT o.o_orderpriority,
+       count(*) AS n_total,
+       count(o.status_n) AS n_nonnull,
+       CAST(sum(CASE WHEN o.status_n IS NOT DISTINCT FROM NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_eq_null,
+       CAST(sum(CASE WHEN coalesce(o.status_n, 'missing') = 'missing'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_coalesced,
+       max(r.first_key) AS first_key_nulls_first
+FROM o
+JOIN (SELECT o_orderpriority, o_orderkey AS first_key
+      FROM ranked WHERE rn = 1) r USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+""",
+    doc="Null semantics pinned: nullif-constructed nulls, count(col) "
+    "skipping nulls, null-safe equality (<=> / IS NOT DISTINCT FROM), "
+    "coalesce, and explicit NULLS FIRST ordering (Spark's ASC default is "
+    "nulls-first, DuckDB's is nulls-last — the explicit spec makes both "
+    "engines agree; the rank-1 key per group proves it).",
+)
+def null_semantics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    o = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_n"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("status_n").asc_nulls_first(), F.col("o_orderkey").asc()
+    )
+    first = (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderpriority", F.col("o_orderkey").alias("first_key"))
+    )
+    return (
+        o.join(F.broadcast(first), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("status_n").alias("n_nonnull"),
+            F.sum(
+                F.when(F.col("status_n").eqNullSafe(F.lit(None).cast("string")), 1)
+                .otherwise(0)
+            ).alias("n_null_safe_eq_null"),
+            F.sum(
+                F.when(F.coalesce("status_n", F.lit("missing")) == "missing", 1)
+                .otherwise(0)
+            ).alias("n_coalesced"),
+            F.max("first_key").alias("first_key_nulls_first"),
+        )
+    )
