@@ -49,6 +49,7 @@ from spark_streaming_twitter_spark.functions.hashing import (
     portable_hash,
     portable_hash_sql,
 )
+from spark_streaming_twitter_spark.functions import sampling
 from spark_streaming_twitter_spark.registry import query
 from spark_streaming_twitter_spark.text.analysis import tokens
 
@@ -747,3 +748,79 @@ def dedup_group_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return connected_components(pairs, nodes)
+
+
+# --------------------------------------------------------------------------
+# Capstone: the full curation pipeline as ONE declarative plan
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=f"""
+WITH {_MINHASH_BUCKETS_SQL},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+drops AS (
+  SELECT DISTINCT i.doc_b AS doc_id
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.8
+),
+quality AS (
+  SELECT doc_id, lang, source, n_chars,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+kept AS (
+  SELECT q.doc_id, q.lang, q.source, q.n_chars
+  FROM quality q
+  LEFT JOIN drops d ON q.doc_id = d.doc_id
+  WHERE d.doc_id IS NULL
+    AND len(q.toks) >= 20
+    AND q.lang IN ('en', 'de', 'fr', 'es')
+    AND ({{bucket}}) < {{cut}}
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT source) AS n_sources
+FROM kept
+GROUP BY lang
+""".format(bucket=sampling.sample_bucket_sql("q.doc_id", "curate"), cut=9000),
+    doc="The canonical LLM corpus-curation pipeline as ONE Catalyst plan: "
+    "near-dup drop list (MinHash-LSH + Jaccard verify) anti-joined out, "
+    "length + language quality gates, deterministic 90%% hash-sample, "
+    "per-language corpus stats. Every stage is the already-verified "
+    "operator; composing them stays declarative — Catalyst sees through "
+    "the whole thing (one plan, no materialization barriers).",
+    bench=True,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    drops = dedup_drop_list(spark, sf_dir)
+    kept = (
+        docs.join(
+            drops, docs.doc_id == drops.drop_doc_id, "left_anti"
+        )
+        .where(F.size(tokens(F.col("text"))) >= 20)
+        .where(F.col("lang").isin("en", "de", "fr", "es"))
+        .where(sampling.sample_bucket(F.col("doc_id"), salt="curate") < 9000)
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("source").alias("n_sources"),
+    )
