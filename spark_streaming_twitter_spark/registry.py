@@ -52,6 +52,7 @@ def query(
 def load_all() -> dict[str, QuerySpec]:
     """Import every query-defining module so the registry is fully populated."""
     import spark_streaming_twitter_spark.operators.advanced  # noqa: F401
+    import spark_streaming_twitter_spark.operators.analytics  # noqa: F401
     import spark_streaming_twitter_spark.operators.relational  # noqa: F401
     import spark_streaming_twitter_spark.operators.trending  # noqa: F401
     import spark_streaming_twitter_spark.operators.windows  # noqa: F401
