@@ -810,7 +810,11 @@ GROUP BY lang
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    drops = dedup_drop_list(spark, sf_dir)
+    # The drop list is a few rows but its subtree (LSH + Jaccard verify)
+    # is the bulk of the plan; materialize it once so the curation plan
+    # stays small enough for stage reuse (at cluster scale: checkpoint or
+    # write the drop list - it is the natural pipeline barrier anyway).
+    drops = dedup_drop_list(spark, sf_dir).localCheckpoint()
     kept = (
         docs.join(
             drops, docs.doc_id == drops.drop_doc_id, "left_anti"
