@@ -1,0 +1,146 @@
+"""The complete Python-UDF escape-hatch surface, one oracle-checked example
+each. With these three plus ``applyInPandasWithState`` (streaming/queries)
+and ``mapInPandas`` (multimodal/columns), every Arrow-batched Python entry
+point Spark offers is exercised and verified against SQL:
+
+- scalar ``@pandas_udf``       — vectorized column function (Series->Series)
+- ``applyInPandas``            — grouped-map (one pandas frame per group)
+- ``mapInArrow``               — lowest level: raw pyarrow RecordBatches
+
+Row-at-a-time ``F.udf`` is deliberately ABSENT from this codebase — the
+per-row Python crossing is the one shape that can never be made fast.
+
+Each example computes something deterministic (counts, ranks, histograms)
+so the DuckDB oracle compares exactly; float statistics (mean/std) stay out
+of Python on purpose (order-dependent reductions belong to the engine's
+exact-decimal path, functions/numeric.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from spark_streaming_twitter_spark.catalog import table
+from spark_streaming_twitter_spark.registry import query
+
+
+def ws_token_count():
+    """Whitespace token count as a scalar pandas UDF (Series -> Series).
+
+    Built lazily: @pandas_udf parses its DDL return type against the active
+    session, so the decorator can't run at import time.
+    """
+
+    @pandas_udf("int")
+    def _count(text: pd.Series) -> pd.Series:
+        return text.str.split().str.len().fillna(0).astype("int32")
+
+    return _count
+
+
+@query(
+    "pandas_udf_token_counts",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+            AS INT) AS n_tokens
+FROM documents
+""",
+    doc="Scalar @pandas_udf: Series-in/Series-out over Arrow batches "
+    "(pandas str.split vectorization). Same answer as the pure-expression "
+    "doc_token_stats path — the oracle proves the Python and JVM "
+    "tokenizers agree. Use the expression form in hot paths; this is the "
+    "template for logic that genuinely needs a Python library.",
+)
+def pandas_udf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select("doc_id", ws_token_count()(F.col("text")).alias("n_tokens"))
+
+
+@query(
+    "applyinpandas_source_ranks",
+    oracle="""
+SELECT doc_id, source,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id ASC) AS INT)
+         AS rank_in_source
+FROM documents
+""",
+    doc="applyInPandas grouped-map: each source's docs arrive as ONE pandas "
+    "frame (shuffle on the group key), ranked locally with a deterministic "
+    "sort. Equivalent to a window row_number (the oracle) — use the window "
+    "in SQL-expressible cases; this is the template for per-group Python "
+    "(model scoring, per-group fitting). Group = unit of memory: a group "
+    "must fit in one executor's heap, so key choice is the scale lever.",
+)
+def applyinpandas_source_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        pdf["rank_in_source"] = range(1, len(pdf) + 1)
+        return pdf[["doc_id", "source", "rank_in_source"]]
+
+    return docs.groupBy("source").applyInPandas(
+        rank_group, "doc_id long, source string, rank_in_source int"
+    )
+
+
+@query(
+    "mapinarrow_byte_histograms",
+    oracle=f"""
+WITH bytes AS (
+  SELECT doc_id AS media_id,
+         ord(unnest(string_split(text, ''))) // 16 AS bucket,
+         len(text) AS n
+  FROM documents
+)
+SELECT media_id, CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS DOUBLE) / any_value(n) AS frac
+FROM bytes
+GROUP BY media_id, bucket
+""",
+    doc="mapInArrow: the lowest-level Arrow entry point — raw RecordBatches "
+    "in and out, no pandas materialization (half the peak memory of "
+    "mapInPandas for binary-heavy batches). Same byte-histogram semantics "
+    "and ORACLE as media_byte_histograms, so the two API levels are "
+    "proven equivalent.",
+)
+def mapinarrow_byte_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from spark_streaming_twitter_spark.multimodal.columns import media_table
+
+    media = media_table(spark, sf_dir).select("media_id", "payload")
+
+    def hist(batches):
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            out_id, out_bucket, out_frac = [], [], []
+            for mid, payload in zip(ids, payloads):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                if len(b) == 0:
+                    continue
+                counts = np.bincount(b >> 4, minlength=16)
+                for bucket in np.nonzero(counts)[0]:
+                    out_id.append(mid)
+                    out_bucket.append(int(bucket))
+                    out_frac.append(float(counts[bucket]) / len(b))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, type=pa.int64()),
+                    pa.array(out_bucket, type=pa.int32()),
+                    pa.array(out_frac, type=pa.float64()),
+                ],
+                names=["media_id", "bucket", "frac"],
+            )
+
+    return media.mapInArrow(hist, "media_id long, bucket int, frac double")

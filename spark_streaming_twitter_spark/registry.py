@@ -58,6 +58,7 @@ def load_all() -> dict[str, QuerySpec]:
     import spark_streaming_twitter_spark.operators.windows  # noqa: F401
     import spark_streaming_twitter_spark.dedup.dedup  # noqa: F401
     import spark_streaming_twitter_spark.dedup.queries  # noqa: F401
+    import spark_streaming_twitter_spark.functions.pandas_udfs  # noqa: F401
     import spark_streaming_twitter_spark.functions.sampling  # noqa: F401
     import spark_streaming_twitter_spark.multimodal.columns  # noqa: F401
     import spark_streaming_twitter_spark.sources.tweets  # noqa: F401
