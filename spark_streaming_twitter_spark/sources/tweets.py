@@ -113,3 +113,52 @@ def tweet_hashtag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value"),
     )
     return hashtag_counts(parse_tweets(kafka_shaped))
+
+
+@query(
+    "file_format_roundtrip_stats",
+    oracle="""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+""",
+    doc="File-format coverage: the documents table is written to CSV "
+    "(header, explicit quoting) and JSON Lines in a spool dir, read back "
+    "through both readers with explicit schemas, unioned, and aggregated — "
+    "the oracle (straight from parquet) proves both round-trips lossless. "
+    "Half the rows travel via CSV, half via JSONL (disjoint hash split), "
+    "so neither reader can mask the other.",
+)
+def file_format_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    base = Path(tempfile.gettempdir()) / (
+        "fmt_spool_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    half = F.col("doc_id") % 2 == 0
+    (
+        docs.where(half)
+        .coalesce(2)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .csv(str(base / "csv"))
+    )
+    docs.where(~half).coalesce(2).write.mode("overwrite").json(str(base / "json"))
+
+    schema = "doc_id long, text string, lang string, n_chars long"
+    from_csv = spark.read.schema(schema).option("header", "true").csv(
+        str(base / "csv")
+    )
+    from_json_files = spark.read.schema(schema).json(str(base / "json"))
+    together = from_csv.unionByName(from_json_files)
+    return together.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
