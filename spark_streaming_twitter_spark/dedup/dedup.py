@@ -234,6 +234,33 @@ buckets AS (
 )
 """
 
+_VERIFIED_PAIRS_SQL = f"""
+{_MINHASH_BUCKETS_SQL},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.8
+)
+"""
+
+
 
 @query(
     "dedup_minhash_lsh_pairs",
@@ -321,27 +348,8 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_near_duplicates",
     oracle=f"""
-WITH {_MINHASH_BUCKETS_SQL},
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM buckets a
-  JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key
-               AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS n_common
-  FROM cand c
-  JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
-  GROUP BY 1, 2
-)
-SELECT i.doc_a, i.doc_b,
-       CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
-FROM inter i
-JOIN sizes sa ON i.doc_a = sa.doc_id
-JOIN sizes sb ON i.doc_b = sb.doc_id
-WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.8
+WITH {_VERIFIED_PAIRS_SQL}
+SELECT doc_a, doc_b, jaccard FROM verified
 """,
     doc="End-to-end near-dup detection, the production 100 TB shape: "
     "MinHash-LSH generates candidates, exact Jaccard verifies ONLY those "
@@ -381,26 +389,8 @@ def dedup_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_drop_list",
     oracle=f"""
-WITH {_MINHASH_BUCKETS_SQL},
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM buckets a
-  JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key
-               AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS n_common
-  FROM cand c
-  JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
-  GROUP BY 1, 2
-)
-SELECT DISTINCT i.doc_b AS drop_doc_id
-FROM inter i
-JOIN sizes sa ON i.doc_a = sa.doc_id
-JOIN sizes sb ON i.doc_b = sb.doc_id
-WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.8
+WITH {_VERIFIED_PAIRS_SQL}
+SELECT DISTINCT doc_b AS drop_doc_id FROM verified
 """,
     doc="Greedy keep-min-id dedup policy: a doc is dropped iff it has a "
     "verified near-dup with a smaller id. One DISTINCT over the verified "
@@ -696,30 +686,10 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
 @query(
     "dedup_group_ids",
     oracle=f"""
-WITH {_MINHASH_BUCKETS_SQL},
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM buckets a
-  JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key
-               AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS n_common
-  FROM cand c
-  JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT i.doc_a AS a, i.doc_b AS b
-  FROM inter i
-  JOIN sizes sa ON i.doc_a = sa.doc_id
-  JOIN sizes sb ON i.doc_b = sb.doc_id
-  WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.8
-),
-members AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
-edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+WITH {_VERIFIED_PAIRS_SQL},
+members AS (SELECT doc_a AS id FROM verified UNION SELECT doc_b FROM verified),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+          UNION SELECT doc_b, doc_a FROM verified),
 reach AS (
   WITH RECURSIVE r(node, label) AS (
     SELECT id, id FROM members
