@@ -7,6 +7,11 @@ column pruning for free — the reference's row-oriented POJO path
 
 from __future__ import annotations
 
+import hashlib
+import tempfile
+from collections.abc import Callable
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -40,6 +45,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def spool_fixture(
+    key: str, sf_dir: str, version: str, writer: Callable[[Path], None]
+) -> Path:
+    """Write-once spool dir for file-source fixtures, shared across queries.
+
+    Queries that need data on disk (streaming text spools, CSV/JSONL
+    round-trips) derive deterministically from the fixture parquet, so the
+    spool is written ONCE per (key, sf_dir, version) and reused by every
+    later call in the same round — the driver's correctness gate and
+    bench.py's repeat runs then pay the write exactly once. ``version``
+    names the payload-construction recipe; bump it when the writer changes
+    so stale spools from older code can't leak in.
+    """
+    tag = hashlib.md5(f"{key}:{version}:{sf_dir}".encode()).hexdigest()[:12]
+    base = Path(tempfile.gettempdir()) / f"spark_graft_spool_{key}_{tag}"
+    marker = base / "_SPOOL_DONE"
+    if not marker.exists():
+        writer(base)
+        marker.write_text("ok")
+    return base
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -315,7 +315,7 @@ def customer_order_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey, l_linenumber,
        abs(l_discount - 0.05) AS abs_centered,
-       sign(l_discount - 0.05) AS disc_sign,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
        CAST(floor(l_quantity / 10) AS BIGINT) AS qty_decile,
        CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
        sqrt(l_extendedprice) AS price_sqrt,

@@ -50,7 +50,11 @@ def extract_hashtags(df: DataFrame, text_col: str = "text") -> DataFrame:
     TwitterDStreamTrendingHashtag.java:60-78) as a native Generate over
     ``regexp_extract_all`` — Catalyst-visible, prunable, codegen'd.
     """
-    return df.withColumn(
+    # instr prefilter: rows with no '#' can't match, and explode drops
+    # empty-array rows anyway — so skipping the regex for them is
+    # semantics-preserving and saves a full regex scan per hashtag-free
+    # document (most of a real corpus).
+    return df.where(F.instr(F.col(text_col), "#") > 0).withColumn(
         "hashtag",
         F.explode(F.expr(f"regexp_extract_all({text_col}, '#\\\\w+', 0)")),
     )

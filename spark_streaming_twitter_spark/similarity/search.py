@@ -290,7 +290,11 @@ dims AS (
   FROM quantized
 ),
 centroid_dims AS (
-  SELECT label, d, CAST(sum(qv[d]) // count(*) AS BIGINT) AS c
+  -- exact integer FLOOR division (DuckDB // truncates toward zero, Spark
+  -- floors): subtract the positive modulus first so the quotient is exact.
+  SELECT label, d,
+         CAST((sum(qv[d]) - (((sum(qv[d]) % count(*)) + count(*)) % count(*)))
+              // count(*) AS BIGINT) AS c
   FROM dims GROUP BY label, d
 ),
 centroids AS (
@@ -340,8 +344,16 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = corpus.select(
         "label", F.posexplode(F.col("qv")).alias("d0", "v")
     )
-    centroid_dims = dims.groupBy("label", "d0").agg(
-        F.floor(F.sum("v") / F.count(F.lit(1))).cast("bigint").alias("c")
+    # Exact integer floor division (no double rounding even when dim-sums
+    # exceed 2^53 at scale): subtract pmod so DIV's truncation == floor.
+    centroid_dims = (
+        dims.groupBy("label", "d0")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "label",
+            "d0",
+            F.expr("(s - pmod(s, cnt)) DIV cnt").cast("bigint").alias("c"),
+        )
     )
     centroids = (
         centroid_dims.groupBy("label")

@@ -95,12 +95,25 @@ GROUP BY source
     bench=True,
 )
 def tweet_hashtag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # The fixture parquet is one file -> one scan task; the producer-side
+    # payload synthesis (this block, not the engine under test) repartitions
+    # so the parse+extract stages run wide, like a many-partition Kafka topic.
+    # The repartition also splits to_json and from_json into separate codegen
+    # stages, keeping each generated method small enough for C2.
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     payload = F.to_json(
         F.struct(
-            F.concat(F.lit("#"), F.col("source"), F.lit(" "), F.col("text")).alias(
-                "text"
-            ),
+            # '#' is stripped from the document body so the only hashtag in
+            # the payload is the '#'||source we prepend — the invariant the
+            # oracle depends on, pinned here rather than assumed.
+            F.concat(
+                F.lit("#"),
+                F.col("source"),
+                F.lit(" "),
+                F.regexp_replace(F.col("text"), "#", ""),
+            ).alias("text"),
             (F.col("doc_id") * 1000).cast("string").alias("timestamp"),
             F.col("lang").alias("lang"),
         )
@@ -131,30 +144,35 @@ GROUP BY lang
     "so neither reader can mask the other.",
 )
 def file_format_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import tempfile
-    from pathlib import Path
+    from spark_streaming_twitter_spark.catalog import spool_fixture
 
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )
-    base = Path(tempfile.gettempdir()) / (
-        "fmt_spool_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    )
-    half = F.col("doc_id") % 2 == 0
-    (
-        docs.where(half)
-        .coalesce(2)
-        .write.mode("overwrite")
-        .option("header", "true")
-        .option("quoteAll", "true")
-        .csv(str(base / "csv"))
-    )
-    docs.where(~half).coalesce(2).write.mode("overwrite").json(str(base / "json"))
 
+    def write_both(base) -> None:
+        half = F.col("doc_id") % 2 == 0
+        # escape='"' (RFC-4180 doubled quotes) + multiLine on read: texts
+        # containing quotes or newlines survive the CSV round-trip.
+        (
+            docs.where(half)
+            .coalesce(2)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .option("quoteAll", "true")
+            .option("escape", '"')
+            .csv(str(base / "csv"))
+        )
+        docs.where(~half).coalesce(2).write.mode("overwrite").json(str(base / "json"))
+
+    base = spool_fixture("fmt", sf_dir, "v2-escaped", write_both)
     schema = "doc_id long, text string, lang string, n_chars long"
-    from_csv = spark.read.schema(schema).option("header", "true").csv(
-        str(base / "csv")
+    from_csv = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(str(base / "csv"))
     )
     from_json_files = spark.read.schema(schema).json(str(base / "json"))
     together = from_csv.unionByName(from_json_files)

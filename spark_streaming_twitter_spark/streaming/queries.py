@@ -206,6 +206,40 @@ def stream_dedup_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "stream_dedup_within_watermark",
+    oracle="""
+SELECT DISTINCT user_id, event_type,
+       CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_ts
+FROM events
+""",
+    doc="dropDuplicatesWithinWatermark — the EVICTABLE-state dedup: unlike "
+    "dropDuplicates, a key's state is dropped once the watermark passes its "
+    "event time + delay, so state is bounded even over unbounded key "
+    "cardinality (the 100 TB streaming-dedup form). The event-time minute "
+    "is part of the dedup key, so duplicates always share an event time and "
+    "are within any watermark delay — the guaranteed-dedup case, making the "
+    "result deterministic: exactly DISTINCT (user, type, minute). Append "
+    "mode emits first occurrences immediately.",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    keyed = ev.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("minute", F.col("ts")).alias("minute_start"),
+    ).withWatermark("minute_start", WATERMARK)
+    deduped = keyed.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "minute_start"]
+    )
+    out = run_to_memory(deduped, output_mode="append")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("minute_start").alias("minute_ts"),
+    )
+
+
+@query(
     "stream_user_event_counts_stateful",
     oracle="SELECT user_id, count(*) AS n_events FROM events GROUP BY 1",
     doc="applyInPandasWithState (PySpark's mapGroupsWithState, reproducing "
@@ -344,29 +378,32 @@ FROM ranked WHERE rn = 1
     "the DuckDB batch answer over the same synthetic tweets.",
 )
 def stream_tweet_trending_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import tempfile
-    from pathlib import Path
-
-    from spark_streaming_twitter_spark.catalog import table
+    from spark_streaming_twitter_spark.catalog import spool_fixture, table
     from spark_streaming_twitter_spark.operators.trending import extract_hashtags
     from spark_streaming_twitter_spark.sources.tweets import parse_tweets
 
     docs = table(spark, sf_dir, "documents")
     payload = F.to_json(
         F.struct(
-            F.concat(F.lit("#"), F.col("source"), F.lit(" "), F.col("text")).alias(
-                "text"
-            ),
+            # '#' stripped from the body: the prepended '#'||source is the
+            # only hashtag, the invariant the oracle depends on.
+            F.concat(
+                F.lit("#"),
+                F.col("source"),
+                F.lit(" "),
+                F.regexp_replace(F.col("text"), "#", ""),
+            ).alias("text"),
             (F.col("doc_id") * 60000).cast("string").alias("timestamp"),
             F.col("lang").alias("lang"),
         )
     )
-    spool = str(
-        Path(tempfile.gettempdir())
-        / ("tweet_spool_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
-    )
-    docs.select(payload.alias("value")).coalesce(4).write.mode("overwrite").text(spool)
+
+    def write_spool(base) -> None:
+        docs.select(payload.alias("value")).coalesce(4).write.mode(
+            "overwrite"
+        ).text(str(base / "text"))
+
+    spool = str(spool_fixture("tweet", sf_dir, "v2-hashfree", write_spool) / "text")
 
     raw = spark.readStream.text(spool)
     tweets = parse_tweets(raw.select(F.lit(None).cast("string").alias("key"), "value"))

@@ -28,6 +28,11 @@ def canon(d: pd.DataFrame) -> pd.DataFrame:
 
 
 def values_equal(g, w) -> bool:
+    # The driver's value-hash serializes values, so int 0 vs float 0.0 hash
+    # differently even though 0 == 0.0 — be type-sensitive for numerics.
+    if isinstance(g, (int, float)) and isinstance(w, (int, float)):
+        if type(g) is not type(w):
+            return False
     if isinstance(g, float) and isinstance(w, float):
         return (math.isnan(g) and math.isnan(w)) or g == w
     if g is None and w is None:
