@@ -22,9 +22,10 @@ Scale design (100 TB):
   band key, simhash chunk) — no constant-key funnels.
 - LSH band buckets are the only skew risk (a boilerplate shingle shared by
   millions of docs). AQE skew-join splitting handles moderate skew; for
-  adversarial data, cap bucket size with a per-bucket row_number filter
-  before the self-join (drops only pathological buckets, documented recall
-  trade-off).
+  adversarial data, ``lsh_candidate_pairs(buckets, bucket_cap=N)`` keeps
+  only the N smallest doc_ids per bucket before the self-join (pathological
+  buckets degrade gracefully; documented recall trade-off, tested in
+  tests/test_dedup.py).
 - The exact Jaccard verification joins shingles ONLY for candidate pairs —
   the full O(n^2) comparison never materializes.
 - The brute-force cosine self-join here is the correctness baseline;
@@ -41,7 +42,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_streaming_twitter_spark.catalog import table
@@ -196,8 +197,28 @@ def minhash_buckets(sh: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
-def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
-    """Same-bucket self-join -> (doc_a, doc_b, n_bands) candidate pairs."""
+def lsh_candidate_pairs(
+    buckets: DataFrame, bucket_cap: int | None = None
+) -> DataFrame:
+    """Same-bucket self-join -> (doc_a, doc_b, n_bands) candidate pairs.
+
+    ``bucket_cap`` guards against adversarial skew: a boilerplate shingle
+    shared by millions of docs puts them all in one band bucket, and the
+    self-join on that bucket is O(n^2). With a cap, each bucket keeps only
+    its ``cap`` smallest doc_ids (per-bucket row_number) before the join, so
+    a pathological bucket contributes at most cap*(cap-1)/2 pairs — linear
+    scan cost, bounded join cost, and only the degenerate buckets lose
+    recall (a bucket that large is boilerplate, not near-duplication).
+    Registered oracle queries run uncapped: the fixture has no adversarial
+    buckets, and the cap is a recall trade-off the oracle can't express.
+    """
+    if bucket_cap is not None:
+        w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+        buckets = (
+            buckets.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= bucket_cap)
+            .drop("__rn")
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -705,6 +726,7 @@ SELECT node AS doc_id, group_id FROM reach
     "one group even when A!~C directly). Spark: driver-coordinated "
     "min-label propagation loop, one keyed join per round, diameter "
     "rounds. Oracle: DuckDB recursive CTE computing min reachable id.",
+    bench=True,
 )
 def dedup_group_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_near_duplicates(spark, sf_dir).select(

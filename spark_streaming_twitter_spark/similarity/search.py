@@ -334,6 +334,7 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOP_K}
     "queries route to argmax-dot centroid, exact search within the cell "
     "only. At scale the cell id partitions the corpus: each query touches "
     "1/n_cells of the data with co-located shuffle reads.",
+    bench=True,
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")

@@ -48,6 +48,7 @@ FROM events GROUP BY 1
     doc="Reference Q2 as a real streaming query: tumbling 1-minute counts, "
     "complete mode; final streaming state must equal the batch answer. "
     "Partial+final agg per micro-batch; state keyed by window — sharded.",
+    bench=True,
 )
 def stream_events_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)

@@ -54,6 +54,29 @@ def test_exact_dup_matches_all_bands(near_dup_docs):
     assert row and row[0].n_bands == 4
 
 
+def test_bucket_cap_bounds_adversarial_boilerplate(spark):
+    # 40 docs sharing one boilerplate text (an adversarial shingle bucket:
+    # every band key collides for all 40) plus one genuine near-dup pair of
+    # distinct text. Uncapped, the boilerplate bucket alone yields
+    # C(40,2)=780 candidate pairs; capped at 8 it contributes C(8,2)=28,
+    # and the genuine pair in its own small bucket survives untouched.
+    boiler = [(i, "terms of service apply to all users of this site " * 3)
+              for i in range(40)]
+    genuine = [(100, BASE), (101, BASE.replace("summer", "winter"))]
+    docs = spark.createDataFrame(boiler + genuine, ["doc_id", "text"])
+    buckets = minhash_buckets(doc_shingles(docs))
+
+    uncapped = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(buckets).collect()}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(buckets, bucket_cap=8).collect()
+    }
+    assert len(uncapped) == 780 + 1
+    boiler_capped = {p for p in capped if p[0] < 100}
+    assert boiler_capped == {(a, b) for a in range(8) for b in range(a + 1, 8)}
+    assert (100, 101) in capped, "small buckets must be unaffected by the cap"
+
+
 def test_simhash_distance_orders_by_similarity(near_dup_docs):
     sigs = {r.doc_id: r.simhash for r in simhash_signatures(near_dup_docs).collect()}
     ham = lambda a, b: bin(sigs[a] ^ sigs[b]).count("1")
