@@ -47,8 +47,11 @@ def main() -> None:
     for name, spec in sorted(bench_specs.items()):
         best, n = float("inf"), 0
         for _ in range(runs):
-            df = spec.fn(spark, sf_dir)
+            # Time fn + collect: some queries do their real work inside fn
+            # (streaming runs to completion, the CC label loop iterates) —
+            # timing only the collect would report those as near-zero.
             t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
             n = len(df.collect())
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)

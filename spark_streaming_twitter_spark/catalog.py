@@ -47,6 +47,23 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
 
+def widen(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition a narrow scan up to cluster parallelism, adaptively.
+
+    The fixture tables are single parquet files with one row group, so a
+    scan is ONE task and any compute-heavy pipeline above it (shingle
+    explode, regex tokenize, vector math) runs on one core. When the scan
+    has fewer input files than the session's parallelism, insert a
+    round-robin repartition so the heavy stage runs wide; when the input
+    already has enough splits (any production-scale table), this is a
+    no-op — no gratuitous shuffle of 100 TB of text.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) >= target:
+        return df
+    return df.repartition(target)
+
+
 def spool_fixture(
     key: str, sf_dir: str, version: str, writer: Callable[[Path], None]
 ) -> Path:

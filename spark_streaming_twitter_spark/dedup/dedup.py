@@ -45,7 +45,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spark_streaming_twitter_spark.catalog import table
+from spark_streaming_twitter_spark.catalog import table, widen
 from spark_streaming_twitter_spark.functions.hashing import (
     portable_hash,
     portable_hash_sql,
@@ -103,7 +103,10 @@ def doc_shingles(docs: DataFrame) -> DataFrame:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return doc_shingles(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # widen: the shingle explode + per-shingle md5 is the hot loop; a
+    # single-file fixture scan would pin it to one core.
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    return doc_shingles(docs)
 
 
 _SHINGLES_SQL = rf"""
@@ -463,7 +466,8 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_signatures(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    return simhash_signatures(docs)
 
 
 _SIMHASH_SQL = rf"""
@@ -632,7 +636,7 @@ WHERE CAST({scaled_dot_sql("a.embedding", "b.embedding")} AS DOUBLE)
     "similarity.ann — at 100 TB only the LSH-prefiltered variant runs.",
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = widen(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
     norms = emb.withColumn("n2", scaled_norm2(F.col("embedding")))
     a = norms.select(
         F.col("vec_id").alias("vec_a"),
@@ -801,7 +805,7 @@ GROUP BY lang
     bench=True,
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = widen(table(spark, sf_dir, "documents"), spark)
     # The drop list is a few rows but its subtree (LSH + Jaccard verify)
     # is the bulk of the plan; materialize it once so the curation plan
     # stays small enough for stage reuse (at cluster scale: checkpoint or

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from spark_streaming_twitter_spark.catalog import table
+from spark_streaming_twitter_spark.catalog import table, widen
 from spark_streaming_twitter_spark.registry import query
 
 
@@ -56,7 +56,7 @@ FROM documents
     "template for logic that genuinely needs a Python library.",
 )
 def pandas_udf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     return docs.select("doc_id", ws_token_count()(F.col("text")).alias("n_tokens"))
 
 

@@ -29,7 +29,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_streaming_twitter_spark.catalog import table
+from spark_streaming_twitter_spark.catalog import table, widen
 from spark_streaming_twitter_spark.registry import query
 
 try:  # pragma: no cover - codec not in this container
@@ -50,7 +50,7 @@ FRAME_STRIDE = 7  # sample every 7th fake frame
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media fixtures from ``documents`` (see module doc)."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     meta = F.struct(
         (F.col("doc_id") % 640 + 64).cast("int").alias("width"),
         (F.col("doc_id") % 480 + 48).cast("int").alias("height"),

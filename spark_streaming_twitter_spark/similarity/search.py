@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from spark_streaming_twitter_spark.catalog import table
+from spark_streaming_twitter_spark.catalog import table, widen
 from spark_streaming_twitter_spark.dedup.dedup import (
     scaled_dot,
     scaled_dot_sql,
@@ -69,19 +69,23 @@ def _quantized(col: Column) -> Column:
     return F.transform(col, lambda x: F.round(x.cast("double") * QUANT).cast("bigint"))
 
 
-def _band_sig(qcol: Column, band: int) -> Column:
-    """8-bit sign signature of a quantized vector against one plane band."""
-    sig = None
+def _band_sig(qcol_name: str, band: int) -> Column:
+    """8-bit sign signature of a quantized vector against one plane band.
+
+    Built as ONE parsed SQL expression per band: the 512 plane weights ride
+    inline as array literals, so plan construction is a single expr parse
+    instead of thousands of py4j literal round-trips (measured ~1.7 s of
+    driver-side fn time per query call the literal-by-literal way).
+    """
+    bits = []
     for bit in range(LSH_BITS):
-        plane = F.array(*[F.lit(w) for w in _PLANES[band][bit]])
-        dot = F.aggregate(
-            F.zip_with(qcol, plane, lambda x, w: x * w),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
+        plane = "array(" + ",".join(str(w) for w in _PLANES[band][bit]) + ")"
+        dot = (
+            f"aggregate(zip_with({qcol_name}, {plane}, (x, w) -> x * w), "
+            "0L, (acc, x) -> acc + x)"
         )
-        term = F.when(dot > 0, F.lit(1 << bit)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return sig
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << bit} ELSE 0 END)")
+    return F.expr(" + ".join(bits))
 
 
 def _band_sig_sql(vec: str, band: int) -> str:
@@ -103,7 +107,9 @@ _QUANT_SQL = (
 
 
 def _corpus_with_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # widen: per-element vector expressions over a single-file scan would
+    # run one task; at scale the corpus has many splits and this is a no-op.
+    emb = widen(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
     return emb.withColumn("n2", scaled_norm2(F.col("embedding")))
 
 
@@ -230,19 +236,28 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOP_K}
 def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_with_norms(spark, sf_dir)
     quantized = corpus.withColumn("q_embedding", _quantized(F.col("embedding")))
-    per_band = [
-        quantized.select(
-            "vec_id",
-            "embedding",
-            "n2",
-            F.lit(band).alias("band"),
-            _band_sig(F.col("q_embedding"), band).alias("sig"),
-        )
-        for band in range(LSH_BANDS)
-    ]
-    buckets = per_band[0]
-    for df in per_band[1:]:
-        buckets = buckets.unionAll(df)
+    # One explode, not a 4-way union: a union of N projections of the same
+    # input recomputes the quantization N times on each side of the bucket
+    # self-join (see dedup.minhash_buckets for the same trap) — the exploded
+    # struct array keeps a single linear plan, bucketing the corpus ONCE.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                _band_sig("q_embedding", band).alias("sig"),
+            )
+            for band in range(LSH_BANDS)
+        ]
+    )
+    buckets = quantized.select(
+        "vec_id", "embedding", "n2", F.explode(band_structs).alias("bs")
+    ).select(
+        "vec_id",
+        "embedding",
+        "n2",
+        F.col("bs.band").alias("band"),
+        F.col("bs.sig").alias("sig"),
+    )
     qb = buckets.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), "band", "sig"
     )
@@ -337,7 +352,10 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOP_K}
     bench=True,
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    emb = widen(
+        table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"),
+        spark,
+    )
     corpus = emb.withColumn("n2", scaled_norm2(F.col("embedding"))).withColumn(
         "qv", _quantized(F.col("embedding"))
     )

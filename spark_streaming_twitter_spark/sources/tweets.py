@@ -95,14 +95,13 @@ GROUP BY source
     bench=True,
 )
 def tweet_hashtag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The fixture parquet is one file -> one scan task; the producer-side
-    # payload synthesis (this block, not the engine under test) repartitions
-    # so the parse+extract stages run wide, like a many-partition Kafka topic.
-    # The repartition also splits to_json and from_json into separate codegen
-    # stages, keeping each generated method small enough for C2.
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # widen: the fixture parquet is one file -> one scan task; repartition
+    # so the parse+extract stages run wide, like a many-partition Kafka
+    # topic. The exchange also splits to_json and from_json into separate
+    # codegen stages, keeping each generated method small enough for C2.
+    from spark_streaming_twitter_spark.catalog import widen
+
+    docs = widen(table(spark, sf_dir, "documents"), spark)
     payload = F.to_json(
         F.struct(
             # '#' is stripped from the document body so the only hashtag in

@@ -16,7 +16,8 @@ streaming state must equal the batch/SQL answer over the same data.
 from __future__ import annotations
 
 import uuid
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,6 +65,26 @@ def stream_events(
     return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 
+@contextmanager
+def _scoped_shuffle_partitions(spark: SparkSession) -> Iterator[None]:
+    """Pin shuffle partitions to cluster parallelism for a streaming run.
+
+    Streaming state stores can't be AQE-coalesced: every micro-batch of a
+    stateful query runs one task (and one state-store instance) per shuffle
+    partition, so a vanilla 200-partition session pays 200 tasks per
+    trigger over kilobyte-scale fixture state. Scope the conf to the query
+    (the value is captured at stream start) and restore it after, leaving
+    the caller's session untouched.
+    """
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def run_to_memory(
     sdf: DataFrame, name: str | None = None, output_mode: str = "complete"
 ) -> DataFrame:
@@ -76,17 +97,18 @@ def run_to_memory(
     """
     spark = sdf.sparkSession
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination()
+    with _scoped_shuffle_partitions(spark):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
     return spark.table(name)
 
 
@@ -103,13 +125,14 @@ def run_foreach_batch(
     epoch (vs the reference's connection per RECORD,
     TwitterDStreamTrendingHashtag.java:102-104).
     """
-    q = (
-        sdf.writeStream.foreachBatch(write_batch)
-        .outputMode(output_mode)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination()
+    with _scoped_shuffle_partitions(sdf.sparkSession):
+        q = (
+            sdf.writeStream.foreachBatch(write_batch)
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spark_streaming_twitter_spark.catalog import table
+from spark_streaming_twitter_spark.catalog import table, widen
 from spark_streaming_twitter_spark.functions.hashing import (
     portable_hash,
     portable_hash_sql,
@@ -79,7 +79,7 @@ FROM toks
     bench=True,
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     ws = tokens(F.col("text"))
     bpe = bpe_tokens(F.col("text"))
     return docs.select(
@@ -125,7 +125,7 @@ FROM scored
     bench=True,
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars"), spark)
     toks = tokens(F.col("text"))
     stop = F.array([F.lit(s) for s in ("the", "a", "of", "and", "to", "is", "in")])
     n_tokens = F.size(toks)
@@ -189,7 +189,7 @@ LEFT JOIN ranked r ON d.doc_id = r.doc_id AND r.rn = 1
     "markers matched. Deterministic tie-break: min lang code.",
 )
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "lang", "text"), spark)
     markers = spark.createDataFrame(_lang_marker_rows(), ["m_lang", "marker"])
     toks = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
@@ -254,7 +254,7 @@ GROUP BY doc_id, content_md5
     bench=True,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     with_toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
     # 5-token shingles via transform over an index sequence; documents
     # shorter than 5 tokens contribute their whole text as one shingle.
