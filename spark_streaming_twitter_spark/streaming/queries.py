@@ -275,6 +275,73 @@ def stream_user_event_counts_stateful(spark: SparkSession, sf_dir: str) -> DataF
     return mat.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
+def user_event_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas — Spark 4's arbitrary-state successor to
+    applyInPandasWithState (typed per-key ValueState, timers, TTL) on the
+    RocksDB state store provider it requires. Same contract as the legacy
+    stateful form: per-user running count, state sharded by user_id, final
+    state per key == batch group-by count; the modern path for the
+    reference's mapGroupsWithState semantics
+    (TwitterDatasetTrendingHashtag.java:458-492).
+
+    NOT in the query registry: the Python state client speaks protobuf to
+    the JVM and ``protobuf`` is not installed in this container, so the
+    plan constructs but execution raises in the Python worker. The
+    dependency gate is pinned by tests/test_streaming.py
+    (test_transform_with_state_*), which runs the full oracle comparison
+    when protobuf is importable and asserts the documented failure mode
+    when it is not.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    ev = stream_events(spark, sf_dir).select("user_id")
+    counts = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningCount(),
+        outputStructType="user_id bigint, n_events bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+    # transformWithState requires the RocksDB provider; scope it to this run.
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        mat = run_to_memory(counts, output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    # A key re-emits every micro-batch it appears in; counts are monotone,
+    # so the final state is the max — one tiny agg over #users rows.
+    return mat.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
 @query(
     "stream_sliding_counts",
     oracle="""

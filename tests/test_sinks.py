@@ -63,3 +63,55 @@ def test_parquet_point_writer_appends_epochs(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2
     assert sorted(r.epoch for r in back.select("epoch").collect()) == [0, 1]
+
+
+def test_influx_http_writer_posts_line_protocol(spark):
+    """Wire-level sink test against an in-process HTTP server: lines arrive
+    chunked, in line-protocol shape, at the /write endpoint with db and
+    precision params — no live InfluxDB needed."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from spark_streaming_twitter_spark.streaming.sinks import (
+        as_points,
+        influx_http_writer,
+    )
+
+    received: list[tuple[str, str]] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.append((self.path, body.decode()))
+            self.send_response(204)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        df = spark.createDataFrame(
+            [("2024-01-01 10:00:00", "#spark", 7), ("2024-01-01 10:05:00", "#sql", 3)],
+            ["ts", "hashtag", "n"],
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        points = as_points(
+            df, "TrendingHashTagSpark", "ts", ["hashtag"], ["n"]
+        ).coalesce(1)
+        writer = influx_http_writer(
+            f"http://127.0.0.1:{server.server_port}", db="tweets", chunk=1
+        )
+        writer(points, epoch_id=0)
+    finally:
+        server.shutdown()
+
+    assert len(received) == 2  # chunk=1 -> one POST per line
+    path, body = received[0]
+    assert path == "/write?db=tweets&precision=s"
+    lines = sorted(b for _, b in received)
+    assert lines == [
+        "TrendingHashTagSpark,hashtag=#spark n=7.0 1704103200",
+        "TrendingHashTagSpark,hashtag=#sql n=3.0 1704103500",
+    ]

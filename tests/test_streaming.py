@@ -230,3 +230,48 @@ def test_checkpoint_restores_state_across_restart(spark, stream_dir, tmp_path):
 
     rows = {r.user_id: r.n for r in spark.table("ckpt_test").collect()}
     assert rows == {1: 3}, f"state must survive restart: {rows}"
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_transform_with_state_counts_or_documented_gate(spark):
+    """transformWithStateInPandas: oracle-equal counts when protobuf is
+    available; otherwise the documented missing-dependency failure (the
+    Python state client imports google.protobuf in the worker)."""
+    from spark_streaming_twitter_spark.streaming.queries import (
+        user_event_counts_tws,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    if _has_protobuf():
+        got = {
+            r.user_id: r.n_events
+            for r in user_event_counts_tws(spark, sf_dir).collect()
+        }
+        from spark_streaming_twitter_spark.catalog import table
+
+        want = {
+            r.user_id: r.n
+            for r in table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
+    else:
+        # The worker dies on `from google.protobuf import ...`; Spark
+        # surfaces it as a STREAM_FAILED crash of the TWS driver worker.
+        from pyspark.errors import StreamingQueryException
+
+        with pytest.raises(
+            StreamingQueryException,
+            match="TransformWithStateInPySpark|STREAM_FAILED",
+        ):
+            user_event_counts_tws(spark, sf_dir).collect()
