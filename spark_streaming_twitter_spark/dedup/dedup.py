@@ -306,6 +306,29 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(minhash_buckets(_doc_shingles(spark, sf_dir)))
 
 
+@query(
+    "dedup_minhash_lsh_pairs_capped",
+    oracle=f"""
+WITH {_MINHASH_BUCKETS_SQL}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+FROM buckets a
+JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+    doc="The bucket-cap guard in the driver gate: identical to "
+    "dedup_minhash_lsh_pairs but through the capped path (cap=64, far "
+    "above any fixture bucket, so the oracle is the SAME uncapped SQL — "
+    "the cap provably doesn't perturb non-adversarial data; the "
+    "adversarial branch is pinned by tests/test_dedup.py with a planted "
+    "40-doc boilerplate bucket).",
+)
+def dedup_minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(
+        minhash_buckets(_doc_shingles(spark, sf_dir)), bucket_cap=64
+    )
+
+
 _JACCARD_PAIRS_SQL = f"""
 {_SHINGLES_SQL},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -382,8 +405,28 @@ SELECT doc_a, doc_b, jaccard FROM verified
     bench=True,
 )
 def dedup_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    sh = _doc_shingles(spark, sf_dir)
+    # The candidate pair set is the natural barrier: tiny relative to the
+    # corpus and referenced three times below (the pair join + both id-side
+    # restrictions) — materialize it once so the LSH subtree runs once, not
+    # three times (at cluster scale: checkpoint or write it, exactly like
+    # the curation pipeline's drop list).
+    cand = (
+        dedup_minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # Shingle ONLY candidate docs for verification: the id join lands BELOW
+    # the shingle explode, so exact Jaccard never re-tokenizes the full
+    # corpus — at 100 TB the verify stage reads candidates, not data. No
+    # widen here: the join filters to the (small) candidate set before any
+    # heavy compute, and at scale the scan has its own splits.
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = doc_shingles(docs.join(cand_ids, "doc_id"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("__doc_b"), F.col("sh").alias("sh_b"))

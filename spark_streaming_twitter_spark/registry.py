@@ -55,6 +55,7 @@ def query(
 # queries with round-1 driver rows follow.
 _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_drop_list",
+    "dedup_minhash_lsh_pairs_capped",
     "dedup_simhash_signatures",
     "dedup_simhash_pairs",
     "dedup_embedding_cosine_pairs",

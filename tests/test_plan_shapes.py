@@ -80,3 +80,20 @@ def test_scan_prunes_before_python_stage(spark):
     assert raw.index("Filter") > raw.index("MapInPandas"), (
         "plan prints top-down: Filter must be BELOW (after) MapInPandas"
     )
+
+
+def test_widen_is_noop_for_many_split_input(spark, tmp_path):
+    """widen() must NOT shuffle production-shaped (many-file) inputs —
+    the repartition is strictly a degenerate-input (fixture) fix."""
+    from spark_streaming_twitter_spark.catalog import widen
+
+    n = spark.sparkContext.defaultParallelism
+    spark.range(0, 1000).repartition(n).write.parquet(str(tmp_path / "many"))
+    many = spark.read.parquet(str(tmp_path / "many"))
+    assert widen(many, spark) is many
+
+    spark.range(0, 10).coalesce(1).write.parquet(str(tmp_path / "one"))
+    one = spark.read.parquet(str(tmp_path / "one"))
+    widened = widen(one, spark)
+    assert widened is not one
+    assert "Exchange RoundRobinPartitioning" in widened._jdf.queryExecution().toString()
