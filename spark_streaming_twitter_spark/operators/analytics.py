@@ -116,3 +116,152 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(w_f).alias("f_score"),
         F.ntile(5).over(w_m).alias("m_score"),
     )
+
+
+@query(
+    "user_event_sessions",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_s,
+         CASE WHEN ts_s - lag(ts_s) OVER w > 1800
+                   OR lag(ts_s) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+),
+numbered AS (
+  SELECT user_id, ts_s,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       min(ts_s) AS session_start, max(ts_s) AS session_end,
+       max(ts_s) - min(ts_s) AS duration_secs,
+       count(*) AS n_events
+FROM numbered GROUP BY 1, 2
+""",
+    doc="Batch sessionization: gap-based sessions (30-min inactivity "
+    "boundary) via the lag-flag + running-sum idiom — the batch twin of "
+    "stream_session_windows' F.session_window. Both windows are "
+    "PARTITIONED BY user_id (high cardinality): one shuffle on user_id, "
+    "then per-user sort — no global ordering anywhere, so the shape "
+    "holds at 100 TB. Tie-break on event_id makes same-second events "
+    "deterministic.",
+)
+def user_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gap = F.col("ts_s") - F.lag("ts_s").over(w)
+    flagged = ev.withColumn(
+        "is_new", (gap.isNull() | (gap > 1800)).cast("bigint")
+    )
+    run = Window.partitionBy("user_id").orderBy("ts_s", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    numbered = flagged.withColumn("session_seq", F.sum("is_new").over(run))
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts_s").alias("session_start"),
+        F.max("ts_s").alias("session_end"),
+        (F.max("ts_s") - F.min("ts_s")).alias("duration_secs"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "latest_event_per_user_type",
+    oracle="""
+SELECT user_id, event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) AS last_ts,
+       event_id AS last_event_id, value AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    doc="Last-write-wins compaction (CDC/upsert semantics, the merge step "
+    "of an incremental ingest): newest event per (user_id, event_type) "
+    "with event_id as the deterministic same-timestamp tie-break. "
+    "row_number over the compaction key = one shuffle on a composite "
+    "high-cardinality key; at scale this is the standard SCD1/compaction "
+    "plan (and with AQE, skewed users split automatically). last_value "
+    "is a carried scalar, not an aggregate — bitwise-safe.",
+)
+def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+_PROFILE_COLS: tuple[str, ...] = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@query(
+    "orders_column_profile",
+    oracle="SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM orders"""
+        for c in _PROFILE_COLS
+    )
+    + "\n)",
+    doc="ANALYZE-style column profiling: per-column null and exact "
+    "distinct counts over orders, emitted as one row per column. The "
+    "Spark side is ONE scan — a single multi-count(DISTINCT) aggregate "
+    "(Catalyst Expand: one pass over the data, k streams into partial "
+    "aggs) unpivoted via stack(); the oracle's UNION ALL of per-column "
+    "scans is the semantic spec, not the plan. At 100 TB swap exact "
+    "distinct for approx_count_distinct per the documented "
+    "approx_distinct_parts pattern.",
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(*_PROFILE_COLS)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    prof = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return prof.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, nn, nd)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("nn")).alias("n_nulls"),
+        F.col("nd").alias("n_distinct"),
+    )

@@ -54,6 +54,10 @@ def query(
 # so these register FIRST until every one has a driver correctness entry;
 # queries with round-1 driver rows follow.
 _GATE_PRIORITY: tuple[str, ...] = (
+    "user_event_sessions",
+    "latest_event_per_user_type",
+    "orders_column_profile",
+    "keyword_search_topk",
     "dedup_drop_list",
     "dedup_minhash_lsh_pairs_capped",
     "dedup_simhash_signatures",

@@ -275,3 +275,83 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("h").alias("max_shingle_hash"),
         F.count_distinct(F.col("sh")).cast("int").alias("n_distinct_shingles"),
     )
+
+
+# Fixed query-term set for the retrieval demo (all present in the synthetic
+# corpus; any literal list works — the terms are the "user query").
+_SEARCH_TERMS: tuple[str, ...] = ("spark", "vector", "window")
+
+# Linear-idf scale: score = tf * (N * 1_000_000 DIV df). Linear idf (N/df)
+# instead of log(N/df) keeps the arithmetic exact-integer on both engines
+# (log is libm — last-ulp drift breaks the value-hash gate); it is
+# rank-equivalent to log-idf for single-term scoring and documented as the
+# engine's deterministic scoring contract.
+_IDF_SCALE = 1_000_000
+
+
+@query(
+    "keyword_search_topk",
+    oracle=f"""
+WITH postings AS (
+  SELECT t.term, d.doc_id, count(*) AS tf
+  FROM documents d,
+       unnest(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                          x -> x <> '')) AS u(term)
+  JOIN (VALUES {", ".join(f"('{t}')" for t in _SEARCH_TERMS)}) t(term)
+    ON u.term = t.term
+  GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT p.term, p.doc_id, p.tf, df.df,
+         p.tf * ((SELECT n_docs FROM n) * {_IDF_SCALE} // df.df)
+           AS score_scaled,
+         row_number() OVER (PARTITION BY p.term
+                            ORDER BY p.tf * ((SELECT n_docs FROM n)
+                                             * {_IDF_SCALE} // df.df) DESC,
+                                     p.doc_id ASC) AS rank
+  FROM postings p JOIN df USING (term)
+)
+SELECT term, doc_id, tf, df, CAST(score_scaled AS BIGINT) AS score_scaled,
+       CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= 10
+""",
+    doc="Inverted-index keyword search: postings (term, doc_id, tf) built "
+    "by exploding tokens FILTERED to the query terms before any shuffle "
+    "(the filter sits under the explode's Generate, so the scan discards "
+    "non-query tokens immediately — at 100 TB the posting build moves "
+    "only matching tokens). df is a per-term count joined broadcast; "
+    "scoring is exact-integer linear-idf tf-idf (see _IDF_SCALE note); "
+    "top-10 per term via rank window over the tiny scored set. "
+    "Deterministic tie-break on doc_id.",
+)
+def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    terms = F.array([F.lit(t) for t in _SEARCH_TERMS])
+    postings = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+        )
+        .where(F.array_contains(terms, F.col("term")))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        postings.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_scaled",
+            F.expr(f"tf * ((n_docs * {_IDF_SCALE}) DIV df)"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("score_scaled").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 10)
+        .select("term", "doc_id", "tf", "df", "score_scaled", "rank")
+    )

@@ -104,3 +104,60 @@ def test_scaled_dot_matches_numpy(spark, a, data):
     assert abs(r.dot / scale - float(av @ bv)) <= len(a) * 0.5 / scale * 2
     assert abs(r.na / scale - float(av @ av)) <= len(a) * 0.5 / scale * 2
     assert math.isfinite(r.dot)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=20000), min_size=1, max_size=30
+    )
+)
+@_SETTINGS
+def test_sessionization_matches_python(spark, offsets):
+    """Gap-based sessionization == a simple sequential-scan reference:
+    session boundaries exactly where the sorted per-user gap exceeds 1800s."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, i, base + dt.timedelta(seconds=off))
+        for i, off in enumerate(offsets)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+
+    # Reuse the registered query body by monkey-free substitution: the query
+    # reads from catalog.table, so replicate its plan inline instead.
+    from pyspark.sql import Window
+
+    ev = df.select("user_id", "event_id", F.unix_timestamp("ts").alias("ts_s"))
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gap = F.col("ts_s") - F.lag("ts_s").over(w)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    got = sorted(
+        (r.session_start, r.session_end, r.n_events)
+        for r in ev.withColumn(
+            "is_new", (gap.isNull() | (gap > 1800)).cast("bigint")
+        )
+        .withColumn("session_seq", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts_s").alias("session_start"),
+            F.max("ts_s").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    )
+
+    # local-time unix_timestamp: build the reference from the same
+    # engine-computed epoch values so the tz convention cancels out.
+    ts_sorted = sorted(
+        r.ts_s for r in ev.select("ts_s").collect()
+    )
+    want, cur = [], [ts_sorted[0]]
+    for t in ts_sorted[1:]:
+        if t - cur[-1] > 1800:
+            want.append(cur)
+            cur = [t]
+        else:
+            cur.append(t)
+    want.append(cur)
+    assert got == sorted((c[0], c[-1], len(c)) for c in want)
