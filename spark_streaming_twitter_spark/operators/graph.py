@@ -1,0 +1,122 @@
+"""Graph operators: fixed-iteration PageRank over the near-duplicate
+candidate graph.
+
+Iterative-algorithm breadth beyond ``dedup_group_ids``' connected
+components: PageRank centrality over the UNDIRECTED graph whose edges are
+the MinHash-LSH candidate pairs. The use case is real in a dedup pipeline —
+within a duplicate cluster, the highest-centrality document is the natural
+canonical representative (most corroborated by other near-dups).
+
+Determinism contract: ranks are scaled BIGINT (1e12 = rank 1.0) and every
+step is exact integer arithmetic — contributions are ``rank DIV degree``
+(all values positive, so truncation == floor on both engines), damping is
+``15/100 * SCALE + (85 * contrib_sum) DIV 100``. The DuckDB oracle unrolls
+the same K iterations as CTEs; results match bitwise with no float drift.
+
+Scale shape (100 TB): each iteration is one join keyed on node id + one
+aggregation keyed on destination — the canonical distributed PageRank plan.
+Edges are materialized once (localCheckpoint; write to parquet at cluster
+scale) so the LSH subtree runs once, not once per iteration; K is fixed and
+small, so the plan is K unrolled join+agg stages, each shuffle-keyed on
+high-cardinality node ids. The undirected (symmetric) edge set guarantees
+no dangling nodes, so no dangling-mass redistribution term is needed.
+Integer headroom: ranks <= N * 1e12, x85 must stay under 2^63 — at larger N
+drop the per-node scale accordingly (documented trade: rank resolution vs
+node count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_twitter_spark.dedup.dedup import (
+    _MINHASH_BUCKETS_SQL,
+    dedup_minhash_lsh_pairs,
+)
+from spark_streaming_twitter_spark.registry import query
+
+SCALE = 1_000_000_000_000  # rank 1.0 as scaled BIGINT
+BASE = 15 * SCALE // 100  # (1 - d) with damping d = 0.85, exact
+K_ITERS = 3
+
+
+def pagerank(edges: DataFrame, k: int = K_ITERS) -> DataFrame:
+    """K exact-integer PageRank iterations over a symmetric edge set.
+
+    ``edges`` must be directed-both-ways (undirected) so every node has an
+    in-edge and an out-edge — no dangling mass. Returns (id, rank_scaled).
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(F.col("src").alias("id"), F.lit(SCALE).cast("bigint").alias("r"))
+    for _ in range(k):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(deg, "src")
+            .select(F.col("dst").alias("id"), F.expr("r DIV deg").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"))
+        )
+        # Symmetric edges => every node receives >= 1 contribution, so the
+        # inner shape loses nobody.
+        ranks = contribs.select(
+            "id", (F.lit(BASE) + F.expr("(85 * c) DIV 100")).alias("r")
+        )
+    return ranks
+
+
+def _iter_ctes(k: int) -> str:
+    ctes = [
+        f"r0 AS (SELECT src AS id, CAST({SCALE} AS BIGINT) AS r FROM deg)"
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst AS id, sum(r.r // d.deg) AS c
+  FROM edges e JOIN r{i - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src
+  GROUP BY 1
+),
+r{i} AS (SELECT id, CAST({BASE} + (85 * c) // 100 AS BIGINT) AS r FROM c{i})"""
+        )
+    return ",\n".join(ctes)
+
+
+@query(
+    "dedup_graph_pagerank",
+    oracle=f"""
+WITH {_MINHASH_BUCKETS_SQL},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+{_iter_ctes(K_ITERS)}
+SELECT id AS doc_id, r AS rank_scaled FROM r{K_ITERS}
+""",
+    doc=f"Fixed-{K_ITERS}-iteration PageRank (damping 0.85, exact scaled-"
+    "BIGINT arithmetic) over the undirected LSH candidate-pair graph: the "
+    "centrality ranking that picks a canonical doc per duplicate cluster. "
+    "Each iteration = join on node id + agg on destination; edges "
+    "localCheckpointed once so the LSH subtree is not re-run per "
+    "iteration. Oracle = the same K iterations unrolled as CTEs; floor "
+    "division on positive integers matches DIV bitwise.",
+)
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    return pagerank(edges).select(
+        F.col("id").alias("doc_id"), F.col("r").alias("rank_scaled")
+    )

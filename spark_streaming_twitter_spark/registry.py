@@ -58,6 +58,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "latest_event_per_user_type",
     "orders_column_profile",
     "keyword_search_topk",
+    "dedup_graph_pagerank",
     "dedup_drop_list",
     "dedup_minhash_lsh_pairs_capped",
     "dedup_simhash_signatures",
@@ -87,6 +88,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_user_event_counts_stateful",
     "stream_sliding_counts",
     "stream_stream_join_conversions",
+    "stream_static_segment_counts",
     "stream_tweet_trending_e2e",
 )
 
@@ -100,6 +102,7 @@ def load_all() -> dict[str, QuerySpec]:
     """
     import spark_streaming_twitter_spark.operators.advanced  # noqa: F401
     import spark_streaming_twitter_spark.operators.analytics  # noqa: F401
+    import spark_streaming_twitter_spark.operators.graph  # noqa: F401
     import spark_streaming_twitter_spark.operators.relational  # noqa: F401
     import spark_streaming_twitter_spark.operators.trending  # noqa: F401
     import spark_streaming_twitter_spark.operators.windows  # noqa: F401

@@ -416,6 +416,45 @@ def stream_stream_join_conversions(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "stream_static_segment_counts",
+    oracle="""
+SELECT CAST(epoch(date_trunc('hour', e.ts)) AS BIGINT) AS bucket_ts,
+       c.c_mktsegment AS segment, count(*) AS n
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+    doc="Stream-static enrichment join (absent from the reference; the "
+    "standard dimension-lookup stage of any streaming pipeline): the event "
+    "stream joins the static customer table — Spark plans the static side "
+    "as a broadcast rebuilt per micro-batch, so the STREAM never shuffles "
+    "for the join; the windowed count then shuffles only (window, segment) "
+    "partials. At 100 TB the dim stays broadcast-able (customers << "
+    "events) or falls back to a shuffled join with the stream's natural "
+    "partitioning — either way no stream-side state beyond the agg.",
+)
+def stream_static_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.catalog import table
+
+    ev = stream_events(spark, sf_dir)
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(F.broadcast(dim), "user_id")
+    agg = (
+        enriched.withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        F.unix_timestamp("w.start").alias("bucket_ts"), "segment", "n"
+    )
+
+
+@query(
     "stream_tweet_trending_e2e",
     oracle="""
 WITH tweets AS (

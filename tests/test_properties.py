@@ -161,3 +161,34 @@ def test_sessionization_matches_python(spark, offsets):
             cur.append(t)
     want.append(cur)
     assert got == sorted((c[0], c[-1], len(c)) for c in want)
+
+
+def test_pagerank_matches_python_on_star_graph(spark):
+    """3 exact-integer PageRank iterations == a pure-Python mirror on a
+    star graph (center + 3 leaves), where ranks genuinely diverge."""
+    from spark_streaming_twitter_spark.operators.graph import (
+        BASE,
+        SCALE,
+        pagerank,
+    )
+
+    und = [(0, 1), (0, 2), (0, 3)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    got = {r.id: r.r for r in pagerank(edges).collect()}
+
+    adj: dict[int, list[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    ranks = {v: SCALE for v in adj}
+    for _ in range(3):
+        contrib = {v: 0 for v in adj}
+        for u, nbrs in adj.items():
+            c = ranks[u] // len(nbrs)
+            for v in nbrs:
+                contrib[v] += c
+        ranks = {v: BASE + (85 * contrib[v]) // 100 for v in adj}
+    assert got == ranks
+    assert got[0] > got[1] == got[2] == got[3]
