@@ -59,6 +59,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "orders_column_profile",
     "keyword_search_topk",
     "dedup_graph_pagerank",
+    "embedding_kmeans_clusters",
     "dedup_drop_list",
     "dedup_minhash_lsh_pairs_capped",
     "dedup_simhash_signatures",
@@ -111,6 +112,7 @@ def load_all() -> dict[str, QuerySpec]:
     import spark_streaming_twitter_spark.functions.sampling  # noqa: F401
     import spark_streaming_twitter_spark.multimodal.columns  # noqa: F401
     import spark_streaming_twitter_spark.sources.tweets  # noqa: F401
+    import spark_streaming_twitter_spark.similarity.kmeans  # noqa: F401
     import spark_streaming_twitter_spark.similarity.search  # noqa: F401
     import spark_streaming_twitter_spark.streaming.queries  # noqa: F401
     import spark_streaming_twitter_spark.text.analysis  # noqa: F401

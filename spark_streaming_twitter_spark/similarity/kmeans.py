@@ -1,0 +1,157 @@
+"""K-means clustering over the embedding corpus — fixed Lloyd iterations,
+exact integer arithmetic, oracle-checked bitwise.
+
+The clustering stage of an embedding pipeline (topic bucketing, IVF coarse
+quantizer training, dedup blocking). Same determinism strategy as IVF
+routing (similarity/search.py) and PageRank (operators/graph.py): quantize
+embeddings to BIGINT (round(x * 2^20)), squared-L2 distances and centroid
+recomputation stay exact-integer, floor division via the pmod trick, and
+the DuckDB oracle unrolls the same K iterations as CTEs — no float drift.
+
+Scale shape (100 TB): assignment is a broadcast cross-join against K
+centroid rows (K tiny) followed by a per-vector argmin — the corpus never
+shuffles; recomputation is posexplode -> (cluster, dim) partial aggs — one
+shuffle keyed on (cluster, dim). Fixed K_CLUSTERS x N_ITERS unrolled into
+one Catalyst plan; at cluster scale checkpoint centroids per iteration
+(they are K x DIM rows — trivially small).
+
+Seeding is deterministic WITHOUT a global sort: the K seed vectors are the
+query-stride ids (vec_id % QUERY_STRIDE == 0, vec_id < K * QUERY_STRIDE) —
+a filter, not an order-by-limit over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_streaming_twitter_spark.catalog import table, widen
+from spark_streaming_twitter_spark.registry import query
+from spark_streaming_twitter_spark.similarity.search import (
+    _QUANT_SQL,
+    _quantized,
+    DIM,
+    QUERY_STRIDE,
+)
+
+K_CLUSTERS = 8
+N_ITERS = 2
+
+_DIST_SPARK = (
+    "aggregate(zip_with(qv, cvec, (x, c) -> (x - c) * (x - c)), "
+    "0L, (acc, x) -> acc + x)"
+)
+
+
+def _assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per vector: broadcast cross-join + argmin window.
+
+    Tie-break on cluster id asc; the window partitions by vec_id (high
+    cardinality), so the argmin shuffles (vec_id, cid) rows only.
+    """
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist2").asc(), F.col("cid").asc()
+    )
+    return (
+        corpus.crossJoin(F.broadcast(centroids))
+        .withColumn("dist2", F.expr(_DIST_SPARK))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "qv", "cid", "dist2")
+    )
+
+
+def _recompute(assigned: DataFrame) -> DataFrame:
+    """Floor-avg centroid per cluster: posexplode -> (cid, dim) agg."""
+    dims = assigned.select("cid", F.posexplode("qv").alias("d0", "v"))
+    cdims = (
+        dims.groupBy("cid", "d0")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cid", "d0", F.expr("(s - pmod(s, cnt)) DIV cnt").alias("c")
+        )
+    )
+    return cdims.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d0", "c"))), lambda x: x["c"]
+        ).alias("cvec")
+    )
+
+
+def _oracle_iters(n: int) -> str:
+    """Unrolled assign/recompute CTE chain: a1..an, c2..cn."""
+    dist = (
+        "list_sum(list_transform(list_zip(v.qv, c.cvec), "
+        "p -> (CAST(p[1] AS BIGINT) - p[2]) * (CAST(p[1] AS BIGINT) - p[2])))"
+    )
+    parts = []
+    for i in range(1, n + 1):
+        cent = "c1" if i == 1 else f"c{i}"
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, qv, cid, dist2 FROM (
+    SELECT v.vec_id, v.qv, c.cid, {dist} AS dist2,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist} ASC, c.cid ASC) AS rn
+    FROM quantized v CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+        )
+        if i < n:
+            parts.append(
+                f"""c{i + 1} AS (
+  SELECT cid, list(c ORDER BY d) AS cvec FROM (
+    SELECT cid, d,
+           CAST((sum(qv[d]) - (((sum(qv[d]) % count(*)) + count(*)) % count(*)))
+                // count(*) AS BIGINT) AS c
+    FROM (SELECT cid, qv, unnest(generate_series(1, {DIM})) AS d FROM a{i})
+    GROUP BY cid, d
+  ) GROUP BY cid
+)"""
+            )
+    return ",\n".join(parts)
+
+
+@query(
+    "embedding_kmeans_clusters",
+    oracle=f"""
+WITH quantized AS (
+  SELECT vec_id, {_QUANT_SQL.format(vec="embedding")} AS qv FROM embeddings
+),
+c1 AS (
+  SELECT CAST(vec_id // {QUERY_STRIDE} AS BIGINT) AS cid, qv AS cvec
+  FROM quantized
+  WHERE vec_id % {QUERY_STRIDE} = 0 AND vec_id < {K_CLUSTERS * QUERY_STRIDE}
+),
+{_oracle_iters(N_ITERS)}
+SELECT vec_id, cid AS cluster, CAST(dist2 AS BIGINT) AS dist2_scaled
+FROM a{N_ITERS}
+""",
+    doc=f"Lloyd's k-means, K={K_CLUSTERS}, {N_ITERS} unrolled iterations "
+    "over quantized (round(x*2^20) BIGINT) embeddings: deterministic "
+    "stride-based seeding (no global sort), broadcast-centroid assignment "
+    "(corpus never shuffles), exact floor-avg recomputation keyed on "
+    "(cluster, dim). Squared-L2 distances and centroids are exact "
+    "integers, so the unrolled-CTE DuckDB oracle matches bitwise. "
+    "Tie-break: min cluster id.",
+)
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = widen(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
+    corpus = emb.select("vec_id", _quantized(F.col("embedding")).alias("qv"))
+    centroids = corpus.where(
+        (F.col("vec_id") % QUERY_STRIDE == 0)
+        & (F.col("vec_id") < K_CLUSTERS * QUERY_STRIDE)
+    ).select(
+        F.expr(f"vec_id DIV {QUERY_STRIDE}").alias("cid"),
+        F.col("qv").alias("cvec"),
+    )
+    assigned = _assign(corpus, centroids)
+    for _ in range(N_ITERS - 1):
+        assigned = _assign(
+            assigned.select("vec_id", "qv"), _recompute(assigned)
+        )
+    return assigned.select(
+        "vec_id",
+        F.col("cid").alias("cluster"),
+        F.col("dist2").alias("dist2_scaled"),
+    )

@@ -192,3 +192,27 @@ def test_pagerank_matches_python_on_star_graph(spark):
         ranks = {v: BASE + (85 * contrib[v]) // 100 for v in adj}
     assert got == ranks
     assert got[0] > got[1] == got[2] == got[3]
+
+
+def test_kmeans_separates_two_obvious_clusters(spark):
+    """_assign/_recompute recover two well-separated clusters from seeds
+    inside each blob, and recomputed centroids are the exact floor-means."""
+    from spark_streaming_twitter_spark.similarity.kmeans import (
+        _assign,
+        _recompute,
+    )
+
+    blob_a = [[10 + i, 10] for i in range(3)]  # around (11, 10)
+    blob_b = [[-10 - i, -10] for i in range(3)]
+    rows = [(i, v) for i, v in enumerate(blob_a + blob_b)]
+    corpus = spark.createDataFrame(rows, "vec_id long, qv array<bigint>")
+    seeds = spark.createDataFrame(
+        [(0, blob_a[0]), (1, blob_b[0])], "cid long, cvec array<bigint>"
+    )
+    assigned = _assign(corpus, seeds)
+    got = {r.vec_id: r.cid for r in assigned.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+
+    cents = {r.cid: r.cvec for r in _recompute(assigned).collect()}
+    assert cents[0] == [(10 + 11 + 12) // 3, 10]
+    assert cents[1] == [(-10 - 11 - 12) // 3, -10]  # floor division, exact
