@@ -329,6 +329,53 @@ def dedup_minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "dedup_edit_distance_verify",
+    oracle=f"""
+WITH {_MINHASH_BUCKETS_SQL},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       levenshtein(substr(da.text, 1, 60), substr(db.text, 1, 60))
+         AS edit_distance
+FROM cand c
+JOIN documents da ON da.doc_id = c.doc_a
+JOIN documents db ON db.doc_id = c.doc_b
+""",
+    doc="Edit-distance verification of LSH candidate pairs: character-"
+    "level Levenshtein over a fixed 60-char prefix, the string-similarity "
+    "complement to token-level Jaccard verify. The O(len^2) distance runs "
+    "ONLY on candidate pairs (never all-pairs) and on a bounded prefix, "
+    "so per-pair cost is constant — at 100 TB the cost is |candidates|, "
+    "not |corpus|^2. Both engines implement plain Wagner-Fischer "
+    "edit distance; values are exact integers.",
+)
+def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    texts = table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = texts.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, 60).alias("text_a"),
+    )
+    b = texts.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, 60).alias("text_b"),
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").alias("edit_distance"),
+        )
+    )
+
+
 _JACCARD_PAIRS_SQL = f"""
 {_SHINGLES_SQL},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

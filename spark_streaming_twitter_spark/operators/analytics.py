@@ -152,6 +152,7 @@ FROM numbered GROUP BY 1, 2
     "then per-user sort — no global ordering anywhere, so the shape "
     "holds at 100 TB. Tie-break on event_id makes same-second events "
     "deterministic.",
+    bench=True,
 )
 def user_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
@@ -210,6 +211,59 @@ def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("ts").alias("last_ts"),
             F.col("event_id").alias("last_event_id"),
             F.col("value").alias("last_value"),
+        )
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (
+  SELECT prev_type, CAST(sum(n) AS BIGINT) AS total FROM trans GROUP BY 1
+)
+SELECT t.prev_type, t.next_type, t.n,
+       CAST(t.n AS DOUBLE) / tot.total AS p
+FROM trans t JOIN tot USING (prev_type)
+""",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (the user-journey / next-event model a product pipeline "
+    "feeds): lag over (user, time) -> (prev, next) pair counts -> row-"
+    "normalized probabilities. The lag window shuffles once on user_id "
+    "(high cardinality); the transition agg then carries only "
+    "(prev, next) pairs — #event_types^2 rows. p = n/total is one scalar "
+    "IEEE division, bitwise-deterministic (no multi-row float "
+    "reduction). Tie-break on event_id for same-timestamp events.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return (
+        trans.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("p"),
         )
     )
 

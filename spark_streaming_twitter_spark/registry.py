@@ -60,6 +60,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "keyword_search_topk",
     "dedup_graph_pagerank",
     "embedding_kmeans_clusters",
+    "event_transition_matrix",
+    "dedup_edit_distance_verify",
     "dedup_drop_list",
     "dedup_minhash_lsh_pairs_capped",
     "dedup_simhash_signatures",

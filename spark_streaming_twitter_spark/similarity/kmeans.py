@@ -134,6 +134,7 @@ FROM a{N_ITERS}
     "(cluster, dim). Squared-L2 distances and centroids are exact "
     "integers, so the unrolled-CTE DuckDB oracle matches bitwise. "
     "Tie-break: min cluster id.",
+    bench=True,
 )
 def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = widen(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)

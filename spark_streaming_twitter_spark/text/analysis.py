@@ -325,6 +325,7 @@ FROM scored WHERE rank <= 10
     "scoring is exact-integer linear-idf tf-idf (see _IDF_SCALE note); "
     "top-10 per term via rank window over the tiny scored set. "
     "Deterministic tie-break on doc_id.",
+    bench=True,
 )
 def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
