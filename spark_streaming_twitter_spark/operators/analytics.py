@@ -268,6 +268,107 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "signup_view_purchase_funnel",
+    oracle="""
+WITH s AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+v AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.t1
+  WHERE e.event_type = 'view' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t2
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT s.user_id,
+       CAST(floor(epoch(t1)) AS BIGINT) AS signup_ts,
+       CAST(floor(epoch(t2)) AS BIGINT) AS view_ts,
+       CAST(floor(epoch(t3)) AS BIGINT) AS purchase_ts,
+       1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS stage_reached
+FROM s LEFT JOIN v ON s.user_id = v.user_id
+       LEFT JOIN p ON s.user_id = p.user_id
+""",
+    doc="Ordered 3-step funnel (signup -> view -> purchase): first signup, "
+    "first view AT OR AFTER it, first purchase at or after that view — "
+    "the sequential-constraint funnel a product-analytics engine ships. "
+    "Three min-aggs + three user-keyed joins; every stage's table is one "
+    "row per user (monotonically shrinking), so later joins broadcast at "
+    "any scale. min() makes each stage deterministic.",
+)
+def signup_view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(etype: str, prev: DataFrame, prev_col: str, out: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(F.col("ts") >= F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    v = first_after("view", s, "t1", "t2")
+    p = first_after("purchase", v, "t2", "t3")
+    stage = (
+        F.lit(1)
+        + F.when(F.col("t2").isNull(), 0).otherwise(1)
+        + F.when(F.col("t3").isNull(), 0).otherwise(1)
+    )
+    return (
+        s.join(v, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_timestamp("t1").alias("signup_ts"),
+            F.unix_timestamp("t2").alias("view_ts"),
+            F.unix_timestamp("t3").alias("purchase_ts"),
+            stage.alias("stage_reached"),
+        )
+    )
+
+
+@query(
+    "part_price_distribution",
+    oracle="""
+SELECT p_partkey, p_brand, p_retailprice,
+       percent_rank() OVER w AS price_pct_rank,
+       cume_dist() OVER w AS price_cume_dist
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice ASC, p_partkey ASC)
+""",
+    doc="percent_rank + cume_dist per brand — the remaining rank-family "
+    "window functions (rank/dense_rank/ntile/row_number live in "
+    "part_price_rank and customer_order_window_frames). Both are "
+    "(rank-1)/(n-1) and rank/n scalar divisions — IEEE-deterministic on "
+    "both engines. One shuffle on p_brand; per-brand sort is local.",
+)
+def part_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").asc(), F.col("p_partkey").asc()
+    )
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+    )
+
+
 _PROFILE_COLS: tuple[str, ...] = (
     "o_orderkey",
     "o_custkey",

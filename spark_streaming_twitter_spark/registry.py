@@ -61,6 +61,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_graph_pagerank",
     "embedding_kmeans_clusters",
     "event_transition_matrix",
+    "signup_view_purchase_funnel",
+    "part_price_distribution",
     "dedup_edit_distance_verify",
     "dedup_drop_list",
     "dedup_minhash_lsh_pairs_capped",
