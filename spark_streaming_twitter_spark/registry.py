@@ -58,6 +58,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "latest_event_per_user_type",
     "orders_column_profile",
     "keyword_search_topk",
+    "frequent_terms_heavy_hitters",
     "dedup_graph_pagerank",
     "embedding_kmeans_clusters",
     "event_transition_matrix",

@@ -277,6 +277,79 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Heavy-hitters support threshold (fraction of total token count) and the
+# per-partition Misra-Gries counter budget. Guarantee: a term with global
+# frequency > N/K_MG exceeds N_p/K_MG in at least one partition (pigeonhole),
+# so every term above the (much larger) SUPPORT threshold survives pass 1.
+HH_SUPPORT = 0.02
+K_MG = 256
+
+
+@query(
+    "frequent_terms_heavy_hitters",
+    oracle=rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+tot AS (SELECT count(*) AS n_total FROM toks)
+SELECT term, count(*) AS n,
+       CAST(count(*) AS DOUBLE) / (SELECT n_total FROM tot) AS freq
+FROM toks
+GROUP BY term
+HAVING count(*) > {HH_SUPPORT} * (SELECT CAST(n_total AS DOUBLE) FROM tot)
+""",
+    doc="Two-pass distributed heavy hitters: pass 1 runs a Misra-Gries "
+    f"summary (k={K_MG} counters) per partition inside mapInPandas — "
+    "constant memory per task, candidates only, no counts kept; pass 2 "
+    "exactly recounts ONLY the candidate terms (broadcast semi-join "
+    "before the agg) and filters by the support threshold. The MG "
+    "pigeonhole guarantee makes pass 1 lossless for every true heavy "
+    "hitter, so the final output is EXACT — identical to the oracle's "
+    "full group-by — while pass 1's shuffle carries at most "
+    "k x partitions rows instead of the whole token stream. This is the "
+    "100 TB shape: the full-token group-by the oracle runs is the thing "
+    "this operator avoids.",
+)
+def frequent_terms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = widen(table(spark, sf_dir, "documents").select("text"), spark)
+    toks = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+
+    def misra_gries(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for term in pdf["term"]:
+                if term in counters:
+                    counters[term] += 1
+                elif len(counters) < K_MG:
+                    counters[term] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    for t in list(counters):
+                        counters[t] -= 1
+                        if counters[t] == 0:
+                            del counters[t]
+        yield pd.DataFrame({"term": list(counters.keys())})
+
+    candidates = toks.mapInPandas(misra_gries, "term string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        toks.join(F.broadcast(candidates), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n") > HH_SUPPORT * F.col("n_total").cast("double"))
+        .select(
+            "term",
+            "n",
+            (F.col("n").cast("double") / F.col("n_total")).alias("freq"),
+        )
+    )
+
+
 # Fixed query-term set for the retrieval demo (all present in the synthetic
 # corpus; any literal list works — the terms are the "user query").
 _SEARCH_TERMS: tuple[str, ...] = ("spark", "vector", "window")

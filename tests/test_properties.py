@@ -216,3 +216,45 @@ def test_kmeans_separates_two_obvious_clusters(spark):
     cents = {r.cid: r.cvec for r in _recompute(assigned).collect()}
     assert cents[0] == [(10 + 11 + 12) // 3, 10]
     assert cents[1] == [(-10 - 11 - 12) // 3, -10]  # floor division, exact
+
+
+@given(
+    st.lists(
+        st.sampled_from(["hh1", "hh2"] + [f"rare{i}" for i in range(50)]),
+        min_size=20,
+        max_size=200,
+    )
+)
+@_SETTINGS
+def test_heavy_hitter_candidates_are_lossless(spark, terms):
+    """Per-partition Misra-Gries (small k to stress decrements) must keep
+    every term whose global frequency exceeds n/(k+1) — the two-pass
+    heavy-hitters correctness precondition."""
+    import pandas as pd
+
+    k = 4
+
+    def misra_gries(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for term in pdf["term"]:
+                if term in counters:
+                    counters[term] += 1
+                elif len(counters) < k:
+                    counters[term] = 1
+                else:
+                    for t in list(counters):
+                        counters[t] -= 1
+                        if counters[t] == 0:
+                            del counters[t]
+        yield pd.DataFrame({"term": list(counters.keys())})
+
+    df = spark.createDataFrame([(t,) for t in terms], ["term"]).repartition(3)
+    cands = {r.term for r in df.mapInPandas(misra_gries, "term string").collect()}
+
+    n = len(terms)
+    counts: dict[str, int] = {}
+    for t in terms:
+        counts[t] = counts.get(t, 0) + 1
+    must_survive = {t for t, c in counts.items() if c > n / (k + 1)}
+    assert must_survive <= cands
