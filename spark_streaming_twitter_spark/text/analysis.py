@@ -390,27 +390,30 @@ SELECT term, doc_id, tf, df, CAST(score_scaled AS BIGINT) AS score_scaled,
        CAST(rank AS BIGINT) AS rank
 FROM scored WHERE rank <= 10
 """,
-    doc="Inverted-index keyword search: postings (term, doc_id, tf) built "
-    "by exploding tokens FILTERED to the query terms before any shuffle "
-    "(the filter sits under the explode's Generate, so the scan discards "
-    "non-query tokens immediately — at 100 TB the posting build moves "
-    "only matching tokens). df is a per-term count joined broadcast; "
-    "scoring is exact-integer linear-idf tf-idf (see _IDF_SCALE note); "
-    "top-10 per term via rank window over the tiny scored set. "
-    "Deterministic tie-break on doc_id.",
+    doc="Inverted-index keyword search: the token ARRAY is filtered to the "
+    "query terms per-row BEFORE the explode (a Project-level lambda "
+    "filter — the Generate never emits a non-matching token, so at "
+    "100 TB the posting build moves only matching tokens). The postings "
+    "table is materialized once (localCheckpoint; a parquet write at "
+    "cluster scale) so df derives from it without a second corpus scan. "
+    "df and N join broadcast; scoring is exact-integer linear-idf tf-idf "
+    "(see _IDF_SCALE note); top-10 per term via rank window (compiles to "
+    "WindowGroupLimit) over the tiny scored set. Deterministic tie-break "
+    "on doc_id.",
     bench=True,
 )
 def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     terms = F.array([F.lit(t) for t in _SEARCH_TERMS])
+    matching = F.filter(
+        tokens(F.lower(F.col("text"))), lambda t: F.array_contains(terms, t)
+    )
     postings = (
-        docs.select(
-            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
-        )
-        .where(F.array_contains(terms, F.col("term")))
+        docs.select("doc_id", F.explode(matching).alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
     df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (

@@ -97,3 +97,30 @@ def test_widen_is_noop_for_many_split_input(spark, tmp_path):
     widened = widen(one, spark)
     assert widened is not one
     assert "Exchange RoundRobinPartitioning" in widened._jdf.queryExecution().toString()
+
+
+def test_keyword_search_filters_tokens_before_explode(spark):
+    """The query-term cut must be a lambda filter INSIDE the explode's
+    input array (Project-level), not a Filter above the Generate — the
+    Generate must never emit non-matching tokens."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitter_spark.catalog import table
+    from spark_streaming_twitter_spark.text.analysis import (
+        _SEARCH_TERMS,
+        tokens,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    terms = F.array([F.lit(t) for t in _SEARCH_TERMS])
+    matching = F.filter(
+        tokens(F.lower(F.col("text"))), lambda t: F.array_contains(terms, t)
+    )
+    postings = docs.select("doc_id", F.explode(matching).alias("term"))
+    plan = postings._jdf.queryExecution().optimizedPlan().toString()
+    gen = plan[plan.index("Generate explode") :].split("\n")[0]
+    assert "array_contains" in gen, (
+        "term filter must be embedded in the Generate's input expression"
+    )
