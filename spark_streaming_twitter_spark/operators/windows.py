@@ -112,3 +112,52 @@ def running_event_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("bucket_ts").rowsBetween(Window.unboundedPreceding, 0)
     return buckets.withColumn("running_count", F.sum("bucket_count").over(w))
+
+
+@query(
+    "events_moving_avg_1h",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+)
+SELECT user_id, event_id, ts_s,
+       CAST(CAST(sum(v) OVER w AS DECIMAL(18,6)) AS DOUBLE)
+         / count(*) OVER w AS moving_avg_1h,
+       count(*) OVER w AS n_in_window
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+    doc="Per-user 1-hour trailing moving average over event values — the "
+    "time-RANGE window frame (RANGE BETWEEN 3600 PRECEDING on epoch "
+    "seconds), the one frame type the ROWS-frame queries don't cover. "
+    "Partitioned by user_id: one shuffle, per-user local sort, state is "
+    "the in-frame buffer. Sum runs in DECIMAL(18,6) (order-independent "
+    "exact) and divides by the frame count once — bitwise-stable on any "
+    "topology. Same-timestamp events share a frame (RANGE semantics), so "
+    "the result is tie-insensitive by construction.",
+)
+def events_moving_avg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        (
+            F.sum("v").over(w).cast("decimal(18,6)").cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg_1h"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )

@@ -64,6 +64,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "event_transition_matrix",
     "signup_view_purchase_funnel",
     "part_price_distribution",
+    "events_moving_avg_1h",
     "dedup_edit_distance_verify",
     "dedup_drop_list",
     "dedup_minhash_lsh_pairs_capped",
