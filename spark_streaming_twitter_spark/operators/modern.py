@@ -1,0 +1,130 @@
+"""Modern Spark 4 API surface: VARIANT, SQL pipe syntax, Python UDTF.
+
+Three engine capabilities newer than anything the reference uses
+(its JSON path is a Jackson POJO map, Tweet.java:10-21; its flatMap is a
+typed Java lambda, TwitterDStreamTrendingHashtag.java:60-78), each proven
+with an oracle-checked query:
+
+- VARIANT (``parse_json`` / ``variant_get``): the open-schema
+  semi-structured path — binary-encoded, shreddable, no schema declared
+  up front. At 100 TB this replaces per-row JSON string parsing with a
+  decode-once binary column.
+- SQL pipe syntax (``FROM t |> WHERE ... |> AGGREGATE``): the
+  composable SQL form added in Spark 4.0 — same Catalyst plan as the
+  equivalent SELECT, purely a text-surface capability proof.
+- Python UDTF (``@udtf`` + ``LATERAL``): the user-extensible table
+  function. Deliberately NOT the production path for tokenization — the
+  codegen'd ``regexp_extract_all``/``split`` pipeline is (SCALE.md rule
+  1); this query exists to prove the extension point works end-to-end
+  with correct lateral-join semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_twitter_spark.catalog import table
+from spark_streaming_twitter_spark.functions.numeric import dsum_sql
+from spark_streaming_twitter_spark.registry import query
+
+
+@query(
+    "event_props_variant",
+    oracle="""
+SELECT event_type,
+       CAST(CAST(props->>'k' AS BIGINT) // 10 AS BIGINT) AS k_decade,
+       count(*) AS n,
+       max(CAST(props->>'k' AS BIGINT)) AS max_k
+FROM events
+GROUP BY 1, 2
+""",
+    doc="VARIANT semi-structured path: props parsed once with parse_json "
+    "into Spark's binary VARIANT encoding, fields extracted with "
+    "variant_get — the Spark 4 replacement for repeated string-path "
+    "get_json_object (event_props_stats keeps the classic form). "
+    "Decade-bucketed counts per event type; one shuffle on the "
+    "(type, decade) agg key.",
+)
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "props")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", F.expr("k DIV 10").alias("k_decade"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("k").alias("max_k"))
+    )
+
+
+@query(
+    "pipe_sql_returnflag_revenue",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY 1, 2
+""",
+    doc="SQL pipe syntax (Spark 4.0 '|>' operators): the pricing-summary "
+    "shape written as FROM |> WHERE |> EXTEND |> AGGREGATE ... GROUP BY. "
+    "Compiles to the identical Catalyst plan as the SELECT form — "
+    "pushdown, partial aggregation, and the DECIMAL(18,6) exact-sum "
+    "trick all apply unchanged; this query pins the text surface.",
+)
+def pipe_sql_returnflag_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pipe")
+    return spark.sql(
+        """
+FROM lineitem_pipe
+|> WHERE l_shipdate <= DATE '1998-09-02'
+|> EXTEND l_extendedprice * (1 - l_discount) AS rev
+|> AGGREGATE count(*) AS n,
+             CAST(SUM(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+   GROUP BY l_returnflag, l_linestatus
+"""
+    ).select("l_returnflag", "l_linestatus", "n", "revenue")
+
+
+@query(
+    "udtf_token_positions",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+  FROM documents
+  WHERE doc_id % 10 = 0
+)
+SELECT doc_id,
+       unnest(generate_series(1, len(l))) AS pos,
+       unnest(l) AS token
+FROM toks
+""",
+    doc="Python UDTF (@udtf + LATERAL join): whitespace tokenizer emitting "
+    "(pos, token) rows per document — the reference's flatMap shape "
+    "(TwitterDStreamTrendingHashtag.java:60-78) as a user-defined table "
+    "function. Row-at-a-time Python is the SLOW path by design (SCALE.md "
+    "rule 1): this is the extension-point capability proof, restricted "
+    "to a 1-in-10 document sample; production tokenization stays on the "
+    "codegen'd split/regexp pipeline (doc_token_stats et al).",
+)
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class SplitTokens:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split()):
+                yield i + 1, tok
+
+    spark.udtf.register("split_tokens_udtf", SplitTokens)
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    docs.select("doc_id", "text").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+SELECT d.doc_id, t.pos, t.token
+FROM docs_udtf d, LATERAL split_tokens_udtf(d.text) t
+"""
+    )

@@ -65,6 +65,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "signup_view_purchase_funnel",
     "part_price_distribution",
     "events_moving_avg_1h",
+    "event_props_variant",
+    "pipe_sql_returnflag_revenue",
+    "udtf_token_positions",
     "dedup_edit_distance_verify",
     "dedup_drop_list",
     "dedup_minhash_lsh_pairs_capped",
@@ -110,6 +113,7 @@ def load_all() -> dict[str, QuerySpec]:
     import spark_streaming_twitter_spark.operators.advanced  # noqa: F401
     import spark_streaming_twitter_spark.operators.analytics  # noqa: F401
     import spark_streaming_twitter_spark.operators.graph  # noqa: F401
+    import spark_streaming_twitter_spark.operators.modern  # noqa: F401
     import spark_streaming_twitter_spark.operators.relational  # noqa: F401
     import spark_streaming_twitter_spark.operators.trending  # noqa: F401
     import spark_streaming_twitter_spark.operators.windows  # noqa: F401
