@@ -124,3 +124,43 @@ def test_keyword_search_filters_tokens_before_explode(spark):
     assert "array_contains" in gen, (
         "term filter must be embedded in the Generate's input expression"
     )
+
+
+def test_heavy_hitters_recount_semi_joins_broadcast(spark):
+    """Pass-2 recount must cut the token stream with a BROADCAST left-semi
+    join on the candidate set — a shuffled semi would move every token."""
+    f = _features(spark, "frequent_terms_heavy_hitters")
+    assert "BroadcastHashJoin" in f.join_nodes, f.join_nodes
+    assert "LeftSemi" in f.raw
+    assert "SortMergeJoin" not in f.join_nodes
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """Every k-means assignment stage must broadcast the K centroid rows
+    (BroadcastNestedLoopJoin for the cross join) — the corpus must never
+    shuffle for assignment; the only exchanges belong to the (cluster,
+    dim) recompute aggs and the final argmin windows."""
+    f = _features(spark, "embedding_kmeans_clusters")
+    assert "BroadcastNestedLoopJoin" in f.join_nodes, f.join_nodes
+    assert "SortMergeJoin" not in f.join_nodes
+
+
+def test_stream_static_dim_join_broadcasts(spark):
+    """The stream-static enrichment dim must plan as a broadcast join."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitter_spark.catalog import table
+    from spark_streaming_twitter_spark.streaming.harness import stream_events
+
+    ev = stream_events(spark, SF)
+    dim = table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(F.broadcast(dim), "user_id").groupBy(
+        "c_mktsegment"
+    ).count()
+    # a streaming plan only optimizes under writeStream.start(); the
+    # broadcast hint is visible (and binding) in the analyzed plan
+    plan = enriched._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in plan.lower(), plan[:500]
+    assert "StreamingRelation" in plan, "must join a real streaming source"
