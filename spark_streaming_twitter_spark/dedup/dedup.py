@@ -376,6 +376,63 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_decontaminate",
+    oracle=f"""
+WITH {_SHINGLES_SQL},
+bench AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0
+),
+corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_contaminated
+  FROM corpus c JOIN bench b ON c.sh = b.sh
+  GROUP BY 1
+),
+totals AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1)
+SELECT t.doc_id, t.n_shingles,
+       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / t.n_shingles
+         AS contaminated_frac,
+       coalesce(h.n_contaminated, 0) * 2 >= t.n_shingles AS is_contaminated
+FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+""",
+    doc="Benchmark decontamination (the test-set-overlap removal stage of "
+    "a training-data pipeline): every held-out-set shingle (here the "
+    "doc_id % 50 == 0 slice stands in for the benchmark) is collected "
+    "DISTINCT and joined broadcast against corpus shingles; a doc whose "
+    "contaminated-shingle fraction reaches 1/2 is flagged. The corpus "
+    "shingle stream never shuffles for the membership test (broadcast "
+    "hash join); the per-doc counts shuffle doc_id only. At 100 TB the "
+    "benchmark side stays tiny by construction — exactly why "
+    "decontamination is a broadcast problem, not a dedup-scale problem. "
+    "The flag compare is integer (2*hits >= n), no float threshold.",
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    bench = sh.where(F.col("doc_id") % 50 == 0).select("sh").distinct()
+    corpus = sh.where(F.col("doc_id") % 50 != 0)
+    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    n_cont = F.coalesce("n_contaminated", F.lit(0).cast("bigint"))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            n_cont.alias("n_contaminated"),
+            (n_cont.cast("double") / F.col("n_shingles")).alias(
+                "contaminated_frac"
+            ),
+            (n_cont * 2 >= F.col("n_shingles")).alias("is_contaminated"),
+        )
+    )
+
+
 _JACCARD_PAIRS_SQL = f"""
 {_SHINGLES_SQL},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -59,6 +59,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "orders_column_profile",
     "keyword_search_topk",
     "frequent_terms_heavy_hitters",
+    "doc_repetition_scores",
+    "doc_pii_redaction",
+    "dedup_decontaminate",
     "dedup_graph_pagerank",
     "embedding_kmeans_clusters",
     "event_transition_matrix",

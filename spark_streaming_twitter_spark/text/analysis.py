@@ -277,6 +277,135 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_repetition_scores",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    t -> t <> '')) AS tok
+  FROM documents
+),
+tok_counts AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+),
+tok_stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(max(c) AS BIGINT) AS top_tok
+  FROM tok_counts GROUP BY 1
+),
+grams AS (
+  SELECT t.doc_id, t.l[i] || ' ' || t.l[i + 1] AS g
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS l
+        FROM documents) t,
+       unnest(generate_series(1, len(t.l) - 1)) AS u(i)
+),
+gram_counts AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+),
+gram_stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         CAST(max(c) AS BIGINT) AS top_gram
+  FROM gram_counts GROUP BY 1
+)
+SELECT t.doc_id, t.n_tokens,
+       CAST(t.top_tok AS DOUBLE) / t.n_tokens AS top_token_frac,
+       CAST(coalesce(g.top_gram, 0) AS DOUBLE)
+         / GREATEST(coalesce(g.n_grams, 0), 1) AS top_bigram_frac
+FROM tok_stats t LEFT JOIN gram_stats g ON t.doc_id = g.doc_id
+""",
+    doc="Repetition signals (the Gopher-rule quality features): fraction "
+    "of the doc taken by its most frequent token and by its most "
+    "frequent 2-gram — high values mark boilerplate/spam for the "
+    "curation filter. Two explode->count->max pipelines, each shuffling "
+    "(doc_id, term) pairs once; ratios are single IEEE divisions.",
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    toks_arr = tokens(F.lower(F.col("text")))
+    toks = docs.select("doc_id", F.explode(toks_arr).alias("tok"))
+    tok_stats = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("top_tok"))
+    )
+    grams_arr = F.when(
+        F.size(toks_arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks_arr) - 2),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks_arr, i + 1, 1)[0], F.slice(toks_arr, i + 2, 1)[0]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select("doc_id", F.explode(grams_arr).alias("g"))
+    gram_stats = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_grams"), F.max("c").alias("top_gram"))
+    )
+    return (
+        tok_stats.join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("top_tok").cast("double") / F.col("n_tokens")).alias(
+                "top_token_frac"
+            ),
+            (
+                F.coalesce("top_gram", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1))
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+# PII patterns: RE2-safe (no backreferences), identical semantics in Java
+# regex (Spark) and RE2 (DuckDB). The fixture corpus contains no PII — the
+# zero counts ARE the expected oracle output; the redaction mechanics are
+# pinned by tests/test_tweets.py-style unit tests with planted PII.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+@query(
+    "doc_pii_redaction",
+    oracle=rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM documents
+""",
+    doc="PII scrubbing (the compliance stage of a training-data "
+    "pipeline): count + redact emails and phone numbers with RE2-safe "
+    "patterns, emit the redacted-text digest. Pure per-row Project — "
+    "zero shuffle; the md5 lets the oracle verify the full redacted "
+    "byte stream without emitting document text.",
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), 0)).alias(
+            "n_phones"
+        ),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
 # Heavy-hitters support threshold (fraction of total token count) and the
 # per-partition Misra-Gries counter budget. Guarantee: a term with global
 # frequency > N/K_MG exceeds N_p/K_MG in at least one partition (pigeonhole),

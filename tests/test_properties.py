@@ -258,3 +258,31 @@ def test_heavy_hitter_candidates_are_lossless(spark, terms):
         counts[t] = counts.get(t, 0) + 1
     must_survive = {t for t, c in counts.items() if c > n / (k + 1)}
     assert must_survive <= cands
+
+
+def test_pii_redaction_fires_on_planted_pii(spark):
+    """The PII patterns must actually match and redact planted emails and
+    phone numbers (the fixture corpus is PII-free, so the registered
+    query's zero counts don't exercise the replace path)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitter_spark.text.analysis import (
+        _EMAIL_RE,
+        _PHONE_RE,
+    )
+
+    text = "contact jo.doe+x@example.co.uk or +1 (555) 123-4567 today"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    r = df.select(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0)).alias("e"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), 0)).alias("p"),
+        redacted.alias("red"),
+    ).collect()[0]
+    assert r.e == 1 and r.p == 1
+    assert r.red == "contact <EMAIL> or <PHONE> today"
+    assert "@" not in r.red and "555" not in r.red
