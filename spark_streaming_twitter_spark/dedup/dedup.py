@@ -52,7 +52,11 @@ from spark_streaming_twitter_spark.functions.hashing import (
 )
 from spark_streaming_twitter_spark.functions import sampling
 from spark_streaming_twitter_spark.registry import query
-from spark_streaming_twitter_spark.text.analysis import tokens
+from spark_streaming_twitter_spark.text.analysis import (
+    _EMAIL_RE as _PII_EMAIL_RE,
+    _PHONE_RE as _PII_PHONE_RE,
+    tokens,
+)
 
 # MinHash configuration: k = BANDS * ROWS_PER_BAND hash functions from the
 # affine family h_i(x) = (A_i * h(x) + B_i) mod P over one base md5-derived
@@ -970,4 +974,150 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.count_distinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "corpus_curation_pipeline_full",
+    oracle=f"""
+WITH {{MINHASH}},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+drops AS (
+  SELECT DISTINCT i.doc_b AS doc_id
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.8
+),
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+corpus_sh AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0),
+cont AS (
+  SELECT t.doc_id
+  FROM (SELECT doc_id, count(*) AS n FROM corpus_sh GROUP BY 1) t
+  JOIN (SELECT c.doc_id, count(*) AS h
+        FROM corpus_sh c JOIN bench b ON c.sh = b.sh GROUP BY 1) hh
+    ON t.doc_id = hh.doc_id
+  WHERE hh.h * 2 >= t.n
+),
+rep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, CAST(max(c) AS BIGINT) AS m
+    FROM (SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+          GROUP BY 1, 2)
+    GROUP BY 1
+  ) WHERE 6 * m > n
+),
+pii AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{{EMAIL}}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '{{PHONE}}')) AS BIGINT) AS n_phones
+  FROM documents
+),
+kept AS (
+  SELECT d.doc_id, d.lang, d.source, d.n_chars, p.n_emails, p.n_phones
+  FROM documents d
+  JOIN toks t ON d.doc_id = t.doc_id
+  JOIN pii p ON d.doc_id = p.doc_id
+  LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+  LEFT JOIN cont co ON d.doc_id = co.doc_id
+  LEFT JOIN rep re ON d.doc_id = re.doc_id
+  WHERE dr.doc_id IS NULL AND co.doc_id IS NULL AND re.doc_id IS NULL
+    AND d.doc_id % 50 <> 0
+    AND len(t.toks) >= 20
+    AND d.lang IN ('en', 'de', 'fr', 'es')
+    AND ({{BUCKET}}) < 9000
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT source) AS n_sources,
+       CAST(sum(n_emails) AS BIGINT) AS n_emails_redacted,
+       CAST(sum(n_phones) AS BIGINT) AS n_phones_redacted
+FROM kept
+GROUP BY lang
+""".format(
+        MINHASH=_MINHASH_BUCKETS_SQL,
+        EMAIL=_PII_EMAIL_RE,
+        PHONE=_PII_PHONE_RE,
+        BUCKET=sampling.sample_bucket_sql("d.doc_id", "curate"),
+    ),
+    doc="The COMPLETE training-data curation pipeline, every stage this "
+    "engine implements, composed as one job: near-dup drop list "
+    "(MinHash-LSH + Jaccard verify) anti-joined out; benchmark "
+    "decontamination (broadcast shingle membership, 1/2 overlap flag) "
+    "anti-joined out, benchmark slice itself excluded; Gopher repetition "
+    "gate (6*top_token > n_tokens) anti-joined out; length + language "
+    "quality gates; deterministic 90% hash-sample; PII counts carried "
+    "through to the per-language report. The three tiny drop lists "
+    "materialize once each (localCheckpoint — at cluster scale, parquet "
+    "writes, the natural pipeline barriers); everything else is one "
+    "Catalyst plan. The integer repetition threshold and broadcast "
+    "membership joins keep every stage deterministic and shuffle-light.",
+)
+def corpus_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.text.analysis import (
+        _EMAIL_RE,
+        _PHONE_RE,
+    )
+
+    docs = widen(table(spark, sf_dir, "documents"), spark)
+    drops = dedup_drop_list(spark, sf_dir).localCheckpoint()
+    cont = (
+        dedup_decontaminate(spark, sf_dir)
+        .where(F.col("is_contaminated"))
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    toks_e = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    rep_bad = (
+        toks_e.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n"), F.max("c").alias("m"))
+        .where(6 * F.col("m") > F.col("n"))
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    kept = (
+        docs.join(drops, docs.doc_id == drops.drop_doc_id, "left_anti")
+        .join(cont, "doc_id", "left_anti")
+        .join(rep_bad, "doc_id", "left_anti")
+        .where(F.col("doc_id") % 50 != 0)
+        .where(F.size(tokens(F.lower(F.col("text")))) >= 20)
+        .where(F.col("lang").isin("en", "de", "fr", "es"))
+        .where(sampling.sample_bucket(F.col("doc_id"), salt="curate") < 9000)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0)
+            ).cast("bigint").alias("n_emails"),
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), 0)
+            ).cast("bigint").alias("n_phones"),
+        )
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("n_emails").alias("n_emails_redacted"),
+        F.sum("n_phones").alias("n_phones_redacted"),
     )
