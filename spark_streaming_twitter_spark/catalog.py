@@ -33,13 +33,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read nanos as INT64 (runtime conf), then convert to
-        # a proper TimestampType with integer division (ts DIV 1000 → micros;
-        # float division would lose precision above 2^53 ns).
+        # The driver fixture's events.ts is parquet TIMESTAMP(NANOS), which
+        # Spark's vectorized reader rejects. Read nanos as INT64 (runtime
+        # conf), then convert to a proper TimestampType with integer
+        # division (ts DIV 1000 → micros; float division would lose
+        # precision above 2^53 ns). Re-written copies (tools/scale_probe.py)
+        # carry a real TIMESTAMP already — convert only when ts reads back
+        # as a long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        if dict(raw.dtypes)["ts"] == "bigint":
+            raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return raw
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

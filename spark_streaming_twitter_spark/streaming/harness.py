@@ -53,15 +53,21 @@ def stream_events(
     downstream plan is identical either way — that indirection is the point
     of Structured Streaming's source abstraction.
     """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-    )
+    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = reader.load(sf_dir)
+    # the file stream source wants a DIRECTORY: the driver fixture keeps
+    # events.parquet as a single file (stream the parent dir with a glob
+    # filter), while rewritten copies (tools/scale_probe.py) are parquet
+    # directories (stream the directory itself)
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        raw = reader.load(path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 

@@ -101,3 +101,38 @@ def test_scaled_dot_is_exact_cosine(spark):
     r = df.collect()[0]
     cos = r.dot / math.sqrt(r.na * r.nb)
     assert abs(cos - 0.96) < 1e-9  # (0.48+0.48)/1
+
+
+def test_decontamination_flags_benchmark_copies(spark):
+    """A corpus doc that copies a benchmark doc's text must be flagged
+    contaminated; an unrelated doc must not be."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitter_spark.dedup.dedup import doc_shingles
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (50, bench_text),  # benchmark doc (id % 50 == 0)
+        (51, bench_text),  # verbatim copy -> contaminated
+        (52, "one two three four five six seven eight nine"),  # clean
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = doc_shingles(docs)
+    bench = sh.where(F.col("doc_id") % 50 == 0).select("sh").distinct()
+    corpus = sh.where(F.col("doc_id") % 50 != 0)
+    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    hits = (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    flags = {
+        r.doc_id: r.flag
+        for r in totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce("h", F.lit(0)) * 2 >= F.col("n")).alias("flag"),
+        )
+        .collect()
+    }
+    assert flags == {51: True, 52: False}
