@@ -136,3 +136,57 @@ def test_decontamination_flags_benchmark_copies(spark):
         .collect()
     }
     assert flags == {51: True, 52: False}
+
+
+def test_exact_first_drop_list_equals_unstaged(spark):
+    """The exact-first staging in dedup_drop_list must produce the SAME
+    drop set as running near-dup verification over the full corpus, on a
+    planted mix of exact copies and near-duplicates."""
+    from pyspark.sql import Window, functions as F
+
+    from spark_streaming_twitter_spark.dedup.dedup import (
+        near_dup_verified_pairs,
+    )
+
+    # 12 tokens, one differing tail token: 9 of 10+10 shingles shared ->
+    # jaccard 9/11 = 0.818 >= 0.8 (the 10-token version lands at 7/9 = 0.78
+    # and would NOT verify)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu xi"
+    rows = [
+        (3, base),   # canonical (min id of the exact cluster is 1... no: 1)
+        (1, base),   # exact copy cluster {1, 3, 7}: keep 1
+        (7, base),
+        (5, near),   # near-dup of the cluster: dropped (5 > 1? pairs...)
+        (9, "one two three four five six seven eight nine ten"),  # clean
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # unstaged: verified pairs over the full corpus, drop doc_b
+    unstaged = {
+        r.doc_id
+        for r in near_dup_verified_pairs(docs, docs)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .collect()
+    }
+
+    # staged: exact pass first, near-dup over canonicals only
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    w = Window.partitionBy("h")
+    exact_drops = (
+        hashed.withColumn("keep", F.min("doc_id").over(w))
+        .where(F.col("doc_id") != F.col("keep"))
+        .select("doc_id")
+    )
+    canon = docs.join(exact_drops, "doc_id", "left_anti")
+    near_drops = (
+        near_dup_verified_pairs(canon, docs)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    staged = {
+        r.doc_id for r in exact_drops.unionAll(near_drops).distinct().collect()
+    }
+
+    assert staged == unstaged == {3, 5, 7}
