@@ -915,23 +915,58 @@ SELECT node AS doc_id, group_id FROM reach
 """,
     doc="Dedup groups: connected components over the verified near-dup "
     "pair graph (keep-one-per-CLUSTER, not per pair — A~B~C collapses to "
-    "one group even when A!~C directly). Spark: driver-coordinated "
-    "min-label propagation loop, one keyed join per round, diameter "
-    "rounds. Oracle: DuckDB recursive CTE computing min reachable id.",
+    "one group even when A!~C directly). Spark: EXACT-FIRST staging (same "
+    "argument as dedup_drop_list): components run over canonical docs "
+    "only, then exact copies inherit their canonical's group label. "
+    "Output-identical to full-graph CC — an exact copy's pairs are "
+    "content-equivalent to its canonical's, so bridges survive "
+    "canonicalization, and the canonical (the cluster's min id) can "
+    "never lose the min-label race to its own copies. The CC loop's "
+    "input shrinks with duplicate density instead of growing "
+    "quadratically. Oracle: unstaged DuckDB recursive CTE — pins the "
+    "equivalence every round.",
     bench=True,
 )
 def dedup_group_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_near_duplicates(spark, sf_dir).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    w = Window.partitionBy("h")
+    copies = (
+        hashed.withColumn("canon", F.min("doc_id").over(w))
+        .where(F.col("doc_id") != F.col("canon"))
+        .select("doc_id", "canon")
+        .localCheckpoint()
     )
-    # materialize the (small) pair set once; the CC loop re-reads it per round
-    pairs = pairs.localCheckpoint()
+    canon_docs = widen(docs, spark).join(
+        copies.select("doc_id"), "doc_id", "left_anti"
+    )
+    pairs = (
+        near_dup_verified_pairs(canon_docs, docs)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
+    )
     nodes = (
         pairs.select(F.col("a").alias("id"))
         .unionAll(pairs.select(F.col("b").alias("id")))
         .distinct()
     )
-    return connected_components(pairs, nodes)
+    comp = connected_components(pairs, nodes)
+    # canonicals that have exact copies but no near-dup pair of their own
+    # still form a duplicate group (the exact cluster itself)
+    lone_canons = (
+        copies.select(F.col("canon").alias("doc_id"))
+        .distinct()
+        .join(comp, "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("group_id"))
+    )
+    canon_groups = comp.unionAll(lone_canons)
+    copy_groups = copies.join(
+        canon_groups.select(
+            F.col("doc_id").alias("canon"), "group_id"
+        ),
+        "canon",
+    ).select("doc_id", "group_id")
+    return canon_groups.unionAll(copy_groups)
 
 
 # --------------------------------------------------------------------------

@@ -154,10 +154,10 @@ def test_exact_first_drop_list_equals_unstaged(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"
     near = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu xi"
     rows = [
-        (3, base),   # canonical (min id of the exact cluster is 1... no: 1)
-        (1, base),   # exact copy cluster {1, 3, 7}: keep 1
+        (3, base),   # exact copy cluster {1, 3, 7}: keep 1, drop 3 and 7
+        (1, base),
         (7, base),
-        (5, near),   # near-dup of the cluster: dropped (5 > 1? pairs...)
+        (5, near),   # near-dup of the cluster: dropped (pairs with 1 < 5)
         (9, "one two three four five six seven eight nine ten"),  # clean
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
@@ -190,3 +190,30 @@ def test_exact_first_drop_list_equals_unstaged(spark):
     }
 
     assert staged == unstaged == {3, 5, 7}
+
+
+def test_exact_first_group_ids_include_exact_clusters(spark, monkeypatch):
+    """Staged group_ids must label exact copies with their canonical's
+    group and keep pure-exact clusters as groups of their own."""
+    from pyspark.sql import functions as F
+
+    import spark_streaming_twitter_spark.dedup.dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu xi"
+    rows = [
+        (3, base), (1, base), (7, base),     # exact cluster, canon 1
+        (5, near),                            # near-dup bridges to group 1
+        (20, "only twenty exact copy text"),  # pure exact cluster {20, 24}
+        (24, "only twenty exact copy text"),
+        (9, "one two three four five six seven eight nine ten"),  # clean
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    monkeypatch.setattr(
+        dd, "table", lambda spark_, sf_dir_, name_: docs
+    )
+    got = {
+        r.doc_id: r.group_id
+        for r in dd.dedup_group_ids(spark, "unused").collect()
+    }
+    assert got == {1: 1, 3: 1, 5: 1, 7: 1, 20: 20, 24: 20}
