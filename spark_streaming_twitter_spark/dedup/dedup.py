@@ -591,6 +591,7 @@ SELECT DISTINCT doc_b AS drop_doc_id FROM verified
     "candidate pairs grow with duplicate DENSITY, and the exact pass "
     "removes the worst offenders for one cheap hash shuffle "
     "(measured at 4x replication: 16x fewer candidate pairs).",
+    bench=True,
 )
 def dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
