@@ -369,6 +369,58 @@ def part_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_value_intervals_scd2",
+    oracle="""
+WITH lww AS (
+  SELECT user_id, event_id, value, ts_s
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts_s
+                                 ORDER BY event_id DESC) AS rn
+    FROM (SELECT user_id, event_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+          FROM events WHERE event_type = 'purchase')
+  ) WHERE rn = 1
+)
+SELECT user_id, value, ts_s AS valid_from,
+       coalesce(lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s),
+                CAST(9999999999 AS BIGINT)) AS valid_to,
+       CAST(lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) IS NULL
+            AS BOOLEAN) AS is_current
+FROM lww
+""",
+    doc="SCD2 temporal-table construction from an event stream: each "
+    "user's purchase values become validity intervals "
+    "[valid_from, valid_to) via lead() over event time, open intervals "
+    "capped at a sentinel and flagged is_current — the "
+    "change-data-capture history build that complements the SCD1 "
+    "compaction in latest_event_per_user_type. Same-timestamp collisions "
+    "resolve last-writer-wins by event_id BEFORE the interval build, so "
+    "intervals never zero-width ties. Both windows partition by user_id: "
+    "one shuffle, per-user local sorts.",
+)
+def user_value_intervals_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value",
+        F.unix_timestamp("ts").alias("ts_s"),
+    ).where(F.col("event_type") == "purchase")
+    w_ts = Window.partitionBy("user_id", "ts_s").orderBy(F.col("event_id").desc())
+    lww = (
+        ev.withColumn("rn", F.row_number().over(w_ts))
+        .where(F.col("rn") == 1)
+        .select("user_id", "value", "ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s")
+    nxt = F.lead("ts_s").over(w)
+    return lww.select(
+        "user_id",
+        "value",
+        F.col("ts_s").alias("valid_from"),
+        F.coalesce(nxt, F.lit(9999999999).cast("bigint")).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
 _PROFILE_COLS: tuple[str, ...] = (
     "o_orderkey",
     "o_custkey",

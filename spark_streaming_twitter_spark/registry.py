@@ -68,6 +68,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "signup_view_purchase_funnel",
     "part_price_distribution",
     "events_moving_avg_1h",
+    "user_value_intervals_scd2",
     "event_props_variant",
     "pipe_sql_returnflag_revenue",
     "udtf_token_positions",

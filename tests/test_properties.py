@@ -286,3 +286,24 @@ def test_pii_redaction_fires_on_planted_pii(spark):
     assert r.e == 1 and r.p == 1
     assert r.red == "contact <EMAIL> or <PHONE> today"
     assert "@" not in r.red and "555" not in r.red
+
+
+def test_observe_metrics_surface(spark):
+    """df.observe(): the pipeline-metrics API — named aggregates computed
+    as a side effect of the action, read back via the observation object.
+    The instrumentation hook a production curation job uses to emit row
+    counts / null counts per stage without extra passes."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("stage_metrics")
+    df = spark.range(100).withColumn(
+        "v", F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id"))
+    )
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("int")).alias("n_nulls"),
+    )
+    assert observed.where(F.col("v").isNotNull()).count() == 90
+    assert obs.get == {"n_rows": 100, "n_nulls": 10}
