@@ -16,6 +16,15 @@ pure-DataFrame composition with an exact SQL oracle twin:
                            pairs (``dedup_simhash_signatures``, ``_pairs``)
 - embedding cosine       — exact high-cosine pairs with integer-scaled dot
                            products (``dedup_embedding_cosine_pairs``)
+- edit-distance verify   — Levenshtein over candidate pairs
+                           (``dedup_edit_distance_verify``)
+- decontamination        — benchmark shingle-overlap removal
+                           (``dedup_decontaminate``)
+- groups / drop list     — EXACT-FIRST staged: content-hash dedup, then
+                           LSH over canonicals; copies inherit labels
+                           (``dedup_drop_list``, ``dedup_group_ids``)
+- capstones              — curation pipelines composing every stage
+                           (``corpus_curation_pipeline``, ``_full``)
 
 Scale design (100 TB):
 - Every pipeline is shuffle-keyed on high-cardinality values (shingle hash,
