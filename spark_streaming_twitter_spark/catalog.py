@@ -57,16 +57,30 @@ def widen(df: DataFrame, spark: SparkSession) -> DataFrame:
 
     The fixture tables are single parquet files with one row group, so a
     scan is ONE task and any compute-heavy pipeline above it (shingle
-    explode, regex tokenize, vector math) runs on one core. When the scan
-    has fewer input files than the session's parallelism, insert a
-    round-robin repartition so the heavy stage runs wide; when the input
-    already has enough splits (any production-scale table), this is a
-    no-op — no gratuitous shuffle of 100 TB of text.
+    explode, regex tokenize, vector math) runs on one core. When the
+    scan's actual SPLIT count (physical partitions — row-group splits
+    included, so a few huge multi-row-group files still count as wide)
+    is below the session's parallelism, insert a round-robin repartition
+    so the heavy stage runs wide; when the input already has enough
+    splits (any production-scale table), this is a no-op — no gratuitous
+    shuffle of 100 TB of text. File COUNT would be the wrong proxy: 32
+    multi-TB files on a 1000-core cluster are already hundreds of splits.
     """
     target = spark.sparkContext.defaultParallelism
-    if len(df.inputFiles()) >= target:
+    if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def _fixture_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of a fixture dir: names + sizes + mtimes."""
+    parts = []
+    root = Path(sf_dir)
+    if root.exists():
+        for p in sorted(root.rglob("*.parquet")):
+            st = p.stat()
+            parts.append(f"{p.name}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
 def spool_fixture(
@@ -76,18 +90,45 @@ def spool_fixture(
 
     Queries that need data on disk (streaming text spools, CSV/JSONL
     round-trips) derive deterministically from the fixture parquet, so the
-    spool is written ONCE per (key, sf_dir, version) and reused by every
-    later call in the same round — the driver's correctness gate and
-    bench.py's repeat runs then pay the write exactly once. ``version``
-    names the payload-construction recipe; bump it when the writer changes
-    so stale spools from older code can't leak in.
+    spool is written ONCE per (key, sf_dir, version, fixture-content) and
+    reused by every later call in the same round — the driver's correctness
+    gate and bench.py's repeat runs then pay the write exactly once.
+    ``version`` names the payload-construction recipe; bump it when the
+    writer changes. The tag also folds in a fingerprint of the fixture
+    parquet (sizes + mtimes), so regenerating the fixture in place gets a
+    FRESH spool instead of serving stale data against a new oracle.
+
+    Concurrency: the writing process claims the dir by atomically creating
+    a lock file (O_EXCL); losers wait for the winner's done-marker instead
+    of issuing a second overlapping write into the same directory.
     """
-    tag = hashlib.md5(f"{key}:{version}:{sf_dir}".encode()).hexdigest()[:12]
+    import os
+    import time
+
+    tag = hashlib.md5(
+        f"{key}:{version}:{sf_dir}:{_fixture_fingerprint(sf_dir)}".encode()
+    ).hexdigest()[:12]
     base = Path(tempfile.gettempdir()) / f"spark_graft_spool_{key}_{tag}"
     marker = base / "_SPOOL_DONE"
-    if not marker.exists():
+    if marker.exists():
+        return base
+    base.mkdir(parents=True, exist_ok=True)
+    lock = base / "_SPOOL_LOCK"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        # another process is writing: wait for its done-marker (bounded)
+        for _ in range(600):
+            if marker.exists():
+                return base
+            time.sleep(0.5)
+        raise TimeoutError(f"spool writer for {base} never finished")
+    try:
         writer(base)
         marker.write_text("ok")
+    finally:
+        lock.unlink(missing_ok=True)
     return base
 
 

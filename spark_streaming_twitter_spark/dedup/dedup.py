@@ -582,6 +582,24 @@ def dedup_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_verified_pairs(widen(docs, spark), docs)
 
 
+def exact_copy_map(docs: DataFrame) -> DataFrame:
+    """(doc_id, canon) for every EXACT copy: content-hash window, min id.
+
+    The single canonicalization rule behind the exact-first staging in
+    both ``dedup_drop_list`` and ``dedup_group_ids`` — one shuffle on the
+    content hash; the returned map is localCheckpointed (it is tiny at
+    realistic duplicate rates and read multiple times downstream).
+    """
+    w = Window.partitionBy("h")
+    return (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .withColumn("canon", F.min("doc_id").over(w))
+        .where(F.col("doc_id") != F.col("canon"))
+        .select("doc_id", "canon")
+        .localCheckpoint()
+    )
+
+
 @query(
     "dedup_drop_list",
     oracle=f"""
@@ -604,14 +622,7 @@ SELECT DISTINCT doc_b AS drop_doc_id FROM verified
 )
 def dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    hashed = docs.select("doc_id", F.md5("text").alias("h"))
-    w = Window.partitionBy("h")
-    exact_drops = (
-        hashed.withColumn("keep", F.min("doc_id").over(w))
-        .where(F.col("doc_id") != F.col("keep"))
-        .select("doc_id")
-        .localCheckpoint()
-    )
+    exact_drops = exact_copy_map(docs).select("doc_id")
     # canonical corpus = docs minus exact copies; the anti-join broadcasts
     # when the drop set is small (the realistic duplicate-rate case)
     canon = widen(docs, spark).join(exact_drops, "doc_id", "left_anti")
@@ -939,14 +950,7 @@ SELECT node AS doc_id, group_id FROM reach
 )
 def dedup_group_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    hashed = docs.select("doc_id", F.md5("text").alias("h"))
-    w = Window.partitionBy("h")
-    copies = (
-        hashed.withColumn("canon", F.min("doc_id").over(w))
-        .where(F.col("doc_id") != F.col("canon"))
-        .select("doc_id", "canon")
-        .localCheckpoint()
-    )
+    copies = exact_copy_map(docs)
     canon_docs = widen(docs, spark).join(
         copies.select("doc_id"), "doc_id", "left_anti"
     )

@@ -111,12 +111,20 @@ FROM toks
 def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
+    import re
+
+    # ASCII whitespace ONLY, matching RE2's '\s' in the DuckDB oracle —
+    # Python str.split() is Unicode-aware (U+00A0, thin spaces, NEL) and
+    # would tokenize scraped web text differently from the oracle.
+    ascii_ws = re.compile(r"[ \t\n\r\f\v]+")
+
     @udtf(returnType="pos int, token string")
     class SplitTokens:
         def eval(self, text: str):
             if text is None:
                 return
-            for i, tok in enumerate(text.split()):
+            toks = [t for t in ascii_ws.split(text) if t != ""]
+            for i, tok in enumerate(toks):
                 yield i + 1, tok
 
     spark.udtf.register("split_tokens_udtf", SplitTokens)

@@ -305,8 +305,9 @@ dims AS (
   FROM quantized
 ),
 centroid_dims AS (
-  -- exact integer FLOOR division (DuckDB // truncates toward zero, Spark
-  -- floors): subtract the positive modulus first so the quotient is exact.
+  -- exact integer FLOOR division: BOTH engines truncate toward zero
+  -- (DuckDB // and Spark DIV agree: -7/2 -> -3), so subtract the positive
+  -- modulus first to make the quotient exact — then truncation == floor.
   SELECT label, d,
          CAST((sum(qv[d]) - (((sum(qv[d]) % count(*)) + count(*)) % count(*)))
               // count(*) AS BIGINT) AS c

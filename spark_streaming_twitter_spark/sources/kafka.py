@@ -78,8 +78,19 @@ def kafka_stream(
     )
     try:
         return reader.load().select(*KAFKA_SHAPE)
-    except Exception as exc:  # AnalysisException: DATA_SOURCE_NOT_FOUND
-        if "kafka" not in str(exc).lower():
+    except Exception as exc:
+        # Fall back ONLY on the connector-absent error (AnalysisException
+        # DATA_SOURCE_NOT_FOUND). Any other Kafka exception — bad
+        # startingOffsets JSON, conflicting subscribe options, auth — must
+        # surface: silently substituting the file harness for a
+        # misconfigured broker would run the pipeline on stand-in data.
+        msg = str(exc)
+        connector_absent = (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find the data source" in msg
+            or "Failed to find data source" in msg
+        )
+        if not connector_absent:
             raise
         if fallback_dir is None:
             raise RuntimeError(

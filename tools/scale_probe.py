@@ -73,8 +73,11 @@ def main() -> None:
             df = table(spark, SRC, t)
         if t not in NO_REPLICATE:
             df = replicate(df, keys, n)
-        df.coalesce(8).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
-        print(f"{t}: {df.count()} rows")
+        out = f"{out_dir}/{t}.parquet"
+        df.coalesce(8).write.mode("overwrite").parquet(out)
+        # count the WRITTEN parquet — counting df would re-run the whole
+        # replicate pipeline a second time just for the log line
+        print(f"{t}: {spark.read.parquet(out).count()} rows")
     print(f"\nrun: SPARK_GRAFT_SF_DIR={out_dir} python bench.py")
 
 
