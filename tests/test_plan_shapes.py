@@ -166,3 +166,34 @@ def test_stream_static_dim_join_broadcasts(spark):
     plan = enriched._jdf.queryExecution().analyzed().toString()
     assert "broadcast" in plan.lower(), plan[:500]
     assert "StreamingRelation" in plan, "must join a real streaming source"
+
+
+def test_spool_fixture_refreshes_on_fixture_change(tmp_path):
+    """The spool cache key must fold in fixture CONTENT: regenerating the
+    fixture parquet in place yields a fresh spool dir, and an unchanged
+    fixture reuses the cached one without re-invoking the writer."""
+    import os
+
+    from spark_streaming_twitter_spark.catalog import spool_fixture
+
+    fixture = tmp_path / "sf"
+    fixture.mkdir()
+    pq = fixture / "documents.parquet"
+    pq.write_bytes(b"v1-bytes")
+
+    calls = []
+
+    def writer(base):
+        base.mkdir(parents=True, exist_ok=True)
+        calls.append(str(base))
+
+    first = spool_fixture("t", str(fixture), "v1", writer)
+    again = spool_fixture("t", str(fixture), "v1", writer)
+    assert first == again and len(calls) == 1, "unchanged fixture must reuse"
+
+    pq.write_bytes(b"v2-bytes-different")
+    os.utime(pq, ns=(1, 1))  # force a distinct mtime even on coarse clocks
+    refreshed = spool_fixture("t", str(fixture), "v1", writer)
+    assert refreshed != first and len(calls) == 2, (
+        "regenerated fixture must get a fresh spool"
+    )
