@@ -421,6 +421,80 @@ def user_value_intervals_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_pit_enrichment",
+    oracle="""
+WITH lww AS (
+  SELECT user_id, event_id, value, ts_s
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts_s
+                                 ORDER BY event_id DESC) AS rn
+    FROM (SELECT user_id, event_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+          FROM events WHERE event_type = 'purchase')
+  ) WHERE rn = 1
+),
+intervals AS (
+  SELECT user_id, value, ts_s AS valid_from,
+         coalesce(lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s),
+                  CAST(9999999999 AS BIGINT)) AS valid_to
+  FROM lww
+),
+clicks AS (
+  SELECT user_id, event_id AS click_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id, c.click_id, c.click_ts,
+       i.value AS purchase_value_at_click,
+       i.valid_from AS value_since
+FROM clicks c
+JOIN intervals i
+  ON c.user_id = i.user_id
+ AND c.click_ts >= i.valid_from AND c.click_ts < i.valid_to
+""",
+    doc="Point-in-time enrichment against the SCD2 history "
+    "(user_value_intervals_scd2's intervals): each click joins the "
+    "purchase value that was current AT CLICK TIME — the temporal/"
+    "bi-temporal lookup pattern of feature stores and slowly-changing "
+    "dims. Equi-key user_id carries the shuffle; the interval predicate "
+    "evaluates inside the join (range join). Half-open intervals "
+    "[from, to) make every click match at most one version — no "
+    "dedup needed after the join.",
+)
+def events_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    intervals = user_value_intervals_scd2(spark, sf_dir).select(
+        "user_id",
+        "value",
+        F.col("valid_from"),
+        F.col("valid_to"),
+    )
+    clicks = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.unix_timestamp("ts").alias("click_ts"),
+        )
+    )
+    return (
+        clicks.join(
+            intervals,
+            (clicks.user_id == intervals.user_id)
+            & (F.col("click_ts") >= F.col("valid_from"))
+            & (F.col("click_ts") < F.col("valid_to")),
+        )
+        .select(
+            clicks.user_id,
+            "click_id",
+            "click_ts",
+            F.col("value").alias("purchase_value_at_click"),
+            F.col("valid_from").alias("value_since"),
+        )
+    )
+
+
 _PROFILE_COLS: tuple[str, ...] = (
     "o_orderkey",
     "o_custkey",

@@ -69,6 +69,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "part_price_distribution",
     "events_moving_avg_1h",
     "user_value_intervals_scd2",
+    "events_pit_enrichment",
     "event_props_variant",
     "pipe_sql_returnflag_revenue",
     "udtf_token_positions",
