@@ -62,6 +62,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "doc_repetition_scores",
     "doc_pii_redaction",
     "dedup_decontaminate",
+    "corpus_curation_pipeline_full",
     "dedup_graph_pagerank",
     "embedding_kmeans_clusters",
     "event_transition_matrix",
