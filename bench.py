@@ -2,7 +2,15 @@
 
 Prints exactly one JSON line:
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
-   "queries": {"<name>": <sec>, ...}, "sf": <float>}
+   "queries": {"<name>": <min sec>, ...},
+   "queries_p50": {"<name>": <median sec>, ...}, "value_p50": <sec>,
+   "sf": <float>}
+
+"value"/"queries" stay min-of-N (continuity with BENCH_r01/r02);
+"queries_p50" is the noise floor — judge regressions against it.
+The session-scoped staged-dedup artifact build (exact-copy map + verified
+pairs, read by all dedup consumers) is timed as its own explicit entry
+so the cache can't hide real work from the headline.
 
 Each query is materialized with a full collect (the driver's correctness
 harness collects too, so this measures the same path users run). The
@@ -15,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -33,6 +42,18 @@ def main() -> None:
     specs = load_all()
     bench_specs = {n: s for n, s in specs.items() if s.bench}
 
+    # The staged-dedup artifact (exact-copy map + verified canonical pairs)
+    # is built ONCE per session and then read by every dedup consumer —
+    # the real pipeline shape (the drop list is a written artifact). Time
+    # the build explicitly as its own headline entry so the cache never
+    # hides its cost, and do it BEFORE the warmup so no query pays it.
+    from spark_streaming_twitter_spark.dedup.dedup import staged_dedup_artifacts
+
+    t0 = time.perf_counter()
+    staged_dedup_artifacts(spark, sf_dir)
+    staged_s = round(time.perf_counter() - t0, 3)
+    print(f"# staged_dedup_artifacts (build): {staged_s:.3f}s", file=sys.stderr)
+
     # Warm the JVM + parquet footers with one tiny action so query timings
     # measure the plan, not session startup. (A full per-query warmup pass
     # was measured NET-negative: it doubles the compiled-plan count for one
@@ -40,12 +61,16 @@ def main() -> None:
     next(iter(bench_specs.values())).fn(spark, sf_dir).limit(1).collect()
 
     # min-of-N runs per query: the first run folds in codegen/JIT compile
-    # for that plan, later runs measure steady-state throughput; min also
-    # rejects host-side noise (this box shows idle load spikes).
+    # for that plan, later runs measure steady-state throughput; min
+    # rejects host-side noise (this box shows idle load spikes). p50 is
+    # reported alongside so round-over-round regressions are judged
+    # against the median, not a lucky/unlucky extreme (VERDICT r2 #7).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings: dict[str, float] = {}
+    timings: dict[str, float] = {"staged_dedup_artifacts": staged_s}
+    p50s: dict[str, float] = {"staged_dedup_artifacts": staged_s}
     for name, spec in sorted(bench_specs.items()):
-        best, n = float("inf"), 0
+        times = []
+        n = 0
         for _ in range(runs):
             # Time fn + collect: some queries do their real work inside fn
             # (streaming runs to completion, the CC label loop iterates) —
@@ -53,15 +78,22 @@ def main() -> None:
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             n = len(df.collect())
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            times.append(time.perf_counter() - t0)
+        timings[name] = round(min(times), 3)
+        p50s[name] = round(statistics.median(times), 3)
+        print(
+            f"# {name}: min {timings[name]:.3f}s p50 {p50s[name]:.3f}s"
+            f" ({n} rows)",
+            file=sys.stderr,
+        )
 
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_p50": p50s,
+        "value_p50": round(sum(p50s.values()), 3),
         "sf": sf,
     }
     print(json.dumps(out))

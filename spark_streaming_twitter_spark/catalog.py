@@ -98,12 +98,16 @@ def spool_fixture(
     parquet (sizes + mtimes), so regenerating the fixture in place gets a
     FRESH spool instead of serving stale data against a new oracle.
 
-    Concurrency: the writing process claims the dir by atomically creating
-    a lock file (O_EXCL); losers wait for the winner's done-marker instead
-    of issuing a second overlapping write into the same directory.
+    Concurrency: each would-be writer builds into its OWN temp dir, then
+    atomically renames it to the tagged path; exactly one rename wins, the
+    losers delete their build and read the winner's. No lock file, no
+    done-marker wait — a writer hard-killed mid-build (SIGKILL/OOM) leaves
+    only an orphaned temp dir that never blocks anyone (the next caller
+    just builds again), where the previous lock+marker scheme blocked
+    every later caller until /tmp was cleaned by hand.
     """
     import os
-    import time
+    import shutil
 
     tag = hashlib.md5(
         f"{key}:{version}:{sf_dir}:{_fixture_fingerprint(sf_dir)}".encode()
@@ -112,23 +116,26 @@ def spool_fixture(
     marker = base / "_SPOOL_DONE"
     if marker.exists():
         return base
-    base.mkdir(parents=True, exist_ok=True)
-    lock = base / "_SPOOL_LOCK"
+    wip = Path(
+        tempfile.mkdtemp(
+            prefix=f"spark_graft_spool_{key}_{tag}_wip_",
+            dir=tempfile.gettempdir(),
+        )
+    )
     try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.close(fd)
-    except FileExistsError:
-        # another process is writing: wait for its done-marker (bounded)
-        for _ in range(600):
-            if marker.exists():
-                return base
-            time.sleep(0.5)
-        raise TimeoutError(f"spool writer for {base} never finished")
+        writer(wip)
+        (wip / "_SPOOL_DONE").write_text("ok")
+    except BaseException:
+        shutil.rmtree(wip, ignore_errors=True)
+        raise
     try:
-        writer(base)
-        marker.write_text("ok")
-    finally:
-        lock.unlink(missing_ok=True)
+        os.rename(wip, base)
+    except OSError:
+        # rename target exists: another writer won the race (its dir is
+        # complete — rename is atomic). Discard our build and use theirs.
+        shutil.rmtree(wip, ignore_errors=True)
+        if not marker.exists():
+            raise
     return base
 
 

@@ -115,8 +115,10 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ASCII whitespace ONLY, matching RE2's '\s' in the DuckDB oracle —
     # Python str.split() is Unicode-aware (U+00A0, thin spaces, NEL) and
-    # would tokenize scraped web text differently from the oracle.
-    ascii_ws = re.compile(r"[ \t\n\r\f\v]+")
+    # would tokenize scraped web text differently from the oracle. NO \v:
+    # RE2's \s is exactly [\t\n\f\r ] — a vertical tab must stay inside a
+    # token on both engines (ADVICE r2).
+    ascii_ws = re.compile(r"[ \t\n\r\f]+")
 
     @udtf(returnType="pos int, token string")
     class SplitTokens:

@@ -118,6 +118,38 @@ def run_to_memory(
     return spark.table(name)
 
 
+def run_available_now(
+    sdf: DataFrame, name: str | None = None, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming DataFrame under ``Trigger.AvailableNow`` to a memory sink.
+
+    Unlike :func:`run_to_memory` (which drives an always-on query with
+    ``processAllAvailable`` and then stops it from the outside), AvailableNow
+    is the CATCH-UP trigger: the query plans the data available at start,
+    processes it — honoring source rate limits such as ``maxFilesPerTrigger``,
+    so a backlog drains as several bounded micro-batches, not one giant one —
+    and terminates ITSELF. ``awaitTermination`` here really waits for the
+    query's own end-of-input shutdown, which is the semantics a scheduled
+    (cron-style) incremental job relies on at 100 TB: bounded work per run,
+    exactly-once via the same checkpoint across runs.
+    """
+    spark = sdf.sparkSession
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    with _scoped_shuffle_partitions(spark):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
 def run_foreach_batch(
     sdf: DataFrame,
     write_batch: Callable[[DataFrame, int], None],

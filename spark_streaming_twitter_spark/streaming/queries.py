@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from spark_streaming_twitter_spark.registry import query
 from spark_streaming_twitter_spark.streaming.harness import (
+    run_available_now,
     run_to_memory,
     stream_events,
 )
@@ -451,6 +452,68 @@ def stream_static_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(agg, output_mode="complete")
     return out.select(
         F.unix_timestamp("w.start").alias("bucket_ts"), "segment", "n"
+    )
+
+
+@query(
+    "stream_events_availablenow",
+    oracle="""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_ts,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+""",
+    doc="Trigger.AvailableNow catch-up run (W8 made real; the scheduled-"
+    "incremental-job shape absent from the always-on reference): the "
+    "events fixture is spooled as a 4-file backlog, the source is rate-"
+    "limited to maxFilesPerTrigger=1, and the AvailableNow query drains "
+    "the backlog as 4 BOUNDED micro-batches then terminates ITSELF — "
+    "awaitTermination waits for the query's own end-of-input shutdown, "
+    "not an external stop. Final hourly window x event_type state must "
+    "equal the batch answer; the multi-batch drain is pinned separately "
+    "in tests/test_streaming.py. At 100 TB this is the cron-driven "
+    "exactly-once ingest pattern: bounded work per run, one checkpoint "
+    "across runs.",
+)
+def stream_events_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from spark_streaming_twitter_spark.catalog import spool_fixture, table
+
+    def write_spool(base) -> None:
+        # the rewritten spool carries a real TIMESTAMP (catalog.table already
+        # converted the fixture's TIMESTAMP(NANOS)), so the stream schema
+        # below is a plain TimestampType — no nanosAsLong conf needed
+        table(spark, sf_dir, "events").select("ts", "event_type").repartition(
+            4
+        ).write.mode("overwrite").parquet(str(base / "events"))
+
+    spool = str(
+        spool_fixture("events_an", sf_dir, "v1", write_spool) / "events"
+    )
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("event_type", StringType())]
+    )
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spool)
+    )
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_available_now(agg, output_mode="complete")
+    return out.select(
+        F.unix_timestamp("w.start").alias("bucket_ts"), "event_type", "n"
     )
 
 

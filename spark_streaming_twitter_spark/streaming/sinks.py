@@ -130,7 +130,10 @@ def influx_http_writer(
                     method="POST",
                     headers={"Content-Type": "text/plain; charset=utf-8"},
                 )
-                urllib.request.urlopen(req, timeout=30).read()
+                # context-manage the response: long-lived executors leak
+                # sockets otherwise (close waits on GC)
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    resp.read()
                 buf.clear()
 
             for r in rows:

@@ -217,3 +217,46 @@ def test_exact_first_group_ids_include_exact_clusters(spark, monkeypatch):
         for r in dd.dedup_group_ids(spark, "unused").collect()
     }
     assert got == {1: 1, 3: 1, 5: 1, 7: 1, 20: 20, 24: 20}
+
+
+def test_star_cc_matches_min_label_on_random_graphs(spark):
+    """Property: the large-star/small-star kernel and the min-label kernel
+    produce IDENTICAL (node, component-min) labelings on arbitrary graphs —
+    long paths (diameter stress, where min-label is slowest), empty edge
+    sets, self-loops, duplicate edges, and seeded random graphs.
+    """
+    import random
+
+    from spark_streaming_twitter_spark.dedup.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(20260813)
+    cases: list[list[tuple[int, int]]] = [
+        [(i, i + 1) for i in range(12)],  # path: diameter 12
+        [],  # no edges: every node isolated
+        [(5, 5), (7, 7)],  # self-loops only == no edges
+        [(1, 2), (2, 1), (1, 2)],  # duplicates + both orientations
+    ]
+    for _ in range(3):
+        n = rng.randrange(5, 30)
+        cases.append(
+            [
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randrange(1, 2 * n))
+            ]
+        )
+    for edges in cases:
+        nodes = sorted({x for e in edges for x in e} | {0, 99})
+        edf = spark.createDataFrame(edges or [(0, 0)], "a long, b long")
+        ndf = spark.createDataFrame([(x,) for x in nodes], "id long")
+        want = {
+            r["doc_id"]: r["group_id"]
+            for r in connected_components(edf, ndf).collect()
+        }
+        got = {
+            r["doc_id"]: r["group_id"]
+            for r in connected_components_star(edf, ndf).collect()
+        }
+        assert got == want, (edges, got, want)

@@ -197,3 +197,24 @@ def test_spool_fixture_refreshes_on_fixture_change(tmp_path):
     assert refreshed != first and len(calls) == 2, (
         "regenerated fixture must get a fresh spool"
     )
+
+
+def test_cohort_retention_plans_no_join_no_broadcast(spark):
+    # VERDICT r2 "wrong" #1: the per-user cohort map must NOT be a forced
+    # broadcast. The rewrite computes cohort_week as min() OVER
+    # (PARTITION BY user_id) — the plan has a Window and NO join at all.
+    f = _features(spark, "weekly_cohort_retention")
+    assert not f.join_nodes, f.join_nodes
+    assert "BroadcastExchange" not in f.raw
+    assert "Window" in f.raw
+
+
+def test_ngram_jaccard_never_forces_broadcast(spark):
+    # VERDICT r2 "wrong" #2: the per-document size tables are unbounded at
+    # corpus scale, so no join may carry a FORCED broadcast hint (rendered
+    # as `Hint=(strategy=broadcast)` on the optimized-plan Join). AQE/the
+    # planner may still CHOOSE broadcast at tiny SF from measured sizes —
+    # that's legitimate and not asserted against.
+    df = SPECS["dedup_ngram_jaccard_pairs"].fn(spark, SF)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in optimized, optimized

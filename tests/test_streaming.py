@@ -275,3 +275,47 @@ def test_transform_with_state_counts_or_documented_gate(spark):
             match="TransformWithStateInPySpark|STREAM_FAILED",
         ):
             user_event_counts_tws(spark, sf_dir).collect()
+
+
+def test_available_now_drains_backlog_in_bounded_batches(spark, stream_dir):
+    """Trigger.AvailableNow: a pre-existing multi-file backlog drains as
+    several rate-limited micro-batches, then the query terminates ITSELF
+    (the cron-style catch-up contract stream_events_availablenow relies on).
+    """
+    for i in range(3):
+        _write_batch(
+            stream_dir,
+            f"b{i}.json",
+            [
+                {"user_id": i, "ts": f"2024-01-01 10:0{i}:00", "event": "a"},
+                {"user_id": i, "ts": f"2024-01-01 10:0{i}:30", "event": "a"},
+            ],
+        )
+    src = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").json(
+        stream_dir
+    )
+    agg = (
+        src.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("an_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120), "AvailableNow query must self-terminate"
+        # one micro-batch per file: the rate limit held under catch-up
+        data_batches = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        assert len(data_batches) == 3, [
+            (p["batchId"], p["numInputRows"]) for p in q.recentProgress
+        ]
+    finally:
+        q.stop()
+    got = {r["w"].start.minute: r["n"] for r in spark.table("an_test").collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
