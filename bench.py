@@ -42,32 +42,42 @@ def main() -> None:
     specs = load_all()
     bench_specs = {n: s for n, s in specs.items() if s.bench}
 
-    # The staged-dedup artifact (exact-copy map + verified canonical pairs)
-    # is built ONCE per session and then read by every dedup consumer —
-    # the real pipeline shape (the drop list is a written artifact). Time
-    # the build explicitly as its own headline entry so the cache never
-    # hides its cost, and do it BEFORE the warmup so no query pays it.
-    from spark_streaming_twitter_spark.dedup.dedup import staged_dedup_artifacts
-
-    t0 = time.perf_counter()
-    staged_dedup_artifacts(spark, sf_dir)
-    staged_s = round(time.perf_counter() - t0, 3)
-    print(f"# staged_dedup_artifacts (build): {staged_s:.3f}s", file=sys.stderr)
-
     # Warm the JVM + parquet footers with one tiny action so query timings
     # measure the plan, not session startup. (A full per-query warmup pass
     # was measured NET-negative: it doubles the compiled-plan count for one
     # cold-start saved per query.)
     next(iter(bench_specs.values())).fn(spark, sf_dir).limit(1).collect()
 
+    # The staged-dedup artifact (exact-copy map + verified canonical pairs)
+    # is built ONCE per session and then read by every dedup consumer —
+    # the real pipeline shape (the drop list is a written artifact). Time
+    # the build explicitly as its own headline entry so the cache never
+    # hides its cost, with the SAME min-of-N methodology as every query
+    # (cache cleared between runs; the first run folds in codegen).
+    from spark_streaming_twitter_spark.dedup import dedup as _dedup
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    staged_times = []
+    for _ in range(runs):
+        _dedup._STAGED_CACHE.clear()
+        t0 = time.perf_counter()
+        _dedup.staged_dedup_artifacts(spark, sf_dir)
+        staged_times.append(time.perf_counter() - t0)
+    staged_s = round(min(staged_times), 3)
+    staged_p50 = round(statistics.median(staged_times), 3)
+    print(
+        f"# staged_dedup_artifacts (build): min {staged_s:.3f}s"
+        f" p50 {staged_p50:.3f}s",
+        file=sys.stderr,
+    )
+
     # min-of-N runs per query: the first run folds in codegen/JIT compile
     # for that plan, later runs measure steady-state throughput; min
     # rejects host-side noise (this box shows idle load spikes). p50 is
     # reported alongside so round-over-round regressions are judged
     # against the median, not a lucky/unlucky extreme (VERDICT r2 #7).
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {"staged_dedup_artifacts": staged_s}
-    p50s: dict[str, float] = {"staged_dedup_artifacts": staged_s}
+    p50s: dict[str, float] = {"staged_dedup_artifacts": staged_p50}
     for name, spec in sorted(bench_specs.items()):
         times = []
         n = 0

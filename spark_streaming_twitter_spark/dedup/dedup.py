@@ -718,7 +718,14 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    # hash-widen on doc_id: the 60-vote groupBy(doc_id) agg then reuses
+    # the partitioning — one shuffle total (measured 0.64s -> 0.44s at
+    # sf0.1 vs round-robin widen)
+    docs = widen(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark,
+        "doc_id",
+    )
     return simhash_signatures(docs)
 
 

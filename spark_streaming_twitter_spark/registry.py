@@ -62,6 +62,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # New round-3 queries (no driver row yet by construction).
     "stream_events_availablenow",
     "dedup_group_ids_star",
+    "pack_training_sequences",
+    "doc_chunk_windows",
+    "vocab_oov_rate",
+    "stratified_split_exact",
+    "source_temperature_weights",
     "weekly_cohort_retention",
     "dedup_ngram_jaccard_pairs",
     "user_event_sessions",
@@ -140,6 +145,7 @@ def load_all() -> dict[str, QuerySpec]:
     import spark_streaming_twitter_spark.similarity.search  # noqa: F401
     import spark_streaming_twitter_spark.streaming.queries  # noqa: F401
     import spark_streaming_twitter_spark.text.analysis  # noqa: F401
+    import spark_streaming_twitter_spark.text.corpus  # noqa: F401
 
     missing = set(_GATE_PRIORITY) - QUERIES.keys()
     assert not missing, (

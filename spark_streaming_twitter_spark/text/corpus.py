@@ -1,0 +1,321 @@
+"""Corpus-construction operators: packing, chunking, vocab, data mixing.
+
+The last mile of a training-data pipeline, after curation has decided WHAT
+to keep: pack documents into fixed-length training sequences, chunk them
+into overlapping context windows, build the vocabulary and measure OOV,
+and weight sources for temperature-based mixture sampling. None of these
+exist in the reference (it stops at windowed counts); all are mandated by
+the large-scale-training-pipeline brief and all are DuckDB-oracle-twinned.
+
+Scale designs, per operator:
+- pack_training_sequences: the global token-offset cumsum uses the SHARDED
+  two-stage pattern (per-shard window in parallel, then a cumsum over the
+  tiny shard-total table) — the same shape as running_event_total, never
+  a single-partition window over the corpus.
+- doc_chunk_windows: purely row-local (explode of per-doc chunk starts);
+  zero shuffles.
+- vocab_oov_rate: vocabulary is top-V by construction (bounded), so the
+  membership join broadcasts legitimately; the two real shuffles are
+  keyed on token and doc_id.
+- stratified_split_exact: exact per-stratum quotas need a per-stratum
+  rank (one shuffle on the stratum key). For web-scale strata swap the
+  rank for an approx-quantile hash threshold; the hash ordering makes
+  either assignment deterministic.
+- source_temperature_weights: one tiny agg; the single-row total
+  cross-joins (broadcast of 1 row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_streaming_twitter_spark.catalog import table, widen
+from spark_streaming_twitter_spark.functions.hashing import (
+    portable_hash,
+    portable_hash_sql,
+)
+from spark_streaming_twitter_spark.registry import query
+from spark_streaming_twitter_spark.text.analysis import tokens
+
+SEQ_LEN = 2048  # tokens per packed training sequence
+PACK_SHARD = 1000  # docs per cumsum shard (stage-1 parallelism unit)
+CHUNK_LEN = 128  # tokens per context-window chunk
+CHUNK_STRIDE = 64  # overlap stride
+VOCAB_SIZE = 1000  # top-V vocabulary
+
+
+@query(
+    "pack_training_sequences",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS start_offset
+  FROM toks
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // 2048 AS first_seq,
+       CASE WHEN n_tokens = 0 THEN start_offset // 2048
+            ELSE (start_offset + n_tokens - 1) // 2048 END AS last_seq
+FROM c
+""",
+    doc="GPT-style sequence packing (concat-and-slice): documents are laid "
+    "end-to-end in doc_id order and the token stream is cut into "
+    "2048-token training sequences; each doc reports its global token "
+    "offset and the first/last sequence it lands in. The global cumsum "
+    "is SHARDED (doc_id DIV 1000): per-shard window cumsums run in "
+    "parallel, the shard-total cumsum runs over #docs/1000 rows only — "
+    "never a single-partition window over the corpus (the oracle's "
+    "unpartitioned window is the spec, not the plan).",
+    bench=True,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    toks = docs.select(
+        "doc_id",
+        F.expr("doc_id DIV 1000").alias("shard"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_cs = toks.withColumn("cs_in_shard", F.sum("n_tokens").over(w_in))
+    shard_tot = toks.groupBy("shard").agg(F.sum("n_tokens").alias("tot"))
+    w_sh = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard_pre = shard_tot.select(
+        "shard",
+        F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias("shard_prefix"),
+    )
+    return (
+        with_cs.join(shard_pre, "shard")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("shard_prefix") + F.col("cs_in_shard") - F.col("n_tokens"))
+            .alias("start_offset"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_offset",
+            F.expr(f"start_offset DIV {SEQ_LEN}").alias("first_seq"),
+            F.expr(
+                f"CASE WHEN n_tokens = 0 THEN start_offset DIV {SEQ_LEN} "
+                f"ELSE (start_offset + n_tokens - 1) DIV {SEQ_LEN} END"
+            ).alias("last_seq"),
+        )
+    )
+
+
+@query(
+    "doc_chunk_windows",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, {CHUNK_STRIDE})) AS s
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS start_tok,
+       CAST(LEAST({CHUNK_LEN}, len(t) - s) AS BIGINT) AS n_chunk_tokens,
+       {portable_hash_sql(f"array_to_string(t[s + 1:s + {CHUNK_LEN}], ' ')")}
+         AS chunk_hash
+FROM starts
+""",
+    doc="Sliding context-window chunking (RAG / long-context prep): each "
+    "doc explodes into 128-token chunks with stride 64; the chunk is "
+    "reported as a portable content hash (never an ARRAY column — oracle "
+    "canon rule). Purely row-local — the explode happens where the doc "
+    "row lives, ZERO shuffles at any scale.",
+    bench=True,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    with_t = docs.select("doc_id", tokens(F.col("text")).alias("t")).where(
+        F.size("t") > 0
+    )
+    starts = with_t.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.size("t") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        F.expr(f"s DIV {CHUNK_STRIDE}").alias("chunk_idx"),
+        F.col("s").cast("bigint").alias("start_tok"),
+        F.least(F.lit(CHUNK_LEN), F.size("t") - F.col("s"))
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        portable_hash(
+            F.array_join(F.expr(f"slice(t, s + 1, {CHUNK_LEN})"), " ")
+        ).alias("chunk_hash"),
+    )
+
+
+@query(
+    "vocab_oov_rate",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                t -> t <> '')) AS tok
+  FROM documents
+),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rn FROM counts
+  ) WHERE rn <= {VOCAB_SIZE}
+),
+per_doc AS (
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_oov,
+       CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+FROM per_doc
+""",
+    doc="Vocabulary coverage: build the top-1000 token vocabulary (count "
+    "desc, token asc tie-break — fully deterministic) and report each "
+    "doc's out-of-vocabulary token count and rate. The vocab build is a "
+    "TakeOrderedAndProject (top-V, no global sort); membership joins "
+    "BROADCAST legitimately — the vocab is V rows by construction, the "
+    "same bounded-by-construction argument as decontamination. Two real "
+    "shuffles: token counts (partial-agg absorbs hot tokens) and the "
+    "per-doc rollup.",
+    bench=True,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )
+
+
+@query(
+    "stratified_split_exact",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {portable_hash_sql("'strat:' || CAST(doc_id AS VARCHAR)")},
+                    doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN rn * 10 <= n_lang THEN 'val' ELSE 'train' END AS split,
+       count(*) AS n_docs, min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM ranked GROUP BY 1, 2
+""",
+    doc="EXACT-quota stratified split: precisely floor(10%) of every "
+    "language goes to 'val', chosen by salted-hash order (deterministic, "
+    "leak-free, engine-independent) — the quota guarantee hash-RANGE "
+    "splits (train_val_test_split) cannot give on small strata. Costs "
+    "one shuffle + per-stratum sort on the stratum key; at web scale "
+    "replace the exact rank with an approx-quantile threshold on the "
+    "same hash (same determinism, no full sort) — the exact form is the "
+    "oracle for that approximation.",
+)
+def stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = portable_hash(
+        F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    split = F.when(F.col("rn") * 10 <= F.col("n_lang"), "val").otherwise("train")
+    return (
+        ranked.select("doc_id", "lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@query(
+    "source_temperature_weights",
+    oracle="""
+WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM s)
+SELECT source, n_docs,
+       CAST(n_docs AS DOUBLE) / total AS p,
+       sqrt(CAST(n_docs AS DOUBLE) / total) AS temp_weight
+FROM s, t
+""",
+    doc="Temperature-based mixture weights (alpha = 0.5, i.e. sqrt "
+    "up-weighting of rare sources — the standard multilingual/multi-"
+    "source rebalancing rule): per-source share p and unnormalized "
+    "sampling weight p^alpha. sqrt and a single division are correctly-"
+    "rounded everywhere, so the output is bitwise-portable (the "
+    "cross-engine normalization SUM is deliberately left out — summing "
+    "floats in engine order is the one non-portable step; downstream "
+    "samplers normalize locally). One agg + a 1-row cross join.",
+)
+def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("source")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = s.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    p = F.col("n_docs").cast("double") / F.col("total")
+    return s.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        p.alias("p"),
+        F.sqrt(p).alias("temp_weight"),
+    )
