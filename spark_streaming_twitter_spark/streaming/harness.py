@@ -21,27 +21,6 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-# Raw parquet schema of the events fixture: ts is TIMESTAMP(NANOS), which
-# Spark reads as LONG under spark.sql.legacy.parquet.nanosAsLong (set here
-# and converted right after load — same handling as catalog.table).
-_EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
 
 
 def stream_events(
@@ -52,23 +31,42 @@ def stream_events(
     On a cluster this is ``readStream.format("kafka")`` + ``from_json``; the
     downstream plan is identical either way — that indirection is the point
     of Structured Streaming's source abstraction.
+
+    Schema drift guard: the fixture has shipped ``ts`` both as parquet
+    TIMESTAMP(NANOS) (which Spark reads back as ``bigint`` under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and as TIMESTAMP(MICROS)
+    (a proper ``timestamp``). A file stream source needs a user-supplied
+    schema, so probe the file's BATCH schema once and stream with exactly
+    that, converting nanos→timestamp only when the batch read yields a
+    long — the same dtype guard as ``catalog.table``, so the streaming and
+    batch views of event time can never disagree.
     """
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA).format("parquet")
+    path = f"{sf_dir}/events.parquet"
+    probe = spark.read.parquet(path)
+    ts_is_legacy_nanos_long = dict(probe.dtypes)["ts"] == "bigint"
+    reader = spark.readStream.schema(probe.schema).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     # the file stream source wants a DIRECTORY: the driver fixture keeps
     # events.parquet as a single file (stream the parent dir with a glob
     # filter), while rewritten copies (tools/scale_probe.py) are parquet
     # directories (stream the directory itself)
-    path = f"{sf_dir}/events.parquet"
     if os.path.isdir(path):
         raw = reader.load(path)
     else:
         raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if ts_is_legacy_nanos_long:
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif dict(raw.dtypes)["ts"] == "timestamp_ntz":
+        # timestamp[us] with no timezone reads as TIMESTAMP_NTZ, which
+        # withWatermark rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The
+        # session timezone is pinned to UTC (session.py), so this cast is
+        # wall-clock-preserving and batch/stream values stay comparable.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 @contextmanager

@@ -319,3 +319,31 @@ def test_available_now_drains_backlog_in_bounded_batches(spark, stream_dir):
         q.stop()
     got = {r["w"].start.minute: r["n"] for r in spark.table("an_test").collect()}
     assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_stream_events_parity_with_batch_catalog(spark):
+    """Pin: the streaming and batch views of the events fixture agree.
+
+    Guards the fixture-schema-drift class of bug (round-4 regression: the
+    driver regenerated events.ts from TIMESTAMP(NANOS) to TIMESTAMP(MICROS)
+    and the stream source kept dividing by 1000). stream_events must yield
+    the same row count and the same min/max event time as catalog.table,
+    whatever physical ts encoding the parquet carries.
+    """
+    from spark_streaming_twitter_spark.catalog import table
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_to_memory,
+        stream_events,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    agg = lambda df: df.agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("lo"),
+        F.max("ts").alias("hi"),
+    )
+    stream_row = run_to_memory(agg(stream_events(spark, sf_dir))).collect()[0]
+    batch_row = agg(table(spark, sf_dir, "events")).collect()[0]
+    assert stream_row["n"] == batch_row["n"]
+    assert stream_row["lo"] == batch_row["lo"]
+    assert stream_row["hi"] == batch_row["hi"]
