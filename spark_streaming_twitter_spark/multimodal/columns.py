@@ -7,15 +7,19 @@ Arrow moves the bytes in columnar batches, Python touches each batch once,
 and the surrounding plan (scan pruning, partitioning, joins on media_id)
 stays pure Catalyst.
 
-This container has no image/audio codecs, so the codec call itself is
-STUBBED behind ``try``-imports (``_HAVE_PIL``): with a real codec installed
-the same batch plumbing runs it; without one, decode raises
-``NotImplementedError`` unless the caller opts into the deterministic fake
-(used by the fixtures here). Everything around the codec — schemas, batch
-iteration, binary handling, byte-level features, frame-index math — is real
-and oracle-tested: ``media_byte_histograms`` must match DuckDB computing the
-same histogram in SQL over the source text, which proves the Python/Arrow
-binary path is byte-exact.
+Decode is REAL and codec-free: ``decode_media`` parses PPM (P6) and BMP
+headers in pure Python — two formats simple enough that no external codec
+library is needed — and ``encoded_media_table`` writes genuine PPM/BMP
+payloads from the fixture, so encode and decode are independent code paths
+checked against each other and against a SQL oracle. Compressed formats
+(PNG/JPEG) additionally route through PIL when it is importable
+(``_HAVE_PIL``); without it they decode to NULL dimensions rather than
+erroring, which is the honest per-row contract for a 100 TB corpus where a
+few malformed payloads must not kill the job. The rest of the surface —
+schemas, batch iteration, binary handling, byte-level features, frame-index
+math — is oracle-tested: ``media_byte_histograms`` must match DuckDB
+computing the same histogram in SQL over the source text, which proves the
+Python/Arrow binary path is byte-exact.
 
 Fixture media derive deterministically from ``documents``: payload =
 utf-8 bytes of text, kind cycles image/audio/video by doc_id, meta fields
@@ -69,47 +73,136 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_media(df: DataFrame, allow_fake: bool = False) -> DataFrame:
-    """Decode payloads to (media_id, width, height, n_bytes).
+def _parse_image_header(payload: bytes) -> tuple[str | None, int | None, int | None]:
+    """Pure-Python image header parse: PPM (P6) and BMP, no codec library.
 
-    With a real codec present this opens each payload (PIL for images);
-    without one it raises unless ``allow_fake`` — the fake "decode" reads
-    the dimensions from meta and the byte count from the payload, keeping
-    the batch plumbing exercised end to end.
+    Returns ``(fmt, width, height)``; unknown magic numbers fall through to
+    PIL when available, else ``(None, None, None)`` — per-row tolerance, the
+    contract a 100 TB corpus needs (a malformed payload yields NULLs, not a
+    failed job).
     """
-    if not _HAVE_PIL and not allow_fake:
-        raise NotImplementedError(
-            "no image codec in this environment; pass allow_fake=True for the "
-            "deterministic fixture decode"
-        )
+    import re
+    import struct
 
-    use_real = _HAVE_PIL
-
-    def decode(batches: Iterator) -> Iterator:
+    if payload[:2] == b"P6":
+        # P6 <ws> width <ws> height <ws> maxval; '#' comment lines allowed.
+        m = re.match(rb"P6\s+(?:#[^\n]*\s+)*(\d+)\s+(?:#[^\n]*\s+)*(\d+)\s", payload)
+        if m:
+            return "ppm", int(m.group(1)), int(m.group(2))
+        return "ppm", None, None
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        # BITMAPINFOHEADER: int32-LE width at offset 18, height at 22.
+        w, h = struct.unpack_from("<ii", payload, 18)
+        return "bmp", w, abs(h)  # negative height = top-down row order
+    if _HAVE_PIL:  # pragma: no cover - codec not in this container
         import io
 
+        with Image.open(io.BytesIO(payload)) as img:
+            return img.format.lower(), img.size[0], img.size[1]
+    return None, None, None
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode image payloads to (media_id, fmt, width, height, n_bytes).
+
+    Header-only decode — O(header) per row regardless of payload size, so
+    the Arrow batches stream through without materializing pixel data.
+    PPM/BMP parse in pure Python; other formats use PIL when importable and
+    yield NULL dimensions otherwise.
+    """
+
+    def decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if use_real:  # pragma: no cover - codec not in this container
-                dims = [Image.open(io.BytesIO(p)).size for p in pdf["payload"]]
-                widths = [w for w, _ in dims]
-                heights = [h for _, h in dims]
-            else:
-                widths = [m["width"] for m in pdf["meta"]]
-                heights = [m["height"] for m in pdf["meta"]]
+            parsed = [_parse_image_header(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": widths,
-                    "height": heights,
+                    "fmt": [f for f, _, _ in parsed],
+                    "width": [w for _, w, _ in parsed],
+                    "height": [h for _, _, h in parsed],
                     "n_bytes": [len(p) for p in pdf["payload"]],
                 }
             )
 
     return df.mapInPandas(
-        decode, "media_id long, width int, height int, n_bytes long"
+        decode, "media_id long, fmt string, width int, height int, n_bytes long"
     )
+
+
+def encoded_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-kind documents encoded as REAL image files (PPM P6 / BMP).
+
+    The writer is independent of the parser in ``_parse_image_header`` (it
+    uses format strings and ``struct.pack``, the parser uses regex/unpack),
+    so a decode round-trip genuinely checks both. Dimensions follow the
+    same doc_id arithmetic as ``media_table``'s meta; the "pixel data" is
+    the document text bytes (dimensions live in the header — a header-only
+    decoder never reads them).
+    """
+    docs = widen(
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 3 == 0),
+        spark,
+    )
+
+    def encode(batches: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                w = int(did) % 640 + 64
+                h = int(did) % 480 + 48
+                body = text.encode("utf-8")
+                if did % 6 == 0:
+                    payloads.append(
+                        f"P6\n{w} {h}\n255\n".encode("ascii") + body
+                    )
+                else:
+                    file_header = b"BM" + struct.pack(
+                        "<IHHI", 54 + len(body), 0, 0, 54
+                    )
+                    info_header = struct.pack(
+                        "<IiiHH", 40, w, h, 1, 24
+                    ) + b"\x00" * 24
+                    payloads.append(file_header + info_header + body)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(encode, "media_id long, payload binary")
+
+
+@query(
+    "media_decoded_dimensions",
+    oracle="""
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 6 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+       CAST(doc_id % 640 + 64 AS INT) AS width,
+       CAST(doc_id % 480 + 48 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 6 = 0
+             THEN 3 + len(CAST(doc_id % 640 + 64 AS VARCHAR)) + 1
+                    + len(CAST(doc_id % 480 + 48 AS VARCHAR)) + 5
+             ELSE 54 END
+            + strlen(text) AS BIGINT) AS n_bytes
+FROM documents
+WHERE doc_id % 3 = 0
+""",
+    doc="Real codec-free image decode: PPM/BMP payloads written by one code "
+    "path (format strings + struct.pack) are header-parsed by another "
+    "(regex + struct.unpack), and the recovered dimensions/format/byte "
+    "counts must equal the oracle recomputing them from the doc_id "
+    "arithmetic — 'P6\\n{w} {h}\\n255\\n' is 3+digits(w)+1+digits(h)+5 "
+    "header bytes, a BMP header is exactly 54. Header-only decode keeps "
+    "the per-row cost O(1) in payload size.",
+)
+def media_decoded_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_media(encoded_media_table(spark, sf_dir))
 
 
 def byte_histograms(df: DataFrame) -> DataFrame:

@@ -347,19 +347,52 @@ def lineitem_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCT_ACCURACY = 10000  # approx_percentile rank error <= n / accuracy
+_PCT_EPS = 0.02  # bracket half-width in rank-fraction terms (200x the bound)
+
+
 @query(
     "approx_value_percentiles",
-    oracle=None,  # t-digest/KLL sketches are engine-specific; rows-only.
+    oracle="""
+SELECT event_type,
+       count(value) AS n_values,
+       CAST(1 AS INT) AS median_bracketed,
+       CAST(1 AS INT) AS p90_bracketed
+FROM events
+GROUP BY event_type
+""",
     doc="approx_percentile sketches — the 100 TB quantile path (fixed-size "
-    "mergeable sketch vs the exact rank-selection in "
-    "exact_value_quantiles). No oracle: sketch estimates are "
-    "engine-specific by design.",
+    "mergeable sketch vs the exact rank-selection in exact_value_quantiles). "
+    "The sketch estimate is engine-specific, so the oracle is a BOUNDED "
+    "check: the estimate must land between the EXACT percentiles at "
+    "p ± 0.02 (Greenwald-Khanna guarantees rank error <= n/accuracy = "
+    "n/10000, i.e. ± 0.0001 in rank fraction — the bracket gives a 200x "
+    "margin, deterministic for any fixture, while a broken sketch still "
+    "fails). Exact counts per group value-compare against DuckDB.",
 )
 def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("event_type", "value")
-    return ev.groupBy("event_type").agg(
-        F.approx_percentile("value", 0.5).alias("approx_median"),
-        F.approx_percentile("value", 0.9).alias("approx_p90"),
+    agg = ev.groupBy("event_type").agg(
+        F.count("value").alias("n_values"),
+        F.approx_percentile("value", 0.5, _PCT_ACCURACY).alias("approx_median"),
+        F.approx_percentile("value", 0.9, _PCT_ACCURACY).alias("approx_p90"),
+        F.expr(
+            f"percentile(value, array({0.5 - _PCT_EPS}, {0.5 + _PCT_EPS}, "
+            f"{0.9 - _PCT_EPS}, {0.9 + _PCT_EPS}))"
+        ).alias("brackets"),
+    )
+
+    def bracketed(est: str, lo_idx: int, hi_idx: int) -> F.Column:
+        return (
+            (F.col("brackets")[lo_idx] <= F.col(est))
+            & (F.col(est) <= F.col("brackets")[hi_idx])
+        ).cast("int")
+
+    return agg.select(
+        "event_type",
+        "n_values",
+        bracketed("approx_median", 0, 1).alias("median_bracketed"),
+        bracketed("approx_p90", 2, 3).alias("p90_bracketed"),
     )
 
 

@@ -15,12 +15,13 @@ Three tiers, each a different point on the exactness/scale curve:
    exact search within that cell only. At scale the cell id is the shuffle/
    partition key, giving data locality the flat index can't.
 
-Plus ``similarity_topk_numpy`` (rows-only): the same brute-force ranking via
+Plus ``similarity_topk_numpy``: the same brute-force ranking via
 ``mapInPandas`` + numpy matmul — the Arrow-batched escape hatch pattern for
 when per-element expressions become the bottleneck (a 1536-dim production
-embedding). Kept out of the oracle set: BLAS reassociates float sums, so its
-scores are not bitwise portable (ranking ties could then differ) — the
-expression-based exact variant is the contract.
+embedding). BLAS reassociates float sums, so its SCORES are not bitwise
+portable; its oracle is therefore a bounded check on the per-query top-k
+neighbor-ID sets (scores dropped), which must match the exact
+integer-scaled ranking's.
 
 The hyperplane weights are deterministic int literals generated from md5 in
 Python and embedded in BOTH the Spark plan and the DuckDB oracle — no
@@ -423,12 +424,36 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_topk_numpy",
-    oracle=None,  # BLAS float sums are not bitwise portable; rows-only.
+    oracle=f"""
+{_ORACLE_PRELUDE},
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST({scaled_dot_sql("q.q_emb", "c.embedding")} AS DOUBLE)
+           / (sqrt(CAST(q.q_n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+           AS cosine
+  FROM queries q JOIN corpus c ON q.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id,
+       list_aggregate(list_sort(list(neighbor_id)), 'string_agg', ',')
+         AS neighbor_ids
+FROM ranked WHERE rank <= {TOP_K}
+GROUP BY query_id
+""",
     doc="Brute-force top-k via mapInPandas + numpy matmul: the Arrow-batched "
     "Pandas-UDF pattern for high-dim embeddings where per-element Catalyst "
     "expressions dominate. Query matrix rides the closure (broadcast); each "
     "Arrow batch of corpus vectors does one (batch x dim)@(dim x q) GEMM; "
-    "a final exact per-query top-k merge runs on the tiny partial results.",
+    "a final exact per-query top-k merge runs on the tiny partial results. "
+    "BLAS float sums are not bitwise portable, so the oracle is a BOUNDED "
+    "check: the GEMM path's top-k NEIGHBOR-ID SET per query (sorted by id, "
+    "scores dropped) must equal the exact integer-scaled ranking's under "
+    "the same (cosine DESC, id ASC) tie-break.",
 )
 def similarity_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -472,4 +497,16 @@ def similarity_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial = emb.mapInPandas(
         topk_batches, "query_id long, neighbor_id long, cosine double"
     )
-    return _topk_filter(partial)
+    return (
+        _topk_filter(partial)
+        .groupBy("query_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("neighbor_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("neighbor_ids")
+        )
+    )

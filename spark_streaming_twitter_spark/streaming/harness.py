@@ -148,6 +148,50 @@ def run_available_now(
     return spark.table(name)
 
 
+def run_processing_time(
+    sdf: DataFrame,
+    interval: str = "500 milliseconds",
+    name: str | None = None,
+    output_mode: str = "complete",
+    min_data_batches: int = 1,
+) -> DataFrame:
+    """Run a stream under a real ``Trigger.ProcessingTime`` to a memory sink.
+
+    The reference's DStream pipeline runs on a fixed 500 ms batch cadence
+    (TwitterDStreamTrendingHashtag.java:49); this is the Structured
+    Streaming analogue — micro-batches fire on the interval clock rather
+    than back-to-back, so combined with a source rate limit
+    (``maxFilesPerTrigger``) a backlog drains across several clock-driven
+    triggers. ``processAllAvailable`` still bounds the run (it blocks until
+    everything available is processed, however many triggers that takes).
+    ``min_data_batches`` asserts the multi-trigger shape: with a rate limit
+    of one file per trigger an N-file backlog MUST take N data batches, so
+    the check is deterministic, not timing-dependent.
+    """
+    spark = sdf.sparkSession
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    with _scoped_shuffle_partitions(spark):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(processingTime=interval)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            if len(data_batches) < min_data_batches:
+                raise AssertionError(
+                    f"expected >= {min_data_batches} data micro-batches under "
+                    f"ProcessingTime({interval}), got {len(data_batches)}"
+                )
+        finally:
+            q.stop()
+            q.awaitTermination()
+    return spark.table(name)
+
+
 def run_foreach_batch(
     sdf: DataFrame,
     write_batch: Callable[[DataFrame, int], None],

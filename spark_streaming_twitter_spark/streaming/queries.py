@@ -518,6 +518,65 @@ def stream_events_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_minutely_rate_pt",
+    oracle="""
+SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket_ts,
+       count(*) AS n,
+       CAST(count(*) AS DOUBLE) / 60 AS rate_per_sec
+FROM events GROUP BY 1
+""",
+    doc="Reference Q2's throughput gauge under the reference's own trigger "
+    "cadence: a real Trigger.ProcessingTime('500 milliseconds') query "
+    "(TwitterDStreamTrendingHashtag.java:49 sets the identical 500 ms "
+    "DStream batch interval), fed a 4-file spool rate-limited to one file "
+    "per trigger, so the backlog provably drains across >= 4 clock-driven "
+    "micro-batches (asserted in the harness — deterministic, since the "
+    "rate limit caps each trigger at one file). Final per-minute counts "
+    "and events/sec rate must equal the batch answer.",
+)
+def stream_minutely_rate_pt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from spark_streaming_twitter_spark.catalog import spool_fixture, table
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_processing_time,
+    )
+
+    def write_spool(base) -> None:
+        table(spark, sf_dir, "events").select("ts", "event_type").repartition(
+            4
+        ).write.mode("overwrite").parquet(str(base / "events"))
+
+    spool = str(
+        spool_fixture("events_an", sf_dir, "v1", write_spool) / "events"
+    )
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("event_type", StringType())]
+    )
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spool)
+    )
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_processing_time(agg, output_mode="complete", min_data_batches=4)
+    return out.select(
+        F.unix_timestamp("w.start").alias("bucket_ts"),
+        "n",
+        (F.col("n").cast("double") / 60).alias("rate_per_sec"),
+    )
+
+
+@query(
     "stream_tweet_trending_e2e",
     oracle="""
 WITH tweets AS (

@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from spark_streaming_twitter_spark.multimodal import columns as mm
@@ -17,16 +16,39 @@ def test_media_table_schema_and_kinds(spark):
     assert kinds == {"image", "audio", "video"}
 
 
-def test_decode_raises_without_codec_unless_fake(spark):
-    media = mm.media_table(spark, SF).limit(4)
-    if mm._HAVE_PIL:  # pragma: no cover - codec not in this container
-        pytest.skip("real codec present")
-    with pytest.raises(NotImplementedError):
-        mm.decode_media(media)
-    rows = mm.decode_media(media, allow_fake=True).collect()
-    assert len(rows) == 4
+def test_decode_parses_ppm_and_bmp_headers(spark):
+    media = mm.encoded_media_table(spark, SF)
+    rows = mm.decode_media(media).collect()
+    assert rows
+    fmts = {r.fmt for r in rows}
+    assert fmts == {"ppm", "bmp"}
     for r in rows:
-        assert r.width >= 64 and r.height >= 48 and r.n_bytes > 0
+        assert r.fmt in ("ppm", "bmp")
+        assert r.width == r.media_id % 640 + 64
+        assert r.height == r.media_id % 480 + 48
+        assert r.n_bytes > (0 if r.fmt == "ppm" else 54)
+
+
+def test_decode_header_parser_edge_cases():
+    # PPM with comment lines between tokens; BMP top-down (negative height);
+    # unknown magic -> NULLs, never an exception.
+    assert mm._parse_image_header(b"P6\n# a comment\n12 34\n255\n\xff") == (
+        "ppm",
+        12,
+        34,
+    )
+    import struct
+
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack("<IiiHH", 40, 7, -9, 1, 24)
+        + b"\x00" * 24
+    )
+    assert mm._parse_image_header(bmp) == ("bmp", 7, 9)
+    if not mm._HAVE_PIL:
+        assert mm._parse_image_header(b"\x89PNG\r\n") == (None, None, None)
+    assert mm._parse_image_header(b"P6garbage") == ("ppm", None, None)
 
 
 def test_byte_histogram_fracs_sum_to_one(spark):
