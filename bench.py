@@ -97,6 +97,8 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    from spark_streaming_twitter_spark.catalog import _fixture_fingerprint
+
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
@@ -105,8 +107,13 @@ def main() -> None:
         "queries_p50": p50s,
         "value_p50": round(sum(p50s.values()), 3),
         "sf": sf,
+        # content fingerprint of the fixture dir (names+sizes+mtimes): lets
+        # a later round tell fixture regeneration from a real perf change
+        # (VERDICT r4: the r3->r4 "regression" was regenerated fixtures).
+        "fixture_fingerprint": _fixture_fingerprint(sf_dir),
     }
-    print(json.dumps(out))
+    sys.stderr.flush()
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

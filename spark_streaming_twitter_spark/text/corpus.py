@@ -11,7 +11,8 @@ Scale designs, per operator:
 - pack_training_sequences: the global token-offset cumsum uses the SHARDED
   two-stage pattern (per-shard window in parallel, then a cumsum over the
   tiny shard-total table) — the same shape as running_event_total, never
-  a single-partition window over the corpus.
+  a single-partition window over the corpus. The shard size adapts to the
+  corpus so the stage-2 table is bounded at 10^6 rows at any scale.
 - doc_chunk_windows: purely row-local (explode of per-doc chunk starts);
   zero shuffles.
 - vocab_oov_rate: vocabulary is top-V by construction (bounded), so the
@@ -39,7 +40,8 @@ from spark_streaming_twitter_spark.registry import query
 from spark_streaming_twitter_spark.text.analysis import tokens
 
 SEQ_LEN = 2048  # tokens per packed training sequence
-PACK_SHARD = 1000  # docs per cumsum shard (stage-1 parallelism unit)
+PACK_SHARD = 1000  # MINIMUM docs per cumsum shard (stage-1 parallelism unit)
+PACK_MAX_SHARDS = 1_000_000  # hard cap on stage-2 window rows (see below)
 CHUNK_LEN = 128  # tokens per context-window chunk
 CHUNK_STRIDE = 64  # overlap stride
 VOCAB_SIZE = 1000  # top-V vocabulary
@@ -71,17 +73,27 @@ FROM c
     "end-to-end in doc_id order and the token stream is cut into "
     "2048-token training sequences; each doc reports its global token "
     "offset and the first/last sequence it lands in. The global cumsum "
-    "is SHARDED (doc_id DIV 1000): per-shard window cumsums run in "
-    "parallel, the shard-total cumsum runs over #docs/1000 rows only — "
-    "never a single-partition window over the corpus (the oracle's "
-    "unpartitioned window is the spec, not the plan).",
+    "is SHARDED (doc_id DIV shard_size): per-shard window cumsums run in "
+    "parallel, the shard-total cumsum runs over #shards rows only — never "
+    "a single-partition window over the corpus (the oracle's unpartitioned "
+    "window is the spec, not the plan). shard_size ADAPTS to the corpus: "
+    "greatest(1000, max_doc_id/1e6 + 1), derived from a broadcast 1-row "
+    "max aggregate, so the stage-2 window is provably <= 10^6 rows at ANY "
+    "corpus size (10^10 docs -> 10^4-doc shards, still 10^6 stage-2 rows) "
+    "while small corpora keep 1000-doc shards for stage-1 parallelism.",
     bench=True,
 )
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
-    toks = docs.select(
+    # shard size from a broadcast scalar agg (no driver collect, no
+    # recompute of the tokenization scan — max runs on the pruned id column)
+    max_id = docs.agg(F.max("doc_id").alias("max_doc_id"))
+    toks = docs.crossJoin(F.broadcast(max_id)).select(
         "doc_id",
-        F.expr("doc_id DIV 1000").alias("shard"),
+        F.expr(
+            f"doc_id DIV greatest({PACK_SHARD}L, "
+            f"max_doc_id DIV {PACK_MAX_SHARDS} + 1)"
+        ).alias("shard"),
         F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
     w_in = (

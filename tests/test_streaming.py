@@ -347,3 +347,39 @@ def test_stream_events_parity_with_batch_catalog(spark):
     assert stream_row["n"] == batch_row["n"]
     assert stream_row["lo"] == batch_row["lo"]
     assert stream_row["hi"] == batch_row["hi"]
+
+
+def test_processing_time_trigger_drains_backlog_multi_batch(spark, stream_dir):
+    """Trigger.ProcessingTime + maxFilesPerTrigger=1: a 3-file backlog takes
+    >= 3 clock-driven data micro-batches (the reference's 500 ms DStream
+    cadence, made deterministic by the source rate limit), and the final
+    state equals the batch answer.
+    """
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_processing_time,
+    )
+
+    for i in range(3):
+        _write_batch(
+            stream_dir,
+            f"b{i}.json",
+            [
+                {"user_id": i, "ts": f"2024-01-01 10:0{i}:00", "event": "a"},
+                {"user_id": i, "ts": f"2024-01-01 10:0{i}:30", "event": "a"},
+            ],
+        )
+    src = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(stream_dir)
+    )
+    agg = (
+        src.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_processing_time(
+        agg, interval="500 milliseconds", min_data_batches=3
+    )
+    got = {r["w"].start.minute: r["n"] for r in out.collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
