@@ -65,9 +65,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "approx_distinct_parts",
     "approx_value_percentiles",
     "similarity_topk_numpy",
-    # New round-5 queries (no driver row by construction).
+    # New round-5 queries (no driver row by construction) + the format
+    # round-trip, changed this round (ORC leg added to the CSV/JSONL split).
     "media_decoded_dimensions",
     "stream_minutely_rate_pt",
+    "stream_stream_left_join_conversions",
+    "file_format_roundtrip_stats",
     # Newest row r2, and all consume stream_events — the source that just
     # changed semantics; every one needs re-proving against the new fixture.
     "stream_events_per_minute",

@@ -137,10 +137,10 @@ GROUP BY lang
 """,
     doc="File-format coverage: the documents table is written to CSV "
     "(header, explicit quoting) and JSON Lines in a spool dir, read back "
-    "through both readers with explicit schemas, unioned, and aggregated — "
-    "the oracle (straight from parquet) proves both round-trips lossless. "
-    "Half the rows travel via CSV, half via JSONL (disjoint hash split), "
-    "so neither reader can mask the other.",
+    "through all three readers with explicit schemas, unioned, and "
+    "aggregated — the oracle (straight from parquet) proves every "
+    "round-trip lossless. Rows travel via CSV, JSONL, or ORC by a "
+    "disjoint doc_id%3 split, so no reader can mask another.",
 )
 def file_format_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_streaming_twitter_spark.catalog import spool_fixture
@@ -149,12 +149,12 @@ def file_format_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang", "n_chars"
     )
 
-    def write_both(base) -> None:
-        half = F.col("doc_id") % 2 == 0
+    def write_all(base) -> None:
+        third = F.col("doc_id") % 3
         # escape='"' (RFC-4180 doubled quotes) + multiLine on read: texts
         # containing quotes or newlines survive the CSV round-trip.
         (
-            docs.where(half)
+            docs.where(third == 0)
             .coalesce(2)
             .write.mode("overwrite")
             .option("header", "true")
@@ -162,9 +162,20 @@ def file_format_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("escape", '"')
             .csv(str(base / "csv"))
         )
-        docs.where(~half).coalesce(2).write.mode("overwrite").json(str(base / "json"))
+        (
+            docs.where(third == 1)
+            .coalesce(2)
+            .write.mode("overwrite")
+            .json(str(base / "json"))
+        )
+        (
+            docs.where(third == 2)
+            .coalesce(2)
+            .write.mode("overwrite")
+            .orc(str(base / "orc"))
+        )
 
-    base = spool_fixture("fmt", sf_dir, "v2-escaped", write_both)
+    base = spool_fixture("fmt", sf_dir, "v3-orc", write_all)
     schema = "doc_id long, text string, lang string, n_chars long"
     from_csv = (
         spark.read.schema(schema)
@@ -174,7 +185,8 @@ def file_format_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(str(base / "csv"))
     )
     from_json_files = spark.read.schema(schema).json(str(base / "json"))
-    together = from_csv.unionByName(from_json_files)
+    from_orc = spark.read.schema(schema).orc(str(base / "orc"))
+    together = from_csv.unionByName(from_json_files).unionByName(from_orc)
     return together.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),

@@ -417,6 +417,74 @@ def stream_stream_join_conversions(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "stream_stream_left_join_conversions",
+    oracle="""
+WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT least((SELECT max(ts) FROM s), (SELECT max(ts) FROM p))
+         - INTERVAL 300 SECOND AS w
+),
+matched AS (
+  SELECT s.user_id, s.ts AS s_ts, p.ts AS p_ts
+  FROM s JOIN p ON s.user_id = p.user_id
+              AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+),
+unmatched AS (
+  SELECT s.user_id, s.ts AS s_ts, CAST(NULL AS TIMESTAMP) AS p_ts
+  FROM s
+  WHERE NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.user_id = s.user_id
+            AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR)
+    AND s.ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+)
+SELECT user_id,
+       CAST(floor(epoch(s_ts)) AS BIGINT) AS signup_epoch,
+       CAST(floor(epoch(p_ts)) AS BIGINT) AS purchase_epoch
+FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+""",
+    doc="Stream-stream LEFT OUTER interval join: matches append as they "
+    "occur; a signup with no purchase within its 1-hour band emits with "
+    "NULL purchase columns only once the global watermark proves no future "
+    "match is possible (wm > signup_ts + 1h) and its state is evicted — "
+    "the no-data micro-batch mechanism delivers those final rows. The "
+    "oracle encodes exactly that emission rule: all matched pairs, plus "
+    "unmatched signups whose band closed before the FINAL watermark "
+    "(min of both sides' max ts - 300 s); younger unmatched signups are "
+    "still in state, correctly absent. State stays bounded by "
+    "interval + delay, same as the inner variant.",
+)
+def stream_stream_left_join_conversions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", WATERMARK)
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", WATERMARK)
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    out = run_to_memory(joined, output_mode="append")
+    return out.select(
+        "user_id",
+        F.unix_timestamp("s_ts").alias("signup_epoch"),
+        F.unix_timestamp("p_ts").alias("purchase_epoch"),
+    )
+
+
+@query(
     "stream_static_segment_counts",
     oracle="""
 SELECT CAST(epoch(date_trunc('hour', e.ts)) AS BIGINT) AS bucket_ts,
