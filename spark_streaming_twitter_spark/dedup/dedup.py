@@ -511,6 +511,120 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact-substring span detection (the Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better" class of dedup): find pairs of
+# documents sharing a VERBATIM token run of >= SPAN_MIN_TOKENS, via aligned
+# runs of positional shingles rather than a suffix array — the join-friendly
+# formulation: a shared L-token span appears as L-n+1 consecutive matching
+# n-gram shingles on one (doc_a, doc_b, pos_a - pos_b) diagonal.
+SPAN_MIN_TOKENS = 8
+SPAN_MAX_SHINGLE_OCC = 8  # drop shingles occurring more often corpus-wide
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+),
+ps AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks) - {SHINGLE_N - 1})) AS pos
+         , toks
+  FROM toks WHERE len(toks) >= {SHINGLE_N}
+),
+psh AS (
+  SELECT doc_id, pos,
+         array_to_string(toks[pos:pos+{SHINGLE_N - 1}], ' ') AS sh
+  FROM ps
+),
+rare AS (
+  SELECT * FROM (
+    SELECT doc_id, pos, sh, count(*) OVER (PARTITION BY sh) AS occ
+    FROM psh
+  ) WHERE occ <= {SPAN_MAX_SHINGLE_OCC}
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pa, a.pos - b.pos AS diag
+  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, diag,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY pa) AS island
+  FROM m
+),
+spans AS (
+  SELECT doc_a, doc_b,
+         CAST(count(*) + {SHINGLE_N - 1} AS BIGINT) AS span_tokens
+  FROM runs GROUP BY doc_a, doc_b, diag, island
+)
+SELECT doc_a, doc_b,
+       max(span_tokens) AS max_span_tokens,
+       count(*) AS n_spans
+FROM spans
+WHERE span_tokens >= {SPAN_MIN_TOKENS}
+GROUP BY doc_a, doc_b
+""",
+    doc="Exact-substring dedup (Lee et al. 2022 semantics, join-friendly "
+    "formulation): positional 3-token shingles; a verbatim L-token span "
+    "shared by two docs is L-2 consecutive shingle matches on one "
+    "(doc_a, doc_b, pos_a-pos_b) diagonal, found with the islands trick "
+    "(pos - row_number is constant within a run) — no suffix array, no "
+    "per-pair alignment loop. Corpus-hot shingles (> 8 occurrences) are "
+    "dropped before the self-join, the standard guard that keeps the "
+    "candidate join linear-ish at 100 TB (stop-word trigrams otherwise "
+    "quadratically dominate); the oracle applies the identical filter, so "
+    "the parameterized semantics stay exact. Shuffles: one on sh (occ "
+    "count + self-join, same key), one on (doc_a, doc_b, diag) for the "
+    "run detection.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    toks = tokens(F.lower(F.col("text")))
+    with_toks = docs.select("doc_id", toks.alias("toks")).where(
+        F.size("toks") >= SHINGLE_N
+    )
+    psh = with_toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - SHINGLE_N),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, SHINGLE_N)),
+            )
+        ).alias("pos0", "sh"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sh")
+    rare = psh.withColumn(
+        "occ", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    ).where(F.col("occ") <= SPAN_MAX_SHINGLE_OCC)
+    a, b = rare.alias("a"), rare.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w_run = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = m.withColumn("island", F.col("pa") - F.row_number().over(w_run))
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        (F.count(F.lit(1)) + SHINGLE_N - 1).cast("bigint").alias("span_tokens")
+    )
+    return (
+        spans.where(F.col("span_tokens") >= SPAN_MIN_TOKENS)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("span_tokens").alias("max_span_tokens"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+    )
+
+
 def near_dup_verified_pairs(
     lsh_docs: DataFrame, verify_docs: DataFrame
 ) -> DataFrame:

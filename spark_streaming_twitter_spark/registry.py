@@ -71,6 +71,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_minutely_rate_pt",
     "stream_stream_left_join_conversions",
     "file_format_roundtrip_stats",
+    "dedup_substring_spans",
+    "similarity_ann_recall",
     # Newest row r2, and all consume stream_events — the source that just
     # changed semantics; every one needs re-proving against the new fixture.
     "stream_events_per_minute",

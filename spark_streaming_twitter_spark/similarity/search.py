@@ -188,10 +188,9 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_filter(scored)
 
 
-@query(
-    "similarity_ann_lsh_topk",
-    oracle=f"""
-{_ORACLE_PRELUDE},
+# The ANN (LSH) candidate-generation + re-rank CTE chain, shared by the
+# similarity_ann_lsh_topk oracle and the similarity_ann_recall oracle.
+_ANN_RANKED_CTES = f"""
 quantized AS (
   SELECT vec_id, embedding, n2,
          {_QUANT_SQL.format(vec="embedding")} AS q_embedding
@@ -224,7 +223,14 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored
-)
+)"""
+
+
+@query(
+    "similarity_ann_lsh_topk",
+    oracle=f"""
+{_ORACLE_PRELUDE},
+{_ANN_RANKED_CTES}
 SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOP_K}
 """,
     doc="ANN via random-hyperplane LSH: 4 bands x 8 sign-bits (integer "
@@ -290,6 +296,53 @@ def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", cosine.alias("cosine"))
     )
     return _topk_filter(scored)
+
+
+@query(
+    "similarity_ann_recall",
+    oracle=f"""
+{_ORACLE_PRELUDE},
+{_ANN_RANKED_CTES},
+exact_scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST({scaled_dot_sql("q.q_emb", "c.embedding")} AS DOUBLE)
+           / (sqrt(CAST(q.q_n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+           AS cosine
+  FROM queries q JOIN corpus c ON q.query_id <> c.vec_id
+),
+exact_ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM exact_scored
+)
+SELECT e.query_id,
+       count(*) AS n_exact,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall
+FROM (SELECT query_id, neighbor_id FROM exact_ranked WHERE rank <= {TOP_K}) e
+LEFT JOIN (SELECT query_id, neighbor_id FROM ranked WHERE rank <= {TOP_K}) a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+""",
+    doc="ANN quality measurement as a first-class query: per-query recall@k "
+    "of the LSH index against the exact brute-force ranking — the metric "
+    "that governs the bands/bits tradeoff before pointing the index at "
+    "100 TB. Both rankings are integer-scaled and fully deterministic, so "
+    "the recall fractions are bitwise-reproducible (k*id/k arithmetic, "
+    "no float sums) and the DuckDB twin re-derives the identical number.",
+)
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = similarity_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = similarity_ann_lsh_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    joined = exact.join(ann, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("hit").alias("n_hits"),
+        (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+    )
 
 
 @query(
