@@ -218,3 +218,30 @@ def test_ngram_jaccard_never_forces_broadcast(spark):
     df = SPECS["dedup_ngram_jaccard_pairs"].fn(spark, SF)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in optimized, optimized
+
+
+def test_substring_spans_no_forced_broadcast_no_cartesian(spark):
+    # The positional-shingle self-join is unbounded on both sides at corpus
+    # scale: it must stay an equi-join on sh (no forced broadcast hint, no
+    # cartesian product), and the hot-shingle occurrence filter must sit
+    # below the join so stop-word trigrams never reach it.
+    df = SPECS["dedup_substring_spans"].fn(spark, SF)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in optimized, optimized
+    f = plan_features(df)
+    assert "CartesianProduct" not in f.raw
+    assert "BroadcastNestedLoopJoin" not in f.raw
+    # islands run-detection plans a Window over (doc_a, doc_b, diag)
+    assert "Window" in f.raw
+
+
+def test_ann_recall_no_cartesian_and_no_forced_ann_broadcast(spark):
+    # The exact side legitimately plans a BroadcastNestedLoopJoin: the
+    # bounded query SET (vec_id % stride, fixed by contract) broadcasts
+    # against the corpus under the != theta-predicate — that is the
+    # documented design of similarity_topk_cosine. What must never appear
+    # is an unbroadcast cartesian product, and the ANN candidate join must
+    # not carry a forced broadcast hint (both bucket sides are unbounded).
+    df = SPECS["similarity_ann_recall"].fn(spark, SF)
+    f = plan_features(df)
+    assert "CartesianProduct" not in f.raw
