@@ -176,6 +176,97 @@ def user_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_dynamic_sessions",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts,
+         ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 30 MINUTE
+                   ELSE INTERVAL 10 MINUTE END AS e_end
+  FROM events
+),
+o AS (
+  SELECT user_id, ts, e_end,
+         max(e_end) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM e
+),
+flagged AS (
+  SELECT user_id, ts, e_end,
+         CASE WHEN prev_max IS NULL OR ts >= prev_max THEN 1 ELSE 0 END
+           AS is_new
+  FROM o
+),
+numbered AS (
+  SELECT user_id, ts, e_end,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(max(e_end))) AS BIGINT) AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, sid
+""",
+    doc="DYNAMIC-gap sessionization via F.session_window with a per-row gap "
+    "expression: a purchase keeps the session alive 30 minutes, anything "
+    "else 10 — the engagement-weighted session definition fixed-gap "
+    "sessions can't express. Spark merges overlapping [ts, ts+gap) "
+    "windows; the oracle is the interval-union rewrite (running max of "
+    "window ends: a row starts a new session iff its ts >= every prior "
+    "end — same half-open boundary). Same scale shape as the fixed-gap "
+    "twin: one shuffle on user_id, per-user sort, no global ordering. "
+    "Session end is max(ts+gap) over the merged windows, NOT max(ts).",
+)
+def user_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    sess = ev.groupBy(
+        F.session_window("ts", gap).alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return sess.select(
+        "user_id",
+        F.unix_timestamp("w.start").alias("session_start"),
+        F.unix_timestamp("w.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@query(
+    "events_time_rollup",
+    oracle="""
+WITH g AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_ts,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts
+  FROM events
+)
+SELECT day_ts, hour_ts, count(*) AS n,
+       CAST(GROUPING(day_ts) AS INT) AS g_day,
+       CAST(GROUPING(hour_ts) AS INT) AS g_hour
+FROM g GROUP BY ROLLUP (day_ts, hour_ts)
+""",
+    doc="Hypertable-style multi-grain time rollup: hourly, daily, and "
+    "grand-total counts in ONE pass via ROLLUP over derived time buckets "
+    "— the continuous-aggregate shape of a time-series store, computed as "
+    "a single shuffle with partial aggregation per grain instead of three "
+    "scans. GROUPING flags disambiguate grain levels in the output.",
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_ts"),
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_ts"),
+    )
+    return ev.rollup("day_ts", "hour_ts").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("day_ts").cast("int").alias("g_day"),
+        F.grouping("hour_ts").cast("int").alias("g_hour"),
+    )
+
+
+@query(
     "latest_event_per_user_type",
     oracle="""
 SELECT user_id, event_type,

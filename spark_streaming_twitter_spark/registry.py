@@ -73,6 +73,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "file_format_roundtrip_stats",
     "dedup_substring_spans",
     "similarity_ann_recall",
+    "user_dynamic_sessions",
+    "events_time_rollup",
     # Newest row r2, and all consume stream_events — the source that just
     # changed semantics; every one needs re-proving against the new fixture.
     "stream_events_per_minute",
