@@ -1,10 +1,11 @@
 """The complete Python-UDF escape-hatch surface, one oracle-checked example
-each. With these three plus ``applyInPandasWithState`` (streaming/queries)
+each. With these four plus ``applyInPandasWithState`` (streaming/queries)
 and ``mapInPandas`` (multimodal/columns), every Arrow-batched Python entry
 point Spark offers is exercised and verified against SQL:
 
 - scalar ``@pandas_udf``       — vectorized column function (Series->Series)
 - ``applyInPandas``            — grouped-map (one pandas frame per group)
+- ``cogroup().applyInPandas``  — co-grouped map (two frames per key)
 - ``mapInArrow``               — lowest level: raw pyarrow RecordBatches
 
 Row-at-a-time ``F.udf`` is deliberately ABSENT from this codebase — the
@@ -88,6 +89,84 @@ def applyinpandas_source_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.groupBy("source").applyInPandas(
         rank_group, "doc_id long, source string, rank_in_source int"
+    )
+
+
+@query(
+    "cogrouped_purchase_latency",
+    oracle="""
+WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT s.user_id,
+       CAST(floor(epoch(s.ts)) AS BIGINT) AS signup_epoch,
+       CAST(floor(epoch(min(p.ts))) AS BIGINT) AS first_purchase_epoch,
+       CAST(floor(epoch(min(p.ts))) - floor(epoch(s.ts)) AS BIGINT)
+         AS latency_secs
+FROM s LEFT JOIN p ON p.user_id = s.user_id AND p.ts >= s.ts
+GROUP BY s.user_id, s.ts
+""",
+    doc="cogroup().applyInPandas co-grouped map: each user's signups AND "
+    "purchases arrive as TWO pandas frames in one Python call (both sides "
+    "shuffle on the key, one Arrow transfer each). The kernel is a "
+    "vectorized searchsorted as-of match — first purchase at or after "
+    "each signup — the template for per-key two-table Python logic "
+    "(custom as-of rules, per-entity reconciliation) when the join "
+    "condition outgrows SQL. SQL-expressible here by design, so the "
+    "oracle (LEFT JOIN + min) proves the co-grouping exact, including "
+    "keys present on only one side. Same memory contract as grouped-map: "
+    "one KEY's two frames must fit an executor's heap.",
+)
+def cogrouped_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+
+    def first_purchase(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if left.empty:  # purchases-only user: no output rows
+            return pd.DataFrame(
+                columns=[
+                    "user_id",
+                    "signup_epoch",
+                    "first_purchase_epoch",
+                    "latency_secs",
+                ]
+            )
+        s_us = left["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        p_us = np.sort(
+            right["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        )
+        idx = np.searchsorted(p_us, s_us, side="left")
+        signup_epoch = s_us // 1_000_000
+        first_epoch = [
+            int(p_us[i]) // 1_000_000 if i < len(p_us) else None for i in idx
+        ]
+        return pd.DataFrame(
+            {
+                "user_id": left["user_id"].to_numpy(),
+                "signup_epoch": signup_epoch,
+                "first_purchase_epoch": pd.array(first_epoch, dtype="Int64"),
+                "latency_secs": pd.array(
+                    [
+                        fp - se if fp is not None else None
+                        for fp, se in zip(first_epoch, signup_epoch)
+                    ],
+                    dtype="Int64",
+                ),
+            }
+        )
+
+    return (
+        signups.groupby("user_id")
+        .cogroup(purchases.groupby("user_id"))
+        .applyInPandas(
+            first_purchase,
+            "user_id long, signup_epoch long, first_purchase_epoch long, "
+            "latency_secs long",
+        )
     )
 
 
