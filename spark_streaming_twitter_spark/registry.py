@@ -76,6 +76,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "user_dynamic_sessions",
     "events_time_rollup",
     "cogrouped_purchase_latency",
+    "schema_evolution_merged_stats",
     # Newest row r2, and all consume stream_events — the source that just
     # changed semantics; every one needs re-proving against the new fixture.
     "stream_events_per_minute",

@@ -191,3 +191,62 @@ def file_format_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "schema_evolution_merged_stats",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_lang,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+         AS chars_with_lang
+FROM documents
+GROUP BY source
+""",
+    doc="Schema evolution on read (the capability whose absence in a "
+    "pipeline turns a fixture/producer schema change into silent "
+    "corruption — see the streaming ts-drift guard in "
+    "harness.stream_events): generation-1 parquet files carry "
+    "(doc_id, source), generation 2 adds (lang, n_chars); "
+    "mergeSchema=true reads both generations as ONE table where the "
+    "gen-1 rows surface NULL for the added columns. The oracle recomputes "
+    "from the source table: rows with lang == odd doc_ids (the gen-2 "
+    "half), so the NULL backfill is value-checked, not just schema-"
+    "checked — including the all-NULL group sum staying NULL (the oracle "
+    "omits ELSE so SQL NULL-sum semantics match Spark's). At 100 TB this "
+    "is the additive-column evolution path "
+    "(parquet footer merge); non-additive changes belong to a rewrite "
+    "job, not the reader.",
+)
+def schema_evolution_merged_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.catalog import spool_fixture
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+    def write_generations(base) -> None:
+        gen2 = F.col("doc_id") % 2 == 1
+        (
+            docs.where(~gen2)
+            .select("doc_id", "source")
+            .coalesce(2)
+            .write.mode("overwrite")
+            .parquet(str(base / "docs"))
+        )
+        (
+            docs.where(gen2)
+            .coalesce(2)
+            .write.mode("append")
+            .parquet(str(base / "docs"))
+        )
+
+    base = spool_fixture("schema_evo", sf_dir, "v1", write_generations)
+    merged = spark.read.option("mergeSchema", "true").parquet(str(base / "docs"))
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("lang").alias("n_with_lang"),
+        F.sum("n_chars").alias("chars_with_lang"),
+    )
