@@ -301,6 +301,57 @@ def stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_MAX_EPOCHS = 4  # repetition cap per source (data-recipe hyperparameter)
+
+
+@query(
+    "source_mixture_plan",
+    oracle=r"""
+WITH s AS (
+  SELECT source,
+         CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+m AS (SELECT max(n_tokens) AS max_tokens FROM s)
+SELECT source, n_tokens,
+       CAST(least(4, greatest(1, max_tokens // greatest(n_tokens, 1)))
+            AS BIGINT) AS epochs,
+       CAST(n_tokens * least(4, greatest(1,
+              max_tokens // greatest(n_tokens, 1))) AS BIGINT)
+         AS planned_tokens
+FROM s, m
+""",
+    doc="Mixture PLAN (the integer sibling of source_temperature_weights): "
+    "per-source epoch counts that upsample small sources toward the "
+    "largest one, capped at 4 epochs — the repeat-rare-sources-but-not-"
+    "too-often rule every LLM data recipe applies. Entirely integer "
+    "arithmetic (token totals, floor division, least/greatest), so the "
+    "plan is exactly reproducible on any engine — no float normalization "
+    "anywhere. One agg + a broadcast 1-row max; the token count scans "
+    "the corpus once.",
+)
+def source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(table(spark, sf_dir, "documents").select("source", "text"), spark)
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text"))).cast("bigint")).alias("n_tokens")
+    )
+    m = s.agg(F.max("n_tokens").alias("max_tokens"))
+    epochs = F.least(
+        F.lit(MIX_MAX_EPOCHS).cast("bigint"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr("max_tokens DIV greatest(n_tokens, 1L)"),
+        ),
+    )
+    return s.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n_tokens",
+        epochs.alias("epochs"),
+        (F.col("n_tokens") * epochs).alias("planned_tokens"),
+    )
+
+
 @query(
     "source_temperature_weights",
     oracle="""
