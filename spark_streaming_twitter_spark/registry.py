@@ -78,6 +78,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "cogrouped_purchase_latency",
     "schema_evolution_merged_stats",
     "source_mixture_plan",
+    "stream_session_timeout_stateful",
     # Newest row r2, and all consume stream_events — the source that just
     # changed semantics; every one needs re-proving against the new fixture.
     "stream_events_per_minute",

@@ -276,6 +276,117 @@ def stream_user_event_counts_stateful(spark: SparkSession, sf_dir: str) -> DataF
     return mat.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
+@query(
+    "stream_session_timeout_stateful",
+    oracle="""
+WITH wm AS (SELECT max(epoch_ms(ts)) - 300000 AS wm_ms FROM events),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, sid,
+         min(ts) AS s_ts, max(ts) AS l_ts, count(*) AS n_events,
+         max(sid) OVER (PARTITION BY user_id) AS max_sid
+  FROM numbered GROUP BY user_id, sid
+)
+SELECT user_id,
+       CAST(floor(epoch(s_ts)) AS BIGINT) AS session_start,
+       CAST(floor(epoch(l_ts)) AS BIGINT) AS session_end,
+       n_events
+FROM sess, wm
+WHERE sid < max_sid OR epoch_ms(l_ts) + 1800000 <= wm_ms
+""",
+    doc="Timer-based state EVICTION (the mechanism W6's NoTimeout twin "
+    "never exercises): per-user sessionization in applyInPandasWithState "
+    "under GroupStateTimeout.EventTimeTimeout. In-batch session breaks "
+    "emit immediately; each user's trailing session arms an event-time "
+    "timer at last_ts + 30 min and is emitted by the TIMEOUT path (the "
+    "no-data micro-batch after the watermark passes the timer) — the "
+    "oracle encodes exactly that: every non-trailing session, plus "
+    "trailing sessions whose timer (<= in Spark's fire condition) cleared "
+    "the final watermark; younger trailing sessions are still in state, "
+    "correctly absent. State is one (start, last, n) triple per user — "
+    "bounded — and the timer is what guarantees it DRAINS at 100 TB "
+    "instead of accumulating every key ever seen.",
+)
+def stream_session_timeout_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    GAP_US = 1800 * 1_000_000
+
+    ev = (
+        stream_events(spark, sf_dir)
+        .select("user_id", "ts")
+        .withWatermark("ts", WATERMARK)
+    )
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [start_us // 1_000_000],
+                    "session_end": [last_us // 1_000_000],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts_us: list[int] = []
+        for pdf in pdf_iter:
+            ts_us.extend(
+                (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).tolist()
+            )
+        ts_us.sort()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        closed = []
+        for t in ts_us:
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > GAP_US:
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(last_us // 1000 + 1800 * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start": [s // 1_000_000 for s, _, _ in closed],
+                "session_end": [e // 1_000_000 for _, e, _ in closed],
+                "n_events": [c for _, _, c in closed],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=(
+            "user_id long, session_start long, session_end long, n_events long"
+        ),
+        stateStructType="start_us long, last_us long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(out, output_mode="update")
+
+
 def user_event_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transformWithStateInPandas — Spark 4's arbitrary-state successor to
     applyInPandasWithState (typed per-key ValueState, timers, TTL) on the
