@@ -307,3 +307,134 @@ def test_observe_metrics_surface(spark):
     )
     assert observed.where(F.col("v").isNotNull()).count() == 90
     assert obs.get == {"n_rows": 100, "n_nulls": 10}
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=30000), min_size=1, max_size=25
+    ),
+    st.lists(st.booleans(), min_size=1, max_size=25),
+)
+@_SETTINGS
+def test_dynamic_session_union_matches_python(spark, offsets, purchase_flags):
+    """Dynamic-gap session_window == a naive interval-union reference:
+    each event opens [ts, ts+gap) with gap depending on the event, and
+    sessions are the connected components of overlapping intervals
+    (half-open: touching endpoints do NOT merge)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    n = min(len(offsets), len(purchase_flags))
+    rows = [
+        (
+            1,
+            base + dt.timedelta(seconds=offsets[i]),
+            "purchase" if purchase_flags[i] else "view",
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("1800 seconds")
+    ).otherwise(F.lit("600 seconds"))
+    got = sorted(
+        (r["w"].start, r["w"].end, r["n"])
+        for r in df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+
+    ivals = sorted(
+        (
+            base + dt.timedelta(seconds=offsets[i]),
+            base
+            + dt.timedelta(
+                seconds=offsets[i] + (1800 if purchase_flags[i] else 600)
+            ),
+        )
+        for i in range(n)
+    )
+    want, cur_s, cur_e, cnt = [], ivals[0][0], ivals[0][1], 1
+    for s, e in ivals[1:]:
+        if s >= cur_e:  # half-open: touching does not merge
+            want.append((cur_s, cur_e, cnt))
+            cur_s, cur_e, cnt = s, e, 1
+        else:
+            cur_e, cnt = max(cur_e, e), cnt + 1
+    want.append((cur_s, cur_e, cnt))
+    assert got == sorted(want)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=2),
+        min_size=3,
+        max_size=18,
+    ),
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=2),
+        min_size=3,
+        max_size=18,
+    ),
+)
+@_SETTINGS
+def test_substring_span_islands_match_python(spark, toks_a, toks_b):
+    """The positional-shingle diagonal/islands formulation finds exactly the
+    maximal shared token runs a naive O(n*m) dynamic program finds (for runs
+    long enough to contain one 3-shingle; hot-shingle cap disabled by the
+    tiny input)."""
+    from pyspark.sql import Window
+
+    n = 3
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks_a)), (2, " ".join(toks_b))], ["doc_id", "text"]
+    )
+    toks = tokens(F.lower(F.col("text")))
+    with_toks = docs.select("doc_id", toks.alias("toks")).where(
+        F.size("toks") >= n
+    )
+    psh = with_toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
+            )
+        ).alias("pos0", "sh"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sh")
+    a, b = psh.alias("a"), psh.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.pos").alias("pa"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w_run = Window.partitionBy("diag").orderBy("pa")
+    runs = m.withColumn("island", F.col("pa") - F.row_number().over(w_run))
+    spans = sorted(
+        r.span
+        for r in runs.groupBy("diag", "island")
+        .agg((F.count(F.lit(1)) + n - 1).alias("span"))
+        .collect()
+    )
+
+    # naive reference: for every alignment offset, scan for maximal runs of
+    # matching tokens; report token-span lengths >= n
+    ta = [t.lower() for t in toks_a]
+    tb = [t.lower() for t in toks_b]
+    want = []
+    for off in range(-(len(tb) - 1), len(ta)):
+        run = 0
+        for j in range(len(tb)):
+            i = j + off
+            if 0 <= i < len(ta) and ta[i] == tb[j]:
+                run += 1
+            else:
+                if run >= n:
+                    want.append(run)
+                run = 0
+        if run >= n:
+            want.append(run)
+    assert spans == sorted(want)
