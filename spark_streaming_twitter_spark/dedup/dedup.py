@@ -1053,6 +1053,15 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     round truncates the lineage so plan size stays constant across rounds.
     For web-scale graphs swap in the large-star/small-star algorithm — the
     loop skeleton is identical.
+
+    Native ``WITH RECURSIVE`` was evaluated as an alternative (Spark 4.1
+    parses it; the DuckDB oracle uses one): rejected because Spark's
+    recursive CTE is UNION **ALL**-only (UNION_NOT_SUPPORTED_IN_
+    RECURSIVE_CTE), and without distinct-fixpoint semantics a reachability
+    recursion over a CYCLIC edge set (ours is symmetric by construction)
+    re-derives rows forever until the recursion level limit errors out.
+    The driver-coordinated loop with an explicit convergence check is the
+    correct Spark-side shape until that restriction lifts.
     """
     sym = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
