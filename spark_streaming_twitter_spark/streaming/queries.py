@@ -277,6 +277,60 @@ def stream_user_event_counts_stateful(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "stream_hourly_approx_users",
+    oracle="""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_ts,
+       count(DISTINCT user_id) AS exact_users,
+       CAST(1 AS INT) AS within_rsd_bound
+FROM events GROUP BY 1
+""",
+    doc="Sketches INSIDE streaming state: hourly approx_count_distinct "
+    "(HyperLogLog++, rsd=0.05) over the event stream — per-window HLL "
+    "partials merge across micro-batches in the state store, the shape "
+    "that makes windowed distinct-counting feasible at 100 TB (exact "
+    "distinct state grows with cardinality; the sketch is fixed-size per "
+    "window). Bounded-check oracle, same contract as "
+    "approx_distinct_parts: the streamed sketch estimate must land within "
+    "4 rsd of the EXACT per-hour distinct count (computed batch-side), "
+    "and the exact counts value-compare against DuckDB.",
+)
+def stream_hourly_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.catalog import table
+
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users")
+        )
+    )
+    mat = run_to_memory(agg, output_mode="complete").select(
+        F.unix_timestamp("w.start").alias("bucket_ts"), "approx_users"
+    )
+    exact = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias(
+                "bucket_ts"
+            )
+        )
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    bound = 4.0 * 0.05 * F.col("exact_users").cast("double")
+    return mat.join(exact, "bucket_ts").select(
+        "bucket_ts",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users")).cast("double")
+            <= bound
+        )
+        .cast("int")
+        .alias("within_rsd_bound"),
+    )
+
+
+@query(
     "stream_session_timeout_stateful",
     oracle="""
 WITH wm AS (SELECT max(epoch_ms(ts)) - 300000 AS wm_ms FROM events),
