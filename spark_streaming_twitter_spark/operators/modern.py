@@ -138,3 +138,41 @@ SELECT d.doc_id, t.pos, t.token
 FROM docs_udtf d, LATERAL split_tokens_udtf(d.text) t
 """
     )
+
+
+@query(
+    "ps_orders_priority_stats",
+    oracle="""
+SELECT o_orderpriority,
+       count(o_orderkey) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders GROUP BY 1
+""",
+    doc="pandas API on Spark (pyspark.pandas): the dataframe-migration "
+    "surface — read_parquet / assign / groupby-agg in pandas idiom, "
+    "compiled to the SAME Catalyst plan as the native DataFrame form, "
+    "then handed back via to_spark(). Money is summed as integer CENTS "
+    "(round(x*100) per row, int64 sum) so the result is exact and "
+    "engine-portable where a float sum would be order-dependent. Proves "
+    "the pandas-API entry point end-to-end against the SQL oracle.",
+)
+def ps_orders_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pyspark.pandas as ps
+
+        psdf = ps.read_parquet(f"{sf_dir}/orders.parquet")[
+            ["o_orderpriority", "o_orderkey", "o_totalprice"]
+        ]
+        psdf = psdf.assign(
+            cents=(psdf["o_totalprice"] * 100).round(0).astype("int64")
+        )
+        out = (
+            psdf.groupby("o_orderpriority", as_index=False)
+            .agg(n_orders=("o_orderkey", "count"), total_cents=("cents", "sum"))
+            .to_spark()
+        )
+    return out
