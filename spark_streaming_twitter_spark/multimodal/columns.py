@@ -205,6 +205,136 @@ def media_decoded_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(encoded_media_table(spark, sf_dir))
 
 
+RESIZE_OUT = 4  # fixed output side for the thumbnail resize
+
+
+def pixel_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-kind docs as pixel-ACCURATE PPM files: header dims match the
+    body (w*h*3 bytes), pixel (x, y, channel) = (doc_id*31 + (y*w + x)*3
+    + c) % 256 — deterministic, so any pixel-level operator downstream has
+    a SQL-recomputable ground truth. Small dims (w in 4..19, h in 4..15)
+    keep the fixture cheap while exercising non-square shapes.
+    """
+    docs = widen(
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 0),
+        spark,
+    )
+
+    def encode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = did % 16 + 4
+                h = did % 12 + 4
+                body = bytes(
+                    (did * 31 + i) % 256 for i in range(w * h * 3)
+                )
+                payloads.append(f"P6\n{w} {h}\n255\n".encode("ascii") + body)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(encode, "media_id long, payload binary")
+
+
+def resize_media(df: DataFrame, out_side: int = RESIZE_OUT) -> DataFrame:
+    """Nearest-neighbor thumbnail resize of PPM payloads via mapInPandas.
+
+    REAL pixel work, no codec library: parse the header, reshape the body
+    to (h, w, 3) with numpy, gather the nearest-neighbor grid
+    (src = floor(dst * src_dim / out_side)), and emit the resized pixel
+    checksum — a scalar the SQL oracle can recompute, where shipping raw
+    thumbnails back would defeat value comparison. The Arrow batch is the
+    unit of work; per-image cost is O(out_side^2), independent of source
+    resolution beyond the reshape.
+    """
+
+    def resize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "src_w": [],
+                "src_h": [],
+                "pixel_sum": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fmt, w, h = _parse_image_header(payload)
+                if fmt != "ppm" or w is None:
+                    continue
+                header_len = len(payload) - w * h * 3
+                px = np.frombuffer(payload, dtype=np.uint8, offset=header_len)
+                img = px.reshape(h, w, 3)
+                ys = (np.arange(out_side) * h) // out_side
+                xs = (np.arange(out_side) * w) // out_side
+                thumb = img[np.ix_(ys, xs)]
+                out["media_id"].append(mid)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["pixel_sum"].append(int(thumb.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        resize, "media_id long, src_w int, src_h int, pixel_sum long"
+    )
+
+
+@query(
+    "media_resize_thumbnails",
+    oracle=f"""
+WITH imgs AS (
+  SELECT doc_id AS media_id,
+         doc_id % 16 + 4 AS w,
+         doc_id % 12 + 4 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+grid AS (
+  SELECT media_id, w, h,
+         unnest(generate_series(0, {RESIZE_OUT - 1})) AS oy
+  FROM imgs
+),
+cells AS (
+  SELECT media_id, w, h, oy,
+         unnest(generate_series(0, {RESIZE_OUT - 1})) AS ox
+  FROM grid
+),
+px AS (
+  SELECT media_id, w, h,
+         ((oy * h) // {RESIZE_OUT} * w + (ox * w) // {RESIZE_OUT}) * 3
+           AS base
+  FROM cells
+),
+chan AS (
+  SELECT media_id, w, h,
+         (media_id * 31 + base + unnest([0, 1, 2])) % 256 AS v
+  FROM px
+)
+SELECT media_id,
+       CAST(any_value(w) AS INT) AS src_w,
+       CAST(any_value(h) AS INT) AS src_h,
+       CAST(sum(v) AS BIGINT) AS pixel_sum
+FROM chan GROUP BY media_id
+""",
+    doc="The brief's RESIZE operator, real: nearest-neighbor 4x4 "
+    "thumbnails of pixel-accurate PPM images via numpy gather inside "
+    "mapInPandas (src index = floor(dst * src_dim / 4), exact integer "
+    "arithmetic). The oracle recomputes every sampled pixel from the "
+    "deterministic pixel function and the same index math, so the resize "
+    "is value-checked down to individual pixels (as a checksum). The "
+    "encode side writes header+body consistently (w*h*3 bytes), so the "
+    "parse-reshape-gather path runs on genuine image memory layout.",
+)
+def media_resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_media(pixel_media_table(spark, sf_dir))
+
+
 def byte_histograms(df: DataFrame) -> DataFrame:
     """16-bucket byte-value histogram per payload via numpy over Arrow batches.
 
