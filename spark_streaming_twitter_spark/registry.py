@@ -174,6 +174,10 @@ def load_all() -> dict[str, QuerySpec]:
         f"_GATE_PRIORITY names absent from the registry (rename/typo?): "
         f"{sorted(missing)}"
     )
+    # a duplicate name would silently shrink the ~50-slot gate budget
+    assert len(set(_GATE_PRIORITY)) == len(_GATE_PRIORITY), (
+        "_GATE_PRIORITY contains duplicates"
+    )
     first = {n: QUERIES[n] for n in _GATE_PRIORITY}
     rest = {n: s for n, s in QUERIES.items() if n not in first}
     return {**first, **rest}
