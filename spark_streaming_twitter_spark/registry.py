@@ -82,6 +82,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_hourly_approx_users",
     "ps_orders_priority_stats",
     "media_resize_thumbnails",
+    "jsonl_corrupt_record_audit",
     # Newest row r2, and all consume stream_events — the source that just
     # changed semantics; every one needs re-proving against the new fixture.
     "stream_events_per_minute",

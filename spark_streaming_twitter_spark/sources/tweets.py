@@ -250,3 +250,51 @@ def schema_evolution_merged_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("lang").alias("n_with_lang"),
         F.sum("n_chars").alias("chars_with_lang"),
     )
+
+
+@query(
+    "jsonl_corrupt_record_audit",
+    oracle="""
+SELECT CASE WHEN doc_id % 50 = 0 THEN NULL ELSE lang END AS lang,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt
+FROM documents
+GROUP BY 1
+""",
+    doc="READER-level corrupt-record quarantine (the ingest-audit stage of "
+    "a production pipeline, distinct from the column-level from_json "
+    "PERMISSIVE path in tweet_hashtag_pipeline): a JSONL spool with 1 in "
+    "50 lines truncated mid-object is read with an explicit "
+    "columnNameOfCorruptRecord; malformed lines surface as rows with the "
+    "raw line preserved in the corrupt column and every data field NULL — "
+    "nothing dropped, nothing crashed. The audit aggregates rows and "
+    "corrupt counts per lang; the oracle recomputes both from the "
+    "corruption rule. At 100 TB this is the quarantine-and-continue "
+    "contract: bad producer batches become countable, inspectable rows.",
+)
+def jsonl_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.catalog import spool_fixture
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def write_spool(base) -> None:
+        corrupt = F.col("doc_id") % 50 == 0
+        lines = docs.select(
+            F.when(corrupt, F.lit('{"doc_id": broken')).otherwise(
+                F.to_json(F.struct("doc_id", "lang"))
+            ).alias("value")
+        )
+        lines.coalesce(2).write.mode("overwrite").text(str(base / "jsonl"))
+
+    base = spool_fixture("corrupt_jsonl", sf_dir, "v1", write_spool)
+    raw = (
+        spark.read.schema("doc_id long, lang string, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(str(base / "jsonl"))
+    )
+    return raw.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_bad").alias("n_corrupt"),
+    )
