@@ -438,3 +438,40 @@ def test_substring_span_islands_match_python(spark, toks_a, toks_b):
         if run >= n:
             want.append(run)
     assert spans == sorted(want)
+
+
+def test_results_bitwise_identical_across_partition_layouts(spark):
+    """The determinism contract: float-bearing results must be BITWISE
+    identical whatever the physical partitioning (different layouts change
+    reduction order, which changes plain float sums — the engine's
+    exact-decimal / scaled-integer paths must not care). This is the
+    property a 100 TB job relies on when a stage retries on different
+    splits."""
+    from spark_streaming_twitter_spark.registry import load_all
+
+    specs = load_all()
+    sf = "/root/testdata/sf0.001"
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        results: dict[str, dict[str, list]] = {}
+        # different shuffle-partition counts change the partial-aggregate
+        # merge tree, which is exactly what reorders a plain float sum
+        for n_parts in ("1", "7", "32"):
+            spark.conf.set(key, n_parts)
+            for name in (
+                "pricing_summary",
+                "similarity_topk_cosine",
+                "customer_rfm_scores",
+            ):
+                rows = sorted(map(tuple, specs[name].fn(spark, sf).collect()))
+                results.setdefault(name, {})[n_parts] = rows
+    finally:
+        spark.conf.set(key, prev)
+    for name, by_layout in results.items():
+        baseline = by_layout["1"]
+        for n_parts, rows in by_layout.items():
+            assert rows == baseline, (
+                f"{name}: result differs between shuffle.partitions=1 "
+                f"and {n_parts}"
+            )
