@@ -383,3 +383,67 @@ def test_processing_time_trigger_drains_backlog_multi_batch(spark, stream_dir):
     )
     got = {r["w"].start.minute: r["n"] for r in out.collect()}
     assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_streaming_query_listener_observes_progress(spark, stream_dir):
+    """The ops surface: a StreamingQueryListener receives start/progress/
+    terminated callbacks with row counts — what a production deployment
+    wires to its metrics system (the reference has no observability at
+    all; SURVEY.md §6). Asserts the listener sees every input row the
+    sink processed.
+    """
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    seen = {"started": 0, "rows": 0, "terminated": 0}
+
+    class Capture(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            seen["started"] += 1
+
+        def onQueryProgress(self, event):
+            seen["rows"] += event.progress.numInputRows
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            seen["terminated"] += 1
+
+    listener = Capture()
+    spark.streams.addListener(listener)
+    try:
+        _write_batch(
+            stream_dir,
+            "b0.json",
+            [
+                {"user_id": 1, "ts": "2024-01-01 10:00:00", "event": "a"},
+                {"user_id": 2, "ts": "2024-01-01 10:00:30", "event": "b"},
+                {"user_id": 3, "ts": "2024-01-01 10:01:00", "event": "c"},
+            ],
+        )
+        src = spark.readStream.schema(SCHEMA).json(stream_dir)
+        q = (
+            src.groupBy("event")
+            .count()
+            .writeStream.format("memory")
+            .queryName("listener_test")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+        # listener callbacks are async; wait briefly for delivery
+        import time
+
+        for _ in range(50):
+            if seen["started"] >= 1 and seen["rows"] >= 3 and seen["terminated"] >= 1:
+                break
+            time.sleep(0.2)
+        assert seen["started"] >= 1
+        assert seen["rows"] >= 3, seen
+        assert seen["terminated"] >= 1
+    finally:
+        spark.streams.removeListener(listener)
