@@ -95,7 +95,8 @@ def applyinpandas_source_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cogrouped_purchase_latency",
     oracle="""
-WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+WITH s AS (SELECT DISTINCT user_id, ts FROM events
+           WHERE event_type = 'signup'),
 p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
 SELECT s.user_id,
        CAST(floor(epoch(s.ts)) AS BIGINT) AS signup_epoch,
@@ -113,12 +114,19 @@ GROUP BY s.user_id, s.ts
     "(custom as-of rules, per-entity reconciliation) when the join "
     "condition outgrows SQL. SQL-expressible here by design, so the "
     "oracle (LEFT JOIN + min) proves the co-grouping exact, including "
-    "keys present on only one side. Same memory contract as grouped-map: "
-    "one KEY's two frames must fit an executor's heap.",
+    "keys present on only one side. Both sides take DISTINCT (user_id, ts) "
+    "signups — the oracle's GROUP BY s.user_id, s.ts would collapse "
+    "duplicate signup timestamps the kernel emits per-event (ADVICE r5), "
+    "so the dedup is explicit and shared. Same memory contract as "
+    "grouped-map: one KEY's two frames must fit an executor's heap.",
 )
 def cogrouped_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    signups = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .select("user_id", "ts")
+        .distinct()
+    )
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "ts"
     )

@@ -349,6 +349,7 @@ def lineitem_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PCT_ACCURACY = 10000  # approx_percentile rank error <= n / accuracy
 _PCT_EPS = 0.02  # bracket half-width in rank-fraction terms (200x the bound)
+_PCT_MIN_N = 100  # below this the ±eps bracket is narrower than a rank gap
 
 
 @query(
@@ -367,8 +368,12 @@ GROUP BY event_type
     "check: the estimate must land between the EXACT percentiles at "
     "p ± 0.02 (Greenwald-Khanna guarantees rank error <= n/accuracy = "
     "n/10000, i.e. ± 0.0001 in rank fraction — the bracket gives a 200x "
-    "margin, deterministic for any fixture, while a broken sketch still "
-    "fails). Exact counts per group value-compare against DuckDB.",
+    "margin, while a broken sketch still fails). Below ~100 values the "
+    "±0.02 bracket spans less than a couple of rank gaps and the "
+    "interpolated exact percentiles can exclude the data value the sketch "
+    "legitimately returns (ADVICE r5), so groups under _PCT_MIN_N pass "
+    "trivially — the check is only claimed where it is meaningful. Exact "
+    "counts per group value-compare against DuckDB.",
 )
 def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("event_type", "value")
@@ -383,9 +388,13 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def bracketed(est: str, lo_idx: int, hi_idx: int) -> F.Column:
+        # n < _PCT_MIN_N: bracket narrower than one rank gap — vacuously 1.
         return (
-            (F.col("brackets")[lo_idx] <= F.col(est))
-            & (F.col(est) <= F.col("brackets")[hi_idx])
+            (F.col("n_values") < _PCT_MIN_N)
+            | (
+                (F.col("brackets")[lo_idx] <= F.col(est))
+                & (F.col(est) <= F.col("brackets")[hi_idx])
+            )
         ).cast("int")
 
     return agg.select(

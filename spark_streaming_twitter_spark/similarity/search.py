@@ -501,12 +501,15 @@ GROUP BY query_id
     doc="Brute-force top-k via mapInPandas + numpy matmul: the Arrow-batched "
     "Pandas-UDF pattern for high-dim embeddings where per-element Catalyst "
     "expressions dominate. Query matrix rides the closure (broadcast); each "
-    "Arrow batch of corpus vectors does one (batch x dim)@(dim x q) GEMM; "
-    "a final exact per-query top-k merge runs on the tiny partial results. "
-    "BLAS float sums are not bitwise portable, so the oracle is a BOUNDED "
-    "check: the GEMM path's top-k NEIGHBOR-ID SET per query (sorted by id, "
-    "scores dropped) must equal the exact integer-scaled ranking's under "
-    "the same (cosine DESC, id ASC) tie-break.",
+    "Arrow batch of corpus vectors does one (batch x dim)@(dim x q) GEMM. "
+    "BLAS float sums are not bitwise portable and can reorder true ties or "
+    "near-ties straddling the rank-K boundary, so the GEMM is used only as "
+    "a PRUNER: each batch keeps a padded 2K float top-k, and the surviving "
+    "candidates are RE-SCORED with the exact integer-scaled dot (identical "
+    "formula + (cosine DESC, id ASC) tie-break to the oracle) before the "
+    "final rank — the float path decides speed, never the answer. The "
+    "oracle then checks the per-query top-k NEIGHBOR-ID SET (sorted by id, "
+    "scores dropped) against the exact integer-scaled ranking's.",
 )
 def similarity_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -520,6 +523,12 @@ def similarity_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
 
+    # Per-batch float prune keeps 2K (not K) candidates: a true top-K
+    # neighbor can only be lost here if float rounding demotes it past
+    # K other vectors IN ITS OWN BATCH — the padding makes that require a
+    # K-deep reorder, not a single boundary tie (ADVICE r5).
+    BATCH_KEEP = 2 * TOP_K
+
     def topk_batches(batches):
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy()
@@ -531,27 +540,47 @@ def similarity_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 col = cos[:, qi]
                 mask = ids != qid
                 cand_ids, cand_cos = ids[mask], col[mask]
-                k = min(TOP_K, len(cand_ids))
+                k = min(BATCH_KEEP, len(cand_ids))
                 if k == 0:
                     continue
                 part = np.argpartition(-cand_cos, k - 1)[:k]
                 out.append(
                     pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "neighbor_id": cand_ids[part],
-                            "cosine": cand_cos[part],
-                        }
+                        {"query_id": qid, "neighbor_id": cand_ids[part]}
                     )
                 )
             if out:
                 yield pd.concat(out)
 
-    partial = emb.mapInPandas(
-        topk_batches, "query_id long, neighbor_id long, cosine double"
+    cand = emb.mapInPandas(topk_batches, "query_id long, neighbor_id long")
+    # Exact integer-scaled re-rank of the pruned candidate set — same
+    # scaled_dot + tie-break as similarity_topk_cosine and the oracle, so
+    # the emitted ranking is bitwise-deterministic. Candidate count is
+    # O(queries * batches * 2K): tiny, so the query side broadcasts.
+    corpus = _corpus_with_norms(spark, sf_dir)
+    qdf = corpus.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    exact_cos = scaled_dot(F.col("q_emb"), F.col("n_emb")).cast("double") / (
+        F.sqrt(F.col("q_n2").cast("double"))
+        * F.sqrt(F.col("n_n2").cast("double"))
+    )
+    scored = (
+        cand.join(
+            corpus.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("n_emb"),
+                F.col("n2").alias("n_n2"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "neighbor_id", exact_cos.alias("cosine"))
     )
     return (
-        _topk_filter(partial)
+        _topk_filter(scored)
         .groupBy("query_id")
         .agg(
             F.array_join(

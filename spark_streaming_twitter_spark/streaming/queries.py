@@ -359,7 +359,7 @@ SELECT user_id,
        CAST(floor(epoch(l_ts)) AS BIGINT) AS session_end,
        n_events
 FROM sess, wm
-WHERE sid < max_sid OR epoch_ms(l_ts) + 1800000 <= wm_ms
+WHERE sid < max_sid OR epoch_ms(l_ts) + 1800000 < wm_ms
 """,
     doc="Timer-based state EVICTION (the mechanism W6's NoTimeout twin "
     "never exercises): per-user sessionization in applyInPandasWithState "
@@ -368,8 +368,11 @@ WHERE sid < max_sid OR epoch_ms(l_ts) + 1800000 <= wm_ms
     "timer at last_ts + 30 min and is emitted by the TIMEOUT path (the "
     "no-data micro-batch after the watermark passes the timer) — the "
     "oracle encodes exactly that: every non-trailing session, plus "
-    "trailing sessions whose timer (<= in Spark's fire condition) cleared "
-    "the final watermark; younger trailing sessions are still in state, "
+    "trailing sessions whose timer strictly cleared the final watermark "
+    "(Spark fires event-time timers only on timeoutTimestamp < watermark "
+    "— FlatMapGroupsWithStateExec's comparison excludes equality, so a "
+    "timer landing exactly ON the watermark ms does not fire); younger "
+    "trailing sessions are still in state, "
     "correctly absent. State is one (start, last, n) triple per user — "
     "bounded — and the timer is what guarantees it DRAINS at 100 TB "
     "instead of accumulating every key ever seen.",
