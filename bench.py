@@ -8,6 +8,8 @@ Prints exactly one JSON line:
 
 "value"/"queries" stay min-of-N (continuity with BENCH_r01/r02);
 "queries_p50" is the noise floor — judge regressions against it.
+Runs are clamped to >=3 (even via $SPARK_GRAFT_BENCH_RUNS) so the
+reported p50 is always a true median, never a mean-of-two.
 The session-scoped staged-dedup artifact build (exact-copy map + verified
 pairs, read by all dedup consumers) is timed as its own explicit entry
 so the cache can't hide real work from the headline.
@@ -56,7 +58,11 @@ def main() -> None:
     # (cache cleared between runs; the first run folds in codegen).
     from spark_streaming_twitter_spark.dedup import dedup as _dedup
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # >=3 runs so "p50" is a TRUE median: with 2 runs the median degenerates
+    # to the mean and one host-noise spike inflates it by half its height —
+    # exactly how BENCH_r05 fabricated a 2.4x "regression" for
+    # stream_events_per_minute (VERDICT r5 #1).
+    runs = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     staged_times = []
     for _ in range(runs):
         _dedup._STAGED_CACHE.clear()
