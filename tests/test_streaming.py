@@ -277,6 +277,16 @@ def test_transform_with_state_counts_or_documented_gate(spark):
             user_event_counts_tws(spark, sf_dir).collect()
 
 
+def test_tws_registry_registration_matches_capability():
+    """The TWS twin is registry-visible exactly when protobuf imports, so
+    it earns a driver CORRECTNESS row the moment the environment allows."""
+    from spark_streaming_twitter_spark.registry import load_all
+
+    assert (
+        "stream_user_event_counts_tws" in load_all()
+    ) == _has_protobuf()
+
+
 def test_available_now_drains_backlog_in_bounded_batches(spark, stream_dir):
     """Trigger.AvailableNow: a pre-existing multi-file backlog drains as
     several rate-limited micro-batches, then the query terminates ITSELF
