@@ -38,6 +38,35 @@ def test_reader_options_match_reference():
     }
 
 
+def test_reference_wiring_is_a_config_flip():
+    """The exact reader TwitterDatasetTrendingHashtag.java:64-72 constructs,
+    expressed through our builder: a broker-equipped environment needs only
+    these values plus the --packages coordinate — no new code."""
+    import pyspark
+
+    ref_bootstrap = "10.71.69.236:31117,10.71.69.236:31118,10.71.69.236:31119"
+    opts = kafka_reader_options(ref_bootstrap, "tweeter-topic")
+    assert opts == {
+        "kafka.bootstrap.servers": ref_bootstrap,
+        "subscribe": "tweeter-topic",
+        # The reference sets no startingOffsets; "latest" is the streaming
+        # default it actually runs with, and we pin it explicitly.
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+    }
+    # The reference also passes enable.auto.commit=true (:70) — a consumer
+    # option Structured Streaming manages itself (offsets live in the
+    # checkpoint, not the consumer group), so the builder omits it on
+    # purpose rather than forwarding a no-op.
+    assert "enable.auto.commit" not in opts
+    # Full spark-submit coordinate: correct group, artifact matching
+    # pyspark's Scala 2.13 build, version matching the installed Spark.
+    group, artifact = KAFKA_PACKAGE.split(":")
+    assert group == "org.apache.spark"
+    assert artifact == "spark-sql-kafka-0-10_2.13"
+    assert f"{KAFKA_PACKAGE}:{pyspark.__version__}".count(":") == 2
+
+
 def test_missing_connector_names_the_package(spark):
     with pytest.raises(RuntimeError, match=KAFKA_PACKAGE.replace(".", r"\.")):
         kafka_stream(spark, "localhost:9092", "tweets")
