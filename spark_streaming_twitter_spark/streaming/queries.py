@@ -910,3 +910,130 @@ def stream_tweet_trending_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.n").alias("top_count"),
         )
     )
+
+
+@query(
+    "stream_update_emission_trace",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS m,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS x
+  FROM events
+),
+ev AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+tagged AS (
+  SELECT CASE WHEN e < m + (x - m) // 3 THEN 0
+              WHEN e < m + (2 * (x - m)) // 3 THEN 1
+              ELSE 2 END AS tercile,
+         e - (e % 60) AS window_ts
+  FROM ev, bounds
+),
+per AS (
+  SELECT tercile, window_ts, count(*) AS n_batch
+  FROM tagged GROUP BY 1, 2
+),
+idx AS (
+  SELECT tercile,
+         CAST(dense_rank() OVER (ORDER BY tercile) - 1 AS INT) AS trigger_index
+  FROM (SELECT DISTINCT tercile FROM per)
+)
+SELECT i.trigger_index, p.window_ts,
+       CAST(sum(p.n_batch) OVER (PARTITION BY p.window_ts
+                                 ORDER BY p.tercile) AS BIGINT) AS n
+FROM per p JOIN idx i USING (tercile)
+""",
+    doc="Reference W5 made fully observable: the reference runs all three "
+    "queries in UPDATE output mode (TwitterDatasetTrendingHashtag.java:83, "
+    "92, 104), whose contract is per-trigger re-emission of each CHANGED "
+    "window with its new running total. This query oracle-encodes that "
+    "emission SEQUENCE, not just the final state: events are spooled into "
+    "three time-tercile parquet files (cut points deliberately NOT "
+    "window-aligned, so windows straddle batches and must re-emit), "
+    "streamed with maxFilesPerTrigger=1 + deterministic mtimes (one file "
+    "per micro-batch, oldest first), and a foreachBatch recorder captures "
+    "every (trigger_index, window, count) update row. The DuckDB oracle "
+    "replays the trace as a prefix sum over the same tercile tagging — a "
+    "straddling window appears once per touching batch with its CUMULATIVE "
+    "count, exactly update-mode semantics. trigger_index counts data "
+    "batches (dense-ranked on both sides) so an empty tercile cannot shift "
+    "the alignment. The foreachBatch collect is the sink (tiny update "
+    "rows), mirroring the reference's InfluxDB writer consuming the same "
+    "update stream.",
+)
+def stream_update_emission_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.catalog import table
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_foreach_batch,
+    )
+
+    bt = table(spark, sf_dir, "events").select("ts")
+    m, x = bt.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    c1 = m + (x - m) // 3
+    c2 = m + (2 * (x - m)) // 3
+
+    stream_dir = tempfile.mkdtemp(prefix="update_trace_")
+    try:
+        e = F.unix_timestamp("ts")
+        preds = [e < c1, (e >= c1) & (e < c2), e >= c2]
+        for i, pred in enumerate(preds):
+            stage = os.path.join(stream_dir, f"_stage_{i}")
+            # coalesce(1): each tercile becomes exactly one file = one
+            # micro-batch. The spool is a harness fixture, not a scale
+            # path — the production source is Kafka with its own batching.
+            bt.where(pred).coalesce(1).write.parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = os.path.join(stream_dir, f"batch_{i}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            shutil.rmtree(stage)
+            # strictly increasing mtimes pin the FileStreamSource order
+            os.utime(dst, (1_000_000_000 + i * 3600, 1_000_000_000 + i * 3600))
+
+        schema = spark.read.parquet(
+            os.path.join(stream_dir, "batch_0.parquet")
+        ).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .option("pathGlobFilter", "batch_*.parquet")
+            .load(stream_dir)
+        )
+        if dict(raw.dtypes)["ts"] == "timestamp_ntz":
+            # same dtype guard as harness.stream_events: the spool writes
+            # micros-NTZ; session tz is pinned UTC so the cast preserves
+            # wall-clock and withWatermark accepts it
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        out = (
+            raw.withWatermark("ts", WATERMARK)
+            .groupBy(F.window("ts", "1 minute").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_timestamp("w.start").alias("window_ts"), "n")
+        )
+
+        trace: list[tuple[int, int, int]] = []
+        counter = {"data_batches": 0}
+
+        def record(df: DataFrame, _epoch_id: int) -> None:
+            rows = [(r["window_ts"], r["n"]) for r in df.collect()]
+            if not rows:
+                return  # watermark-only no-data trigger: nothing emitted
+            ti = counter["data_batches"]
+            counter["data_batches"] += 1
+            trace.extend((ti, w, n) for w, n in rows)
+
+        run_foreach_batch(out, record, output_mode="update")
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+
+    return spark.createDataFrame(
+        trace, "trigger_index int, window_ts bigint, n bigint"
+    )
