@@ -457,3 +457,73 @@ def test_streaming_query_listener_observes_progress(spark, stream_dir):
         assert seen["terminated"] >= 1
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_prebucket_sliding_cuts_state_writes_at_reference_cadence(
+    spark, stream_dir
+):
+    """The two-level rewrite at the reference's 300s-window/5s-slide cadence
+    (TwitterDStreamTrendingHashtag.java:82-83): the direct sliding agg
+    writes every event into window/slide = 60 state rows; the tumbling
+    5 s pre-aggregate writes each event into ONE. Both computed from the
+    same micro-batch; state-operator progress metrics pin the ratio and
+    the rolled-up answers must agree exactly."""
+    rows = [
+        {"user_id": i, "ts": f"2024-01-01 10:00:{s:02d}", "event": "a"}
+        for i, s in enumerate([0, 5, 7, 15, 30, 42, 55])
+    ]
+    _write_batch(stream_dir, "b1.json", rows)
+
+    def run(agg, name):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            updated = sum(
+                op["numRowsUpdated"]
+                for p in q.recentProgress
+                for op in p["stateOperators"]
+            )
+        finally:
+            q.stop()
+            q.awaitTermination()
+        return updated
+
+    src = _stream(spark, stream_dir)
+    direct_updated = run(
+        src.withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", "300 seconds", "5 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n")),
+        "direct_300_5",
+    )
+    bucket_updated = run(
+        src.withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", "5 seconds").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n")),
+        "bucket_5",
+    )
+    # 7 events / 6 distinct 5s buckets: direct writes 60 windows per event
+    # (minus overlap dedup within the batch), the pre-bucket exactly 6.
+    assert bucket_updated == 6
+    assert direct_updated >= 10 * bucket_updated
+
+    # answers identical after the batch-side rollup
+    direct = {
+        (r["w"]["start"], r["n"]) for r in spark.table("direct_300_5").collect()
+    }
+    buckets = spark.table("bucket_5").collect()
+    rolled: dict = {}
+    for r in buckets:
+        b = r["b"]["start"]
+        for k in range(60):
+            ws = b - pd.Timedelta(seconds=5 * k)
+            rolled[ws] = rolled.get(ws, 0) + r["n"]
+    # restrict to windows containing >=1 event (the direct agg's key set)
+    assert direct == {(ws, n) for ws, n in rolled.items()} & direct
+    assert len(direct) == len(
+        [ws for ws in rolled if any(ws == d[0] for d in direct)]
+    )
