@@ -137,6 +137,118 @@ def salted_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stage1.groupBy("user_id").agg(F.sum("partial_n").alias("n_events"))
 
 
+# --- Planted-skew join bench pair (VERDICT r5 #5) -------------------------
+#
+# One synthetic hot supplier key (-1) owns every 5th lineitem (~20% of the
+# table). Counts/sums under a hot GROUP BY key don't skew in Spark — hash
+# partial aggregation emits one partial per key per map task — so the
+# surface where skew actually bites is the shuffle JOIN: sort-merge
+# co-partitions both sides on the key, and the hot key's task sorts and
+# probes ~20% of the fact table alone. AQE's skew-join split does not
+# engage at bench scale (spark.sql.adaptive.skewJoin
+# skewedPartitionThresholdInBytes defaults to 256 MB), which mirrors the
+# many real plans AQE can't rebalance (streaming joins, bucketed scans,
+# UDF-opaque stages) — salting is the manual lever. The pair is
+# oracle-twinned and benched for continuity; the MEASUREMENT lives in
+# tools/skew_probe.py, because at bench scale AQE coalesces the ~18 MB
+# shuffle into ONE reduce task and the two variants time equal (verified
+# via .explain: AQEShuffleRead "coalesced"). With coalescing off and the
+# fact side replicated 16x — the at-scale shape — the hot task reads
+# 9.24x the median rows and runs 2.77x the median time; salting levels
+# it to 1.42x/1.05x (SCALE.md rule 7 for the full numbers, including why
+# AQE's skew splitter cannot fire on this plan).
+
+_SKEW_SALT = 16
+_SKEW_CASE = "CASE WHEN l_orderkey % 5 = 0 THEN -1 ELSE l_suppkey END"
+
+_SKEW_JOIN_ORACLE = f"""
+WITH li AS (
+  SELECT {_SKEW_CASE} AS skew_key, l_extendedprice, l_discount
+  FROM lineitem
+),
+dim AS (
+  SELECT s_suppkey AS skew_key, s_nationkey FROM supplier
+  UNION ALL SELECT -1, -1
+)
+SELECT li.skew_key, d.s_nationkey,
+       count(*) AS n_items,
+       {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM li JOIN dim d USING (skew_key)
+GROUP BY 1, 2
+"""
+
+
+def _skewed_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return li.withColumn(
+        "skew_key",
+        F.when(F.col("l_orderkey") % 5 == 0, F.lit(-1)).otherwise(
+            F.col("l_suppkey")
+        ),
+    )
+
+
+def _skew_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("skew_key"), "s_nationkey"
+    )
+    hot = spark.range(1).select(
+        F.lit(-1).cast("bigint").alias("skew_key"),
+        F.lit(-1).cast("bigint").alias("s_nationkey"),
+    )
+    return sup.unionByName(hot)
+
+
+def _skew_revenue_agg(joined: DataFrame) -> DataFrame:
+    return joined.groupBy("skew_key", "s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )
+
+
+@query(
+    "skewed_join_revenue_unsalted",
+    oracle=_SKEW_JOIN_ORACLE,
+    doc="The skew BASELINE: lineitem with a planted hot key (-1 owns every "
+    "5th row) sort-merge-joined to the supplier dim (merge hint — the "
+    "forced-SMJ stands in for a dim too big to broadcast). The hot key "
+    "hashes to ONE shuffle partition, so one task sorts+probes ~20% of "
+    "the fact side while its 31 peers split the rest. Benched against "
+    "the salted twin below; identical oracle.",
+    bench=True,
+)
+def skewed_join_revenue_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _skewed_lineitems(spark, sf_dir)
+    dim = _skew_dim(spark, sf_dir)
+    return _skew_revenue_agg(li.join(dim.hint("merge"), "skew_key"))
+
+
+@query(
+    "skewed_join_revenue_salted",
+    oracle=_SKEW_JOIN_ORACLE,
+    doc=f"The skew FIX: fact side gets salt = l_orderkey % {_SKEW_SALT}, "
+    "the dim side explodes each row into all "
+    f"{_SKEW_SALT} salts, and the join key becomes (skew_key, salt) — the "
+    f"hot key's rows spread over {_SKEW_SALT} tasks at the cost of "
+    f"replicating the (small) dim x{_SKEW_SALT}. Same merge-hinted SMJ, "
+    "same oracle as the unsalted twin; the bench delta between the two "
+    "entries is the measured price of one 20% hot key.",
+    bench=True,
+)
+def skewed_join_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _skewed_lineitems(spark, sf_dir).withColumn(
+        "salt", (F.col("l_orderkey") % _SKEW_SALT).cast("int")
+    )
+    dim = _skew_dim(spark, sf_dir).withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_SKEW_SALT)]))
+    )
+    return _skew_revenue_agg(li.join(dim.hint("merge"), ["skew_key", "salt"]))
+
+
 @query(
     "doc_array_functions",
     oracle="""
