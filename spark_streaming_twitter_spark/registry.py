@@ -50,72 +50,31 @@ def query(
 
 
 # The driver's correctness gate walks the registry in order and records ~50
-# rows per round, so ordering IS coverage policy. Round-5 rotation
-# (VERDICT r4 "Next round" #3): no-green-row first, then oldest-driver-row
-# first — rounds 3-4 burned both their 50-slot budgets on the identical set,
-# leaving 59 queries whose newest rows predate the round-4 fixture
-# regeneration. Queries proven in r3/r4 drop to the back.
+# rows per round, so ordering IS coverage policy. Round-6 rotation
+# (VERDICT r5 "Next round" #2): r5 proved its whole 50-slot set green, so
+# those drop to the back; the front is (a) brand-new round-6 queries,
+# (b) queries whose ORACLES changed this round (ADVICE r5 hardening —
+# their green rows predate the change), (c) the 26 queries whose newest
+# driver row is still round 1, i.e. predates the round-4 fixture
+# regeneration, (d) the round-4 set oldest-first as buffer.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # Driver-red in r4 (the stream_events ts bug, fixed this round).
-    "stream_static_segment_counts",
-    # Never green in any driver round: red since r1 (fixed since, but its
-    # only row predates the fix) + the three rows-only queries now upgraded
-    # to bounded-check oracles (this round).
-    "lineitem_math_functions",
-    "approx_distinct_parts",
-    "approx_value_percentiles",
-    "similarity_topk_numpy",
-    # New round-5 queries (no driver row by construction) + the format
-    # round-trip, changed this round (ORC leg added to the CSV/JSONL split).
-    "media_decoded_dimensions",
-    "stream_minutely_rate_pt",
-    "stream_stream_left_join_conversions",
-    "file_format_roundtrip_stats",
-    "dedup_substring_spans",
-    "similarity_ann_recall",
-    "user_dynamic_sessions",
-    "events_time_rollup",
-    "cogrouped_purchase_latency",
-    "schema_evolution_merged_stats",
-    "source_mixture_plan",
+    # (a) new in round 6 — no driver row by construction
+    "stream_update_emission_trace",
+    "similarity_ann_multiprobe_topk",
+    "similarity_ann_recall_probed",
+    "stream_sliding_counts_prebucket",
+    "skewed_join_revenue_unsalted",
+    "skewed_join_revenue_salted",
+    # (b) oracle/implementation hardened this round (ADVICE r5): the
+    # timer fire condition, the exact GEMM re-rank, the small-n bracket,
+    # the DISTINCT signup cogroup — re-prove under the new contracts
     "stream_session_timeout_stateful",
-    "stream_hourly_approx_users",
-    "ps_orders_priority_stats",
-    "media_resize_thumbnails",
-    "jsonl_corrupt_record_audit",
-    # Newest row r2, and all consume stream_events — the source that just
-    # changed semantics; every one needs re-proving against the new fixture.
-    "stream_events_per_minute",
-    "stream_events_per_minute_append",
-    "stream_running_total",
-    "stream_trending_event_type",
-    "stream_session_windows",
-    "stream_dedup_user_event_types",
-    "stream_dedup_within_watermark",
-    "stream_user_event_counts_stateful",
-    "stream_sliding_counts",
-    "stream_stream_join_conversions",
-    # Newest row r1 — events/time-dependent first (most exposed to the
-    # fixture regeneration), then the rest in registration order.
-    "events_per_minute",
-    "events_sliding_10m_5m",
-    "running_event_total",
-    "trending_terms_by_source",
-    "trending_event_type_hourly",
-    "salted_user_event_counts",
-    "event_props_stats",
-    "asof_signup_before_purchase",
-    "signup_purchase_conversion",
-    "customer_order_gaps",
-    "exact_value_quantiles",
-    "doc_array_functions",
-    "grouping_sets_revenue",
-    "unpivot_order_totals",
-    "customer_order_window_frames",
-    "null_semantics_orders",
-    "customer_rfm_scores",
-    "deterministic_sample_docs",
-    "stratified_sample_docs",
+    "similarity_topk_numpy",
+    "approx_value_percentiles",
+    "cogrouped_purchase_latency",
+    # (c) newest driver row is ROUND 1 — predates the r4 fixture
+    # regeneration (VERDICT r5 "what's wrong" #2); judge-replayed green
+    # locally but the driver record is stale
     "train_val_test_split",
     "doc_token_stats",
     "doc_quality_scores",
@@ -142,6 +101,56 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "priority_status_pivot",
     "above_avg_customers_per_nation",
     "sql_revenue_by_region",
+    # (d) newest row round 4, registration order — the next-oldest debt;
+    # ~14 of these fit round 6's budget, the rest roll to round 7
+    "weekly_cohort_retention",
+    "user_event_sessions",
+    "latest_event_per_user_type",
+    "event_transition_matrix",
+    "signup_view_purchase_funnel",
+    "part_price_distribution",
+    "user_value_intervals_scd2",
+    "events_pit_enrichment",
+    "orders_column_profile",
+    "doc_repetition_scores",
+    "doc_pii_redaction",
+    "frequent_terms_heavy_hitters",
+    "keyword_search_topk",
+    "dedup_minhash_lsh_pairs_capped",
+    "dedup_edit_distance_verify",
+    "dedup_decontaminate",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_drop_list",
+    "dedup_simhash_signatures",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine_pairs",
+    "dedup_group_ids",
+    "dedup_group_ids_star",
+    "corpus_curation_pipeline",
+    "corpus_curation_pipeline_full",
+    "dedup_graph_pagerank",
+    "event_props_variant",
+    "pipe_sql_returnflag_revenue",
+    "udtf_token_positions",
+    "events_moving_avg_1h",
+    "pandas_udf_token_counts",
+    "applyinpandas_source_ranks",
+    "mapinarrow_byte_histograms",
+    "media_byte_histograms",
+    "media_meta_stats",
+    "media_frame_samples",
+    "tweet_hashtag_pipeline",
+    "similarity_topk_cosine",
+    "similarity_ann_lsh_topk",
+    "similarity_ivf_topk",
+    "embedding_kmeans_clusters",
+    "stream_events_availablenow",
+    "stream_tweet_trending_e2e",
+    "pack_training_sequences",
+    "doc_chunk_windows",
+    "vocab_oov_rate",
+    "stratified_split_exact",
+    "source_temperature_weights",
 )
 
 
