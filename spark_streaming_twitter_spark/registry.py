@@ -65,6 +65,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_sliding_counts_prebucket",
     "skewed_join_revenue_unsalted",
     "skewed_join_revenue_salted",
+    "media_png_pixel_roundtrip",
     # (b) oracle/implementation hardened this round (ADVICE r5): the
     # timer fire condition, the exact GEMM re-rank, the small-n bracket,
     # the DISTINCT signup cogroup — re-prove under the new contracts

@@ -75,3 +75,21 @@ def test_frame_sampling_stride_and_offsets(spark):
         assert idxs == sorted(idxs)
         assert all(i % mm.FRAME_STRIDE == 0 for i in idxs)
     assert all(r.frame_bytes >= 0 for r in frames)
+
+
+def test_png_codec_roundtrip_all_filters_and_corruption():
+    """encode_png writes every PNG filter type (y % 5); decode_png must
+    unfilter all five exactly, and reject truncation / CRC corruption /
+    non-PNG bytes instead of raising."""
+    for did in (0, 3, 6, 9, 12, 999):  # h >= 5 rows exercises all filters
+        w, h = did % 16 + 4, did % 12 + 4
+        raw = bytes((did * 31 + i) % 256 for i in range(w * h * 3))
+        png = mm.encode_png(w, h, raw)
+        assert mm._parse_image_header(png) == ("png", w, h)
+        assert mm.decode_png(png) == (w, h, raw)
+    assert mm.decode_png(b"not a png at all") is None
+    intact = mm.encode_png(4, 4, bytes(48))
+    assert mm.decode_png(intact[:30]) is None
+    corrupt = bytearray(intact)
+    corrupt[40] ^= 1
+    assert mm.decode_png(bytes(corrupt)) is None
