@@ -245,3 +245,19 @@ def test_ann_recall_no_cartesian_and_no_forced_ann_broadcast(spark):
     df = SPECS["similarity_ann_recall"].fn(spark, SF)
     f = plan_features(df)
     assert "CartesianProduct" not in f.raw
+
+
+def test_skewed_join_pair_keeps_sort_merge_shape(spark):
+    # The skew pair exists to measure SMJ hot-partition imbalance, so the
+    # merge hint must keep winning over broadcast (supplier would
+    # otherwise auto-broadcast under the 64 MB threshold and the pair
+    # would measure nothing). The salted variant must also keep its
+    # composite (skew_key, salt) equi-join.
+    for name in ("skewed_join_revenue_unsalted", "skewed_join_revenue_salted"):
+        df = SPECS[name].fn(spark, SF)
+        f = plan_features(df)
+        assert "SortMergeJoin" in f.raw, name
+        assert "BroadcastHashJoin" not in f.raw, name
+    salted = SPECS["skewed_join_revenue_salted"].fn(spark, SF)
+    joined = salted._jdf.queryExecution().optimizedPlan().toString()
+    assert "salt" in joined
