@@ -66,6 +66,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "skewed_join_revenue_unsalted",
     "skewed_join_revenue_salted",
     "media_png_pixel_roundtrip",
+    "dedup_semantic_within_cells",
     # (b) oracle/implementation hardened this round (ADVICE r5): the
     # timer fire condition, the exact GEMM re-rank, the small-n bracket,
     # the DISTINCT signup cogroup — re-prove under the new contracts

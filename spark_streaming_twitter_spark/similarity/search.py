@@ -730,3 +730,160 @@ def similarity_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("neighbor_ids")
         )
     )
+
+
+SEMANTIC_TAU = 0.45  # matches dedup_embedding_cosine_pairs (fixture max ~0.52)
+
+
+@query(
+    "dedup_semantic_within_cells",
+    oracle=f"""
+{_ORACLE_PRELUDE},
+quantized AS (
+  SELECT c.vec_id, e.label, {_QUANT_SQL.format(vec="c.embedding")} AS qv, c.n2
+  FROM corpus c JOIN embeddings e ON c.vec_id = e.vec_id
+),
+dims AS (
+  SELECT vec_id, label, qv, n2,
+         unnest(generate_series(1, {DIM})) AS d
+  FROM quantized
+),
+centroid_dims AS (
+  SELECT label, d,
+         CAST((sum(qv[d]) - (((sum(qv[d]) % count(*)) + count(*)) % count(*)))
+              // count(*) AS BIGINT) AS c
+  FROM dims GROUP BY label, d
+),
+centroids AS (
+  SELECT label, list(c ORDER BY d) AS cvec FROM centroid_dims GROUP BY label
+),
+routed AS (
+  SELECT q.vec_id, c.label,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_sum(list_transform(list_zip(q.qv, c.cvec),
+                                            p -> CAST(p[1] AS BIGINT) * p[2]))
+                    DESC, c.label ASC) AS rn
+  FROM quantized q CROSS JOIN centroids c
+),
+cells AS (SELECT vec_id, label FROM routed WHERE rn = 1),
+close_pairs AS (
+  SELECT cb.vec_id AS vec_id, ca.vec_id AS keeper_cand,
+         CAST({scaled_dot_sql("a.embedding", "b.embedding")} AS DOUBLE)
+           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+           AS cosine
+  FROM cells ca
+  JOIN cells cb ON ca.label = cb.label AND ca.vec_id < cb.vec_id
+  JOIN corpus a ON a.vec_id = ca.vec_id
+  JOIN corpus b ON b.vec_id = cb.vec_id
+  WHERE CAST({scaled_dot_sql("a.embedding", "b.embedding")} AS DOUBLE)
+          / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+        >= {SEMANTIC_TAU}
+),
+best AS (
+  SELECT vec_id, keeper_cand,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, keeper_cand ASC) AS rn
+  FROM close_pairs
+)
+SELECT c.vec_id, c.label AS cell,
+       CAST(b.keeper_cand IS NOT NULL AS INT) AS dropped,
+       b.keeper_cand AS keeper_id
+FROM cells c
+LEFT JOIN (SELECT vec_id, keeper_cand FROM best WHERE rn = 1) b
+  USING (vec_id)
+""",
+    doc="SemDeDup-class semantic dedup (Abbas et al. 2023 shape): route "
+    "EVERY vector to its nearest exact-integer coarse centroid, then find "
+    "near-duplicate pairs ONLY within a cell — the clustering bounds the "
+    "pairwise stage to O(sum cell_i^2), never a global self-join; at "
+    "100 TB the cell count scales with the corpus so cell size (and the "
+    "per-cell quadratic term) stays constant, and the cell id is the "
+    "shuffle key. Drop rule is deterministic and pair-local: a vector is "
+    "dropped iff a SMALLER-id cell-mate has cosine >= tau; keeper_id is "
+    "its highest-cosine such mate (tie: smallest id). All dots are "
+    "integer-scaled (bitwise-portable); the oracle replays routing, "
+    "pairing, and keeper choice exactly. Complements "
+    "dedup_embedding_cosine_pairs (the O(n^2) exact baseline) and the "
+    "MinHash family (token-level): this is the EMBEDDING-level scale "
+    "path.",
+)
+def dedup_semantic_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = widen(
+        table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"),
+        spark,
+    )
+    corpus = emb.withColumn("n2", scaled_norm2(F.col("embedding"))).withColumn(
+        "qv", _quantized(F.col("embedding"))
+    )
+    # identical exact-integer centroid construction to similarity_ivf_topk
+    dims = corpus.select("label", F.posexplode(F.col("qv")).alias("d0", "v"))
+    centroid_dims = (
+        dims.groupBy("label", "d0")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "label",
+            "d0",
+            F.expr("(s - pmod(s, cnt)) DIV cnt").cast("bigint").alias("c"),
+        )
+    )
+    centroids = centroid_dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d0", "c"))), lambda x: x["c"]
+        ).alias("cvec")
+    )
+    cdot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cvec"), lambda x, w: x * w),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w_route = Window.partitionBy("vec_id").orderBy(
+        F.col("cdot").desc(), F.col("label").asc()
+    )
+    cells = (
+        corpus.select("vec_id", "qv")
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("cdot", cdot)
+        .withColumn("rn", F.row_number().over(w_route))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("label").alias("cell"))
+    )
+    routed = cells.join(
+        corpus.select("vec_id", "embedding", "n2"), "vec_id"
+    )
+    a = routed.select(
+        F.col("vec_id").alias("keeper_cand"),
+        F.col("cell"),
+        F.col("embedding").alias("emb_a"),
+        F.col("n2").alias("n2_a"),
+    )
+    b = routed.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("cell"),
+        F.col("embedding").alias("emb_b"),
+        F.col("n2").alias("n2_b"),
+    )
+    cosine = scaled_dot(F.col("emb_a"), F.col("emb_b")).cast("double") / (
+        F.sqrt(F.col("n2_a").cast("double"))
+        * F.sqrt(F.col("n2_b").cast("double"))
+    )
+    close = (
+        a.join(b, "cell")
+        .where(F.col("keeper_cand") < F.col("vec_id"))
+        .select("vec_id", "keeper_cand", cosine.alias("cosine"))
+        .where(F.col("cosine") >= SEMANTIC_TAU)
+    )
+    w_best = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("keeper_cand").asc()
+    )
+    best = (
+        close.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("keeper_cand").alias("keeper_id"))
+    )
+    return cells.join(best, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.col("keeper_id").isNotNull().cast("int").alias("dropped"),
+        "keeper_id",
+    )
