@@ -67,6 +67,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "skewed_join_revenue_salted",
     "media_png_pixel_roundtrip",
     "dedup_semantic_within_cells",
+    "python_datasource_shard_stats",
     # (b) oracle/implementation hardened this round (ADVICE r5): the
     # timer fire condition, the exact GEMM re-rank, the small-n bracket,
     # the DISTINCT signup cogroup — re-prove under the new contracts
@@ -174,6 +175,7 @@ def load_all() -> dict[str, QuerySpec]:
     import spark_streaming_twitter_spark.functions.pandas_udfs  # noqa: F401
     import spark_streaming_twitter_spark.functions.sampling  # noqa: F401
     import spark_streaming_twitter_spark.multimodal.columns  # noqa: F401
+    import spark_streaming_twitter_spark.sources.pysource  # noqa: F401
     import spark_streaming_twitter_spark.sources.tweets  # noqa: F401
     import spark_streaming_twitter_spark.similarity.kmeans  # noqa: F401
     import spark_streaming_twitter_spark.similarity.search  # noqa: F401

@@ -1,0 +1,122 @@
+"""Spark 4 Python DataSource: the custom-connector extension point, proven.
+
+The reference's ingest is a packaged connector (Kafka); when no packaged
+connector exists for a system, Spark 4's Python DataSource API
+(pyspark.sql.datasource) is how a team ships one without JVM code: the
+driver plans ``partitions()`` (the unit of parallelism — at 100 TB this is
+where a real connector returns one split per file/offset-range/shard so
+executors read concurrently), and each executor calls ``read(partition)``
+for its split only.
+
+``SyntheticEventsDataSource`` is a deterministic generator behind that
+exact interface: N rows over S shards (options), row values derived from
+the row id by fixed integer arithmetic — so a DuckDB ``generate_series``
+oracle can replay the whole source and the ENTIRE path (option parsing,
+partition planning, per-partition iteration, Arrow conversion, downstream
+Catalyst aggregation) is value-checked, not just smoke-tested. Knuth's
+multiplicative constant 2654435761 keeps values well-mixed while staying
+exact in BIGINT on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from spark_streaming_twitter_spark.registry import query
+
+PYSOURCE_ROWS = 50_000
+PYSOURCE_SHARDS = 8
+_MIX = 2654435761  # Knuth multiplicative hash constant; exact in int64 here
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, shard: int, start: int, end: int) -> None:
+        self.shard = shard
+        self.start = start
+        self.end = end
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("rows", PYSOURCE_ROWS))
+        self.shards = int(options.get("shards", PYSOURCE_SHARDS))
+
+    def partitions(self) -> list[InputPartition]:
+        # contiguous ranges, remainder spread over the first shards — the
+        # planner-side split a real connector computes from file/offset
+        # metadata. One partition = one executor task.
+        per, rem = divmod(self.n, self.shards)
+        parts, start = [], 0
+        for s in range(self.shards):
+            end = start + per + (1 if s < rem else 0)
+            parts.append(_ShardPartition(s, start, end))
+            start = end
+        return parts
+
+    def read(self, partition: _ShardPartition):
+        for i in range(partition.start, partition.end):
+            yield (i, partition.shard, (i * _MIX) % 1000)
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, shard int, value bigint"
+
+    def reader(self, schema) -> DataSourceReader:
+        return SyntheticEventsReader(self.options)
+
+
+@query(
+    "python_datasource_shard_stats",
+    oracle=f"""
+WITH src AS (
+  SELECT i AS event_id,
+         CAST(CASE WHEN i < ({PYSOURCE_ROWS} // {PYSOURCE_SHARDS} + 1)
+                        * ({PYSOURCE_ROWS} % {PYSOURCE_SHARDS})
+              THEN i // ({PYSOURCE_ROWS} // {PYSOURCE_SHARDS} + 1)
+              ELSE ({PYSOURCE_ROWS} % {PYSOURCE_SHARDS})
+                   + (i - ({PYSOURCE_ROWS} // {PYSOURCE_SHARDS} + 1)
+                          * ({PYSOURCE_ROWS} % {PYSOURCE_SHARDS}))
+                     // ({PYSOURCE_ROWS} // {PYSOURCE_SHARDS})
+              END AS INT) AS shard,
+         (i * {_MIX}) % 1000 AS value
+  FROM generate_series(0, {PYSOURCE_ROWS - 1}) t(i)
+)
+SELECT shard,
+       count(*) AS n_rows,
+       min(event_id) AS first_id,
+       max(event_id) AS last_id,
+       CAST(sum(value) AS BIGINT) AS value_sum
+FROM src GROUP BY shard
+""",
+    doc="Spark 4 Python DataSource end-to-end: spark.dataSource.register + "
+    "format('synthetic_events') with a planned partition per shard, "
+    "aggregated per shard downstream by plain Catalyst. The oracle "
+    "replays the generator AND the planner's contiguous-range shard "
+    "arithmetic in SQL, so a wrong split boundary, a dropped partition, "
+    "or a mis-typed Arrow column all fail the value hash. This is the "
+    "template for ingesting a system with no packaged connector at "
+    "scale: partitions() returns one split per offset-range and the "
+    "cluster fans out.",
+)
+def python_datasource_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # registration is idempotent per session (re-register overwrites)
+    spark.dataSource.register(SyntheticEventsDataSource)
+    src = (
+        spark.read.format("synthetic_events")
+        .option("rows", str(PYSOURCE_ROWS))
+        .option("shards", str(PYSOURCE_SHARDS))
+        .load()
+    )
+    return src.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+        F.sum("value").alias("value_sum"),
+    )

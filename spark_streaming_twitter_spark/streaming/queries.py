@@ -549,7 +549,9 @@ FROM expanded GROUP BY 1
     "windows (a Generate, the streaming equivalent of DStream "
     "reduceByKeyAndWindow at TwitterDStreamTrendingHashtag.java:82-83 — but "
     "incremental per-window state instead of recomputing the full window "
-    "every slide).",
+    "every slide). bench=True so the two-level prebucket variant below "
+    "has its direct twin in every BENCH round.",
+    bench=True,
 )
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
