@@ -68,6 +68,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "media_png_pixel_roundtrip",
     "dedup_semantic_within_cells",
     "python_datasource_shard_stats",
+    "stream_hourly_from_minutely_chained",
     # (b) oracle/implementation hardened this round (ADVICE r5): the
     # timer fire condition, the exact GEMM re-rank, the small-n bracket,
     # the DISTINCT signup cogroup — re-prove under the new contracts

@@ -612,6 +612,48 @@ def stream_sliding_counts_prebucket(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "stream_hourly_from_minutely_chained",
+    oracle="""
+WITH mx AS (
+  SELECT CAST(floor(epoch(max(ts) - INTERVAL 300 SECOND)) AS BIGINT) AS wm
+  FROM events
+)
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_ts,
+       count(*) AS n
+FROM events
+GROUP BY 1
+HAVING CAST(epoch(date_trunc('hour', ts)) AS BIGINT) + 3600
+         <= (SELECT wm FROM mx)
+""",
+    doc="CHAINED stateful operators in one streaming query (Spark 3.4+ "
+    "multi-stateful append mode; impossible in the reference's DStream "
+    "model): minute-window counts feed an hour-window sum via "
+    "window_time(), two state stores in one plan, closed minute windows "
+    "cascading into the hour aggregate inside the same micro-batch. The "
+    "at-scale win over re-aggregating raw events per hour: the second "
+    "state keyed on ~1/60th the rows, and the pattern generalizes to "
+    "rollup pyramids (minute->hour->day) with one source scan. Append "
+    "emission rule oracle-encoded like stream_events_per_minute_append: "
+    "an hour appears iff its end cleared the final watermark; the last "
+    "open hour is held in state, correctly absent.",
+)
+def stream_hourly_from_minutely_chained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    minute = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hour = minute.groupBy(
+        F.window(F.window_time("w"), "1 hour").alias("hw")
+    ).agg(F.sum("n").alias("n"))
+    out = run_to_memory(hour, output_mode="append")
+    return out.select(F.unix_timestamp("hw.start").alias("bucket_ts"), "n")
+
+
+@query(
     "stream_stream_join_conversions",
     oracle="""
 SELECT s.user_id,
