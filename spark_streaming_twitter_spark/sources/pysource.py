@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from spark_streaming_twitter_spark.registry import query
 
@@ -118,5 +123,99 @@ def python_datasource_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_rows"),
         F.min("event_id").alias("first_id"),
         F.max("event_id").alias("last_id"),
+        F.sum("value").alias("value_sum"),
+    )
+
+
+# --- Streaming variant: the same connector surface, micro-batch offsets ---
+
+STREAM_ROWS = 5_000
+STREAM_BATCH = 1_000  # rows advanced per trigger
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked synthetic stream: each trigger advances the offset by
+    STREAM_BATCH rows until STREAM_ROWS, then reports no new data. The
+    offset dict is the EXACTLY-ONCE contract a real connector implements
+    against a broker (Kafka offsets, file positions): ``read(start)``
+    returns rows plus the end offset, and ``readBetweenOffsets`` must be
+    able to REPLAY any committed range after a failure — here both derive
+    rows from the same pure function of the row id, so replay is trivially
+    identical.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("rows", STREAM_ROWS))
+        self.batch = int(options.get("batch", STREAM_BATCH))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _rows(self, start: int, end: int):
+        # a LIST iterator, not a generator: Spark's prefetch cache replays
+        # the batch via copy.copy(iterator), which list_iterator supports
+        # (__reduce__) and generators do not
+        return iter([(i, (i * _MIX) % 1000) for i in range(start, end)])
+
+    def read(self, start: dict):
+        lo = start["pos"]
+        hi = min(lo + self.batch, self.n)
+        return self._rows(lo, hi), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["pos"], end["pos"])
+
+
+class SyntheticEventsStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return "event_id bigint, value bigint"
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return SyntheticEventsStreamReader(self.options)
+
+
+@query(
+    "python_stream_datasource_totals",
+    oracle=f"""
+WITH src AS (
+  SELECT i AS event_id, (i * {_MIX}) % 1000 AS value
+  FROM generate_series(0, {STREAM_ROWS - 1}) t(i)
+)
+SELECT CAST(event_id // {STREAM_BATCH} AS INT) AS batch_idx,
+       count(*) AS n_rows,
+       CAST(sum(value) AS BIGINT) AS value_sum
+FROM src GROUP BY 1
+""",
+    doc="Spark 4 Python STREAMING DataSource end-to-end: a "
+    "SimpleDataSourceStreamReader advances a dict offset by a fixed rows "
+    "per trigger (the exactly-once offset-range contract a real broker "
+    "connector implements), the query runs to completion through the "
+    "memory sink, and rows are grouped by the offset-range index they "
+    "arrived in. The oracle replays generator + offset arithmetic in "
+    "SQL: a skipped/duplicated/partially-replayed micro-batch shifts "
+    "batch_idx membership or counts and fails the value hash. Together "
+    "with python_datasource_shard_stats this proves both halves of the "
+    "custom-connector surface (batch splits, streaming offsets) with no "
+    "JVM code.",
+)
+def python_stream_datasource_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.streaming.harness import run_to_memory
+
+    spark.dataSource.register(SyntheticEventsStreamDataSource)
+    src = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("rows", str(STREAM_ROWS))
+        .option("batch", str(STREAM_BATCH))
+        .load()
+    )
+    out = run_to_memory(src, output_mode="append")
+    return out.groupBy(
+        (F.col("event_id") / STREAM_BATCH).cast("int").alias("batch_idx")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
         F.sum("value").alias("value_sum"),
     )
