@@ -612,6 +612,50 @@ def stream_sliding_counts_prebucket(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "stream_events_per_minute_rocksdb",
+    oracle="""
+SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket_ts,
+       count(*) AS n
+FROM events GROUP BY 1
+""",
+    doc="The same tumbling count as stream_events_per_minute, run on the "
+    "RocksDB state store provider instead of the default in-heap HDFS "
+    "store — identical oracle, so the backend swap is proven "
+    "answer-neutral. RocksDB is the 100 TB state backend: state lives "
+    "off-heap/on-disk with incremental checkpointing, so per-partition "
+    "state is bounded by disk, not executor heap (a windowed agg over "
+    "months of data or a large dedup buffer overflows an in-memory store "
+    "long before it overflows local SSD). Conf is scoped to this query: "
+    "provider is captured at stream start and restored after.",
+)
+def stream_events_per_minute_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = stream_events(spark, sf_dir)
+        agg = (
+            ev.withWatermark("ts", WATERMARK)
+            .groupBy(F.window("ts", "1 minute").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        out = run_to_memory(agg, output_mode="complete")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return out.select(F.unix_timestamp("w.start").alias("bucket_ts"), "n")
+
+
+@query(
     "stream_hourly_from_minutely_chained",
     oracle="""
 WITH mx AS (
