@@ -71,6 +71,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_hourly_from_minutely_chained",
     "python_stream_datasource_totals",
     "stream_events_per_minute_rocksdb",
+    "similarity_ivf_nprobe_topk",
+    "similarity_ivf_recall_nprobe",
     # (b) oracle/implementation hardened this round (ADVICE r5): the
     # timer fire condition, the exact GEMM re-rank, the small-n bracket,
     # the DISTINCT signup cogroup — re-prove under the new contracts

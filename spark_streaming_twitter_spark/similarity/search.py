@@ -887,3 +887,207 @@ def dedup_semantic_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keeper_id").isNotNull().cast("int").alias("dropped"),
         "keeper_id",
     )
+
+
+IVF_NPROBE = 2  # cells probed by the nprobe variant (top-1 is the base IVF)
+
+# Shared IVF oracle chain for the nprobe variant + its recall twin: same
+# exact-integer centroid construction as similarity_ivf_topk, with the
+# cells/scored/ranked chain generated per probe depth (suffix-named so two
+# depths coexist in one oracle).
+_IVF_PREFIX_CTES = f"""
+quantized AS (
+  SELECT c.vec_id, e.label, {_QUANT_SQL.format(vec="c.embedding")} AS qv, c.n2
+  FROM corpus c JOIN embeddings e ON c.vec_id = e.vec_id
+),
+dims AS (
+  SELECT vec_id, label, qv, n2,
+         unnest(generate_series(1, {DIM})) AS d
+  FROM quantized
+),
+centroid_dims AS (
+  SELECT label, d,
+         CAST((sum(qv[d]) - (((sum(qv[d]) % count(*)) + count(*)) % count(*)))
+              // count(*) AS BIGINT) AS c
+  FROM dims GROUP BY label, d
+),
+centroids AS (
+  SELECT label, list(c ORDER BY d) AS cvec FROM centroid_dims GROUP BY label
+),
+routed AS (
+  SELECT q.vec_id AS query_id, c.label,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_sum(list_transform(list_zip(q.qv, c.cvec),
+                                            p -> CAST(p[1] AS BIGINT) * p[2]))
+                    DESC, c.label ASC) AS rn
+  FROM quantized q CROSS JOIN centroids c
+  WHERE q.vec_id % {QUERY_STRIDE} = 0
+)"""
+
+
+def _ivf_ranked_ctes(nprobe: int, suffix: str = "") -> str:
+    return f""",
+cells{suffix} AS (SELECT query_id, label FROM routed WHERE rn <= {nprobe}),
+scored{suffix} AS (
+  SELECT cells{suffix}.query_id, n.vec_id AS neighbor_id,
+         CAST({scaled_dot_sql("q.embedding", "n.embedding")} AS DOUBLE)
+           / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(n.n2 AS DOUBLE)))
+           AS cosine
+  FROM cells{suffix}
+  JOIN quantized qn ON qn.label = cells{suffix}.label
+  JOIN corpus n ON n.vec_id = qn.vec_id AND n.vec_id <> cells{suffix}.query_id
+  JOIN corpus q ON q.vec_id = cells{suffix}.query_id
+),
+ranked{suffix} AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored{suffix}
+)"""
+
+
+def _ivf_probe_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """Query side of IVF with a configurable probe depth (exact re-rank)."""
+    emb = widen(
+        table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"),
+        spark,
+    )
+    corpus = emb.withColumn("n2", scaled_norm2(F.col("embedding"))).withColumn(
+        "qv", _quantized(F.col("embedding"))
+    )
+    dims = corpus.select("label", F.posexplode(F.col("qv")).alias("d0", "v"))
+    centroid_dims = (
+        dims.groupBy("label", "d0")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "label",
+            "d0",
+            F.expr("(s - pmod(s, cnt)) DIV cnt").cast("bigint").alias("c"),
+        )
+    )
+    centroids = centroid_dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d0", "c"))), lambda x: x["c"]
+        ).alias("cvec")
+    )
+    queries = corpus.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    cdot = F.aggregate(
+        F.zip_with(F.col("q_qv"), F.col("cvec"), lambda x, w: x * w),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w_route = Window.partitionBy("query_id").orderBy(
+        F.col("cdot").desc(), F.col("label").asc()
+    )
+    cells = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("cdot", cdot)
+        .withColumn("rn", F.row_number().over(w_route))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "label", "q_emb", "q_n2")
+    )
+    neighbors = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("embedding").alias("n_emb"),
+        F.col("n2").alias("n_n2"),
+    )
+    cosine = scaled_dot(F.col("q_emb"), F.col("n_emb")).cast("double") / (
+        F.sqrt(F.col("q_n2").cast("double")) * F.sqrt(F.col("n_n2").cast("double"))
+    )
+    scored = (
+        neighbors.join(F.broadcast(cells), "label")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+    )
+    return _topk_filter(scored)
+
+
+@query(
+    "similarity_ivf_nprobe_topk",
+    oracle=f"""
+{_ORACLE_PRELUDE},
+{_IVF_PREFIX_CTES}{_ivf_ranked_ctes(IVF_NPROBE)}
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc=f"IVF with nprobe={IVF_NPROBE} — the IVF recall knob, twin to LSH "
+    "multi-probe: each query searches its top-2 nearest cells instead of "
+    "1, doubling the probed fraction of the corpus (2/n_cells) without "
+    "touching the index or the partitioning. Cell members are disjoint "
+    "(one label per vector), so the candidate set is exactly the union "
+    "of the probed cells; exact integer-scaled re-rank as always.",
+)
+def similarity_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_probe_topk(spark, sf_dir, IVF_NPROBE)
+
+
+@query(
+    "similarity_ivf_recall_nprobe",
+    oracle=f"""
+{_ORACLE_PRELUDE},
+{_IVF_PREFIX_CTES}{_ivf_ranked_ctes(1)}{_ivf_ranked_ctes(IVF_NPROBE, suffix="_p")},
+exact_scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST({scaled_dot_sql("q.q_emb", "c.embedding")} AS DOUBLE)
+           / (sqrt(CAST(q.q_n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+           AS cosine
+  FROM queries q JOIN corpus c ON q.query_id <> c.vec_id
+),
+exact_ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM exact_scored
+)
+SELECT e.query_id,
+       count(*) AS n_exact,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(p.neighbor_id) AS BIGINT) AS n_hits_nprobe,
+       CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall,
+       CAST(count(p.neighbor_id) AS DOUBLE) / count(*) AS recall_nprobe,
+       CAST(count(p.neighbor_id) >= count(a.neighbor_id) AS INT)
+         AS nprobe_not_worse
+FROM (SELECT query_id, neighbor_id FROM exact_ranked WHERE rank <= {TOP_K}) e
+LEFT JOIN (SELECT query_id, neighbor_id FROM ranked WHERE rank <= {TOP_K}) a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+LEFT JOIN (SELECT query_id, neighbor_id FROM ranked_p WHERE rank <= {TOP_K}) p
+  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+GROUP BY e.query_id
+""",
+    doc="The IVF recall/cost curve: per-query recall@k at nprobe=1 vs "
+    f"nprobe={IVF_NPROBE} against the exact ranking, plus the invariant "
+    "flag nprobe_not_worse — a theorem by the same superset argument as "
+    "similarity_ann_recall_probed (probing more cells only adds "
+    "candidates; exact re-rank with the shared tie-break can only keep "
+    "or add true top-k members). Together the two recall queries give "
+    "the index-tuning picture for both ANN families.",
+)
+def similarity_ivf_recall_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = similarity_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    base = _ivf_probe_topk(spark, sf_dir, 1).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    probed = _ivf_probe_topk(spark, sf_dir, IVF_NPROBE).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit_p")
+    )
+    joined = exact.join(base, ["query_id", "neighbor_id"], "left").join(
+        probed, ["query_id", "neighbor_id"], "left"
+    )
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("hit").alias("n_hits"),
+        F.count("hit_p").alias("n_hits_nprobe"),
+        (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+        (F.count("hit_p").cast("double") / F.count(F.lit(1))).alias(
+            "recall_nprobe"
+        ),
+        (F.count("hit_p") >= F.count("hit")).cast("int").alias(
+            "nprobe_not_worse"
+        ),
+    )
