@@ -475,3 +475,32 @@ def test_results_bitwise_identical_across_partition_layouts(spark):
                 f"{name}: result differs between shuffle.partitions=1 "
                 f"and {n_parts}"
             )
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_codec_roundtrips_arbitrary_images(w, h, data):
+    """Pure-Python property (no Spark): encode_png -> decode_png is the
+    identity for ANY 8-bit RGB image, including w=1 (no left neighbor
+    anywhere: Sub/Average/Paeth degenerate), h=1 (no up neighbor), and
+    adversarial pixel values. The encoder cycles all five filter types,
+    so every example with h >= 5 exercises full unfiltering."""
+    from spark_streaming_twitter_spark.multimodal.columns import (
+        decode_png,
+        encode_png,
+    )
+
+    raw = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h * 3,
+                max_size=w * h * 3,
+            )
+        )
+    )
+    assert decode_png(encode_png(w, h, raw)) == (w, h, raw)
