@@ -527,3 +527,67 @@ def test_prebucket_sliding_cuts_state_writes_at_reference_cadence(
     assert len(direct) == len(
         [ws for ws in rolled if any(ws == d[0] for d in direct)]
     )
+
+
+def test_checkpoint_recovery_on_rocksdb_provider(spark, stream_dir, tmp_path):
+    """Same stop/restart recovery contract as
+    test_checkpoint_restores_state_across_restart, but on the RocksDB
+    state store provider — its checkpoint format (SST files + changelog)
+    is entirely different from the default in-heap store's, so recovery
+    is pinned separately. This is the backend a 100 TB stateful job runs
+    on; a restart that silently reset RocksDB state would double-count."""
+    ckpt = str(tmp_path / "ckpt_rocks")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+
+        def start_query():
+            src = _stream(spark, stream_dir)
+            agg = src.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+            return (
+                agg.writeStream.format("memory")
+                .queryName("ckpt_rocks_test")
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        _write_batch(
+            stream_dir,
+            "b1.json",
+            [
+                {"user_id": 1, "ts": "2024-01-01 10:00:00", "event": "a"},
+                {"user_id": 1, "ts": "2024-01-01 10:00:01", "event": "a"},
+            ],
+        )
+        q = start_query()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+        _write_batch(
+            stream_dir,
+            "b2.json",
+            [{"user_id": 1, "ts": "2024-01-01 10:01:00", "event": "a"}],
+        )
+        q = start_query()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+        rows = {r.user_id: r.n for r in spark.table("ckpt_rocks_test").collect()}
+        assert rows == {1: 3}, f"RocksDB state must survive restart: {rows}"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
