@@ -732,3 +732,160 @@ FROM frames
 def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir).where(F.col("kind") == "video")
     return sample_frames(media)
+
+
+WAV_RATE = 16000
+
+
+def encode_wav(n_samples: int, samples, rate: int = WAV_RATE) -> bytes:
+    """Minimal REAL WAV encoder: RIFF/fmt/data chunks, 16-bit mono PCM,
+    little-endian — stdlib struct only. The format every audio pipeline
+    ingests before feature extraction."""
+    import struct
+
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    assert len(pcm) == n_samples * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]] | None:
+    """Full pure-Python WAV decode for 16-bit mono PCM: RIFF chunk walk
+    (tolerates extra chunks, validates sizes), returns (sample_rate,
+    n_samples, samples). None for malformed/unsupported payloads —
+    per-row tolerance, never a failed job."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, rate, bits, channels, pcm = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            return None
+        if tag == b"fmt ":
+            if ln < 16:
+                return None
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body
+            )
+            if audio_fmt != 1:
+                return None
+        elif tag == b"data":
+            pcm = body
+        pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+    if rate is None or pcm is None or bits != 16 or channels != 1:
+        return None
+    if len(pcm) % 2:
+        return None
+    n = len(pcm) // 2
+    samples = list(struct.unpack(f"<{n}h", pcm))
+    return rate, n, samples
+
+
+def wav_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-kind docs as REAL WAV files: n_samples = doc_id % 320 + 32,
+    sample i = ((doc_id * 31 + i) % 65536) - 32768 — deterministic 16-bit
+    PCM, SQL-recomputable ground truth (same arithmetic family as the
+    pixel fixtures)."""
+    docs = widen(
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 1),
+        spark,
+    )
+
+    def encode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 320 + 32
+                samples = [((did * 31 + i) % 65536) - 32768 for i in range(n)]
+                payloads.append(encode_wav(n, samples))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(encode, "media_id long, payload binary")
+
+
+@query(
+    "media_wav_pcm_roundtrip",
+    oracle=f"""
+WITH auds AS (
+  SELECT doc_id AS media_id, doc_id % 320 + 32 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+samp AS (
+  SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+  FROM auds
+),
+vals AS (
+  SELECT media_id, n, i,
+         ((media_id * 31 + i) % 65536) - 32768 AS s
+  FROM samp
+)
+SELECT media_id,
+       CAST({WAV_RATE} AS INT) AS sample_rate,
+       CAST(any_value(n) AS INT) AS n_samples,
+       CAST(sum(s) AS BIGINT) AS sample_sum,
+       CAST(sum(s * (i + 1)) AS BIGINT) AS sample_checksum
+FROM vals GROUP BY media_id
+""",
+    doc="REAL audio decode, no codec library: encode_wav writes genuine "
+    "RIFF/fmt/data 16-bit mono PCM files, decode_wav chunk-walks with "
+    "size validation (word-aligned chunk advance, unknown chunks "
+    "skipped) and unpacks every sample — independent code paths, like "
+    "the PPM/BMP/PNG pairs. The oracle recomputes each sample from the "
+    "doc_id arithmetic; sample_checksum is position-weighted so a "
+    "byte-order, off-by-one, or sign error in the PCM unpack fails the "
+    "compare. Completes the audio leg of the multimodal surface: "
+    "header decode, full PCM decode, and the byte/frame feature ops all "
+    "value-checked.",
+)
+def media_wav_pcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = wav_media_table(spark, sf_dir)
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "sample_rate": [],
+                "n_samples": [],
+                "sample_sum": [],
+                "sample_checksum": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                got = decode_wav(payload)
+                if got is None:
+                    continue
+                rate, n, samples = got
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["sample_sum"].append(sum(samples))
+                out["sample_checksum"].append(
+                    sum(s * (i + 1) for i, s in enumerate(samples))
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        decode,
+        "media_id long, sample_rate int, n_samples int, sample_sum long, "
+        "sample_checksum long",
+    )

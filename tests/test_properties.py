@@ -504,3 +504,27 @@ def test_png_codec_roundtrips_arbitrary_images(w, h, data):
         )
     )
     assert decode_png(encode_png(w, h, raw)) == (w, h, raw)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=64),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_codec_roundtrips_arbitrary_pcm(n, data):
+    """Pure-Python property: encode_wav -> decode_wav is the identity for
+    any 16-bit mono PCM stream, including full-scale samples at both
+    int16 extremes."""
+    from spark_streaming_twitter_spark.multimodal.columns import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = data.draw(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    assert decode_wav(encode_wav(n, samples)) == (16000, n, samples)
