@@ -889,3 +889,157 @@ def media_wav_pcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, sample_rate int, n_samples int, sample_sum long, "
         "sample_checksum long",
     )
+
+
+def _mp4_box(tag: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def encode_mp4(did: int) -> bytes:
+    """Minimal REAL ISO-BMFF (MP4) writer: ftyp + moov(mvhd) + mdat with a
+    spec-layout version-0 mvhd (timescale/duration at their mandated
+    offsets, identity matrix, 0x00010000 rate) — stdlib struct only."""
+    import struct
+
+    timescale = did % 900 + 100
+    duration = (did * 7) % 10000
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd_body = (
+        struct.pack(">I", 0)  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification time
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">HH", 0x0100, 0)  # volume 1.0 + reserved
+        + b"\x00" * 8  # reserved
+        + matrix
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2)  # next_track_ID
+    )
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd_body))
+    mdat = _mp4_box(
+        b"mdat", bytes((did * 31 + i) % 256 for i in range(did % 64 + 8))
+    )
+    return ftyp + moov + mdat
+
+
+def decode_mp4(payload: bytes) -> dict | None:
+    """Pure-Python ISO-BMFF box walk: validates the size chain at top level
+    AND inside containers (moov), extracts timescale/duration from a
+    version-0 mvhd, counts boxes, and checksums the mdat body. None for
+    anything malformed — per-row tolerance."""
+    import struct
+
+    def walk(buf: bytes, out: list) -> bool:
+        pos = 0
+        while pos < len(buf):
+            if pos + 8 > len(buf):
+                return False
+            (size,) = struct.unpack_from(">I", buf, pos)
+            tag = buf[pos + 4 : pos + 8]
+            if size < 8 or pos + size > len(buf):
+                return False
+            body = buf[pos + 8 : pos + size]
+            out.append((tag, body))
+            if tag == b"moov":  # container: recurse with the same validation
+                if not walk(body, out):
+                    return False
+            pos += size
+        return True
+
+    boxes: list = []
+    if not walk(payload, boxes):
+        return None
+    tags = [t for t, _ in boxes]
+    if tags[:1] != [b"ftyp"]:
+        return None
+    mvhd = next((b for t, b in boxes if t == b"mvhd"), None)
+    mdat = next((b for t, b in boxes if t == b"mdat"), None)
+    if mvhd is None or mdat is None or len(mvhd) < 20 or mvhd[0] != 0:
+        return None
+    timescale, duration = struct.unpack_from(">II", mvhd, 12)
+    return {
+        "n_boxes": len(boxes),
+        "timescale": timescale,
+        "duration": duration,
+        "mdat_bytes": len(mdat),
+        "mdat_checksum": sum(v * (i + 1) for i, v in enumerate(mdat)),
+    }
+
+
+@query(
+    "media_mp4_box_stats",
+    oracle="""
+WITH vids AS (
+  SELECT doc_id AS media_id,
+         doc_id % 900 + 100 AS timescale,
+         (doc_id * 7) % 10000 AS duration,
+         doc_id % 64 + 8 AS nd
+  FROM documents WHERE doc_id % 3 = 2
+),
+byt AS (
+  SELECT media_id, timescale, duration, nd,
+         unnest(generate_series(0, nd - 1)) AS i
+  FROM vids
+)
+SELECT media_id,
+       CAST(4 AS INT) AS n_boxes,
+       CAST(any_value(timescale) AS INT) AS timescale,
+       CAST(any_value(duration) AS INT) AS duration,
+       CAST(any_value(nd) AS BIGINT) AS mdat_bytes,
+       CAST(sum(((media_id * 31 + i) % 256) * (i + 1)) AS BIGINT)
+         AS mdat_checksum
+FROM byt GROUP BY media_id
+""",
+    doc="REAL video-container parse, no codec library: encode_mp4 writes "
+    "genuine ISO-BMFF (ftyp + moov/mvhd with the spec's version-0 layout "
+    "+ mdat), decode_mp4 walks the box size chain top-level AND inside "
+    "containers, validates it, and extracts timescale/duration from "
+    "mvhd's mandated offsets — which is exactly what a production "
+    "pipeline does with video metadata (frame-level codec decode stays "
+    "out of scope honestly; a pure-Python H.264 would be padding). "
+    "Position-weighted mdat checksum oracle, same family as PNG/WAV. "
+    "n_boxes=4 counts ftyp, moov, its nested mvhd, and mdat.",
+)
+def media_mp4_box_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 2),
+        spark,
+    )
+
+    def roundtrip(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "n_boxes": [],
+                "timescale": [],
+                "duration": [],
+                "mdat_bytes": [],
+                "mdat_checksum": [],
+            }
+            for did in pdf["doc_id"]:
+                got = decode_mp4(encode_mp4(int(did)))
+                if got is None:
+                    continue
+                out["media_id"].append(did)
+                for k in (
+                    "n_boxes",
+                    "timescale",
+                    "duration",
+                    "mdat_bytes",
+                    "mdat_checksum",
+                ):
+                    out[k].append(got[k])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        roundtrip,
+        "media_id long, n_boxes int, timescale int, duration int, "
+        "mdat_bytes long, mdat_checksum long",
+    )

@@ -74,6 +74,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "similarity_ivf_nprobe_topk",
     "similarity_ivf_recall_nprobe",
     "media_wav_pcm_roundtrip",
+    "media_mp4_box_stats",
     # (b) oracle/implementation hardened this round (ADVICE r5): the
     # timer fire condition, the exact GEMM re-rank, the small-n bracket,
     # the DISTINCT signup cogroup — re-prove under the new contracts
