@@ -11,14 +11,18 @@ Decode is REAL and codec-free: ``decode_media`` parses PPM (P6) and BMP
 headers in pure Python — two formats simple enough that no external codec
 library is needed — and ``encoded_media_table`` writes genuine PPM/BMP
 payloads from the fixture, so encode and decode are independent code paths
-checked against each other and against a SQL oracle. PNG is ALSO real and
-codec-free (round 6): ``encode_png``/``decode_png`` implement the format
-with stdlib zlib — chunk CRCs, IDAT inflate, and all five scanline
-filters — with a per-pixel position-weighted checksum oracle
-(``media_png_pixel_roundtrip``). JPEG routes through PIL when importable
-(``_HAVE_PIL``); without it, it decodes to NULL dimensions rather than
-erroring, which is the honest per-row contract for a 100 TB corpus where a
-few malformed payloads must not kill the job. The rest of the surface —
+checked against each other and against a SQL oracle. As of round 6 all
+THREE media kinds parse their genuine container formats codec-free:
+images via a full stdlib-zlib PNG codec (chunk CRCs, IDAT inflate, all
+five scanline filters — ``media_png_pixel_roundtrip``) alongside PPM/BMP;
+audio via a RIFF/WAV 16-bit PCM codec (``media_wav_pcm_roundtrip``);
+video via an ISO-BMFF box walk with nested-container validation and
+mvhd timescale/duration extraction (``media_mp4_box_stats``). Each pins
+its payload with a position-weighted checksum oracle. JPEG and
+frame-level video codecs route through PIL when importable
+(``_HAVE_PIL``) or decode to NULL rather than erroring — the honest
+per-row contract for a 100 TB corpus where a few malformed payloads must
+not kill the job. The rest of the surface —
 schemas, batch iteration, binary handling, byte-level features, frame-index
 math — is oracle-tested: ``media_byte_histograms`` must match DuckDB
 computing the same histogram in SQL over the source text, which proves the
