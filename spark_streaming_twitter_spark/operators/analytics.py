@@ -637,3 +637,85 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_rows") - F.col("nn")).alias("n_nulls"),
         F.col("nd").alias("n_distinct"),
     )
+
+
+@query(
+    "events_gapfill_locf",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 900 * 900 AS bucket_ts,
+         count(*) AS n,
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+              AS DOUBLE) / count(*) AS bucket_avg
+  FROM events GROUP BY 1, 2
+),
+ext AS (
+  SELECT event_type, min(bucket_ts) AS mn, max(bucket_ts) AS mx
+  FROM b GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx, 900)) AS bucket_ts
+  FROM ext
+)
+SELECT s.event_type, s.bucket_ts,
+       COALESCE(b.n, 0) AS n_events,
+       CASE WHEN b.n IS NULL THEN 1 ELSE 0 END AS filled,
+       last_value(b.bucket_avg IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+FROM spine s
+LEFT JOIN b ON s.event_type = b.event_type AND s.bucket_ts = b.bucket_ts
+""",
+    doc="Time-series gap-fill with last-observation-carried-forward — the "
+    "hypertable `time_bucket_gapfill + locf` shape a timeseries engine "
+    "ships and the §2.8 inventory lacked: 15-minute buckets per "
+    "event_type, a generated dense minute spine (F.sequence + explode — "
+    "the spine is #groups x #buckets rows, never a row-per-event blowup), "
+    "missing buckets emitted with n_events=0 and a filled flag, and the "
+    "per-bucket mean carried forward by last(ignorenulls) over a "
+    "per-group ordered window. Scale: the bucket agg is one map-side "
+    "combinable shuffle on (event_type, bucket_ts); the spine generates "
+    "from a #groups-row extent table; LOCF is a per-group window — "
+    "parallel across groups, state is one scalar. Per-bucket mean sums "
+    "in DECIMAL(18,6) and divides once (order-independent exact, the "
+    "events_moving_avg_1h convention), and LOCF carries that one double "
+    "verbatim, so both engines agree bitwise. Each group's spine starts "
+    "at its own first observed bucket, so value_locf is never NULL.",
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_timestamp(ts) DIV 900 * 900").alias("bucket_ts"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    b = ev.groupBy("event_type", "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("v").cast("decimal(18,6)").cast("double")
+            / F.count(F.lit(1))
+        ).alias("bucket_avg"),
+    )
+    spine = (
+        b.groupBy("event_type")
+        .agg(F.min("bucket_ts").alias("mn"), F.max("bucket_ts").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.lit(900).cast("bigint"))
+            ).alias("bucket_ts"),
+        )
+    )
+    j = spine.join(b, ["event_type", "bucket_ts"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "bucket_ts",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).alias("filled"),
+        F.last("bucket_avg", ignorenulls=True).over(w).alias("value_locf"),
+    )

@@ -59,6 +59,8 @@ def query(
 # regeneration, (d) the round-4 set oldest-first as buffer.
 _GATE_PRIORITY: tuple[str, ...] = (
     # (a) new in round 6 — no driver row by construction
+    "events_gapfill_locf",
+    "doc_quality_classifier",
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
     "similarity_ann_recall_probed",

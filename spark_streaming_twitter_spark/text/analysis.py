@@ -561,3 +561,135 @@ def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("term", "doc_id", "tf", "df", "score_scaled", "rank")
     )
+
+
+# "Trained-offline" linear quality model: fixed integer weights over
+# integer-scaled features, plan-embedded as literals (the production shape:
+# the model rides the plan as constants / a broadcast, never a shuffle).
+# Thresholding the logit is equivalent to thresholding the sigmoid
+# (monotone), so the whole inference path stays in exact BIGINT arithmetic.
+_CLF_BIAS = -600_000
+_CLF_W_LEN = 8_000      # x least(n_tokens, 200)
+_CLF_W_STOP = 2         # x stopword parts-per-million
+_CLF_W_PUNCT = -3       # x punctuation parts-per-million
+_CLF_W_DIGIT = -2       # x digit parts-per-million
+
+
+@query(
+    "doc_quality_classifier",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, source, n_chars,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+           AS tk_lower,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, source,
+         {_CLF_BIAS}
+         + {_CLF_W_LEN} * LEAST(len(tk), 200)
+         + {_CLF_W_STOP} * (len(list_filter(tk_lower,
+               t -> list_contains(['the','a','of','and','to','is','in'], t)))
+             * 1000000 // GREATEST(len(tk), 1))
+         + ({_CLF_W_PUNCT}) * (n_punct * 1000000 // GREATEST(n_chars, 1))
+         + ({_CLF_W_DIGIT}) * (n_digit * 1000000 // GREATEST(n_chars, 1))
+           AS logit
+  FROM toks
+),
+agg AS (
+  SELECT source, count(*) AS n_docs,
+         sum(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) AS n_kept,
+         sum(logit) AS sum_logit
+  FROM feats GROUP BY 1
+),
+best AS (
+  SELECT source, doc_id AS top_doc_id FROM (
+    SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY logit DESC, doc_id ASC) AS rn
+    FROM feats
+  ) WHERE rn = 1
+)
+SELECT a.source, a.n_docs, CAST(a.n_kept AS BIGINT) AS n_kept,
+       CAST(a.n_kept AS BIGINT) * 1000000 // a.n_docs AS kept_ppm,
+       CAST(a.sum_logit AS BIGINT) AS sum_logit, b.top_doc_id
+FROM agg a JOIN best b ON a.source = b.source
+""",
+    doc="Model-based quality filtering — the learned-classifier stage "
+    "(fastText/logistic-regression class) that follows the heuristic "
+    "doc_quality_scores gate in a real training-data pipeline. The model "
+    "is a fixed integer-weight linear scorer over integer-scaled features "
+    "(capped token count, stopword/punct/digit parts-per-million): "
+    "inference is per-row JVM expressions with the weights embedded in "
+    "the plan as literals — no shuffle, no Python, no model server. "
+    "keep = logit >= 0 (sigmoid is monotone, so the threshold commutes "
+    "past it and the whole path stays exact BIGINT). Per-source keep "
+    "accounting plus argmax doc (two-stage: row_number over a per-source "
+    "window on the tiny scored projection; deterministic doc_id "
+    "tie-break). Scale: scoring is embarrassingly parallel over the "
+    "scan; the only shuffles key on `source` (group count + window), "
+    "both map-side combinable / skew-safe at any corpus size.",
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text", "n_chars"
+        ),
+        spark,
+    )
+    stop = F.array([F.lit(s) for s in ("the", "a", "of", "and", "to", "is", "in")])
+    tk = tokens(F.col("text"))
+    tk_lower = tokens(F.lower(F.col("text")))
+    n_tokens = F.size(tk)
+    n_stop = F.size(F.filter(tk_lower, lambda t: F.array_contains(stop, t)))
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"), 0)
+    )
+    n_digit = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]"), 0))
+    ppm = lambda num, den: (  # noqa: E731 — exact integer parts-per-million
+        num.cast("bigint") * F.lit(1_000_000)
+    ) / F.greatest(den, F.lit(1)).cast("bigint")
+    logit = (
+        F.lit(_CLF_BIAS)
+        + F.lit(_CLF_W_LEN) * F.least(n_tokens, F.lit(200)).cast("bigint")
+        + F.lit(_CLF_W_STOP)
+        * F.floor(ppm(n_stop, n_tokens)).cast("bigint")
+        + F.lit(_CLF_W_PUNCT)
+        * F.floor(ppm(n_punct, F.col("n_chars"))).cast("bigint")
+        + F.lit(_CLF_W_DIGIT)
+        * F.floor(ppm(n_digit, F.col("n_chars"))).cast("bigint")
+    )
+    feats = docs.select("doc_id", "source", logit.alias("logit"))
+    agg = feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("logit") >= 0, 1).otherwise(0)).alias("n_kept"),
+        F.sum("logit").alias("sum_logit"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("logit").desc(), F.col("doc_id").asc()
+    )
+    best = (
+        feats.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("doc_id").alias("top_doc_id"))
+    )
+    return agg.join(best, "source").select(
+        "source",
+        "n_docs",
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        (F.col("n_kept").cast("bigint") * F.lit(1_000_000))
+        .cast("bigint")
+        .alias("_num"),
+        "sum_logit",
+        "top_doc_id",
+    ).select(
+        "source",
+        "n_docs",
+        "n_kept",
+        F.floor(F.col("_num") / F.col("n_docs")).cast("bigint").alias("kept_ppm"),
+        F.col("sum_logit").cast("bigint").alias("sum_logit"),
+        "top_doc_id",
+    )
