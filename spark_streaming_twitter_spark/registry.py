@@ -61,6 +61,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # (a) new in round 6 — no driver row by construction
     "events_gapfill_locf",
     "doc_quality_classifier",
+    "stream_state_store_checkpoint",
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
     "similarity_ann_recall_probed",

@@ -1172,3 +1172,54 @@ def stream_update_emission_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         trace, "trigger_index int, window_ts bigint, n bigint"
     )
+
+
+@query(
+    "stream_state_store_checkpoint",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+    doc="Spark 4 State Data Source (`spark.read.format('statestore')`): run "
+    "a per-event_type streaming count to a checkpoint, then read the "
+    "query's STATE STORE itself back as a DataFrame — key struct, value "
+    "struct, partition_id — and verify the store's contents against the "
+    "batch oracle. This is the state observability surface a 1000-executor "
+    "streaming deployment operates on: audit a live job's state without "
+    "touching the job (the reader walks the checkpoint's per-partition "
+    "state files directly, one task per store partition — parallel, "
+    "no replay), find skewed/hot keys by grouping on partition_id, "
+    "validate state after an upgrade, or bootstrap a new query from an "
+    "old one's state. The memory-sink rows are deliberately ignored: the "
+    "asserted artifact IS the checkpoint state, proving store contents "
+    "(not just emitted output) match the batch answer bit-for-bit.",
+)
+def stream_state_store_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid as _uuid
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        _scoped_shuffle_partitions,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_state_ckpt_")
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    name = f"ss_{_uuid.uuid4().hex[:12]}"
+    with _scoped_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    # the store's value schema uses the AGGREGATE's internal buffer name
+    # ("count"), not the output alias — pin via position-independent name
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+    )

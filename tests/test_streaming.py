@@ -591,3 +591,56 @@ def test_checkpoint_recovery_on_rocksdb_provider(spark, stream_dir, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_state_metadata_reader_describes_checkpoint(spark, sf_dir):
+    """The state-metadata companion reader (Spark 4 State Data Source)
+    must describe the checkpoint's operator topology: one stateStoreSave
+    operator, partition count = the run's shuffle partitions, batch 0
+    committed — the observability contract stream_state_store_checkpoint's
+    value check builds on."""
+    import tempfile
+    import uuid
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        _scoped_shuffle_partitions,
+        stream_events,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="state_meta_test_")
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    with _scoped_shuffle_partitions(spark):
+        expected_parts = spark.sparkContext.defaultParallelism
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(f"meta_{uuid.uuid4().hex[:8]}")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    meta = spark.read.format("state-metadata").load(ckpt).collect()
+    assert len(meta) == 1
+    m = meta[0]
+    assert m.operatorName == "stateStoreSave"
+    assert m.numPartitions == expected_parts
+    assert m.minBatchId == 0 and m.maxBatchId >= 0
+
+    state = spark.read.format("statestore").load(ckpt)
+    assert "partition_id" in state.columns
+    n_types = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    assert state.count() == n_types
