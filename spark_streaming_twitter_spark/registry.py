@@ -62,6 +62,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_gapfill_locf",
     "doc_quality_classifier",
     "stream_state_store_checkpoint",
+    "media_jpeg_roundtrip",
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
     "similarity_ann_recall_probed",

@@ -528,3 +528,40 @@ def test_wav_codec_roundtrips_arbitrary_pcm(n, data):
         )
     )
     assert decode_wav(encode_wav(n, samples)) == (16000, n, samples)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    data=st.data(),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_codec_bounded_error_on_arbitrary_images(w, h, data):
+    """Pure-Python property: encode_jpeg -> decode_jpeg preserves exact
+    dimensions and lands every RGB channel within the ANALYTIC error
+    bound (all-ones quant tables make coefficient rounding the only
+    lossy step — see multimodal/jpeg.py module doc) for ANY image,
+    including 1-pixel-wide/tall shapes where every block is pure edge
+    padding and adversarial random pixel content."""
+    from spark_streaming_twitter_spark.multimodal.jpeg import (
+        ERR_BOUND,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    raw = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h * 3,
+                max_size=w * h * 3,
+            )
+        )
+    )
+    got = decode_jpeg(encode_jpeg(w, h, raw))
+    assert got is not None
+    gw, gh, rgb = got
+    assert (gw, gh) == (w, h)
+    assert len(rgb) == len(raw)
+    max_err = max(abs(a - b) for a, b in zip(rgb, raw)) if raw else 0
+    assert max_err <= ERR_BOUND, f"{w}x{h}: max channel err {max_err}"
