@@ -63,6 +63,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "doc_quality_classifier",
     "stream_state_store_checkpoint",
     "media_jpeg_roundtrip",
+    "part_zorder_cells",
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
     "similarity_ann_recall_probed",
@@ -178,6 +179,7 @@ def load_all() -> dict[str, QuerySpec]:
     import spark_streaming_twitter_spark.operators.advanced  # noqa: F401
     import spark_streaming_twitter_spark.operators.analytics  # noqa: F401
     import spark_streaming_twitter_spark.operators.graph  # noqa: F401
+    import spark_streaming_twitter_spark.operators.layout  # noqa: F401
     import spark_streaming_twitter_spark.operators.modern  # noqa: F401
     import spark_streaming_twitter_spark.operators.relational  # noqa: F401
     import spark_streaming_twitter_spark.operators.trending  # noqa: F401
