@@ -64,6 +64,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_state_store_checkpoint",
     "media_jpeg_roundtrip",
     "part_zorder_cells",
+    "stream_upsert_latest_state",
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
     "similarity_ann_recall_probed",
