@@ -65,6 +65,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "media_jpeg_roundtrip",
     "part_zorder_cells",
     "stream_upsert_latest_state",
+    "doc_wordpiece_tokens",
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
     "similarity_ann_recall_probed",

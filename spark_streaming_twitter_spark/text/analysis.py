@@ -693,3 +693,118 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_logit").cast("bigint").alias("sum_logit"),
         "top_doc_id",
     )
+
+
+# "Trained-offline" WordPiece-style vocabulary: multi-character pieces with
+# single-character fallback (so tokenization is total). Plan-embedded like
+# the classifier weights — a production vocab swaps in as data, same plan.
+_WORDPIECE_VOCAB = (
+    "the", "ing", "ed", "er", "an", "and", "of", "to", "in", "re", "on",
+    "at", "en", "es", "or", "st", "ar", "nd", "is", "it", "ou", "le",
+    "tion", "ment",
+)
+
+
+def _vocab_sql() -> str:
+    return ", ".join(f"'{p}'" for p in _WORDPIECE_VOCAB)
+
+
+@query(
+    "doc_wordpiece_tokens",
+    oracle=rf"""
+WITH RECURSIVE
+vocab(piece) AS (SELECT unnest([{_vocab_sql()}])),
+doc_words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+words AS (SELECT DISTINCT tok FROM doc_words),
+step(tok, pos, pieces) AS (
+  SELECT tok, 1, 0 FROM words
+  UNION ALL
+  SELECT s.tok,
+         s.pos + length(coalesce(
+           (SELECT v.piece FROM vocab v
+            WHERE v.piece = substr(s.tok, s.pos, length(v.piece))
+            ORDER BY length(v.piece) DESC, v.piece LIMIT 1),
+           substr(s.tok, s.pos, 1))),
+         s.pieces + 1
+  FROM step s
+  WHERE s.pos <= length(s.tok)
+),
+done AS (SELECT tok, pieces FROM step WHERE pos = length(tok) + 1)
+SELECT d.doc_id,
+       count(*) AS n_words,
+       CAST(sum(p.pieces) AS BIGINT) AS n_pieces,
+       CAST(sum(length(d.tok)) AS BIGINT) AS n_chars
+FROM doc_words d JOIN done p USING (tok)
+GROUP BY 1
+""",
+    doc="REAL subword tokenization — greedy longest-match WordPiece (the "
+    "BERT-family algorithm) with a fixed plan-embedded vocabulary and "
+    "single-character fallback, the token-counting stage an LLM data "
+    "pipeline actually runs (whitespace counts estimate cost; training "
+    "budgets are set in SUBWORD tokens). The Spark shape is the one that "
+    "scales: tokenize the DISTINCT words only (the expensive Python loop "
+    "runs once per unique word, not once per occurrence — corpus word "
+    "frequency follows Zipf, so distinct words are orders of magnitude "
+    "fewer than tokens), then join the per-word piece counts back to the "
+    "occurrence stream (AQE picks broadcast while the vocabulary of "
+    "distinct words fits, shuffle join beyond) and aggregate per doc. "
+    "The greedy matcher itself is an Arrow-batched mapInPandas over the "
+    "distinct-word table. The oracle replays the exact greedy automaton "
+    "as a DuckDB RECURSIVE CTE (one row per (word, position) state, "
+    "longest-prefix lateral lookup) — two independent implementations of "
+    "the same spec, compared exactly.",
+)
+def doc_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    docs = widen(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    distinct_words = words.select("tok").distinct()
+
+    by_len: dict[int, set] = {}
+    for p in _WORDPIECE_VOCAB:
+        by_len.setdefault(len(p), set()).add(p)
+    lens_desc = sorted(by_len, reverse=True)
+
+    def tokenize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            counts = []
+            for tok in pdf["tok"]:
+                pos, pieces = 0, 0
+                n = len(tok)
+                while pos < n:
+                    step = 1  # single-char fallback
+                    for ln in lens_desc:
+                        if tok[pos : pos + ln] in by_len[ln]:
+                            step = ln
+                            break
+                    pos += step
+                    pieces += 1
+                counts.append(pieces)
+            yield pd.DataFrame({"tok": pdf["tok"], "pieces": counts})
+
+    piece_counts = distinct_words.mapInPandas(
+        tokenize, "tok string, pieces int"
+    )
+    return words.join(piece_counts, "tok").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("pieces").cast("bigint").alias("n_pieces"),
+        F.sum(F.length("tok")).cast("bigint").alias("n_chars"),
+    )
