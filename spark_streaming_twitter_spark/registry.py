@@ -66,6 +66,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "part_zorder_cells",
     "stream_upsert_latest_state",
     "doc_wordpiece_tokens",
+    "sketch_rollup_daily_users",
+    "sketch_topk_event_types_merge",
+    "sketch_theta_segment_overlap",
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
     "similarity_ann_recall_probed",
@@ -182,6 +185,7 @@ def load_all() -> dict[str, QuerySpec]:
     import spark_streaming_twitter_spark.operators.analytics  # noqa: F401
     import spark_streaming_twitter_spark.operators.graph  # noqa: F401
     import spark_streaming_twitter_spark.operators.layout  # noqa: F401
+    import spark_streaming_twitter_spark.operators.sketches  # noqa: F401
     import spark_streaming_twitter_spark.operators.modern  # noqa: F401
     import spark_streaming_twitter_spark.operators.relational  # noqa: F401
     import spark_streaming_twitter_spark.operators.trending  # noqa: F401
