@@ -670,18 +670,21 @@ LEFT JOIN b ON s.event_type = b.event_type AND s.bucket_ts = b.bucket_ts
     doc="Time-series gap-fill with last-observation-carried-forward — the "
     "hypertable `time_bucket_gapfill + locf` shape a timeseries engine "
     "ships and the §2.8 inventory lacked: 15-minute buckets per "
-    "event_type, a generated dense minute spine (F.sequence + explode — "
-    "the spine is #groups x #buckets rows, never a row-per-event blowup), "
-    "missing buckets emitted with n_events=0 and a filled flag, and the "
-    "per-bucket mean carried forward by last(ignorenulls) over a "
-    "per-group ordered window. Scale: the bucket agg is one map-side "
-    "combinable shuffle on (event_type, bucket_ts); the spine generates "
-    "from a #groups-row extent table; LOCF is a per-group window — "
-    "parallel across groups, state is one scalar. Per-bucket mean sums "
-    "in DECIMAL(18,6) and divides once (order-independent exact, the "
-    "events_moving_avg_1h convention), and LOCF carries that one double "
-    "verbatim, so both engines agree bitwise. Each group's spine starts "
-    "at its own first observed bucket, so value_locf is never NULL.",
+    "event_type, missing buckets emitted with n_events=0 and a filled "
+    "flag, the per-bucket mean carried forward. Single-pass formulation: "
+    "each observed bucket owns the half-open range up to the NEXT "
+    "observed bucket (lead() over the bucket table) and explodes into "
+    "it carrying its own average — LOCF by construction, no dense-spine "
+    "join, events scanned once. Scale: the bucket agg is one map-side "
+    "combinable shuffle on (event_type, bucket_ts); lead() rides a "
+    "per-group window over the already-small bucket table; generated "
+    "rows = groups x buckets, set by the grain, never by event volume. "
+    "Per-bucket mean sums in DECIMAL(18,6) and divides once "
+    "(order-independent exact, the events_moving_avg_1h convention) and "
+    "is carried verbatim, so both engines agree bitwise. Each group's "
+    "range starts at its first observed bucket, so value_locf is never "
+    "NULL. The oracle keeps the classic dense-spine + last(IGNORE "
+    "NULLS) formulation — two different algorithms, same answer.",
 )
 def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
@@ -696,26 +699,34 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("bucket_avg"),
     )
-    spine = (
-        b.groupBy("event_type")
-        .agg(F.min("bucket_ts").alias("mn"), F.max("bucket_ts").alias("mx"))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence("mn", "mx", F.lit(900).cast("bigint"))
-            ).alias("bucket_ts"),
-        )
-    )
-    j = spine.join(b, ["event_type", "bucket_ts"], "left")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("bucket_ts")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return j.select(
+    # single-pass gap-fill, no spine join: each observed bucket owns the
+    # half-open range [bucket, next observed bucket) and explodes into it
+    # carrying its own average — LOCF by construction. One scan, one
+    # shuffle (the bucket agg; lead() reuses its partitioning), and the
+    # generated-row count is identical to the dense-spine formulation.
+    wlead = Window.partitionBy("event_type").orderBy("bucket_ts")
+    b2 = b.withColumn("nxt", F.lead("bucket_ts").over(wlead))
+    exploded = b2.select(
         "event_type",
         "bucket_ts",
-        F.coalesce("n", F.lit(0)).alias("n_events"),
-        F.when(F.col("n").isNull(), 1).otherwise(0).alias("filled"),
-        F.last("bucket_avg", ignorenulls=True).over(w).alias("value_locf"),
+        "n",
+        "bucket_avg",
+        F.explode(
+            F.sequence(
+                "bucket_ts",
+                F.coalesce(
+                    F.col("nxt") - F.lit(900).cast("bigint"),
+                    F.col("bucket_ts"),
+                ),
+                F.lit(900).cast("bigint"),
+            )
+        ).alias("bt"),
+    )
+    observed = F.col("bt") == F.col("bucket_ts")
+    return exploded.select(
+        "event_type",
+        F.col("bt").alias("bucket_ts"),
+        F.when(observed, F.col("n")).otherwise(0).alias("n_events"),
+        F.when(observed, 0).otherwise(1).alias("filled"),
+        F.col("bucket_avg").alias("value_locf"),
     )

@@ -627,11 +627,12 @@ FROM agg a JOIN best b ON a.source = b.source
     "the plan as literals — no shuffle, no Python, no model server. "
     "keep = logit >= 0 (sigmoid is monotone, so the threshold commutes "
     "past it and the whole path stays exact BIGINT). Per-source keep "
-    "accounting plus argmax doc (two-stage: row_number over a per-source "
-    "window on the tiny scored projection; deterministic doc_id "
-    "tie-break). Scale: scoring is embarrassingly parallel over the "
-    "scan; the only shuffles key on `source` (group count + window), "
-    "both map-side combinable / skew-safe at any corpus size.",
+    "accounting plus argmax doc in ONE aggregate — max(struct(logit, "
+    "-doc_id)) gives highest-logit-then-min-doc_id without a second scan "
+    "or window (the oracle's row_number ordering, single-pass). Scale: "
+    "scoring is embarrassingly parallel over the scan; the single "
+    "shuffle keys on `source` and is map-side combinable / skew-safe at "
+    "any corpus size.",
 )
 def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(
@@ -663,35 +664,32 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.floor(ppm(n_digit, F.col("n_chars"))).cast("bigint")
     )
     feats = docs.select("doc_id", "source", logit.alias("logit"))
+    # single pass, single shuffle: the argmax doc rides the same aggregate
+    # as the counts via max(struct(logit, -doc_id)) — highest logit, then
+    # (by the negated id) the LOWEST doc_id on ties, matching the oracle's
+    # row_number ordering without a second scan or a window
     agg = feats.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("logit") >= 0, 1).otherwise(0)).alias("n_kept"),
         F.sum("logit").alias("sum_logit"),
+        F.max(
+            F.struct(
+                F.col("logit").alias("l"), (-F.col("doc_id")).alias("nid")
+            )
+        ).alias("best"),
     )
-    w = Window.partitionBy("source").orderBy(
-        F.col("logit").desc(), F.col("doc_id").asc()
-    )
-    best = (
-        feats.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("source", F.col("doc_id").alias("top_doc_id"))
-    )
-    return agg.join(best, "source").select(
+    return agg.select(
         "source",
         "n_docs",
         F.col("n_kept").cast("bigint").alias("n_kept"),
-        (F.col("n_kept").cast("bigint") * F.lit(1_000_000))
+        F.floor(
+            (F.col("n_kept").cast("bigint") * F.lit(1_000_000))
+            / F.col("n_docs")
+        )
         .cast("bigint")
-        .alias("_num"),
-        "sum_logit",
-        "top_doc_id",
-    ).select(
-        "source",
-        "n_docs",
-        "n_kept",
-        F.floor(F.col("_num") / F.col("n_docs")).cast("bigint").alias("kept_ppm"),
+        .alias("kept_ppm"),
         F.col("sum_logit").cast("bigint").alias("sum_logit"),
-        "top_doc_id",
+        (-F.col("best.nid")).alias("top_doc_id"),
     )
 
 
