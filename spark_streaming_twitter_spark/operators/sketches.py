@@ -78,6 +78,7 @@ SELECT CAST(-1 AS BIGINT),
     "union-of-sketches total under the same flag. At 100 TB the daily "
     "sketch table is the stored artifact — any ad-hoc date-range "
     "distinct count is a kilobyte-scale merge over it.",
+    bench=True,
 )
 def sketch_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(

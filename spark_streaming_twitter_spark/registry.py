@@ -69,6 +69,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sketch_rollup_daily_users",
     "sketch_topk_event_types_merge",
     "sketch_theta_segment_overlap",
+    "stream_incremental_availablenow_runs",
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
     "similarity_ann_recall_probed",

@@ -1353,3 +1353,96 @@ def stream_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+@query(
+    "stream_incremental_availablenow_runs",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+    doc="Exactly-once INCREMENTAL ingest across two separately-started "
+    "runs — the scheduled-job contract a 100 TB lake pipeline relies on: "
+    "run A starts with Trigger.AvailableNow over two spool files, drains "
+    "them through a parquet sink and terminates itself; two MORE files "
+    "then appear; run B starts with the SAME checkpoint and sink and "
+    "processes ONLY the new files (the checkpoint's file log is the "
+    "source's committed offset). The oracle compares the final sink "
+    "table's per-type counts against the batch answer over ALL events — "
+    "a check that fails on BOTH failure modes: reprocessing (counts "
+    "high) and missed files (counts low). maxFilesPerTrigger=1 keeps "
+    "each run multi-micro-batch so the bounded-work-per-trigger claim "
+    "is exercised, not just the two-run split.",
+)
+def stream_incremental_availablenow_runs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.catalog import table as _table
+
+    bt = _table(spark, sf_dir, "events").select("ts", "event_type")
+    m, x = bt.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    cuts = [m + (k * (x - m)) // 4 for k in range(1, 4)]
+
+    spool = tempfile.mkdtemp(prefix="avnow_spool_")
+    out = tempfile.mkdtemp(prefix="avnow_out_")
+    ckpt = os.path.join(out, "_ckpt")
+    sink = os.path.join(out, "data")
+    try:
+        e = F.unix_timestamp("ts")
+        preds = [
+            e < cuts[0],
+            (e >= cuts[0]) & (e < cuts[1]),
+            (e >= cuts[1]) & (e < cuts[2]),
+            e >= cuts[2],
+        ]
+        staged = []
+        for i, pred in enumerate(preds):
+            stage = os.path.join(spool, f"_stage_{i}")
+            bt.where(pred).coalesce(1).write.parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            staged.append((os.path.join(stage, part), f"batch_{i}.parquet"))
+
+        schema = spark.read.parquet(staged[0][0]).schema
+
+        def expose(k: int) -> None:
+            src, name = staged[k]
+            dst = os.path.join(spool, name)
+            shutil.copy(src, dst)
+            os.utime(dst, (1_000_000_000 + k * 3600,) * 2)
+
+        def run_once() -> None:
+            raw = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "batch_*.parquet")
+                .parquet(spool)
+            )
+            q = (
+                raw.select("event_type")
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        expose(0)
+        expose(1)
+        run_once()  # run A: drains files 0-1, terminates itself
+        expose(2)
+        expose(3)
+        run_once()  # run B: same checkpoint — picks up ONLY files 2-3
+
+        return (
+            spark.read.parquet(sink)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)

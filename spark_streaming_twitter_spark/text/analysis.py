@@ -756,6 +756,7 @@ GROUP BY 1
     "as a DuckDB RECURSIVE CTE (one row per (word, position) state, "
     "longest-prefix lateral lookup) — two independent implementations of "
     "the same spec, compared exactly.",
+    bench=True,
 )
 def doc_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator

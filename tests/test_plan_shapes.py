@@ -261,3 +261,26 @@ def test_skewed_join_pair_keeps_sort_merge_shape(spark):
     salted = SPECS["skewed_join_revenue_salted"].fn(spark, SF)
     joined = salted._jdf.queryExecution().optimizedPlan().toString()
     assert "salt" in joined
+
+
+def test_gapfill_and_classifier_are_single_pass(spark):
+    # Both were refactored from two-branch plans (spine join / argmax
+    # window) to single-scan single-shuffle shapes; a second FileScan
+    # reappearing means the refactor regressed.
+    for name in ("events_gapfill_locf", "doc_quality_classifier"):
+        df = SPECS[name].fn(spark, SF)
+        raw = plan_features(df).raw
+        n_scans = sum(
+            1 for line in raw.splitlines() if "FileScan parquet" in line
+        )
+        assert n_scans == 1, f"{name}: expected 1 scan, saw {n_scans}"
+
+
+def test_zorder_cells_no_shuffle_before_cell_agg(spark):
+    # The Morton code and the cell id are row-local projections; the only
+    # exchange allowed is the 16-group aggregate's.
+    df = SPECS["part_zorder_cells"].fn(spark, SF)
+    raw = plan_features(df).raw
+    assert "Window" not in raw and "Sort" not in raw.replace(
+        "SortAggregate", ""
+    ), raw
