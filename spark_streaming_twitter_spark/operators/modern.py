@@ -176,3 +176,77 @@ def ps_orders_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .to_spark()
         )
     return out
+
+
+@query(
+    "sql_udf_discounted_revenue",
+    oracle=f"""
+SELECT l_returnflag, count(*) AS n,
+       {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem
+GROUP BY 1
+""",
+    doc="SQL-language UDF (Spark 4 CREATE FUNCTION ... RETURN expr): the "
+    "discounted-revenue formula is defined ONCE as a named function and "
+    "reused by name — and unlike a Python UDF, Catalyst INLINES the body "
+    "into the plan (no serialization wall, pushdown and codegen see "
+    "through it; test_sql_udf_inlines_no_python pins the absence of any "
+    "Python eval node). This is the right way to share business logic "
+    "across queries at 100 TB: a function catalog of SQL bodies, zero "
+    "runtime cost over writing the expression inline. Revenue sums "
+    "through the DECIMAL(18,6) exact-aggregation convention.",
+)
+def sql_udf_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_rev(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sqludf")
+    return spark.sql(
+        """
+SELECT l_returnflag, count(*) AS n,
+       CAST(SUM(CAST(disc_rev(l_extendedprice, l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem_sqludf
+GROUP BY 1
+"""
+    )
+
+
+@query(
+    "sql_table_function_big_orders",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n,
+       CAST(max(o_totalprice * 100) AS BIGINT) AS max_cents
+FROM orders
+WHERE o_totalprice >= 45000
+GROUP BY 1
+""",
+    doc="SQL-language TABLE function (CREATE FUNCTION ... RETURNS TABLE "
+    "... RETURN SELECT): a parameterized relation — orders above a price "
+    "floor — invoked in the FROM clause like a view with arguments. The "
+    "body inlines into the plan, so the o_totalprice predicate reaches "
+    "the parquet scan exactly as if written inline (pushdown through the "
+    "function boundary). max(o_totalprice*100) compares as exact integer "
+    "cents. The table-function surface complements the Python UDTF leg "
+    "(udtf_token_positions): same API shape, but this one is pure "
+    "Catalyst with no Python process.",
+)
+def sql_table_function_big_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sqltf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION big_orders(floor_price DOUBLE) "
+        "RETURNS TABLE(o_orderpriority STRING, o_totalprice DOUBLE) "
+        "RETURN SELECT o_orderpriority, o_totalprice FROM orders_sqltf "
+        "WHERE o_totalprice >= floor_price"
+    )
+    return spark.sql(
+        """
+SELECT o_orderpriority, count(*) AS n,
+       CAST(max(o_totalprice * 100) AS BIGINT) AS max_cents
+FROM big_orders(45000.0)
+GROUP BY 1
+"""
+    )

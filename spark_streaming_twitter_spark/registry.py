@@ -70,6 +70,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sketch_topk_event_types_merge",
     "sketch_theta_segment_overlap",
     "stream_incremental_availablenow_runs",
+    "xml_format_roundtrip_stats",
+    "sql_udf_discounted_revenue",
+    "sql_table_function_big_orders",
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
     "similarity_ann_recall_probed",

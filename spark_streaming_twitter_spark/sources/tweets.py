@@ -298,3 +298,53 @@ def jsonl_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count("_bad").alias("n_corrupt"),
     )
+
+
+@query(
+    "xml_format_roundtrip_stats",
+    oracle="""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(length(text)) AS BIGINT) AS total_text_len
+FROM documents
+GROUP BY lang
+""",
+    doc="Spark 4 NATIVE XML source (the spark-xml package folded into "
+    "core): the documents table round-trips through element-per-row XML "
+    "(rootTag/rowTag, writer entity-escapes markup in text) and is read "
+    "back with an explicit schema — completing the format matrix next to "
+    "file_format_roundtrip_stats' CSV/JSONL/ORC legs. total_text_len "
+    "(sum of actual string lengths after the round-trip) is the "
+    "lossless-text proof: any entity mis-escape or whitespace trim "
+    "changes it. Scale: the XML reader splits by row tag per file like "
+    "any text source — schema is pinned (no inference scan).",
+)
+def xml_format_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.catalog import spool_fixture
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+
+    def write_all(base) -> None:
+        (
+            docs.coalesce(2)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "documents")
+            .option("rowTag", "document")
+            .save(str(base / "xml"))
+        )
+
+    base = spool_fixture("xmlfmt", sf_dir, "v1", write_all)
+    back = (
+        spark.read.schema("doc_id long, text string, lang string, n_chars long")
+        .format("xml")
+        .option("rowTag", "document")
+        .load(str(base / "xml"))
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_text_len"),
+    )

@@ -284,3 +284,22 @@ def test_zorder_cells_no_shuffle_before_cell_agg(spark):
     assert "Window" not in raw and "Sort" not in raw.replace(
         "SortAggregate", ""
     ), raw
+
+
+def test_sql_udf_inlines_no_python(spark):
+    # A SQL-language UDF must be inlined by Catalyst: no Python eval
+    # node anywhere, and the aggregate still partials map-side.
+    df = SPECS["sql_udf_discounted_revenue"].fn(spark, SF)
+    raw = plan_features(df).raw
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert bad not in raw, raw
+
+
+def test_sql_table_function_pushes_filter_to_scan(spark):
+    # The table function body must inline so the price predicate reaches
+    # the parquet scan as a pushed filter.
+    df = SPECS["sql_table_function_big_orders"].fn(spark, SF)
+    raw = plan_features(df).raw
+    assert "PushedFilters: [" in raw and "o_totalprice" in raw.split(
+        "PushedFilters"
+    )[1][:200], raw
