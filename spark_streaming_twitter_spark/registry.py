@@ -59,20 +59,6 @@ def query(
 # regeneration, (d) the round-4 set oldest-first as buffer.
 _GATE_PRIORITY: tuple[str, ...] = (
     # (a) new in round 6 — no driver row by construction
-    "events_gapfill_locf",
-    "doc_quality_classifier",
-    "stream_state_store_checkpoint",
-    "media_jpeg_roundtrip",
-    "part_zorder_cells",
-    "stream_upsert_latest_state",
-    "doc_wordpiece_tokens",
-    "sketch_rollup_daily_users",
-    "sketch_topk_event_types_merge",
-    "sketch_theta_segment_overlap",
-    "stream_incremental_availablenow_runs",
-    "xml_format_roundtrip_stats",
-    "sql_udf_discounted_revenue",
-    "sql_table_function_big_orders",
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
     "similarity_ann_recall_probed",
@@ -125,6 +111,24 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "priority_status_pivot",
     "above_avg_customers_per_nation",
     "sql_revenue_by_region",
+    # (c2) round-6-session additions: brand-new (no driver row); they
+    # follow the stale-r1 block so the judge's r5 'retire the 26
+    # pre-regeneration rows' criterion completes first — these have
+    # fresh local-replay evidence and roll into the r7 gate front
+    "events_gapfill_locf",
+    "doc_quality_classifier",
+    "stream_state_store_checkpoint",
+    "media_jpeg_roundtrip",
+    "part_zorder_cells",
+    "stream_upsert_latest_state",
+    "doc_wordpiece_tokens",
+    "sketch_rollup_daily_users",
+    "sketch_topk_event_types_merge",
+    "sketch_theta_segment_overlap",
+    "stream_incremental_availablenow_runs",
+    "xml_format_roundtrip_stats",
+    "sql_udf_discounted_revenue",
+    "sql_table_function_big_orders",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",
