@@ -120,3 +120,87 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges).select(
         F.col("id").alias("doc_id"), F.col("r").alias("rank_scaled")
     )
+
+
+@query(
+    "copurchase_triangle_stats",
+    oracle="""
+WITH inc AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p
+),
+verts AS (
+  SELECT count(DISTINCT x) AS n_vertices
+  FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+),
+wedges AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+),
+tris AS (
+  SELECT count(*) AS n_triangles
+  FROM wedges w JOIN edges e ON w.a = e.u AND w.c = e.v
+)
+SELECT (SELECT n_vertices FROM verts) AS n_vertices,
+       (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT count(*) FROM wedges) AS n_wedges,
+       (SELECT n_triangles FROM tris) AS n_triangles
+""",
+    doc="Triangle counting over the co-purchase graph (parts sharing an "
+    "order): the canonical two-join triangle enumeration with id-ordered "
+    "edges (u < v), so every triangle (a<b<c) is generated exactly once "
+    "as wedge (a-b-c) closed by edge (a,c) — no post-hoc division by 6. "
+    "Plan: dedup the order-part incidence, build distinct ordered edges "
+    "via a self-join on the order key, then wedge join (edges x edges on "
+    "the middle vertex) + closing semi-join, all equi-joins shuffle-keyed "
+    "on vertex ids. Scale notes: wedge count is sum-of-squared-degrees — "
+    "the production optimization is degree-ordering the edge orientation "
+    "(each edge points low->high degree), which bounds per-vertex wedge "
+    "fan-out by sqrt(m) for a total O(m^1.5); the id-ordered variant "
+    "here keeps the oracle exactly replayable and documents the swap. "
+    "The closing join is the hot stage; AQE handles skewed hub parts.",
+)
+def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.catalog import table
+
+    inc = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    b = inc.select(F.col("o"), F.col("p").alias("q"))
+    edges = (
+        inc.join(b, "o")
+        .where(F.col("p") < F.col("q"))
+        .select(F.col("p").alias("u"), F.col("q").alias("v"))
+        .distinct()
+        # materialized once: three downstream consumers (vertex count,
+        # wedge join twice, closing join) — same rationale as pagerank's
+        # edge checkpoint; at cluster scale this is a parquet write
+        .localCheckpoint()
+    )
+    n_vertices = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .agg(F.count_distinct("x").alias("n_vertices"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = edges.join(
+        e2, edges.v == e2.b
+    ).select(F.col("u").alias("a"), F.col("v").alias("b"), "c")
+    n_wedges = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    closing = edges.select(
+        F.col("u").alias("a"), F.col("v").alias("c")
+    )
+    n_tris = wedges.join(closing, ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    return (
+        n_vertices.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_wedges))
+        .crossJoin(F.broadcast(n_tris))
+    )

@@ -129,6 +129,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "xml_format_roundtrip_stats",
     "sql_udf_discounted_revenue",
     "sql_table_function_big_orders",
+    "copurchase_triangle_stats",
+    "stream_events_pit_enrichment",
+    "corpus_curation_pipeline_v3",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",

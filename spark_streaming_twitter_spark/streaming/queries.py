@@ -1446,3 +1446,86 @@ def stream_incremental_availablenow_runs(
         )
     finally:
         shutil.rmtree(spool, ignore_errors=True)
+
+
+@query(
+    "stream_events_pit_enrichment",
+    oracle="""
+WITH lww AS (
+  SELECT user_id, event_id, value, ts_s
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts_s
+                                 ORDER BY event_id DESC) AS rn
+    FROM (SELECT user_id, event_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+          FROM events WHERE event_type = 'purchase')
+  ) WHERE rn = 1
+),
+intervals AS (
+  SELECT user_id, value, ts_s AS valid_from,
+         coalesce(lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s),
+                  CAST(9999999999 AS BIGINT)) AS valid_to
+  FROM lww
+),
+clicks AS (
+  SELECT user_id, event_id AS click_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id, c.click_id, c.click_ts,
+       i.value AS purchase_value_at_click,
+       i.valid_from AS value_since
+FROM clicks c
+JOIN intervals i
+  ON c.user_id = i.user_id
+ AND c.click_ts >= i.valid_from AND c.click_ts < i.valid_to
+""",
+    doc="The feature-store serving path as a STREAM: clicks arrive as an "
+    "unbounded stream and enrich against the SCD2 purchase-value history "
+    "(user_value_intervals_scd2) via a stream-static equi+range join — "
+    "the point-in-time lookup every online feature pipeline runs. "
+    "Stream-static inner joins are STATELESS (no watermark, no join "
+    "state): each micro-batch re-plans the static side, which is exactly "
+    "the dimension-refresh semantics a slowly-changing feature table "
+    "wants (a rebuilt snapshot is picked up at the next trigger). The "
+    "oracle is the batch events_pit_enrichment answer — streamed "
+    "enrichment must equal the batch join row-for-row. Scale: the "
+    "equi-key user_id carries the shuffle; at 100 TB the static side is "
+    "a bucketed/broadcast dimension and per-trigger cost is "
+    "O(batch x matching intervals).",
+)
+def stream_events_pit_enrichment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_streaming_twitter_spark.operators.analytics import (
+        user_value_intervals_scd2,
+    )
+
+    intervals = user_value_intervals_scd2(spark, sf_dir).select(
+        F.col("user_id").alias("i_user_id"),
+        "value",
+        "valid_from",
+        "valid_to",
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.unix_timestamp("ts").alias("click_ts"),
+        )
+    )
+    joined = clicks.join(
+        intervals,
+        (clicks.user_id == intervals.i_user_id)
+        & (F.col("click_ts") >= F.col("valid_from"))
+        & (F.col("click_ts") < F.col("valid_to")),
+    ).select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        F.col("value").alias("purchase_value_at_click"),
+        F.col("valid_from").alias("value_since"),
+    )
+    return run_to_memory(joined, output_mode="append")

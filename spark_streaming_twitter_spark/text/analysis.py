@@ -575,6 +575,40 @@ _CLF_W_PUNCT = -3       # x punctuation parts-per-million
 _CLF_W_DIGIT = -2       # x digit parts-per-million
 
 
+def classifier_logit() -> Column:
+    """The linear model's logit as a column expression over (text, n_chars).
+
+    Exact BIGINT throughout (see doc_quality_classifier); reused by the
+    capstone pipeline so gate and standalone query share one definition.
+    """
+    stop = F.array([F.lit(s) for s in ("the", "a", "of", "and", "to", "is", "in")])
+    tk = tokens(F.col("text"))
+    tk_lower = tokens(F.lower(F.col("text")))
+    n_tokens = F.size(tk)
+    n_stop = F.size(F.filter(tk_lower, lambda t: F.array_contains(stop, t)))
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"), 0)
+    )
+    n_digit = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]"), 0))
+
+    def ppm(num: Column, den: Column) -> Column:
+        # exact integer parts-per-million
+        return (num.cast("bigint") * F.lit(1_000_000)) / F.greatest(
+            den, F.lit(1)
+        ).cast("bigint")
+
+    return (
+        F.lit(_CLF_BIAS)
+        + F.lit(_CLF_W_LEN) * F.least(n_tokens, F.lit(200)).cast("bigint")
+        + F.lit(_CLF_W_STOP)
+        * F.floor(ppm(n_stop, n_tokens)).cast("bigint")
+        + F.lit(_CLF_W_PUNCT)
+        * F.floor(ppm(n_punct, F.col("n_chars"))).cast("bigint")
+        + F.lit(_CLF_W_DIGIT)
+        * F.floor(ppm(n_digit, F.col("n_chars"))).cast("bigint")
+    )
+
+
 @query(
     "doc_quality_classifier",
     oracle=rf"""
@@ -641,29 +675,7 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark,
     )
-    stop = F.array([F.lit(s) for s in ("the", "a", "of", "and", "to", "is", "in")])
-    tk = tokens(F.col("text"))
-    tk_lower = tokens(F.lower(F.col("text")))
-    n_tokens = F.size(tk)
-    n_stop = F.size(F.filter(tk_lower, lambda t: F.array_contains(stop, t)))
-    n_punct = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"), 0)
-    )
-    n_digit = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]"), 0))
-    ppm = lambda num, den: (  # noqa: E731 — exact integer parts-per-million
-        num.cast("bigint") * F.lit(1_000_000)
-    ) / F.greatest(den, F.lit(1)).cast("bigint")
-    logit = (
-        F.lit(_CLF_BIAS)
-        + F.lit(_CLF_W_LEN) * F.least(n_tokens, F.lit(200)).cast("bigint")
-        + F.lit(_CLF_W_STOP)
-        * F.floor(ppm(n_stop, n_tokens)).cast("bigint")
-        + F.lit(_CLF_W_PUNCT)
-        * F.floor(ppm(n_punct, F.col("n_chars"))).cast("bigint")
-        + F.lit(_CLF_W_DIGIT)
-        * F.floor(ppm(n_digit, F.col("n_chars"))).cast("bigint")
-    )
-    feats = docs.select("doc_id", "source", logit.alias("logit"))
+    feats = docs.select("doc_id", "source", classifier_logit().alias("logit"))
     # single pass, single shuffle: the argmax doc rides the same aggregate
     # as the counts via max(struct(logit, -doc_id)) — highest logit, then
     # (by the negated id) the LOWEST doc_id on ties, matching the oracle's
@@ -705,6 +717,56 @@ _WORDPIECE_VOCAB = (
 
 def _vocab_sql() -> str:
     return ", ".join(f"'{p}'" for p in _WORDPIECE_VOCAB)
+
+
+def wordpiece_words(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok) word-occurrence stream: lowercase alpha runs."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+
+
+def wordpiece_piece_counts(words: DataFrame) -> DataFrame:
+    """(tok, pieces) for the DISTINCT words of an occurrence stream.
+
+    The greedy longest-match loop runs once per unique word inside an
+    Arrow-batched mapInPandas — the Zipf-bounded shape shared by
+    doc_wordpiece_tokens and the capstone pipeline.
+    """
+    from collections.abc import Iterator
+
+    distinct_words = words.select("tok").distinct()
+    by_len: dict[int, set] = {}
+    for p in _WORDPIECE_VOCAB:
+        by_len.setdefault(len(p), set()).add(p)
+    lens_desc = sorted(by_len, reverse=True)
+
+    def tokenize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            counts = []
+            for tok in pdf["tok"]:
+                pos, pieces = 0, 0
+                n = len(tok)
+                while pos < n:
+                    step = 1  # single-char fallback
+                    for ln in lens_desc:
+                        if tok[pos : pos + ln] in by_len[ln]:
+                            step = ln
+                            break
+                    pos += step
+                    pieces += 1
+                counts.append(pieces)
+            yield pd.DataFrame({"tok": pdf["tok"], "pieces": counts})
+
+    return distinct_words.mapInPandas(tokenize, "tok string, pieces int")
 
 
 @query(
@@ -759,49 +821,11 @@ GROUP BY 1
     bench=True,
 )
 def doc_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collections.abc import Iterator
-
     docs = widen(
         table(spark, sf_dir, "documents").select("doc_id", "text"), spark
     )
-    words = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), "[^a-z]+"),
-                lambda t: t != "",
-            )
-        ).alias("tok"),
-    )
-    distinct_words = words.select("tok").distinct()
-
-    by_len: dict[int, set] = {}
-    for p in _WORDPIECE_VOCAB:
-        by_len.setdefault(len(p), set()).add(p)
-    lens_desc = sorted(by_len, reverse=True)
-
-    def tokenize(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in batches:
-            counts = []
-            for tok in pdf["tok"]:
-                pos, pieces = 0, 0
-                n = len(tok)
-                while pos < n:
-                    step = 1  # single-char fallback
-                    for ln in lens_desc:
-                        if tok[pos : pos + ln] in by_len[ln]:
-                            step = ln
-                            break
-                    pos += step
-                    pieces += 1
-                counts.append(pieces)
-            yield pd.DataFrame({"tok": pdf["tok"], "pieces": counts})
-
-    piece_counts = distinct_words.mapInPandas(
-        tokenize, "tok string, pieces int"
-    )
+    words = wordpiece_words(docs)
+    piece_counts = wordpiece_piece_counts(words)
     return words.join(piece_counts, "tok").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum("pieces").cast("bigint").alias("n_pieces"),

@@ -382,3 +382,146 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("p"),
         F.sqrt(p).alias("temp_weight"),
     )
+
+
+@query(
+    "corpus_curation_pipeline_v3",
+    oracle=r"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, source, text, n_chars,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+           AS tk_lower,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, source, text,
+         -600000
+         + 8000 * LEAST(len(tk), 200)
+         + 2 * (len(list_filter(tk_lower,
+               t -> list_contains(['the','a','of','and','to','is','in'], t)))
+             * 1000000 // GREATEST(len(tk), 1))
+         + (-3) * (n_punct * 1000000 // GREATEST(n_chars, 1))
+         + (-2) * (n_digit * 1000000 // GREATEST(n_chars, 1))
+           AS logit
+  FROM toks
+),
+kept AS (SELECT * FROM feats WHERE logit >= 0),
+canon AS (
+  SELECT k.doc_id, k.source, k.text
+  FROM kept k
+  JOIN (SELECT text, min(doc_id) AS md FROM kept GROUP BY text) m
+    ON k.doc_id = m.md
+),
+doc_words AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            t -> t <> '')) AS tok
+  FROM canon
+),
+words AS (SELECT DISTINCT tok FROM doc_words),
+vocab(piece) AS (SELECT unnest(['the','ing','ed','er','an','and','of','to',
+  'in','re','on','at','en','es','or','st','ar','nd','is','it','ou','le',
+  'tion','ment'])),
+step(tok, pos, pieces) AS (
+  SELECT tok, 1, 0 FROM words
+  UNION ALL
+  SELECT s.tok,
+         s.pos + length(coalesce(
+           (SELECT v.piece FROM vocab v
+            WHERE v.piece = substr(s.tok, s.pos, length(v.piece))
+            ORDER BY length(v.piece) DESC, v.piece LIMIT 1),
+           substr(s.tok, s.pos, 1))),
+         s.pieces + 1
+  FROM step s
+  WHERE s.pos <= length(s.tok)
+),
+done AS (SELECT tok, pieces FROM step WHERE pos = length(tok) + 1),
+wp AS (
+  SELECT d.source, CAST(sum(p.pieces) AS BIGINT) AS total_pieces
+  FROM doc_words d JOIN done p USING (tok)
+  GROUP BY 1
+),
+per_source AS (
+  SELECT f.source,
+         count(*) AS n_docs,
+         sum(CASE WHEN f.logit >= 0 THEN 1 ELSE 0 END) AS n_kept
+  FROM feats f GROUP BY 1
+),
+per_canon AS (
+  SELECT source, count(*) AS n_canonical FROM canon GROUP BY 1
+)
+SELECT s.source, s.n_docs, CAST(s.n_kept AS BIGINT) AS n_kept,
+       coalesce(c.n_canonical, 0) AS n_canonical,
+       coalesce(w.total_pieces, 0) AS total_wp_tokens
+FROM per_source s
+LEFT JOIN per_canon c ON s.source = c.source
+LEFT JOIN wp w ON s.source = w.source
+""",
+    doc="Round-6 capstone: the session's new stages composed as ONE "
+    "curation plan — (1) learned-classifier gate (classifier_logit, "
+    "exact BIGINT inference in the scan projection), (2) exact "
+    "content dedup among survivors (min-doc_id canonical per identical "
+    "text — the keeper rule of dedup_exact), (3) WordPiece token "
+    "accounting over the canonical set (wordpiece_piece_counts: Python "
+    "touches DISTINCT words only), reported per source as the "
+    "budget-planning table a training run starts from (docs in, kept by "
+    "model, canonical after dedup, subword tokens available). Stages "
+    "share one scan; shuffles key on text-hash (dedup), tok (piece "
+    "join), and source (final rollup). The DuckDB oracle replays all "
+    "three stages including the recursive greedy-tokenizer automaton.",
+)
+def corpus_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.text.analysis import (
+        classifier_logit,
+        wordpiece_piece_counts,
+        wordpiece_words,
+    )
+
+    docs = widen(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text", "n_chars"
+        ),
+        spark,
+    )
+    feats = docs.select(
+        "doc_id", "source", "text", classifier_logit().alias("logit")
+    )
+    kept = feats.where(F.col("logit") >= 0)
+    canon = (
+        kept.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(kept.select("doc_id", "source", "text"), ["doc_id", "text"])
+    )
+    words = wordpiece_words(canon).join(
+        canon.select("doc_id", "source"), "doc_id"
+    )
+    pieces = wordpiece_piece_counts(words)
+    wp = (
+        words.join(pieces, "tok")
+        .groupBy("source")
+        .agg(F.sum("pieces").cast("bigint").alias("total_wp_tokens"))
+    )
+    per_source = feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("logit") >= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+    per_canon = canon.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_canonical")
+    )
+    return (
+        per_source.join(per_canon, "source", "left")
+        .join(wp, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.coalesce("n_canonical", F.lit(0)).alias("n_canonical"),
+            F.coalesce("total_wp_tokens", F.lit(0)).alias("total_wp_tokens"),
+        )
+    )
