@@ -250,3 +250,47 @@ FROM big_orders(45000.0)
 GROUP BY 1
 """
     )
+
+
+@query(
+    "ansi_try_arithmetic_audit",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value,
+         CAST(floor(value * 10) AS BIGINT) % 7 AS div7
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN div7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_div,
+       CAST(SUM(CAST(CASE WHEN div7 = 0 THEN 0.0
+                          ELSE value / div7 END AS DECIMAL(18,6)))
+            AS DOUBLE) AS safe_sum
+FROM e GROUP BY 1
+""",
+    doc="ANSI-mode error-safe arithmetic (Spark 4 runs ANSI by default, "
+    "where x/0 THROWS): try_divide yields NULL instead, which is the "
+    "production contract for a 100 TB scan — one malformed row must "
+    "degrade to NULL, not kill the stage (the numeric sibling of the "
+    "PERMISSIVE JSON and corrupt-record-quarantine legs). The audit "
+    "plants a zero divisor on every 7th value bucket, counts the rows "
+    "try_divide nulled, and folds the survivors through the exact "
+    "DECIMAL sum; the oracle replays with an explicit CASE — NULL "
+    "production, not error suppression, is what's being pinned. "
+    "Per-row expressions + one map-side-combinable groupBy.",
+)
+def ansi_try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    div7 = (F.floor(F.col("value") * 10).cast("bigint") % 7).alias("div7")
+    e = ev.select("event_type", "value", div7)
+    safe = F.try_divide(F.col("value"), F.col("div7"))
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(safe.isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_div"),
+        F.sum(F.coalesce(safe, F.lit(0.0)).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("safe_sum"),
+    )

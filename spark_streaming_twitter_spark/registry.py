@@ -132,6 +132,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "copurchase_triangle_stats",
     "stream_events_pit_enrichment",
     "corpus_curation_pipeline_v3",
+    "stream_topk_event_types_sketch",
+    "ansi_try_arithmetic_audit",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",

@@ -1529,3 +1529,44 @@ def stream_events_pit_enrichment(
         F.col("valid_from").alias("value_since"),
     )
     return run_to_memory(joined, output_mode="append")
+
+
+@query(
+    "stream_topk_event_types_sketch",
+    oracle="""
+SELECT CAST(row_number() OVER (ORDER BY n DESC, event_type ASC) AS INT)
+         AS rank,
+       event_type, n
+FROM (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+""",
+    doc="The mergeable frequent-items sketch IN STREAMING STATE: a "
+    "complete-mode global aggregate whose buffer is an "
+    "approx_top_k_accumulate state — each micro-batch's partial sketches "
+    "merge into the store exactly like partial counts would, proving the "
+    "DataSketches aggregate composes with Structured Streaming's "
+    "partial/merge contract (the always-on leaderboard a dashboard "
+    "reads, the streaming twin of sketch_topk_event_types_merge). The "
+    "estimate is read from the FINAL streaming state; fixture item "
+    "cardinality sits under the sketch's tracked capacity, so counts "
+    "compare exactly against the batch oracle with the repo's "
+    "deterministic re-rank.",
+)
+def stream_topk_event_types_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy().agg(
+        F.expr("approx_top_k_accumulate(event_type, 100)").alias("state")
+    )
+    mat = run_to_memory(agg, output_mode="complete")
+    items = mat.select(
+        F.explode(F.expr("approx_top_k_estimate(state, 5)")).alias("e")
+    ).select(
+        F.col("e.item").alias("event_type"), F.col("e.count").alias("n")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return items.select(
+        F.row_number().over(w).cast("int").alias("rank"), "event_type", "n"
+    )
