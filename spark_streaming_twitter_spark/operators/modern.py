@@ -294,3 +294,43 @@ def ansi_try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("safe_sum"),
     )
+
+
+@query(
+    "supplier_hierarchy_rollup",
+    oracle="""
+WITH RECURSIVE chain(s_suppkey, anc, depth) AS (
+  SELECT s_suppkey, s_suppkey, 0 FROM supplier
+  UNION ALL
+  SELECT s_suppkey, anc // 4, depth + 1 FROM chain WHERE anc > 0
+)
+SELECT s_suppkey, CAST(max(depth) AS INT) AS depth,
+       CAST(sum(anc) AS BIGINT) AS path_key_sum
+FROM chain GROUP BY s_suppkey
+""",
+    doc="RECURSIVE SQL (Spark 4.1 WITH RECURSIVE — the surface that "
+    "previously forced iterative DataFrame loops like pagerank's "
+    "unrolled joins): ancestor-chain traversal over a deterministic "
+    "supplier hierarchy (parent(k) = k DIV 4, the org-chart/BOM/category "
+    "-tree workload class), emitting each node's depth and the sum of "
+    "keys on its root path. The recursion contracts by 4x per step — "
+    "O(log n) iterations, each a filter+project over the frontier, with "
+    "the engine handling fixpoint detection (contrast the hand-rolled "
+    "convergence loop in dedup_group_ids_star). The oracle is the SAME "
+    "recursive CTE in DuckDB (// for DIV) — the two engines execute the "
+    "identical declarative recursion.",
+)
+def supplier_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_rec")
+    return spark.sql(
+        """
+WITH RECURSIVE chain(s_suppkey, anc, depth) AS (
+  SELECT s_suppkey, s_suppkey, 0 FROM supplier_rec
+  UNION ALL
+  SELECT s_suppkey, anc DIV 4, depth + 1 FROM chain WHERE anc > 0
+)
+SELECT s_suppkey, CAST(max(depth) AS INT) AS depth,
+       CAST(sum(anc) AS BIGINT) AS path_key_sum
+FROM chain GROUP BY s_suppkey
+"""
+    )
