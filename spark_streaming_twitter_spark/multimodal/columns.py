@@ -1147,3 +1147,105 @@ def media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         "media_id long, width int, height int, within_err_bound int",
     )
+
+
+def gif_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-kind docs as REAL GIF89a files (multimodal/gif.encode_gif):
+    palette indices follow the deterministic rule (doc_id*31 + i) % 64
+    over w*h pixels, run through genuine variable-width LZW."""
+    from spark_streaming_twitter_spark.multimodal.gif import (
+        N_COLORS,
+        encode_gif,
+    )
+
+    docs = widen(
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 0),
+        spark,
+    )
+
+    def encode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = did % 16 + 4
+                h = did % 12 + 4
+                idx = bytes(
+                    (did * 31 + i) % N_COLORS for i in range(w * h)
+                )
+                payloads.append(encode_gif(w, h, idx))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(encode, "media_id long, payload binary")
+
+
+@query(
+    "media_gif_lzw_roundtrip",
+    oracle="""
+WITH imgs AS (
+  SELECT doc_id AS media_id,
+         doc_id % 16 + 4 AS w,
+         doc_id % 12 + 4 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT media_id, w, h,
+         unnest(generate_series(0, w * h - 1)) AS i
+  FROM imgs
+),
+vals AS (
+  SELECT media_id, w, h, (media_id * 31 + i) % 64 AS v, i FROM px
+)
+SELECT media_id,
+       CAST(any_value(w) AS INT) AS width,
+       CAST(any_value(h) AS INT) AS height,
+       CAST(sum(v * (i + 1)) AS BIGINT) AS index_checksum
+FROM vals GROUP BY media_id
+""",
+    doc="REAL dictionary-coding decode (LZW), no codec library — the "
+    "third compression family after DEFLATE (PNG) and DCT+Huffman "
+    "(JPEG): multimodal/gif.py implements GIF89a end to end with "
+    "variable-width LSB-first codes, clear/EOI handling, 12-bit table "
+    "growth with mid-stream resets, and the KwKwK self-referential "
+    "case; the decoder walks the screen descriptor, color table, and "
+    "sub-block chain from raw bytes. GIF is lossless, so the oracle is "
+    "EXACT: a position-weighted checksum over the decoded palette "
+    "indices (any dropped, duplicated, or shifted index fails the "
+    "compare). Two mapInPandas crossings, O(pixels) per image.",
+)
+def media_gif_lzw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.multimodal.gif import decode_gif
+
+    src = gif_media_table(spark, sf_dir)
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "index_checksum": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                got = decode_gif(bytes(payload))
+                if got is None:
+                    continue
+                w, h, idx = got
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["index_checksum"].append(
+                    sum(v * (i + 1) for i, v in enumerate(idx))
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        decode,
+        "media_id long, width int, height int, index_checksum long",
+    )

@@ -565,3 +565,31 @@ def test_jpeg_codec_bounded_error_on_arbitrary_images(w, h, data):
     assert len(rgb) == len(raw)
     max_err = max(abs(a - b) for a, b in zip(rgb, raw)) if raw else 0
     assert max_err <= ERR_BOUND, f"{w}x{h}: max channel err {max_err}"
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    data=st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_gif_lzw_codec_roundtrips_arbitrary_index_streams(w, h, data):
+    """Pure-Python property: encode_gif -> decode_gif is the identity for
+    ANY palette-index image — including constant runs (maximal LZW
+    dictionary reuse, KwKwK chains) and adversarial random content."""
+    from spark_streaming_twitter_spark.multimodal.gif import (
+        N_COLORS,
+        decode_gif,
+        encode_gif,
+    )
+
+    idx = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=N_COLORS - 1),
+                min_size=w * h,
+                max_size=w * h,
+            )
+        )
+    )
+    assert decode_gif(encode_gif(w, h, idx)) == (w, h, idx)
