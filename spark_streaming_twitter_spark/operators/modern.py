@@ -334,3 +334,42 @@ SELECT s_suppkey, CAST(max(depth) AS INT) AS depth,
 FROM chain GROUP BY s_suppkey
 """
     )
+
+
+@query(
+    "collation_word_forms",
+    oracle=r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+)
+SELECT count(*) AS n_tokens,
+       count(DISTINCT tok) AS n_forms_cs,
+       count(DISTINCT lower(tok)) AS n_forms_ci
+FROM toks
+""",
+    doc="Collated strings (Spark 4 COLLATE): counting distinct word forms "
+    "under UNICODE_CI makes case-insensitivity a PROPERTY OF THE TYPE — "
+    "the comparator, hash, and therefore the distinct-aggregate's "
+    "shuffle key all become case-insensitive with no lower() rewriting "
+    "(and unlike lower(), collation survives into joins, group-bys, and "
+    "sorts wherever the column flows). The fixture's sentence-case text "
+    "makes the CS/CI gap real. Oracle caveat, documented: for this "
+    "ASCII corpus UNICODE_CI equivalence classes coincide with lower() "
+    "classes, which is what DuckDB replays; the full-Unicode cases "
+    "(dotted I, sharp s) where they diverge are exactly why the engine "
+    "feature exists.",
+)
+def collation_word_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.text.analysis import tokens
+
+    docs = table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return toks.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct(F.col("tok")).alias("n_forms_cs"),
+        F.count_distinct(
+            F.collate(F.col("tok"), "UNICODE_CI")
+        ).alias("n_forms_ci"),
+    )

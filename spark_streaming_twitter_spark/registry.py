@@ -136,6 +136,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "ansi_try_arithmetic_audit",
     "supplier_hierarchy_rollup",
     "media_gif_lzw_roundtrip",
+    "collation_word_forms",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",
