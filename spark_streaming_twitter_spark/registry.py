@@ -137,6 +137,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "supplier_hierarchy_rollup",
     "media_gif_lzw_roundtrip",
     "collation_word_forms",
+    "keyword_search_bm25",
+    "doc_charlm_score",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",

@@ -831,3 +831,225 @@ def doc_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pieces").cast("bigint").alias("n_pieces"),
         F.sum(F.length("tok")).cast("bigint").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Okapi BM25, k1=1.2 b=0.75) — exact integer form.
+#
+# The tf-saturation / length-normalization core of BM25 is a ratio of
+# integer-linear forms once avgdl's denominator is cleared:
+#   tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl)
+#     = 22*tf*L / (10*tf*L + 3*L + 9*dl*N)          (avgdl = L/N)
+# with L = total corpus token count, N = corpus size — all BIGINTs, so the
+# saturation term is computed exactly on both engines as
+# (22*tf*L*SAT_SCALE) DIV (10*tf*L + 3*L + 9*dl*N). The idf factor uses the
+# same log-free integer-scaled linear idf contract as keyword_search_topk
+# (_IDF_SCALE note above): per-term it is rank-neutral, and across terms it
+# preserves the rare-term dominance BM25's log-idf encodes, while keeping
+# the whole score a deterministic BIGINT (no libm ln in either engine).
+# ---------------------------------------------------------------------------
+_BM25_SAT_SCALE = 1_000_000
+
+
+@query(
+    "keyword_search_bm25",
+    oracle=f"""
+WITH toks AS (
+  SELECT d.doc_id, u.term
+  FROM documents d,
+       unnest(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                          x -> x <> '')) AS u(term)
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+corpus AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+postings AS (
+  SELECT t.doc_id, t.term, count(*) AS tf
+  FROM toks t
+  JOIN (VALUES {", ".join(f"('{t}')" for t in _SEARCH_TERMS)}) q(term)
+    ON t.term = q.term
+  GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+scored AS (
+  SELECT p.doc_id,
+         sum(((2 * c.n_docs - 2 * df.df + 1) * {_IDF_SCALE} // (2 * df.df + 1))
+             * ((22 * p.tf * c.total_len * {_BM25_SAT_SCALE})
+                // (10 * p.tf * c.total_len + 3 * c.total_len
+                    + 9 * dl.dl * c.n_docs))
+             // {_BM25_SAT_SCALE}) AS score_scaled,
+         count(*) AS n_terms_hit
+  FROM postings p
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus c
+  GROUP BY 1
+),
+ranked AS (
+  SELECT doc_id, CAST(score_scaled AS BIGINT) AS score_scaled,
+         CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+         row_number() OVER (ORDER BY score_scaled DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, score_scaled, n_terms_hit, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 20
+""",
+    doc="Okapi BM25 document ranking (k1=1.2, b=0.75) over the corpus for "
+    "the standing query-term set, as EXACT BIGINT arithmetic: clearing "
+    "avgdl's denominator turns the saturation/length-normalization core "
+    "into a ratio of integer-linear forms (see _BM25_SAT_SCALE note), and "
+    "idf reuses the log-free integer-scaled contract from "
+    "keyword_search_topk — no libm call in either engine, so the oracle "
+    "compare is hash-exact, and ranks are computed over identical values. "
+    "Plan shape: filter-before-explode postings (the Generate emits only "
+    "query-term tokens), doc lengths from one groupBy over the token "
+    "stream, df/N/L broadcast as tiny aggregates, global top-20 via "
+    "rank-window (WindowGroupLimit). At 100 TB the only corpus-sized "
+    "shuffles are the two groupBys (postings, dl); everything above them "
+    "moves O(matching tokens). Extends reference F1/F2's tokenizer "
+    "surface (TwitterDStreamTrendingHashtag.java:60-78) to ranked "
+    "retrieval.",
+    bench=True,
+)
+def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).localCheckpoint()
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    terms = F.array([F.lit(t) for t in _SEARCH_TERMS])
+    matching = F.filter(
+        tokens(F.lower(F.col("text"))), lambda t: F.array_contains(terms, t)
+    )
+    postings = (
+        docs.select("doc_id", F.explode(matching).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        postings.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "term_score",
+            F.expr(
+                f"((2 * n_docs - 2 * df + 1) * {_IDF_SCALE} DIV (2 * df + 1))"
+                f" * ((22 * tf * total_len * {_BM25_SAT_SCALE})"
+                f"    DIV (10 * tf * total_len + 3 * total_len"
+                f"         + 9 * dl * n_docs))"
+                f" DIV {_BM25_SAT_SCALE}"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("term_score").cast("bigint").alias("score_scaled"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+    )
+    w = Window.orderBy(F.col("score_scaled").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 20)
+        .select("doc_id", "score_scaled", "n_terms_hit", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-bigram language-model quality score (CCNet-class filter).
+#
+# CCNet/Wikipedia-LM perplexity filtering scores each document under a
+# corpus-trained LM and drops the tail. The exact-arithmetic substitution
+# here: train a char-bigram model on the corpus itself (counts c2(ab),
+# prefix counts c1(a·) — two groupBys), then score each document by the
+# arithmetic mean of per-position scaled transition probabilities
+#   floor(SCALE * c2(ab) / c1(a·))   summed, DIV n_positions
+# instead of the geometric mean a true perplexity takes — monotone in the
+# same per-position signal, but BIGINT end-to-end so the DuckDB twin is
+# hash-exact (a log-based score would ride each engine's libm ln).
+# ---------------------------------------------------------------------------
+_LM_SCALE = 1_000_000
+
+
+@query(
+    "doc_charlm_score",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, substr(lower(text), CAST(i AS INT), 2) AS bg
+  FROM documents, unnest(generate_series(1, CAST(n_chars AS INT) - 1)) AS t(i)
+  WHERE n_chars >= 2
+),
+doc_bg AS (SELECT doc_id, bg, count(*) AS tf FROM pos GROUP BY 1, 2),
+model2 AS (SELECT bg, sum(tf) AS c2 FROM doc_bg GROUP BY 1),
+model1 AS (SELECT substr(bg, 1, 1) AS a, sum(c2) AS c1 FROM model2 GROUP BY 1),
+scored AS (
+  SELECT d.doc_id,
+         sum(d.tf) AS n_bigrams,
+         sum(d.tf * ({_LM_SCALE} * m2.c2 // m1.c1)) AS raw
+  FROM doc_bg d
+  JOIN model2 m2 USING (bg)
+  JOIN model1 m1 ON substr(d.bg, 1, 1) = m1.a
+  GROUP BY 1
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(raw // n_bigrams AS BIGINT) AS lm_score_scaled
+FROM scored
+""",
+    doc="Char-bigram LM corpus-quality score, the exact-arithmetic stand-in "
+    "for CCNet-style perplexity filtering (see _LM_SCALE note): model "
+    "training is two groupBys over positional bigrams (c2, c1), scoring "
+    "joins each document's DISTINCT-bigram tf vector — not its positions "
+    "— against the model, so the join moves O(distinct bigrams/doc) "
+    "rows. The model itself is alphabet-bounded (~|Σ|² rows) and "
+    "broadcast. At 100 TB: one corpus-sized explode feeding a map-side- "
+    "combinable groupBy, then broadcast joins — no all-pairs, no second "
+    "corpus pass; train on a reference slice and score the rest by "
+    "swapping the model input. n_chars from the fixture schema pins the "
+    "position count; substr(_, i, 2) at the final char yields a 1-char "
+    "tail bigram on both engines identically.",
+)
+def doc_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(
+        table(spark, sf_dir, "documents")
+        .where(F.col("n_chars") >= 2)
+        .select("doc_id", F.lower(F.col("text")).alias("t"), "n_chars"),
+        spark,
+    )
+    pos = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), (F.col("n_chars") - 1).cast("int"))
+        ).alias("i"),
+        "t",
+    ).select("doc_id", F.col("t").substr(F.col("i"), F.lit(2)).alias("bg"))
+    doc_bg = (
+        pos.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    model2 = doc_bg.groupBy("bg").agg(F.sum("tf").alias("c2"))
+    model1 = model2.groupBy(F.substring("bg", 1, 1).alias("a")).agg(
+        F.sum("c2").alias("c1")
+    )
+    scored = (
+        doc_bg.join(F.broadcast(model2), "bg")
+        .join(
+            F.broadcast(model1),
+            F.substring(F.col("bg"), 1, 1) == F.col("a"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.expr(f"tf * (({_LM_SCALE} * c2) DIV c1)")
+            ).alias("raw"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.expr("raw DIV n_bigrams").cast("bigint").alias("lm_score_scaled"),
+    )
