@@ -139,6 +139,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "collation_word_forms",
     "keyword_search_bm25",
     "doc_charlm_score",
+    "stream_funnel_match_stateful",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",

@@ -1570,3 +1570,127 @@ def stream_topk_event_types_sketch(
     return items.select(
         F.row_number().over(w).cast("int").alias("rank"), "event_type", "n"
     )
+
+
+@query(
+    "stream_funnel_match_stateful",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE event_type IN ('signup', 'purchase')
+),
+seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM ev
+),
+ctx AS (
+  SELECT user_id, ts, event_type,
+         max(CASE WHEN event_type = 'signup' THEN rn END) OVER wprev AS sig_rn,
+         max(CASE WHEN event_type = 'purchase' THEN rn END) OVER wprev
+           AS pur_rn,
+         max(CASE WHEN event_type = 'signup' THEN ts END) OVER wprev AS sig_ts
+  FROM seq
+  WINDOW wprev AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id,
+       CAST(floor(epoch(sig_ts)) AS BIGINT) AS signup_epoch,
+       CAST(floor(epoch(ts)) AS BIGINT) AS purchase_epoch,
+       CAST(floor(epoch(ts)) - floor(epoch(sig_ts)) AS BIGINT) AS latency_s
+FROM ctx
+WHERE event_type = 'purchase'
+  AND sig_rn IS NOT NULL
+  AND sig_rn > coalesce(pur_rn, 0)
+  AND epoch_us(ts) - epoch_us(sig_ts) <= 3600000000
+""",
+    doc="Streaming CEP sequence matching — the FOLLOWED-BY(within 1h) "
+    "pattern with CONSUMING semantics that no interval join expresses "
+    "(stream_stream_join_conversions emits EVERY pair in range; a "
+    "pattern match consumes its signup, so a second purchase after a "
+    "match must NOT re-match the same signup, and a newer signup "
+    "replaces a pending one). Per-user state machine in "
+    "applyInPandasWithState: pending-signup timestamp as the whole "
+    "state, matches emitted immediately (update mode), and an "
+    "EventTimeTimeout timer at pending+1h EVICTS expired pending state "
+    "with no emission — per-key state is one long and provably drains, "
+    "the property that keeps 100 TB of users from accumulating a "
+    "pattern buffer forever. The oracle is the closed form of the same "
+    "machine: purchase P matches the latest preceding signup S iff no "
+    "purchase intervenes and P-S <= 1h (each case of the state loop "
+    "maps onto exactly that predicate), replayed in SQL as two "
+    "preceding-frame window maxes over the (ts, event_id)-ordered "
+    "per-user sequence — the same deterministic order the kernel sorts "
+    "each batch by.",
+)
+def stream_funnel_match_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    LIMIT_US = 3600 * 1_000_000
+
+    ev = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type").isin("signup", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+        .withWatermark("ts", WATERMARK)
+    )
+
+    def match(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            # pending signup outlived the 1h pattern window: evict, no match
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [],
+                    "signup_epoch": [],
+                    "purchase_epoch": [],
+                    "latency_s": [],
+                }
+            )
+            return
+        rows: list[tuple[int, int, str]] = []
+        for pdf in pdf_iter:
+            ts_us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).tolist()
+            rows.extend(zip(ts_us, pdf["event_id"].tolist(),
+                            pdf["event_type"].tolist()))
+        rows.sort(key=lambda r: (r[0], r[1]))
+        pending = state.get[0] if state.exists else None
+        out_s, out_p = [], []
+        for t_us, _eid, etype in rows:
+            if etype == "signup":
+                pending = t_us
+            else:  # purchase
+                if pending is not None and t_us - pending <= LIMIT_US:
+                    out_s.append(pending)
+                    out_p.append(t_us)
+                pending = None
+        if pending is not None:
+            state.update((pending,))
+            state.setTimeoutTimestamp(pending // 1000 + 3600 * 1000)
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_s),
+                "signup_epoch": [s // 1_000_000 for s in out_s],
+                "purchase_epoch": [p // 1_000_000 for p in out_p],
+                "latency_s": [
+                    p // 1_000_000 - s // 1_000_000
+                    for s, p in zip(out_s, out_p)
+                ],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        match,
+        outputStructType=(
+            "user_id long, signup_epoch long, purchase_epoch long, "
+            "latency_s long"
+        ),
+        stateStructType="pending_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(out, output_mode="update")

@@ -644,3 +644,104 @@ def test_state_metadata_reader_describes_checkpoint(spark, sf_dir):
         .count()
     )
     assert state.count() == n_types
+
+
+def test_funnel_match_consumes_and_carries_state(spark, stream_dir):
+    """CEP semantics the oracle's closed form encodes, checked on the PATH:
+    a match consumes its signup (second purchase finds nothing), a newer
+    signup replaces a pending one, and a pending signup carries across
+    micro-batch boundaries."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    LIMIT_US = 3600 * 1_000_000
+    # distinct fixture timestamps: a constant tie-break column suffices
+    src = _stream(spark, stream_dir).withColumn("event_id", F.lit(0))
+
+    def match(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"user_id": [], "signup_epoch": [],
+                                "purchase_epoch": []})
+            return
+        rows = []
+        for pdf in pdf_iter:
+            ts_us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).tolist()
+            rows.extend(zip(ts_us, pdf["event_id"].tolist(),
+                            pdf["event"].tolist()))
+        rows.sort(key=lambda r: (r[0], r[1]))
+        pending = state.get[0] if state.exists else None
+        out = []
+        for t_us, _eid, etype in rows:
+            if etype == "signup":
+                pending = t_us
+            elif etype == "purchase":
+                if pending is not None and t_us - pending <= LIMIT_US:
+                    out.append((pending, t_us))
+                pending = None
+        if pending is not None:
+            state.update((pending,))
+            state.setTimeoutTimestamp(pending // 1000 + 3600 * 1000)
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "signup_epoch": [s // 1_000_000 for s, _ in out],
+                "purchase_epoch": [p // 1_000_000 for _, p in out],
+            }
+        )
+
+    matched = (
+        src.withWatermark("ts", "1 minute")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            match,
+            outputStructType=(
+                "user_id long, signup_epoch long, purchase_epoch long"
+            ),
+            stateStructType="pending_us long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    q = (
+        matched.writeStream.format("memory")
+        .queryName("funnel_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        # batch 1: user 1 signs up twice (second replaces first), buys once
+        # (matches the SECOND signup), then buys again (pending consumed ->
+        # no match). user 2's signup stays pending across the batch.
+        _write_batch(
+            stream_dir,
+            "b1.json",
+            [
+                {"user_id": 1, "ts": "2024-01-01 10:00:00", "event": "signup"},
+                {"user_id": 1, "ts": "2024-01-01 10:10:00", "event": "signup"},
+                {"user_id": 1, "ts": "2024-01-01 10:20:00", "event": "purchase"},
+                {"user_id": 1, "ts": "2024-01-01 10:25:00", "event": "purchase"},
+                {"user_id": 2, "ts": "2024-01-01 10:30:00", "event": "signup"},
+            ],
+        )
+        q.processAllAvailable()
+        # batch 2: user 2's purchase matches the signup carried in state
+        _write_batch(
+            stream_dir,
+            "b2.json",
+            [{"user_id": 2, "ts": "2024-01-01 10:40:00", "event": "purchase"}],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    rows = sorted(
+        (r.user_id, r.signup_epoch, r.purchase_epoch)
+        for r in spark.table("funnel_test").collect()
+    )
+    t0 = pd.Timestamp("2024-01-01 10:10:00").value // 10**9
+    assert rows == [
+        (1, t0, t0 + 600),          # second signup -> first purchase only
+        (2, t0 + 1200, t0 + 1800),  # pending carried across the batch gap
+    ], rows
