@@ -1249,3 +1249,84 @@ def media_gif_lzw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         "media_id long, width int, height int, index_checksum long",
     )
+
+
+@query(
+    "media_audio_features",
+    oracle="""
+WITH auds AS (
+  SELECT doc_id AS media_id, doc_id % 320 + 32 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+samp AS (
+  SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+  FROM auds
+),
+vals AS (
+  SELECT media_id, n, i,
+         ((media_id * 31 + i) % 65536) - 32768 AS s
+  FROM samp
+),
+seq AS (
+  SELECT media_id, n, i, s,
+         lag(s) OVER (PARTITION BY media_id ORDER BY i) AS prev_s
+  FROM vals
+)
+SELECT media_id,
+       CAST(any_value(n) AS INT) AS n_samples,
+       CAST(sum(s * s) AS BIGINT) AS energy,
+       CAST(sum(CASE WHEN prev_s IS NOT NULL AND s * prev_s < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(max(abs(s)) AS BIGINT) AS peak_abs
+FROM seq GROUP BY media_id
+""",
+    doc="Audio feature extraction over DECODED PCM — the signal-level ops "
+    "(energy, zero-crossing rate's numerator, peak amplitude) an audio "
+    "curation pipeline filters on (silence/clipping detection), computed "
+    "from the real RIFF/WAV decode path (decode_wav, the same "
+    "chunk-walking codec media_wav_pcm_roundtrip value-checks) inside "
+    "mapInPandas — binary payloads cross into Python exactly once, Arrow "
+    "batches in, one fixed-width feature row out per clip, so at 100 TB "
+    "the shuffle moves features (bytes) not audio (megabytes). All three "
+    "features are integer arithmetic on int16 samples, so the oracle — "
+    "which recomputes the PCM from the fixture's generator arithmetic "
+    "and replays zero-crossing detection as a lag window — is hash-exact "
+    "end to end.",
+)
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = wav_media_table(spark, sf_dir)
+
+    def features(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "n_samples": [],
+                "energy": [],
+                "zero_crossings": [],
+                "peak_abs": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                got = decode_wav(payload)
+                if got is None:
+                    continue
+                _rate, n, samples = got
+                out["media_id"].append(mid)
+                out["n_samples"].append(n)
+                out["energy"].append(sum(s * s for s in samples))
+                out["zero_crossings"].append(
+                    sum(
+                        1
+                        for a, b in zip(samples, samples[1:])
+                        if a * b < 0
+                    )
+                )
+                out["peak_abs"].append(max(abs(s) for s in samples))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        features,
+        "media_id long, n_samples int, energy long, zero_crossings long, "
+        "peak_abs long",
+    )

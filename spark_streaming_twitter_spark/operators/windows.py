@@ -161,3 +161,71 @@ def events_moving_avg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("moving_avg_1h"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA (alpha = 1/4), exact-integer truncated form. The recurrence
+# y_n = a*x_n + (1-a)*y_{n-1} expands to a * sum_k (1-a)^k x_{n-k}; with
+# a = 1/4 and the tail truncated at K=16 lags (weight (3/4)^16 < 1.1% —
+# the standard "effective window" cutoff), scaling by 4^15 makes every
+# weight an integer: w_k = 3^k * 4^(15-k). The smoothed series is then a
+# BIGINT dot product of the last 16 observed buckets — no float
+# accumulation order to disagree on, so the DuckDB twin is hash-exact.
+# ---------------------------------------------------------------------------
+_EWMA_K = 16
+_EWMA_WEIGHTS = tuple(3**k * 4 ** (15 - k) for k in range(_EWMA_K))
+
+
+@query(
+    "events_ewma_by_type",
+    oracle=f"""
+WITH buckets AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket_ts,
+         count(*) AS bucket_count
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket_ts, CAST(bucket_count AS BIGINT) AS bucket_count,
+       CAST({" + ".join(
+           f"lag(bucket_count, {k}, 0) OVER (PARTITION BY event_type "
+           f"ORDER BY bucket_ts) * {w}"
+           for k, w in enumerate(_EWMA_WEIGHTS)
+       )} AS BIGINT) AS ewma_scaled
+FROM buckets
+""",
+    doc="Exponentially-weighted moving average of per-minute event counts "
+    "per type (alpha=1/4, 16-lag truncation) in EXACT BIGINT: the "
+    "geometric weights are scaled to integers (see _EWMA_WEIGHTS note) "
+    "and the smoother is a fixed 16-term dot product over lag() columns "
+    "— one window sort per type, no recurrence, no float. Defined over "
+    "the observed-bucket ROW sequence (missing minutes contribute "
+    "nothing; compose with events_gapfill_locf for a dense grid). Plan: "
+    "corpus-sized groupBy to minutely buckets, then the window runs over "
+    "#types x #minutes rows only — at 100 TB the smoother's input is "
+    "~10^6 rows regardless of event volume, the pre-aggregate-then- "
+    "analyze shape that keeps trend detection off the raw stream.",
+)
+def events_ewma_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    buckets = (
+        ev.groupBy(
+            "event_type", F.window("ts", "1 minute").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+        .select(
+            "event_type",
+            F.unix_timestamp("w.start").alias("bucket_ts"),
+            "bucket_count",
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    ewma = None
+    for k, wt in enumerate(_EWMA_WEIGHTS):
+        term = F.lag("bucket_count", k, 0).over(w).cast("bigint") * F.lit(wt)
+        ewma = term if ewma is None else ewma + term
+    return buckets.select(
+        "event_type",
+        "bucket_ts",
+        F.col("bucket_count").cast("bigint").alias("bucket_count"),
+        ewma.cast("bigint").alias("ewma_scaled"),
+    )

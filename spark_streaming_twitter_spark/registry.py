@@ -140,6 +140,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "keyword_search_bm25",
     "doc_charlm_score",
     "stream_funnel_match_stateful",
+    "media_audio_features",
+    "events_ewma_by_type",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",
