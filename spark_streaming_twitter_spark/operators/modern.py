@@ -373,3 +373,58 @@ def collation_word_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collate(F.col("tok"), "UNICODE_CI")
         ).alias("n_forms_ci"),
     )
+
+
+@query(
+    "observed_orders_metrics",
+    oracle=f"""
+SELECT count(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_finished,
+       CAST(floor(epoch(max(o_orderdate))) AS BIGINT) AS max_orderdate_epoch
+FROM orders
+""",
+    doc="`Dataset.observe` — pipeline observability with ZERO extra scan: "
+    "the metrics (row count, exact-decimal revenue total, status tally, "
+    "max event date) ride the SAME physical scan as the downstream "
+    "aggregate (CollectMetricsExec accumulates on the executors while "
+    "rows flow through), where a naive health check would re-read the "
+    "table. The query runs a real downstream consumer (a per-status "
+    "count — collected, it is <=3 rows), then surfaces the observed "
+    "metrics as the result row via Observation.get. At 100 TB this is "
+    "THE pattern for data-quality gates on ingest: counts/sums/nulls "
+    "audited on the one pass the pipeline already pays for. The oracle "
+    "recomputes the same aggregates declaratively.",
+)
+def observed_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    orders = table(spark, sf_dir, "orders")
+    obs = Observation("orders_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_price"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_finished"),
+        F.unix_timestamp(F.max("o_orderdate")).alias("max_orderdate_epoch"),
+    )
+    # the downstream consumer whose scan the metrics piggyback on
+    observed.groupBy("o_orderstatus").count().collect()
+    row = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                row["n_orders"],
+                row["total_price"],
+                row["n_finished"],
+                row["max_orderdate_epoch"],
+            )
+        ],
+        "n_orders long, total_price double, n_finished long, "
+        "max_orderdate_epoch long",
+    )

@@ -704,3 +704,137 @@ def sql_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r_name
         """
     )
+
+
+@query(
+    "shipping_priority_topk",
+    oracle=f"""
+WITH scored AS (
+  SELECT l_orderkey,
+         {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_epoch,
+         any_value(o_orderpriority) AS o_orderpriority
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-06-15'
+    AND l_shipdate  > TIMESTAMP '1998-06-15'
+  GROUP BY l_orderkey, o_orderdate
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rank
+  FROM scored
+)
+SELECT l_orderkey, revenue, orderdate_epoch, o_orderpriority,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+""",
+    doc="TPC-H Q3 (shipping priority) analog: unshipped-revenue top-10 for "
+    "one market segment at a date cutoff. The selective segment filter "
+    "pushes into the customer scan, orders filters on the date BEFORE "
+    "either join, and both dims broadcast onto the lineitem scan "
+    "(customer and the filtered orders are each << lineitem at any "
+    "scale); revenue accumulates through the exact-decimal path (dsum) "
+    "so ranking compares bitwise-identical doubles on both engines, with "
+    "l_orderkey as the deterministic tie-break. Top-10 via rank-window "
+    "compiles to a WindowGroupLimit, never a full sort of the aggregate.",
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = "1998-06-15"
+    cust = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    scored = (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.any_value(F.col("o_orderpriority")).alias("o_orderpriority"),
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            "o_orderpriority",
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 10)
+    )
+
+
+@query(
+    "product_type_profit",
+    oracle=f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {dsum_sql('l_extendedprice * (1 - l_discount)'
+                 ' - p_retailprice * l_quantity * 0.6')} AS margin,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_type = 'PROMO'
+GROUP BY 1, 2
+""",
+    doc="TPC-H Q9 (product-type profit) analog, adapted to the fixture "
+    "schema: the fixture carries no partsupp, so supply cost is modeled "
+    "as 60% of p_retailprice — the join topology (lineitem at the center "
+    "of a part/supplier/nation/orders star, filtered on part type, "
+    "aggregated by supplier nation x order year) is Q9's. The p_type "
+    "filter prunes part BEFORE its join; part/supplier/nation broadcast; "
+    "orders is the one potentially-large dim and joins on the lineitem "
+    "scan's own key. Margin accumulates exact-decimal (each element a "
+    "deterministic scalar double expression, summed in DECIMAL(18,6)).",
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    margin_el = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.6)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            dsum(margin_el).alias("margin"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -142,6 +142,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_funnel_match_stateful",
     "media_audio_features",
     "events_ewma_by_type",
+    "stream_stream_full_join_conversions",
+    "shipping_priority_topk",
+    "product_type_profit",
+    "observed_orders_metrics",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",

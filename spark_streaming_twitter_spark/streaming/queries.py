@@ -1694,3 +1694,84 @@ def stream_funnel_match_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return run_to_memory(out, output_mode="update")
+
+
+@query(
+    "stream_stream_full_join_conversions",
+    oracle="""
+WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT least((SELECT max(ts) FROM s), (SELECT max(ts) FROM p))
+         - INTERVAL 300 SECOND AS w
+),
+matched AS (
+  SELECT s.user_id, s.ts AS s_ts, p.ts AS p_ts
+  FROM s JOIN p ON s.user_id = p.user_id
+              AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+),
+unmatched_s AS (
+  SELECT s.user_id, s.ts AS s_ts, CAST(NULL AS TIMESTAMP) AS p_ts
+  FROM s
+  WHERE NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.user_id = s.user_id
+            AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR)
+    AND s.ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+),
+unmatched_p AS (
+  SELECT p.user_id, CAST(NULL AS TIMESTAMP) AS s_ts, p.ts AS p_ts
+  FROM p
+  WHERE NOT EXISTS (
+          SELECT 1 FROM s
+          WHERE s.user_id = p.user_id
+            AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR)
+    AND p.ts < (SELECT w FROM wm)
+)
+SELECT user_id,
+       CAST(floor(epoch(s_ts)) AS BIGINT) AS signup_epoch,
+       CAST(floor(epoch(p_ts)) AS BIGINT) AS purchase_epoch
+FROM (SELECT * FROM matched
+      UNION ALL SELECT * FROM unmatched_s
+      UNION ALL SELECT * FROM unmatched_p)
+""",
+    doc="Stream-stream FULL OUTER interval join — both null-padded sides, "
+    "each on its own eviction clock: matches append immediately; an "
+    "unmatched signup emits when the watermark closes its forward-looking "
+    "1-hour band (wm > s_ts + 1h, strict — same rule the left-outer "
+    "variant pins); an unmatched purchase emits when the watermark passes "
+    "its own event time (wm > p_ts, strict) because a matching signup's "
+    "latest possible event time IS p_ts (the band looks backward from "
+    "the purchase: s_ts in [p_ts - 1h, p_ts]) — the asymmetry of the two "
+    "null-side deadlines is the interval-join state-eviction math made "
+    "visible, and the oracle encodes both clocks against the final "
+    "global watermark (min of the two sides' max ts, minus the delay). "
+    "State on each side stays bounded by interval + delay.",
+)
+def stream_stream_full_join_conversions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user_id"), F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", WATERMARK)
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", WATERMARK)
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    )
+    out = run_to_memory(joined, output_mode="append")
+    return out.select(
+        F.coalesce("s_user_id", "p_user_id").alias("user_id"),
+        F.unix_timestamp("s_ts").alias("signup_epoch"),
+        F.unix_timestamp("p_ts").alias("purchase_epoch"),
+    )
