@@ -730,3 +730,85 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(observed, 0).otherwise(1).alias("filled"),
         F.col("bucket_avg").alias("value_locf"),
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+WITH buckets AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket_ts,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, count(*) AS n,
+         sum(c) AS s, sum(c * c) AS ss
+  FROM buckets GROUP BY 1
+)
+SELECT b.event_type, b.bucket_ts, CAST(b.c AS BIGINT) AS c,
+       CASE WHEN CAST(s.ss AS DOUBLE) / s.n
+                 - (CAST(s.s AS DOUBLE) / s.n) * (CAST(s.s AS DOUBLE) / s.n)
+                 > 0
+            THEN (CAST(b.c AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
+                 / sqrt(CAST(s.ss AS DOUBLE) / s.n
+                        - (CAST(s.s AS DOUBLE) / s.n)
+                          * (CAST(s.s AS DOUBLE) / s.n))
+            ELSE NULL END AS zscore,
+       CAST(CASE WHEN abs(CAST(b.c AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
+                      > 3 * sqrt(CAST(s.ss AS DOUBLE) / s.n
+                                 - (CAST(s.s AS DOUBLE) / s.n)
+                                   * (CAST(s.s AS DOUBLE) / s.n))
+                 THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM buckets b JOIN stats s USING (event_type)
+""",
+    doc="Volume-anomaly detection: per-type z-score of each minute's event "
+    "count against the type's own population mean/std. Integer moments "
+    "(n, sum, sum-of-squares — one groupBy over pre-aggregated buckets) "
+    "make every double a deterministic expression over exact BIGINTs; "
+    "sqrt is correctly-rounded on both engines, so zscore and the "
+    "3-sigma flag are hash-exact with no rounding hacks. A constant "
+    "series (var = 0) yields NULL zscore via an explicit CASE on both "
+    "sides — ANSI mode makes the bare division an error, and the flag "
+    "compares |c-mean| > 3*std (multiplication, no division). Plan: raw "
+    "events collapse to #types x #minutes buckets first; the stats "
+    "table is #types rows, broadcast back. At 100 TB the detector costs "
+    "one windowless pass over the stream's pre-aggregate — the shape "
+    "monitoring systems need to run continuously.",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    buckets = (
+        ev.groupBy("event_type", F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "event_type",
+            F.unix_timestamp("w.start").alias("bucket_ts"),
+            "c",
+        )
+    )
+    stats = buckets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    return (
+        buckets.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "bucket_ts",
+            F.col("c").cast("bigint").alias("c"),
+            F.when(
+                var > 0,
+                (F.col("c").cast("double") - mean) / F.sqrt(var),
+            ).alias("zscore"),
+            F.when(
+                F.abs(F.col("c").cast("double") - mean) > 3 * F.sqrt(var), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("is_anomaly"),
+        )
+    )

@@ -146,6 +146,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "shipping_priority_topk",
     "product_type_profit",
     "observed_orders_metrics",
+    "stream_user_hourly_quota",
+    "events_anomaly_zscore",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",

@@ -1775,3 +1775,102 @@ def stream_stream_full_join_conversions(
         F.unix_timestamp("s_ts").alias("signup_epoch"),
         F.unix_timestamp("p_ts").alias("purchase_epoch"),
     )
+
+
+@query(
+    "stream_user_hourly_quota",
+    oracle="""
+WITH numbered AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS quota_slot
+  FROM events
+)
+SELECT user_id,
+       CAST(floor(epoch(h)) AS BIGINT) AS hour_epoch,
+       event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+       CAST(quota_slot AS BIGINT) AS quota_slot
+FROM numbered WHERE quota_slot <= 3
+""",
+    doc="Streaming per-key RATE LIMITER: admit the first 3 events per "
+    "(user, hour), drop the rest — the admission-control / quota "
+    "primitive (API throttling, per-source ingest caps in a crawl "
+    "pipeline) that needs ORDERED stateful counting, not aggregation. "
+    "Keyed by (user_id, hour) in applyInPandasWithState so state is ONE "
+    "counter per active key; admitted events emit immediately with "
+    "their quota slot (update mode); an EventTimeTimeout timer at "
+    "hour-end + 1h evicts closed hours, so live state is bounded by "
+    "keys-per-watermark-horizon regardless of history length — the "
+    "property that makes the limiter viable on an unbounded stream. "
+    "Batches process in (ts, event_id) order, the same deterministic "
+    "order the oracle's row_number replays.",
+)
+def stream_user_hourly_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    QUOTA = 3
+
+    ev = (
+        stream_events(spark, sf_dir)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        .withWatermark("ts", WATERMARK)
+    )
+
+    def admit(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [],
+                    "hour_epoch": [],
+                    "event_id": [],
+                    "ts_epoch": [],
+                    "quota_slot": [],
+                }
+            )
+            return
+        rows: list[tuple[int, int]] = []
+        for pdf in pdf_iter:
+            ts_us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).tolist()
+            rows.extend(zip(ts_us, pdf["event_id"].tolist()))
+        rows.sort()
+        n = state.get[0] if state.exists else 0
+        out_eid, out_ts, out_slot = [], [], []
+        for t_us, eid in rows:
+            if n < QUOTA:
+                n += 1
+                out_eid.append(eid)
+                out_ts.append(t_us // 1_000_000)
+                out_slot.append(n)
+        state.update((n,))
+        hour_us = key[1].value // 1000 if hasattr(key[1], "value") else 0
+        # GC the counter 1h after the hour closes (well past the watermark)
+        state.setTimeoutTimestamp(hour_us // 1000 + 2 * 3600 * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_eid),
+                "hour_epoch": [hour_us // 1_000_000] * len(out_eid),
+                "event_id": out_eid,
+                "ts_epoch": out_ts,
+                "quota_slot": out_slot,
+            }
+        )
+
+    out = ev.groupBy("user_id", "h").applyInPandasWithState(
+        admit,
+        outputStructType=(
+            "user_id long, hour_epoch long, event_id long, ts_epoch long, "
+            "quota_slot long"
+        ),
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(out, output_mode="update")
