@@ -303,3 +303,60 @@ def test_sql_table_function_pushes_filter_to_scan(spark):
     assert "PushedFilters: [" in raw and "o_totalprice" in raw.split(
         "PushedFilters"
     )[1][:200], raw
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime-filter readiness: with AQE's bloom-filter injection enabled
+    and a selective dim filter, Catalyst must plant a might_contain()
+    semi-filter (fed by bloom_filter_agg over the creation side) on the
+    fact side of a shuffle join — the 100 TB lever that drops most fact
+    rows BEFORE the join shuffle. Thresholds are production-tuned for
+    10 GB+ scans, so the test scopes fixture-sized overrides and restores
+    them."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {}
+    for k, v in overrides.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "bloom semi-filter not injected"
+        assert "bloom_filter_agg" in plan, "creation-side agg missing"
+        # and the filtered answer is the same as the plain join's
+        n_bloom = j.collect()[0]["count"]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    n_plain = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()[0]["count"]
+    )
+    assert n_bloom == n_plain
