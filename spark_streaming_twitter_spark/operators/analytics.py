@@ -812,3 +812,50 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "user_event_type_diversity",
+    oracle="""
+WITH per_type AS (
+  SELECT user_id, event_type, count(*) AS n_i
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id, sum(n_i) AS n, sum(n_i * n_i) AS ss,
+         count(*) AS n_types
+  FROM per_type GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST((n * n - ss) * 1000000 // (n * n) AS BIGINT) AS simpson_scaled
+FROM per_user
+""",
+    doc="Behavioral diversity per user as the Simpson index 1 - sum(p_i^2) "
+    "— the entropy-family signal (bot/spam accounts skew monotypic, "
+    "engaged users diverse) WITHOUT the log: clearing the denominator "
+    "makes it (n^2 - sum n_i^2) * SCALE // n^2, exact BIGINT end to "
+    "end, so the oracle is hash-exact where a Shannon-entropy twin "
+    "would ride libm. Two map-side-combinable groupBys — (user, type) "
+    "then user — no join, no window; at 100 TB this is two shuffles of "
+    "strictly shrinking cardinality and the second one is bounded by "
+    "#users.",
+)
+def user_event_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_i")
+    )
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum("n_i").alias("n"),
+        F.sum(F.col("n_i") * F.col("n_i")).alias("ss"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return per_user.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.expr("(n * n - ss) * 1000000 DIV (n * n)")
+        .cast("bigint")
+        .alias("simpson_scaled"),
+    )

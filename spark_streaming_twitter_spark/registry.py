@@ -148,6 +148,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "observed_orders_metrics",
     "stream_user_hourly_quota",
     "events_anomaly_zscore",
+    "user_event_type_diversity",
+    "stream_unknown_user_events",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",

@@ -1874,3 +1874,47 @@ def stream_user_hourly_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return run_to_memory(out, output_mode="update")
+
+
+@query(
+    "stream_unknown_user_events",
+    oracle="""
+SELECT CAST(epoch(date_trunc('hour', e.ts)) AS BIGINT) AS bucket_ts,
+       count(*) AS n_unknown
+FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = e.user_id AND c.c_acctbal >= 0)
+GROUP BY 1
+""",
+    doc="Streaming referential-integrity audit: LEFT ANTI stream-static "
+    "join — events whose user_id has no customer record IN GOOD "
+    "STANDING (c_acctbal >= 0; the dim filter keeps the audit "
+    "non-vacuous on the fixture, where raw key coverage is total), "
+    "counted hourly. The anti join plans the static dim as a broadcast rebuilt "
+    "per micro-batch (same mechanics as stream_static_segment_counts "
+    "but inverted: the stream keeps rows the dim CANNOT match), so the "
+    "stream never shuffles for the membership test and there is no join "
+    "state at all — the orphan count is the only stateful operator. "
+    "This is the continuously-running data-quality gate (dangling keys "
+    "at ingest) every CDC/enrichment pipeline needs beside its enrich "
+    "path.",
+)
+def stream_unknown_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.catalog import table
+
+    ev = stream_events(spark, sf_dir)
+    dim = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") >= 0)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    orphans = ev.join(F.broadcast(dim), "user_id", "left_anti")
+    agg = (
+        orphans.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_unknown"))
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        F.unix_timestamp("w.start").alias("bucket_ts"), "n_unknown"
+    )
