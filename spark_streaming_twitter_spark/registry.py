@@ -150,6 +150,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_anomaly_zscore",
     "user_event_type_diversity",
     "stream_unknown_user_events",
+    "bpe_learned_merges",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",

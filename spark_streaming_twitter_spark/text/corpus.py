@@ -525,3 +525,147 @@ def corpus_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("total_wp_tokens", F.lit(0)).alias("total_wp_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING (Sennrich et al. 2016) as distributed aggregation.
+#
+# The classic trainer works on the distinct-WORD frequency table (the Zipf
+# trick doc_wordpiece_tokens already exploits for encoding): per round,
+# count adjacent symbol pairs weighted by word frequency, merge the argmax
+# pair everywhere, repeat. Symbol sequences are represented as strings with
+# every symbol individually wrapped in '_' sentinels ('hi' -> '_h__i_'), which
+# makes "merge pair (a,b) greedy-leftmost, non-overlapping" EXACTLY a plain
+# string replace of '_a__b_' with '_ab_' — both engines' replace() scans
+# left-to-right non-overlapping, and because every symbol keeps its own
+# sentinels, a replacement never consumes a neighbouring match's delimiter
+# ('_a__a__a__a_' -> '_aa__aa_', the correct greedy pairing) and a pattern
+# can never false-match inside a longer symbol. Words are restricted to
+# lowercase-alpha tokens so '_' is provably outside the symbol alphabet.
+# ---------------------------------------------------------------------------
+_BPE_ROUNDS = 6
+_BPE_SEP = "_"
+
+
+def _bpe_oracle() -> str:
+    """The trainer replayed in DuckDB: one unrolled CTE block per round
+    (same pattern as the k-means / PageRank unrolled oracles)."""
+    parts = [
+        """
+WITH w0 AS (
+  SELECT u.tok, count(*) AS freq
+  FROM documents d,
+       unnest(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                          x -> x <> '')) AS u(tok)
+  WHERE regexp_matches(u.tok, '^[a-z]+$')
+  GROUP BY 1
+),
+r0 AS (
+  SELECT tok, freq,
+         regexp_replace(tok, '(.)', '_\\1_', 'g') AS rep
+  FROM w0
+)"""
+    ]
+    for i in range(_BPE_ROUNDS):
+        parts.append(f""",
+s{i} AS (
+  SELECT regexp_extract_all(rep, '_([^_]+)_', 1) AS syms, freq FROM r{i}
+),
+p{i} AS (
+  SELECT list_extract(syms, CAST(j AS INT)) AS l,
+         list_extract(syms, CAST(j AS INT) + 1) AS r2,
+         sum(freq) AS cnt
+  FROM s{i}, unnest(generate_series(1, len(syms) - 1)) AS t(j)
+  GROUP BY 1, 2
+),
+b{i} AS (
+  SELECT l, r2, cnt FROM p{i} ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
+),
+r{i + 1} AS (
+  SELECT tok, freq,
+         replace(rep,
+                 '_' || (SELECT l FROM b{i}) || '__'
+                     || (SELECT r2 FROM b{i}) || '_',
+                 '_' || (SELECT l FROM b{i})
+                     || (SELECT r2 FROM b{i}) || '_') AS rep
+  FROM r{i}
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS round, l AS sym_left, r2 AS sym_right,"
+        f" l || r2 AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(_BPE_ROUNDS)
+    )
+    return "".join(parts) + "\n" + unions
+
+
+@query(
+    "bpe_learned_merges",
+    oracle=_bpe_oracle(),
+    doc="REAL BPE tokenizer TRAINING (Sennrich et al. 2016), not just "
+    "encoding: learns the first 6 merge rules from the corpus. Each "
+    "round is one distributed aggregation — adjacent symbol pairs over "
+    "the DISTINCT-word frequency table (Zipf-bounded, orders of "
+    "magnitude under token occurrences at any corpus size), weighted "
+    "sum per pair, deterministic argmax (count desc, pair asc) — "
+    "followed by a declarative merge application: the wrap-each-symbol "
+    "sentinel string encoding makes greedy-leftmost merge a plain "
+    "replace() with IDENTICAL semantics on both engines (see module "
+    "note). Driver cost per round is ONE 1-row collect (the argmax), "
+    "the same contract as the k-means centroid loop; the word table "
+    "localCheckpoints once and each round's work is a map + "
+    "shuffle-by-pair over it. The oracle replays all 6 rounds as "
+    "unrolled CTE blocks. Output: the merge table — THE artifact a "
+    "tokenizer ships.",
+)
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(table(spark, sf_dir, "documents").select("text"), spark)
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .where(F.col("tok").rlike("^[a-z]+$"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "rep", F.regexp_replace("tok", "(.)", f"{_BPE_SEP}$1{_BPE_SEP}")
+        )
+        .localCheckpoint()
+    )
+    cur = words
+    merges: list[tuple[int, str, str, str, int]] = []
+    for i in range(_BPE_ROUNDS):
+        syms = F.regexp_extract_all(
+            F.col("rep"), F.lit(f"{_BPE_SEP}([^{_BPE_SEP}]+){_BPE_SEP}"), 1
+        )
+        pairs = (
+            cur.withColumn("syms", syms)
+            .withColumn("la", F.expr("slice(syms, 1, size(syms) - 1)"))
+            .withColumn("rb", F.expr("slice(syms, 2, size(syms) - 1)"))
+            .select(
+                "freq",
+                F.explode(F.arrays_zip(F.col("la"), F.col("rb"))).alias("p"),
+            )
+            .select(
+                F.col("p.la").alias("l"), F.col("p.rb").alias("r2"), "freq"
+            )
+        )
+        best = (
+            pairs.groupBy("l", "r2")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r2").asc())
+            .limit(1)
+            .collect()
+        )
+        l, r2, cnt = best[0]["l"], best[0]["r2"], int(best[0]["cnt"])
+        merges.append((i + 1, l, r2, l + r2, cnt))
+        cur = cur.withColumn(
+            "rep",
+            F.replace(
+                F.col("rep"),
+                F.lit(f"{_BPE_SEP}{l}{_BPE_SEP}{_BPE_SEP}{r2}{_BPE_SEP}"),
+                F.lit(f"{_BPE_SEP}{l}{r2}{_BPE_SEP}"),
+            ),
+        )
+    return spark.createDataFrame(
+        merges,
+        "round int, sym_left string, sym_right string, merged string, "
+        "pair_count bigint",
+    )
