@@ -859,3 +859,145 @@ def user_event_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("simpson_scaled"),
     )
+
+
+@query(
+    "event_type_drift_daily",
+    oracle="""
+WITH per_dt AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_ts,
+         event_type, count(*) AS n_dt
+  FROM events GROUP BY 1, 2
+),
+per_day AS (SELECT day_ts, sum(n_dt) AS n_d FROM per_dt GROUP BY 1),
+per_type AS (SELECT event_type, sum(n_dt) AS n_t FROM per_dt GROUP BY 1),
+tot AS (SELECT sum(n_t) AS n FROM per_type),
+grid AS (
+  SELECT d.day_ts, d.n_d, t.event_type, t.n_t, coalesce(o.n_dt, 0) AS n_dt
+  FROM per_day d
+  CROSS JOIN per_type t
+  LEFT JOIN per_dt o ON o.day_ts = d.day_ts AND o.event_type = t.event_type
+)
+SELECT day_ts,
+       CAST(any_value(n_d) AS BIGINT) AS n_events,
+       CAST(sum(abs(n_dt * 1000000 // n_d
+                    - n_t * 1000000 // (SELECT n FROM tot))) AS BIGINT)
+         AS l1_drift_scaled
+FROM grid GROUP BY 1
+""",
+    doc="Distribution-drift monitor: per day, the L1 distance between that "
+    "day's event-type distribution and the corpus-wide one — the "
+    "training-data drift gate (a day whose traffic mix shifts gets a "
+    "large score) in exact scaled-BIGINT arithmetic (floored ppm "
+    "proportions, so no float and no libm KL). Missing types contribute "
+    "their full global share via a days x types grid built by "
+    "cross-joining two TINY aggregates (#days and #types rows) — the "
+    "raw stream collapses in the first groupBy and every join above it "
+    "is grid-sized, so the monitor costs one shuffle at any corpus "
+    "scale.",
+)
+def event_type_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    per_dt = (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_ts"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_dt"))
+        .localCheckpoint()
+    )
+    per_day = per_dt.groupBy("day_ts").agg(F.sum("n_dt").alias("n_d"))
+    per_type = per_dt.groupBy("event_type").agg(F.sum("n_dt").alias("n_t"))
+    tot = per_type.agg(F.sum("n_t").alias("n"))
+    grid = (
+        per_day.crossJoin(F.broadcast(per_type))
+        .crossJoin(F.broadcast(tot))
+        .join(per_dt, ["day_ts", "event_type"], "left")
+        .withColumn("n_dt", F.coalesce(F.col("n_dt"), F.lit(0)))
+    )
+    return grid.groupBy("day_ts").agg(
+        F.any_value("n_d").cast("bigint").alias("n_events"),
+        F.sum(
+            F.abs(
+                F.expr("n_dt * 1000000 DIV n_d - n_t * 1000000 DIV n")
+            )
+        )
+        .cast("bigint")
+        .alias("l1_drift_scaled"),
+    )
+
+
+@query(
+    "session_training_examples",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, event_type, ts_s,
+         CASE WHEN ts_s - lag(ts_s) OVER w > 1800
+                   OR lag(ts_s) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+),
+numbered AS (
+  SELECT user_id, event_type, ts_s,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       max(ts_s) - min(ts_s) AS duration_secs,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clicks,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_views,
+       CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT)
+         AS label_purchased
+FROM numbered GROUP BY 1, 2
+""",
+    doc="Training-example builder: the feature/label table a conversion "
+    "model trains on, materialized in ONE pass over the sessionized "
+    "stream — gap-based sessions (the user_event_sessions idiom: "
+    "lag-flag + running sum, both windows partitioned by user_id, no "
+    "global sort), then per-session behavioural features (counts, "
+    "duration, type diversity, click/view tallies) and the purchase "
+    "label from the SAME aggregate, so features and label can never "
+    "drift out of sync. All-integer outputs: the oracle is hash-exact. "
+    "This is the last stage of the events->model pipeline the engine's "
+    "funnel/sessionization/drift operators feed.",
+)
+def session_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gap = F.col("ts_s") - F.lag("ts_s").over(w)
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = ev.withColumn(
+        "is_new", (gap.isNull() | (gap > 1800)).cast("bigint")
+    ).withColumn("session_seq", F.sum("is_new").over(run))
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_s") - F.min("ts_s")).alias("duration_secs"),
+        F.count_distinct("event_type").cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clicks"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_views"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("int")
+        .alias("label_purchased"),
+    )

@@ -151,6 +151,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "user_event_type_diversity",
     "stream_unknown_user_events",
     "bpe_learned_merges",
+    "event_type_drift_daily",
+    "session_training_examples",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",
