@@ -153,6 +153,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "bpe_learned_merges",
     "event_type_drift_daily",
     "session_training_examples",
+    "stream_union_two_sources",
+    "stream_dual_sink_fanout",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",

@@ -1918,3 +1918,165 @@ def stream_unknown_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.unix_timestamp("w.start").alias("bucket_ts"), "n_unknown"
     )
+
+
+@query(
+    "stream_union_two_sources",
+    oracle="""
+WITH m AS (
+  SELECT least(
+    (SELECT max(ts) - INTERVAL 300 SECOND FROM events
+      WHERE event_type IN ('click', 'view')),
+    (SELECT max(ts) - INTERVAL 600 SECOND FROM events
+      WHERE event_type NOT IN ('click', 'view'))) AS wm
+),
+counts AS (
+  SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+              ELSE 'transaction' END AS topic,
+         date_trunc('minute', ts) AS b,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT topic, CAST(epoch(b) AS BIGINT) AS bucket_ts, n
+FROM counts, m
+WHERE b + INTERVAL 1 MINUTE <= m.wm
+""",
+    doc="Multi-source streaming UNION under the MIN-watermark rule: two "
+    "readers (standing in for two Kafka topics — engagement vs "
+    "transaction events) carry DIFFERENT watermark delays (300 s and "
+    "600 s); Structured Streaming advances a unioned query's event-time "
+    "watermark as the MINIMUM across inputs "
+    "(spark.sql.streaming.multipleWatermarkPolicy=min, the default), so "
+    "append-mode windows close only when the LAGGIEST source allows — "
+    "the oracle pins exactly that: every window, from either branch, "
+    "emits iff window_end <= min(max_engagement_ts - 300 s, "
+    "max_transaction_ts - 600 s) — each branch's watermark derives from "
+    "its OWN max event time, and the laggier result governs both. This is the semantics that keeps "
+    "a multi-topic pipeline correct when one topic lags; per-branch "
+    "state is the usual windowed-count state, nothing extra.",
+)
+def stream_union_two_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    engagement = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type").isin("click", "view"))
+        .select(F.lit("engagement").alias("topic"), "ts")
+        .withWatermark("ts", "300 seconds")
+    )
+    transaction = (
+        stream_events(spark, sf_dir)
+        .where(~F.col("event_type").isin("click", "view"))
+        .select(F.lit("transaction").alias("topic"), "ts")
+        .withWatermark("ts", "600 seconds")
+    )
+    unioned = engagement.unionByName(transaction)
+    agg = unioned.groupBy(
+        "topic", F.window("ts", "1 minute").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = run_to_memory(agg, output_mode="append")
+    return out.select(
+        "topic", F.unix_timestamp("w.start").alias("bucket_ts"), "n"
+    )
+
+
+@query(
+    "stream_dual_sink_fanout",
+    oracle="""
+WITH per_type AS (
+  SELECT event_type, count(*) AS n_rows, sum(event_id) AS id_checksum
+  FROM events GROUP BY 1
+)
+SELECT s.sink, p.event_type, CAST(p.n_rows AS BIGINT) AS n_rows,
+       CAST(p.id_checksum AS BIGINT) AS id_checksum
+FROM per_type p, (VALUES ('raw'), ('agg')) s(sink)
+""",
+    doc="foreachBatch DUAL-SINK fan-out — the write-once-serve-twice "
+    "pattern (raw events to a partitioned lake table AND per-epoch "
+    "aggregates to a serving table, from ONE stream): the batch "
+    "DataFrame is persist()ed so the two writes share a single "
+    "computation of the micro-batch instead of re-reading the source "
+    "per sink — THE reason foreachBatch exists over two independent "
+    "queries, which would double source reads and can diverge on "
+    "retries. Four real micro-batches (maxFilesPerTrigger=1 over a "
+    "4-file spool); the raw sink appends partitioned by event_type "
+    "(partition pruning for downstream readers), the agg sink appends "
+    "epoch-stamped partial aggregates that roll up exactly. Both sinks "
+    "are read back and summarized; the oracle demands they agree with "
+    "the batch answer AND each other (same per-type counts and "
+    "id-checksums through two different write paths).",
+)
+def stream_dual_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.catalog import spool_fixture
+    from spark_streaming_twitter_spark.catalog import table as _table
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_foreach_batch,
+    )
+
+    def write_spool(base) -> None:
+        _table(spark, sf_dir, "events").select(
+            "ts", "event_id", "event_type"
+        ).repartition(4).write.mode("overwrite").parquet(str(base / "events"))
+
+    spool = str(
+        spool_fixture("events_fanout", sf_dir, "v1", write_spool) / "events"
+    )
+    ev = (
+        spark.readStream.schema("ts timestamp, event_id long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spool)
+    )
+    raw_dir = tempfile.mkdtemp(prefix="fanout_raw_")
+    agg_dir = tempfile.mkdtemp(prefix="fanout_agg_")
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        df.persist()
+        try:
+            df.write.mode("append").partitionBy("event_type").parquet(raw_dir)
+            (
+                df.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("event_id").alias("id_checksum"),
+                )
+                .withColumn("epoch", F.lit(epoch_id))
+                .write.mode("append")
+                .parquet(agg_dir)
+            )
+        finally:
+            df.unpersist()
+
+    try:
+        run_foreach_batch(ev, write_batch, output_mode="append")
+        raw_rows = (
+            spark.read.parquet(raw_dir)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+            )
+            .collect()
+        )
+        agg_rows = (
+            spark.read.parquet(agg_dir)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_rows").cast("bigint").alias("n_rows"),
+                F.sum("id_checksum").cast("bigint").alias("id_checksum"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(raw_dir, ignore_errors=True)
+        shutil.rmtree(agg_dir, ignore_errors=True)
+    data = [
+        ("raw", r["event_type"], r["n_rows"], r["id_checksum"])
+        for r in raw_rows
+    ] + [
+        ("agg", r["event_type"], r["n_rows"], r["id_checksum"])
+        for r in agg_rows
+    ]
+    return spark.createDataFrame(
+        data, "sink string, event_type string, n_rows long, id_checksum long"
+    )
