@@ -1001,3 +1001,88 @@ def session_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("label_purchased"),
     )
+
+
+# Exact-reduction Pearson correlations: every multi-row reduction runs in
+# DECIMAL(38,6) (the element products are scalar double ops — deterministic
+# IEEE — and the 6-dp decimal cast of those doubles is unambiguous because
+# the cast's rounding gap, 5e-7, dwarfs double rounding error); the final
+# correlation is then a fixed expression tree over exact sums cast to
+# DOUBLE, with sqrt the only irrational op — correctly rounded on both
+# engines, so the matrix matches bitwise. DECIMAL(38,6), not (18,6):
+# sums of squared prices reach ~1e16 at sf0.1 and beyond at scale.
+_CORR_VARS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _corr_sql(x: str, y: str) -> str:
+    def dsum38(e: str) -> str:
+        return f"CAST(SUM(CAST({e} AS DECIMAL(38,6))) AS DOUBLE)"
+
+    n = "CAST(count(*) AS DOUBLE)"
+    sx, sy = dsum38(x), dsum38(y)
+    sxx, syy = dsum38(f"{x} * {x}"), dsum38(f"{y} * {y}")
+    sxy = dsum38(f"{x} * {y}")
+    return (
+        f"({n} * {sxy} - {sx} * {sy}) / "
+        f"(sqrt({n} * {sxx} - {sx} * {sx})"
+        f" * sqrt({n} * {syy} - {sy} * {sy}))"
+    )
+
+
+@query(
+    "lineitem_feature_correlations",
+    oracle="\nUNION ALL\n".join(
+        f"SELECT '{x}' AS x_name, '{y}' AS y_name, count(*) AS n_rows, "
+        f"{_corr_sql(x, y)} AS corr FROM lineitem"
+        for i, x in enumerate(_CORR_VARS)
+        for y in _CORR_VARS[i + 1:]
+    ),
+    doc="Pairwise Pearson correlation matrix over lineitem's numeric "
+    "columns — the feature-analysis pass an ML pipeline runs before "
+    "training — computed EXACTLY: all ten reductions (n and the "
+    "sum/sum-sq/cross-product moments) accumulate in DECIMAL(38,6) in "
+    "ONE aggregate over ONE scan (no per-pair passes, no Spark "
+    "corr()'s order-dependent float accumulation), then each "
+    "correlation is a deterministic double expression over the exact "
+    "moments (see module note on the decimal-cast argument). At 100 TB "
+    "this is a single map-side-combinable aggregate — the moment "
+    "matrix generalizes to any column count with one scan.",
+)
+def lineitem_feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(*_CORR_VARS)
+
+    def d38(c):
+        return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, x in enumerate(_CORR_VARS):
+        aggs.append(d38(F.col(x)).alias(f"s_{i}"))
+        aggs.append(d38(F.col(x) * F.col(x)).alias(f"ss_{i}"))
+        for j in range(i + 1, len(_CORR_VARS)):
+            aggs.append(
+                d38(F.col(x) * F.col(_CORR_VARS[j])).alias(f"sx_{i}_{j}")
+            )
+    moments = li.agg(*aggs)
+
+    rows = []
+    for i, x in enumerate(_CORR_VARS):
+        for j in range(i + 1, len(_CORR_VARS)):
+            y = _CORR_VARS[j]
+            n = F.col("n").cast("double")
+            num = n * F.col(f"sx_{i}_{j}") - F.col(f"s_{i}") * F.col(f"s_{j}")
+            den = F.sqrt(
+                n * F.col(f"ss_{i}") - F.col(f"s_{i}") * F.col(f"s_{i}")
+            ) * F.sqrt(
+                n * F.col(f"ss_{j}") - F.col(f"s_{j}") * F.col(f"s_{j}")
+            )
+            rows.append(
+                F.struct(
+                    F.lit(x).alias("x_name"),
+                    F.lit(y).alias("y_name"),
+                    F.col("n").alias("n_rows"),
+                    (num / den).alias("corr"),
+                )
+            )
+    return moments.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.x_name", "r.y_name", "r.n_rows", "r.corr")

@@ -156,3 +156,124 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("cluster"),
         F.col("dist2").alias("dist2_scaled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — the PQ half of IVF-PQ.
+# The 64-dim vector splits into M=4 16-dim subspaces; each subspace has a
+# K=4-codeword codebook (seeded from the deterministic stride vectors, the
+# same no-global-sort rule as the k-means seeds; Lloyd refinement of a
+# codebook is embedding_kmeans_clusters' machinery, orthogonal to the
+# encode path pinned here). A vector's code is the per-subspace argmin of
+# exact-integer squared L2 against the codewords — 4 codes x 2 bits = one
+# byte per vector, the 256x memory compression that makes billion-vector
+# ANN fit RAM.
+# ---------------------------------------------------------------------------
+M_SUB = 4
+SUB_DIM = 16
+K_CODES = 4
+
+
+def _pq_oracle() -> str:
+    return f"""
+WITH qv AS (
+  SELECT vec_id, {_QUANT_SQL.format(vec="embedding")} AS q FROM embeddings
+),
+cb AS (
+  SELECT CAST(s.k AS INT) AS k, q.q AS cq
+  FROM qv q JOIN (VALUES {", ".join(f"({k}, {k * QUERY_STRIDE})" for k in range(K_CODES))}) s(k, vid)
+    ON q.vec_id = s.vid
+),
+dists AS (
+  SELECT v.vec_id, CAST(m.m AS INT) AS m, c.k,
+         sum((list_extract(v.q, CAST(m.m * {SUB_DIM} + i AS INT))
+              - list_extract(c.cq, CAST(m.m * {SUB_DIM} + i AS INT)))
+             * (list_extract(v.q, CAST(m.m * {SUB_DIM} + i AS INT))
+                - list_extract(c.cq, CAST(m.m * {SUB_DIM} + i AS INT))))
+           AS d2
+  FROM qv v,
+       (VALUES {", ".join(f"({m})" for m in range(M_SUB))}) m(m),
+       cb c,
+       unnest(generate_series(1, {SUB_DIM})) t(i)
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, m, k, d2,
+         row_number() OVER (PARTITION BY vec_id, m
+                            ORDER BY d2 ASC, k ASC) AS rn
+  FROM dists
+)
+SELECT vec_id,
+       CAST(max(CASE WHEN m = 0 THEN k END) AS INT) AS c0,
+       CAST(max(CASE WHEN m = 1 THEN k END) AS INT) AS c1,
+       CAST(max(CASE WHEN m = 2 THEN k END) AS INT) AS c2,
+       CAST(max(CASE WHEN m = 3 THEN k END) AS INT) AS c3,
+       CAST(sum(d2) AS BIGINT) AS recon_err2
+FROM best WHERE rn = 1
+GROUP BY vec_id
+"""
+
+
+@query(
+    "embedding_pq_codes",
+    oracle=_pq_oracle(),
+    doc="Product-quantization ENCODE (the PQ in IVF-PQ, Jégou et al. "
+    "2011): 4 subspaces x 4 codewords -> one 8-bit code per 64-dim "
+    "vector plus its exact reconstruction error. Everything is the "
+    "repo's integer-exact vector calculus: quantized BIGINT elements, "
+    "squared-L2 per subspace via zip_with/aggregate, argmin with k-asc "
+    "tie-break, so the DuckDB replay matches bitwise. Plan shape: the "
+    "corpus posexplodes into (vector, subspace) rows — 4x the rows, "
+    "1/4-length arrays, net constant bytes — joins the 16-row broadcast "
+    "codebook, and the argmin window partitions by (vec_id, m): no "
+    "corpus shuffle other than that high-cardinality window, same as "
+    "k-means assignment. At 100 TB the codebook is still 16 rows and "
+    "the encode is one pass; asymmetric-distance SEARCH over the codes "
+    "is a lookup-table join against these outputs.",
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = widen(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        spark,
+    )
+    qv = emb.withColumn("q", _quantized(F.col("embedding")))
+    sub_slices = F.array(
+        *[F.slice("q", m * SUB_DIM + 1, SUB_DIM) for m in range(M_SUB)]
+    )
+    subs = qv.select(
+        "vec_id", F.posexplode(sub_slices).alias("m", "sub")
+    )
+    seeds = qv.where(
+        (F.col("vec_id") % QUERY_STRIDE == 0)
+        & (F.col("vec_id") < K_CODES * QUERY_STRIDE)
+    ).select(
+        (F.col("vec_id") / QUERY_STRIDE).cast("int").alias("k"),
+        F.col("q").alias("cq"),
+    )
+    codebook = seeds.select(
+        "k", F.posexplode(
+            F.array(
+                *[F.slice("cq", m * SUB_DIM + 1, SUB_DIM) for m in range(M_SUB)]
+            )
+        ).alias("m", "cw"),
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(sub, cw, (x, c) -> (x - c) * (x - c)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d2").asc(), F.col("k").asc()
+    )
+    best = (
+        subs.join(F.broadcast(codebook), "m")
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return best.groupBy("vec_id").agg(
+        F.max(F.when(F.col("m") == 0, F.col("k"))).cast("int").alias("c0"),
+        F.max(F.when(F.col("m") == 1, F.col("k"))).cast("int").alias("c1"),
+        F.max(F.when(F.col("m") == 2, F.col("k"))).cast("int").alias("c2"),
+        F.max(F.when(F.col("m") == 3, F.col("k"))).cast("int").alias("c3"),
+        F.sum("d2").cast("bigint").alias("recon_err2"),
+    )
