@@ -157,6 +157,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_dual_sink_fanout",
     "embedding_pq_codes",
     "lineitem_feature_correlations",
+    "similarity_pq_adc_topk",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",

@@ -277,3 +277,138 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("m") == 3, F.col("k"))).cast("int").alias("c3"),
         F.sum("d2").cast("bigint").alias("recon_err2"),
     )
+
+
+def _pq_adc_oracle() -> str:
+    vals_k = ", ".join(f"({k}, {k * QUERY_STRIDE})" for k in range(K_CODES))
+    vals_m = ", ".join(f"({m})" for m in range(M_SUB))
+    sub_d2 = (
+        f"sum((list_extract({{v}}, CAST(m.m * {SUB_DIM} + i AS INT))"
+        f" - list_extract(c.cq, CAST(m.m * {SUB_DIM} + i AS INT)))"
+        f" * (list_extract({{v}}, CAST(m.m * {SUB_DIM} + i AS INT))"
+        f" - list_extract(c.cq, CAST(m.m * {SUB_DIM} + i AS INT))))"
+    )
+    return f"""
+WITH qv AS (
+  SELECT vec_id, {_QUANT_SQL.format(vec="embedding")} AS q FROM embeddings
+),
+cb AS (
+  SELECT CAST(s.k AS INT) AS k, q.q AS cq
+  FROM qv q JOIN (VALUES {vals_k}) s(k, vid) ON q.vec_id = s.vid
+),
+dists AS (
+  SELECT v.vec_id, CAST(m.m AS INT) AS m, c.k, {sub_d2.format(v="v.q")} AS d2
+  FROM qv v, (VALUES {vals_m}) m(m), cb c,
+       unnest(generate_series(1, {SUB_DIM})) t(i)
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2 ASC, k ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT qs.vec_id AS q_vec_id, CAST(m.m AS INT) AS m, c.k,
+         {sub_d2.format(v="qs.q")} AS d2
+  FROM (SELECT vec_id, q FROM qv WHERE vec_id % {QUERY_STRIDE} = 0) qs,
+       (VALUES {vals_m}) m(m), cb c,
+       unnest(generate_series(1, {SUB_DIM})) t(i)
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT l.q_vec_id, co.vec_id, sum(l.d2) AS adc_dist2
+  FROM codes co JOIN lut l ON l.m = co.m AND l.k = co.k
+  GROUP BY 1, 2
+)
+SELECT q_vec_id, vec_id, CAST(adc_dist2 AS BIGINT) AS adc_dist2,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                               ORDER BY adc_dist2 ASC, vec_id ASC) AS rank
+  FROM adc
+) WHERE rank <= 10
+"""
+
+
+@query(
+    "similarity_pq_adc_topk",
+    oracle=_pq_adc_oracle(),
+    doc="Asymmetric-distance search over PQ codes — the SEARCH half of "
+    "IVF-PQ: each query precomputes a 16-entry lookup table (its exact "
+    "squared L2 to every codeword, per subspace), and a vector's "
+    "approximate distance is then FOUR table lookups summed — no "
+    "vector arithmetic per candidate at all, which is why PQ search "
+    "scans billions of codes at memory bandwidth. Here the lookup is "
+    "an equi-join on (m, k) between the corpus code table and the "
+    "broadcast LUT (queries x 16 rows), aggregated per (query, "
+    "vector); top-10 per query via rank window with vec_id tie-break. "
+    "All arithmetic integer-exact, so approximation and oracle agree "
+    "bitwise. At scale: codes are 1 byte/vector (vs 512 for raw "
+    "vectors), the LUT rides the plan broadcast, and the one shuffle "
+    "keys the (query, vector) partial sums; compose with the IVF cell "
+    "router (similarity_ivf_topk) to only score in-cell codes.",
+)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = widen(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        spark,
+    )
+    qv = emb.withColumn("q", _quantized(F.col("embedding")))
+    sub_arr = F.array(
+        *[F.slice("q", m * SUB_DIM + 1, SUB_DIM) for m in range(M_SUB)]
+    )
+    subs = qv.select("vec_id", F.posexplode(sub_arr).alias("m", "sub"))
+    seeds = qv.where(
+        (F.col("vec_id") % QUERY_STRIDE == 0)
+        & (F.col("vec_id") < K_CODES * QUERY_STRIDE)
+    ).select(
+        (F.col("vec_id") / QUERY_STRIDE).cast("int").alias("k"),
+        F.col("q").alias("cq"),
+    )
+    codebook = seeds.select(
+        "k",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("cq", m * SUB_DIM + 1, SUB_DIM)
+                    for m in range(M_SUB)
+                ]
+            )
+        ).alias("m", "cw"),
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(sub, cw, (x, c) -> (x - c) * (x - c)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d2").asc(), F.col("k").asc()
+    )
+    codes = (
+        subs.join(F.broadcast(codebook), "m")
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w_code))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "k")
+    )
+    lut = (
+        subs.where(F.col("vec_id") % QUERY_STRIDE == 0)
+        .withColumnRenamed("vec_id", "q_vec_id")
+        .join(F.broadcast(codebook), "m")
+        .withColumn("d2", d2)
+        .select("q_vec_id", "m", "k", "d2")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "k"])
+        .groupBy("q_vec_id", "vec_id")
+        .agg(F.sum("d2").cast("bigint").alias("adc_dist2"))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 10)
+    )
