@@ -230,6 +230,7 @@ GROUP BY vec_id
     "k-means assignment. At 100 TB the codebook is still 16 rows and "
     "the encode is one pass; asymmetric-distance SEARCH over the codes "
     "is a lookup-table join against these outputs.",
+    bench=True,
 )
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = widen(

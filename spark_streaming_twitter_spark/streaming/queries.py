@@ -1623,6 +1623,7 @@ WHERE event_type = 'purchase'
     "preceding-frame window maxes over the (ts, event_id)-ordered "
     "per-user sequence — the same deterministic order the kernel sorts "
     "each batch by.",
+    bench=True,
 )
 def stream_funnel_match_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd

@@ -1010,6 +1010,7 @@ FROM scored
     "swapping the model input. n_chars from the fixture schema pins the "
     "position count; substr(_, i, 2) at the final char yields a 1-char "
     "tail bigram on both engines identically.",
+    bench=True,
 )
 def doc_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(

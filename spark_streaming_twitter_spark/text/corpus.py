@@ -616,6 +616,7 @@ r{i + 1} AS (
     "shuffle-by-pair over it. The oracle replays all 6 rounds as "
     "unrolled CTE blocks. Output: the merge table — THE artifact a "
     "tokenizer ships.",
+    bench=True,
 )
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(table(spark, sf_dir, "documents").select("text"), spark)

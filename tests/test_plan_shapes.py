@@ -360,3 +360,52 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         .collect()[0]["count"]
     )
     assert n_bloom == n_plain
+
+
+def test_bm25_filters_tokens_and_broadcasts_stats(spark):
+    """BM25's postings Generate must embed the query-term filter (same rule
+    as keyword_search_topk), and the df/corpus-stat joins must broadcast —
+    the only corpus-sized shuffles are the two groupBys."""
+    f = _features(spark, "keyword_search_bm25")
+    assert "BroadcastHashJoin" in f.join_nodes, f.join_nodes
+    assert "CartesianProduct" not in f.raw
+    # the postings fragment (pre-localCheckpoint, so the Generate is
+    # visible in the optimized plan): term filter inside the explode input
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitter_spark.catalog import table
+    from spark_streaming_twitter_spark.text.analysis import (
+        _SEARCH_TERMS,
+        tokens,
+    )
+
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    terms = F.array([F.lit(t) for t in _SEARCH_TERMS])
+    matching = F.filter(
+        tokens(F.lower(F.col("text"))), lambda t: F.array_contains(terms, t)
+    )
+    postings = docs.select("doc_id", F.explode(matching).alias("term"))
+    opt = postings._jdf.queryExecution().optimizedPlan().toString()
+    gen = opt[opt.index("Generate explode") :].split("\n")[0]
+    assert "array_contains" in gen, (
+        "BM25 postings must filter terms inside the Generate input"
+    )
+
+
+def test_charlm_broadcasts_model(spark):
+    """The bigram model joins must broadcast (alphabet-bounded model);
+    scoring must join distinct-bigram tf rows, never positions."""
+    f = _features(spark, "doc_charlm_score")
+    assert "BroadcastHashJoin" in f.join_nodes, f.join_nodes
+    assert "SortMergeJoin" not in f.join_nodes, (
+        "model join must broadcast, not shuffle"
+    )
+
+
+def test_pq_broadcasts_codebook_and_lut(spark):
+    """PQ encode and ADC search must broadcast the codebook/LUT — no
+    sort-merge join against 16-row relations, no cartesian product."""
+    for name in ("embedding_pq_codes", "similarity_pq_adc_topk"):
+        f = _features(spark, name)
+        assert "BroadcastHashJoin" in f.join_nodes, (name, f.join_nodes)
+        assert "CartesianProduct" not in f.raw, name
