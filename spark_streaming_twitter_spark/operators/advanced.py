@@ -585,3 +585,85 @@ def null_semantics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("first_key").alias("first_key_nulls_first"),
         )
     )
+
+
+@query(
+    "event_values_winsorized",
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+bounds AS (
+  SELECT event_type,
+         max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                  THEN value END) AS lo,
+         max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                  THEN value END) AS hi
+  FROM ranked GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n_events,
+       any_value(b.lo) AS p05,
+       any_value(b.hi) AS p95,
+       CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_low,
+       CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_high,
+       {dsum_sql('least(greatest(e.value, b.lo), b.hi)')}
+         AS winsorized_sum
+FROM events e JOIN bounds b USING (event_type)
+GROUP BY e.event_type
+""",
+    doc="Winsorization — outlier clamping at exact per-group P05/P95, the "
+    "feature-preprocessing step that keeps heavy-tailed metrics from "
+    "dominating training: bounds come from the rank-selection exact "
+    "quantile idiom (deterministic under ties, engine-portable — see "
+    "exact_value_quantiles), clamping is least/greatest against the "
+    "broadcast #groups-row bounds table, and the clamped sum runs "
+    "through the exact-decimal path. Output audits the clamp itself "
+    "(how many rows hit each bound) — the number a pipeline monitors "
+    "to notice a distribution shifting into its clamps. Two shuffles "
+    "at any scale: the rank window and the final group-by; at 100 TB "
+    "swap rank selection for approx_percentile bounds with the same "
+    "clamp plan.",
+)
+def event_values_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.05 * F.col("n")), F.col("value"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.95 * F.col("n")), F.col("value"))
+        ).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.any_value("lo").alias("p05"),
+            F.any_value("hi").alias("p95"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clamped_low"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clamped_high"),
+            dsum(clamped).alias("winsorized_sum"),
+        )
+    )

@@ -158,6 +158,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "embedding_pq_codes",
     "lineitem_feature_correlations",
     "similarity_pq_adc_topk",
+    "event_values_winsorized",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",

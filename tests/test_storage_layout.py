@@ -178,3 +178,56 @@ def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path, sf_dir):
     z_price = _overlapping(zs, price_box)
     assert lin_price == 16, f"expected no pruning for linear: {lin_price}"
     assert z_price <= 8, f"z-order should bound price per file: {z_price}"
+
+
+def test_small_file_compaction_preserves_content(spark, tmp_path):
+    """Maintenance compaction — the OPTIMIZE primitive on plain parquet:
+    a 64-small-file table bin-packs into a handful of right-sized files
+    with identical content (count + key checksum) and fewer scan tasks.
+    At 100 TB this runs per-partition with a target file size; here the
+    invariants are what's pinned: content-preserving, file-count-reducing,
+    scan-task-reducing."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitter_spark.catalog import table
+
+    src = table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    small = str(tmp_path / "small")
+    src.repartition(64).write.parquet(small)
+    n_small = len(
+        [f for f in __import__("os").listdir(small) if f.endswith(".parquet")]
+    )
+    assert n_small == 64
+
+    before = spark.read.parquet(small).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("chk")
+    ).collect()[0]
+
+    # compaction: coalesce to ceil(bytes / target) output files
+    import math
+    import os
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(small, f))
+        for f in os.listdir(small)
+        if f.endswith(".parquet")
+    )
+    target = 256 * 1024  # fixture-sized stand-in for a 256 MB target
+    n_out = max(1, math.ceil(total_bytes / target))
+    compacted = str(tmp_path / "compacted")
+    spark.read.parquet(small).coalesce(n_out).write.parquet(compacted)
+
+    n_comp = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
+    assert n_comp < n_small, (n_comp, n_small)
+
+    after = spark.read.parquet(compacted).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("chk")
+    ).collect()[0]
+    assert (before["n"], before["chk"]) == (after["n"], after["chk"])
+
+    # fewer scan tasks for the downstream reader
+    t_small = spark.read.parquet(small).rdd.getNumPartitions()
+    t_comp = spark.read.parquet(compacted).rdd.getNumPartitions()
+    assert t_comp <= t_small
