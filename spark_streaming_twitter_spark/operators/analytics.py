@@ -1086,3 +1086,134 @@ def lineitem_feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame
     return moments.select(
         F.explode(F.array(*rows)).alias("r")
     ).select("r.x_name", "r.y_name", "r.n_rows", "r.corr")
+
+
+@query(
+    "session_association_rules",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, event_type, ts_s,
+         CASE WHEN ts_s - lag(ts_s) OVER w > 1800
+                   OR lag(ts_s) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+),
+sess_types AS (
+  SELECT DISTINCT user_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+n_sess AS (
+  SELECT count(DISTINCT (user_id, session_seq)) AS total FROM sess_types
+),
+type_support AS (
+  SELECT event_type, count(*) AS n_a FROM sess_types GROUP BY 1
+),
+pair_support AS (
+  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+         count(*) AS support
+  FROM sess_types a
+  JOIN sess_types b ON a.user_id = b.user_id
+                   AND a.session_seq = b.session_seq
+                   AND a.event_type <> b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.antecedent, p.consequent,
+       CAST(p.support AS BIGINT) AS support,
+       CAST(p.support * 1000000 // ta.n_a AS BIGINT) AS confidence_scaled,
+       CAST(p.support * (SELECT total FROM n_sess) * 1000000
+            // (ta.n_a * tc.n_a) AS BIGINT) AS lift_scaled
+FROM pair_support p
+JOIN type_support ta ON ta.event_type = p.antecedent
+JOIN type_support tc ON tc.event_type = p.consequent
+""",
+    doc="Association-rule mining over sessions (the market-basket "
+    "A-implies-B analysis): support, confidence, and lift for every "
+    "ordered event-type pair co-occurring in a session — all exact "
+    "scaled-BIGINT ratios of session counts, so 'lift > 1' means the "
+    "same thing on every engine and rerun. Plan: sessionize (the "
+    "user_event_sessions window idiom), collapse to DISTINCT (session, "
+    "type) — the alphabet-bounded basket table — then the pair self-join "
+    "joins per-session type sets of at most |types| rows: O(sessions x "
+    "types^2) worst case with a 5-type alphabet, never a row-level "
+    "self-join. Type marginals and the session total are tiny broadcast "
+    "aggregates.",
+)
+def session_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gap = F.col("ts_s") - F.lag("ts_s").over(w)
+    sess_types = (
+        ev.withColumn("is_new", (gap.isNull() | (gap > 1800)).cast("bigint"))
+        .withColumn("session_seq", F.sum("is_new").over(run))
+        .select("user_id", "session_seq", "event_type")
+        .distinct()
+        .localCheckpoint()
+    )
+    n_sess = sess_types.select("user_id", "session_seq").distinct().agg(
+        F.count(F.lit(1)).alias("total")
+    )
+    type_support = sess_types.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    pair_support = (
+        sess_types.alias("a")
+        .join(
+            sess_types.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_seq") == F.col("b.session_seq"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        pair_support.join(
+            F.broadcast(
+                type_support.select(
+                    F.col("event_type").alias("antecedent"),
+                    F.col("n_a").alias("n_ant"),
+                )
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                type_support.select(
+                    F.col("event_type").alias("consequent"),
+                    F.col("n_a").alias("n_con"),
+                )
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_sess))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("support").cast("bigint").alias("support"),
+            F.expr("support * 1000000 DIV n_ant")
+            .cast("bigint")
+            .alias("confidence_scaled"),
+            F.expr("support * total * 1000000 DIV (n_ant * n_con)")
+            .cast("bigint")
+            .alias("lift_scaled"),
+        )
+    )

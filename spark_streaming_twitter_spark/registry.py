@@ -159,6 +159,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "lineitem_feature_correlations",
     "similarity_pq_adc_topk",
     "event_values_winsorized",
+    "stream_type_drift_hourly",
+    "session_association_rules",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",

@@ -2081,3 +2081,70 @@ def stream_dual_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         data, "sink string, event_type string, n_rows long, id_checksum long"
     )
+
+
+@query(
+    "stream_type_drift_hourly",
+    oracle="""
+WITH per_ht AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n_ht
+  FROM events GROUP BY 1, 2
+),
+per_h AS (SELECT h, sum(n_ht) AS n_h FROM per_ht GROUP BY 1),
+per_type AS (SELECT event_type, sum(n_ht) AS n_t FROM per_ht GROUP BY 1),
+tot AS (SELECT sum(n_t) AS n FROM per_type),
+grid AS (
+  SELECT d.h, d.n_h, t.event_type, t.n_t, coalesce(o.n_ht, 0) AS n_ht
+  FROM per_h d CROSS JOIN per_type t
+  LEFT JOIN per_ht o ON o.h = d.h AND o.event_type = t.event_type
+)
+SELECT CAST(epoch(h) AS BIGINT) AS bucket_ts,
+       CAST(any_value(n_h) AS BIGINT) AS n_events,
+       CAST(sum(abs(n_ht * 1000000 // n_h
+                    - n_t * 1000000 // (SELECT n FROM tot))) AS BIGINT)
+         AS l1_drift_scaled
+FROM grid GROUP BY 1
+""",
+    doc="STREAMING drift monitor — event_type_drift_daily's continuous "
+    "twin: the stream maintains hourly (window x type) counts as "
+    "ordinary windowed-aggregation state; the reference distribution "
+    "is computed from the static batch table and broadcast-joined onto "
+    "the streamed aggregate AFTER the stateful stage (a #types-row "
+    "dim — the lambda-architecture serving join, same split as "
+    "stream_trending_event_type). Missing types contribute their full "
+    "global share via the same grid construction as the batch twin, "
+    "and the L1 score is the same exact scaled-BIGINT arithmetic — so "
+    "batch backfill and streaming monitor can never disagree on what "
+    "'drifted' means. State is #types x #open-windows rows; the drift "
+    "arithmetic runs on the tiny post-state aggregate every trigger.",
+)
+def stream_type_drift_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.catalog import table as _table
+
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_ht"))
+    )
+    per_ht = run_to_memory(agg, output_mode="complete").select(
+        F.unix_timestamp("w.start").alias("bucket_ts"), "event_type", "n_ht"
+    )
+    bt = _table(spark, sf_dir, "events").select("event_type")
+    per_type = bt.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    tot = per_type.agg(F.sum("n_t").alias("n"))
+    per_h = per_ht.groupBy("bucket_ts").agg(F.sum("n_ht").alias("n_h"))
+    grid = (
+        per_h.crossJoin(F.broadcast(per_type))
+        .crossJoin(F.broadcast(tot))
+        .join(per_ht, ["bucket_ts", "event_type"], "left")
+        .withColumn("n_ht", F.coalesce(F.col("n_ht"), F.lit(0)))
+    )
+    return grid.groupBy("bucket_ts").agg(
+        F.any_value("n_h").cast("bigint").alias("n_events"),
+        F.sum(
+            F.abs(F.expr("n_ht * 1000000 DIV n_h - n_t * 1000000 DIV n"))
+        )
+        .cast("bigint")
+        .alias("l1_drift_scaled"),
+    )
