@@ -838,3 +838,101 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@query(
+    "orders_snapshot_diff",
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey,
+         CAST(('0x' || substr(md5(o_orderstatus || '|'
+                              || CAST(o_totalprice AS VARCHAR)), 1, 15))
+              AS BIGINT) AS row_hash
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+v2src AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice * 2.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 101 <> 0
+),
+v2 AS (
+  SELECT o_orderkey,
+         CAST(('0x' || substr(md5(o_orderstatus || '|'
+                              || CAST(o_totalprice AS VARCHAR)), 1, 15))
+              AS BIGINT) AS row_hash
+  FROM v2src
+),
+diff AS (
+  SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS k,
+         CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+              WHEN v2.o_orderkey IS NULL THEN 'removed'
+              WHEN v1.row_hash <> v2.row_hash THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+)
+SELECT change_type, count(*) AS n_rows,
+       CAST(sum(k) AS BIGINT) AS key_checksum
+FROM diff GROUP BY 1
+""",
+    doc="Snapshot DIFF — the table-compare primitive behind CDC "
+    "validation, migration sign-off, and replication audits: two "
+    "deterministic snapshot derivations of orders (disjoint delete "
+    "sets, a value mutation on keys % 89) compare by KEY + ROW HASH "
+    "through one full outer join, classifying every key as added / "
+    "removed / changed / unchanged with a key checksum per class. The "
+    "row hash is the portable md5 bridge (functions/hashing.py — the "
+    "only hash both engines compute identically), concatenating the "
+    "compared columns with an unambiguous separator; hashing first "
+    "means the join compares one BIGINT per row regardless of row "
+    "width. At 100 TB both sides shuffle once on the key (or not at "
+    "all if both snapshots are bucketed by it — tests/"
+    "test_storage_layout.py's layout), and the output is #classes "
+    "rows; this is how you diff a billion-row table without collecting "
+    "anything. DOUBLE-to-string hashing is portable here because both "
+    "engines print the shortest round-trip representation (pinned "
+    "green by this oracle at both SFs).",
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.functions.hashing import portable_hash
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def row_hash(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_orderkey",
+            portable_hash(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderstatus"),
+                    F.col("o_totalprice").cast("string"),
+                )
+            ).alias("row_hash"),
+        )
+
+    v1 = row_hash(orders.where(F.col("o_orderkey") % 97 != 0))
+    v2 = row_hash(
+        orders.where(F.col("o_orderkey") % 101 != 0).withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") * 2.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    diff = v1.alias("a").join(
+        v2.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full"
+    )
+    classified = diff.select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("k"),
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(F.col("a.row_hash") != F.col("b.row_hash"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    return classified.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").cast("bigint").alias("key_checksum"),
+    )

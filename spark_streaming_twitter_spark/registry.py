@@ -161,6 +161,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "event_values_winsorized",
     "stream_type_drift_hourly",
     "session_association_rules",
+    "orders_snapshot_diff",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",
