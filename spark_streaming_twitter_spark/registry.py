@@ -162,6 +162,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_type_drift_hourly",
     "session_association_rules",
     "orders_snapshot_diff",
+    "similarity_ivfpq_topk",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",

@@ -413,3 +413,198 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= 10)
     )
+
+
+def _ivfpq_oracle() -> str:
+    from spark_streaming_twitter_spark.similarity.search import (
+        _IVF_PREFIX_CTES,
+        _ORACLE_PRELUDE,
+    )
+
+    vals_k = ", ".join(f"({k}, {k * QUERY_STRIDE})" for k in range(K_CODES))
+    vals_m = ", ".join(f"({m})" for m in range(M_SUB))
+    sub_d2 = (
+        f"sum((list_extract({{v}}, CAST(m.m * {SUB_DIM} + i AS INT))"
+        f" - list_extract(c.cq, CAST(m.m * {SUB_DIM} + i AS INT)))"
+        f" * (list_extract({{v}}, CAST(m.m * {SUB_DIM} + i AS INT))"
+        f" - list_extract(c.cq, CAST(m.m * {SUB_DIM} + i AS INT))))"
+    )
+    return f"""{_ORACLE_PRELUDE},
+{_IVF_PREFIX_CTES},
+cells AS (SELECT query_id, label FROM routed WHERE rn <= 1),
+cb AS (
+  SELECT CAST(s.k AS INT) AS k, q.qv AS cq
+  FROM quantized q JOIN (VALUES {vals_k}) s(k, vid) ON q.vec_id = s.vid
+),
+pqdists AS (
+  SELECT v.vec_id, CAST(m.m AS INT) AS m, c.k,
+         {sub_d2.format(v="v.qv")} AS d2
+  FROM quantized v, (VALUES {vals_m}) m(m), cb c,
+       unnest(generate_series(1, {SUB_DIM})) t(i)
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2 ASC, k ASC) AS rn
+    FROM pqdists
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS query_id, m, k, d2 FROM pqdists
+  WHERE vec_id % {QUERY_STRIDE} = 0
+),
+adc AS (
+  SELECT l.query_id, co.vec_id AS neighbor_id, sum(l.d2) AS adc_dist2
+  FROM codes co
+  JOIN quantized qn ON qn.vec_id = co.vec_id
+  JOIN cells ce ON ce.label = qn.label
+  JOIN lut l ON l.query_id = ce.query_id
+            AND l.m = co.m AND l.k = co.k
+  WHERE co.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(adc_dist2 AS BIGINT) AS adc_dist2,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist2 ASC, neighbor_id ASC)
+              AS rank
+  FROM adc
+) WHERE rank <= 10
+"""
+
+
+@query(
+    "similarity_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    doc="IVF-PQ — the full composed index this family builds toward: each "
+    "query routes to its nearest IVF cell (the exact-integer centroid "
+    "argmax of similarity_ivf_topk), then asymmetric-distance scores "
+    "ONLY that cell's PQ codes via its lookup table. Candidates probed: "
+    "1/n_cells of the corpus; bytes touched per candidate: ONE (the "
+    "code), not 512 (the vector) — the two multiplicative reductions "
+    "that let a billion-vector index serve from RAM. Every stage is the "
+    "repo's integer-exact calculus (quantized centroids, codebook "
+    "argmin, LUT sums), so the triple composition still matches DuckDB "
+    "bitwise — the oracle chains the IVF routing CTEs with the PQ "
+    "encode/LUT/ADC chain. Plan: centroids, codebook, LUT, and the "
+    "routed cell list all broadcast; the one shuffle aggregates "
+    "(query, neighbor) partial sums; note the lut d2 is reused from "
+    "the SAME pqdists relation that encodes the corpus — queries are "
+    "corpus members, so their subspace distances are already computed.",
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.similarity.search import scaled_norm2  # noqa: F401
+
+    emb = widen(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        ),
+        spark,
+    )
+    corpus = emb.withColumn("qv", _quantized(F.col("embedding")))
+    # --- IVF routing (exact-integer centroids per label cell) ---
+    dims = corpus.select("label", F.posexplode(F.col("qv")).alias("d0", "v"))
+    centroid_dims = (
+        dims.groupBy("label", "d0")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "label",
+            "d0",
+            F.expr("(s - pmod(s, cnt)) DIV cnt").cast("bigint").alias("c"),
+        )
+    )
+    centroids = centroid_dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d0", "c"))), lambda x: x["c"]
+        ).alias("cvec")
+    )
+    queries = corpus.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    cdot = F.aggregate(
+        F.zip_with(F.col("q_qv"), F.col("cvec"), lambda x, w: x * w),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w_route = Window.partitionBy("query_id").orderBy(
+        F.col("cdot").desc(), F.col("label").asc()
+    )
+    cells = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("cdot", cdot)
+        .withColumn("rn", F.row_number().over(w_route))
+        .where(F.col("rn") <= 1)
+        .select("query_id", "label")
+    )
+    # --- PQ encode + LUT (shared subspace-distance relation) ---
+    sub_arr = F.array(
+        *[F.slice("qv", m * SUB_DIM + 1, SUB_DIM) for m in range(M_SUB)]
+    )
+    subs = corpus.select(
+        "vec_id", "label", F.posexplode(sub_arr).alias("m", "sub")
+    )
+    seeds = corpus.where(
+        (F.col("vec_id") % QUERY_STRIDE == 0)
+        & (F.col("vec_id") < K_CODES * QUERY_STRIDE)
+    ).select(
+        (F.col("vec_id") / QUERY_STRIDE).cast("int").alias("k"),
+        F.col("qv").alias("cq"),
+    )
+    codebook = seeds.select(
+        "k",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("cq", m * SUB_DIM + 1, SUB_DIM)
+                    for m in range(M_SUB)
+                ]
+            )
+        ).alias("m", "cw"),
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(sub, cw, (x, c) -> (x - c) * (x - c)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    pqdists = (
+        subs.join(F.broadcast(codebook), "m")
+        .withColumn("d2", d2)
+        .select("vec_id", "label", "m", "k", "d2")
+        .localCheckpoint()
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d2").asc(), F.col("k").asc()
+    )
+    codes = (
+        pqdists.withColumn("rn", F.row_number().over(w_code))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "m", "k")
+    )
+    lut = pqdists.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), "m", "k", "d2"
+    )
+    cell_lut = lut.join(F.broadcast(cells), "query_id")
+    adc = (
+        codes.alias("co")
+        .join(
+            F.broadcast(cell_lut.alias("lu")),
+            (F.col("co.label") == F.col("lu.label"))
+            & (F.col("co.m") == F.col("lu.m"))
+            & (F.col("co.k") == F.col("lu.k"))
+            & (F.col("co.vec_id") != F.col("lu.query_id")),
+        )
+        .groupBy(
+            F.col("lu.query_id").alias("query_id"),
+            F.col("co.vec_id").alias("neighbor_id"),
+        )
+        .agg(F.sum(F.col("lu.d2")).cast("bigint").alias("adc_dist2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 10)
+    )
