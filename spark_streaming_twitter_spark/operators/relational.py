@@ -936,3 +936,40 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("k").cast("bigint").alias("key_checksum"),
     )
+
+
+_EXCESS_SQL = """
+SELECT s_suppkey, s_name,
+       (SELECT count(*) FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey) AS n_lineitems
+FROM supplier s
+WHERE (SELECT count(*) FROM lineitem l
+       WHERE l.l_suppkey = s.s_suppkey)
+      > (SELECT count(*) FROM lineitem) / (SELECT count(*) FROM supplier)
+  AND EXISTS (SELECT 1 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE l.l_suppkey = s.s_suppkey AND p.p_type = 'PROMO')
+"""
+
+
+@query(
+    "sql_correlated_excess_suppliers",
+    oracle=_EXCESS_SQL,
+    doc="Correlated scalar subqueries — the TPC-H Q17/Q20 shape: suppliers "
+    "whose lineitem volume exceeds twice the per-supplier average, "
+    "above-average volume via correlated scalar subqueries plus a "
+    "correlated EXISTS over a join (the Q20 availability test), all "
+    "executed as the SAME ANSI text on both engines. What's under test "
+    "is Catalyst's DECORRELATION: the correlated `(SELECT count(*) ... "
+    "WHERE l_suppkey = s_suppkey)` must rewrite to ONE aggregate over "
+    "lineitem joined back on s_suppkey — not a per-supplier re-scan "
+    "(O(suppliers x lineitem) at 100 TB). test_correlated_subquery_"
+    "decorrelates pins exactly that plan shape: a single lineitem scan "
+    "per subquery class and no nested-loop execution node.",
+)
+def sql_correlated_excess_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_streaming_twitter_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EXCESS_SQL)

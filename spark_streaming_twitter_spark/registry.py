@@ -163,6 +163,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "session_association_rules",
     "orders_snapshot_diff",
     "similarity_ivfpq_topk",
+    "sql_correlated_excess_suppliers",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",

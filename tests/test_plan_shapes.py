@@ -409,3 +409,20 @@ def test_pq_broadcasts_codebook_and_lut(spark):
         f = _features(spark, name)
         assert "BroadcastHashJoin" in f.join_nodes, (name, f.join_nodes)
         assert "CartesianProduct" not in f.raw, name
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """Catalyst must DECORRELATE sql_correlated_excess_suppliers' scalar
+    subqueries and EXISTS into aggregates + hash joins — never a
+    per-supplier re-scan (nested-loop/cartesian execution), which is the
+    O(suppliers x lineitem) failure mode at scale."""
+    f = _features(spark, "sql_correlated_excess_suppliers")
+    assert "CartesianProduct" not in f.raw
+    assert "BroadcastNestedLoopJoin" not in f.raw
+    assert "BroadcastHashJoin" in f.join_nodes, f.join_nodes
+    # one bounded scan per subquery class (2 correlated counts kept
+    # separate by Catalyst, the EXISTS semi input, the global count) —
+    # NOT one per supplier
+    assert f.raw.count("lineitem.parquet") <= 4, f.raw.count(
+        "lineitem.parquet"
+    )
