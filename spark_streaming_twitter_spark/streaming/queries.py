@@ -1979,6 +1979,43 @@ def stream_union_two_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fanout_write_batch(raw_dir: str, agg_dir: str):
+    """foreachBatch body for the dual-sink fan-out, exposed for the retry
+    test. IDEMPOTENT per epoch on BOTH sinks: each write stamps the epoch
+    and dynamic-partition-overwrites only its own epoch partition, so a
+    replayed epoch (crash between the two writes, checkpoint re-delivery)
+    rewrites identical content instead of appending duplicates — the same
+    exactly-once-by-construction argument as the upsert sink's versioned
+    snapshots, applied to plain partitioned parquet."""
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        df.persist()
+        try:
+            (
+                df.withColumn("epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch", "event_type")
+                .parquet(raw_dir)
+            )
+            (
+                df.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("event_id").alias("id_checksum"),
+                )
+                .withColumn("epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(agg_dir)
+            )
+        finally:
+            df.unpersist()
+
+    return write_batch
+
+
 @query(
     "stream_dual_sink_fanout",
     oracle="""
@@ -1998,9 +2035,13 @@ FROM per_type p, (VALUES ('raw'), ('agg')) s(sink)
     "per sink — THE reason foreachBatch exists over two independent "
     "queries, which would double source reads and can diverge on "
     "retries. Four real micro-batches (maxFilesPerTrigger=1 over a "
-    "4-file spool); the raw sink appends partitioned by event_type "
-    "(partition pruning for downstream readers), the agg sink appends "
-    "epoch-stamped partial aggregates that roll up exactly. Both sinks "
+    "4-file spool); both sinks stamp the epoch and dynamic-partition-"
+    "overwrite ONLY their own epoch partition (fanout_write_batch), so a "
+    "replayed epoch rewrites identical content instead of appending "
+    "duplicates — exactly-once by construction, pinned by "
+    "test_fanout_epoch_replay_is_idempotent. The raw sink additionally "
+    "partitions by event_type (partition pruning for downstream "
+    "readers); the agg sink's epoch partials roll up exactly. Both sinks "
     "are read back and summarized; the oracle demands they agree with "
     "the batch answer AND each other (same per-type counts and "
     "id-checksums through two different write paths).",
@@ -2030,24 +2071,7 @@ def stream_dual_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw_dir = tempfile.mkdtemp(prefix="fanout_raw_")
     agg_dir = tempfile.mkdtemp(prefix="fanout_agg_")
-
-    def write_batch(df: DataFrame, epoch_id: int) -> None:
-        df.persist()
-        try:
-            df.write.mode("append").partitionBy("event_type").parquet(raw_dir)
-            (
-                df.groupBy("event_type")
-                .agg(
-                    F.count(F.lit(1)).alias("n_rows"),
-                    F.sum("event_id").alias("id_checksum"),
-                )
-                .withColumn("epoch", F.lit(epoch_id))
-                .write.mode("append")
-                .parquet(agg_dir)
-            )
-        finally:
-            df.unpersist()
-
+    write_batch = fanout_write_batch(raw_dir, agg_dir)
     try:
         run_foreach_batch(ev, write_batch, output_mode="append")
         raw_rows = (

@@ -745,3 +745,30 @@ def test_funnel_match_consumes_and_carries_state(spark, stream_dir):
         (1, t0, t0 + 600),          # second signup -> first purchase only
         (2, t0 + 1200, t0 + 1800),  # pending carried across the batch gap
     ], rows
+
+
+def test_fanout_epoch_replay_is_idempotent(spark, tmp_path):
+    """A crash between foreachBatch's two writes makes the engine replay
+    the epoch; the dual-sink writer must rewrite identical content, not
+    append duplicates."""
+    from spark_streaming_twitter_spark.streaming.queries import (
+        fanout_write_batch,
+    )
+
+    raw_dir = str(tmp_path / "raw")
+    agg_dir = str(tmp_path / "agg")
+    wb = fanout_write_batch(raw_dir, agg_dir)
+    df = spark.createDataFrame(
+        [(1, 10, "click"), (2, 20, "view"), (3, 30, "click")],
+        "user_id long, event_id long, event_type string",
+    ).withColumn("ts", F.current_timestamp())
+
+    wb(df, 0)
+    wb(df, 0)  # replayed epoch
+    wb(df.where(F.col("event_id") > 10), 1)
+
+    raw = spark.read.parquet(raw_dir)
+    assert raw.count() == 5, raw.count()  # 3 (epoch 0, once) + 2 (epoch 1)
+    agg = spark.read.parquet(agg_dir)
+    total = agg.agg(F.sum("n_rows")).collect()[0][0]
+    assert total == 5, total
