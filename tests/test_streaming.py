@@ -772,3 +772,102 @@ def test_fanout_epoch_replay_is_idempotent(spark, tmp_path):
     agg = spark.read.parquet(agg_dir)
     total = agg.agg(F.sum("n_rows")).collect()[0][0]
     assert total == 5, total
+
+
+def test_funnel_state_survives_restart(spark, stream_dir, tmp_path):
+    """applyInPandasWithState state must recover from the checkpoint: a
+    pending signup written in run 1 matches a purchase delivered to a
+    FRESH query object in run 2 over the same checkpoint."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ckpt = str(tmp_path / "ckpt")
+    LIMIT_US = 3600 * 1_000_000
+
+    def match(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"user_id": [], "purchase_epoch": []})
+            return
+        rows = []
+        for pdf in pdf_iter:
+            ts_us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).tolist()
+            rows.extend(zip(ts_us, pdf["event"].tolist()))
+        rows.sort()
+        pending = state.get[0] if state.exists else None
+        out = []
+        for t_us, etype in rows:
+            if etype == "signup":
+                pending = t_us
+            elif etype == "purchase":
+                if pending is not None and t_us - pending <= LIMIT_US:
+                    out.append(t_us)
+                pending = None
+        if pending is not None:
+            state.update((pending,))
+            state.setTimeoutTimestamp(pending // 1000 + 3600 * 1000)
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "purchase_epoch": [p // 1_000_000 for p in out],
+            }
+        )
+
+    emitted: list[tuple[int, int]] = []
+
+    def start_query():
+        src = _stream(spark, stream_dir)
+        matched = (
+            src.withWatermark("ts", "1 minute")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                match,
+                outputStructType="user_id long, purchase_epoch long",
+                stateStructType="pending_us long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+
+        def sink(df, _epoch):
+            emitted.extend(
+                (r.user_id, r.purchase_epoch) for r in df.collect()
+            )
+
+        # foreachBatch (unlike the memory sink) supports checkpoint recovery
+        return (
+            matched.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _write_batch(
+        stream_dir,
+        "b1.json",
+        [{"user_id": 7, "ts": "2024-01-01 10:00:00", "event": "signup"}],
+    )
+    q = start_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    _write_batch(
+        stream_dir,
+        "b2.json",
+        [{"user_id": 7, "ts": "2024-01-01 10:30:00", "event": "purchase"}],
+    )
+    q = start_query()  # fresh query object, same checkpoint
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    t = pd.Timestamp("2024-01-01 10:30:00").value // 10**9
+    assert emitted == [(7, t)], (
+        f"pending signup must survive the restart and match: {emitted}"
+    )
