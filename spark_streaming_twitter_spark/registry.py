@@ -164,6 +164,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "orders_snapshot_diff",
     "similarity_ivfpq_topk",
     "sql_correlated_excess_suppliers",
+    "doc_bpe_encoded_stats",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",

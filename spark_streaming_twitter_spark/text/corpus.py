@@ -549,7 +549,10 @@ _BPE_SEP = "_"
 
 def _bpe_oracle() -> str:
     """The trainer replayed in DuckDB: one unrolled CTE block per round
-    (same pattern as the k-means / PageRank unrolled oracles)."""
+    (same pattern as the k-means / PageRank unrolled oracles). Every
+    round CTE is MATERIALIZED: b{i} is referenced four times by r{i+1}'s
+    scalar subqueries, so inlined CTEs re-evaluate the whole prior chain
+    per reference — O(4^K) work; materialization makes it O(K)."""
     parts = [
         """
 WITH w0 AS (
@@ -560,7 +563,7 @@ WITH w0 AS (
   WHERE regexp_matches(u.tok, '^[a-z]+$')
   GROUP BY 1
 ),
-r0 AS (
+r0 AS MATERIALIZED (
   SELECT tok, freq,
          regexp_replace(tok, '(.)', '_\\1_', 'g') AS rep
   FROM w0
@@ -568,20 +571,20 @@ r0 AS (
     ]
     for i in range(_BPE_ROUNDS):
         parts.append(f""",
-s{i} AS (
+s{i} AS MATERIALIZED (
   SELECT regexp_extract_all(rep, '_([^_]+)_', 1) AS syms, freq FROM r{i}
 ),
-p{i} AS (
+p{i} AS MATERIALIZED (
   SELECT list_extract(syms, CAST(j AS INT)) AS l,
          list_extract(syms, CAST(j AS INT) + 1) AS r2,
          sum(freq) AS cnt
   FROM s{i}, unnest(generate_series(1, len(syms) - 1)) AS t(j)
   GROUP BY 1, 2
 ),
-b{i} AS (
+b{i} AS MATERIALIZED (
   SELECT l, r2, cnt FROM p{i} ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
 ),
-r{i + 1} AS (
+r{i + 1} AS MATERIALIZED (
   SELECT tok, freq,
          replace(rep,
                  '_' || (SELECT l FROM b{i}) || '__'
@@ -598,27 +601,19 @@ r{i + 1} AS (
     return "".join(parts) + "\n" + unions
 
 
-@query(
-    "bpe_learned_merges",
-    oracle=_bpe_oracle(),
-    doc="REAL BPE tokenizer TRAINING (Sennrich et al. 2016), not just "
-    "encoding: learns the first 6 merge rules from the corpus. Each "
-    "round is one distributed aggregation — adjacent symbol pairs over "
-    "the DISTINCT-word frequency table (Zipf-bounded, orders of "
-    "magnitude under token occurrences at any corpus size), weighted "
-    "sum per pair, deterministic argmax (count desc, pair asc) — "
-    "followed by a declarative merge application: the wrap-each-symbol "
-    "sentinel string encoding makes greedy-leftmost merge a plain "
-    "replace() with IDENTICAL semantics on both engines (see module "
-    "note). Driver cost per round is ONE 1-row collect (the argmax), "
-    "the same contract as the k-means centroid loop; the word table "
-    "localCheckpoints once and each round's work is a map + "
-    "shuffle-by-pair over it. The oracle replays all 6 rounds as "
-    "unrolled CTE blocks. Output: the merge table — THE artifact a "
-    "tokenizer ships.",
-    bench=True,
-)
-def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_chain_ctes() -> str:
+    """Just the WITH-chain (w0..r{K}) of the trainer oracle, for reuse by
+    the encode twin."""
+    full = _bpe_oracle()
+    # the chain ends right before the first top-level SELECT (the unions)
+    cut = full.rindex("\nSELECT 1 AS round")
+    return full[:cut]
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[tuple[int, str, str, str, int]]]:
+    """Run the merge-learning loop; returns (words with final rep, merges)."""
     docs = widen(table(spark, sf_dir, "documents").select("text"), spark)
     words = (
         docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
@@ -665,8 +660,98 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"{_BPE_SEP}{l}{r2}{_BPE_SEP}"),
             ),
         )
+    return cur, merges
+
+
+@query(
+    "bpe_learned_merges",
+    oracle=_bpe_oracle(),
+    doc="REAL BPE tokenizer TRAINING (Sennrich et al. 2016), not just "
+    "encoding: learns the first 6 merge rules from the corpus. Each "
+    "round is one distributed aggregation — adjacent symbol pairs over "
+    "the DISTINCT-word frequency table (Zipf-bounded, orders of "
+    "magnitude under token occurrences at any corpus size), weighted "
+    "sum per pair, deterministic argmax (count desc, pair asc) — "
+    "followed by a declarative merge application: the wrap-each-symbol "
+    "sentinel string encoding makes greedy-leftmost merge a plain "
+    "replace() with IDENTICAL semantics on both engines (see module "
+    "note). Driver cost per round is ONE 1-row collect (the argmax), "
+    "the same contract as the k-means centroid loop; the word table "
+    "localCheckpoints once and each round's work is a map + "
+    "shuffle-by-pair over it. The oracle replays all 6 rounds as "
+    "unrolled CTE blocks. Output: the merge table — THE artifact a "
+    "tokenizer ships.",
+    bench=True,
+)
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, merges = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         merges,
         "round int, sym_left string, sym_right string, merged string, "
         "pair_count bigint",
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    return f"""{_bpe_chain_ctes()},
+enc AS (
+  SELECT tok, len(regexp_extract_all(rep, '_([^_]+)_', 1)) AS pieces
+  FROM r{_BPE_ROUNDS}
+),
+occ AS (
+  SELECT d.doc_id, u.tok
+  FROM documents d,
+       unnest(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                          x -> x <> '')) AS u(tok)
+  WHERE regexp_matches(u.tok, '^[a-z]+$')
+)
+SELECT o.doc_id,
+       count(*) AS n_words,
+       CAST(sum(e.pieces) AS BIGINT) AS n_pieces,
+       CAST(sum(length(o.tok)) AS BIGINT) AS n_chars
+FROM occ o JOIN enc e ON e.tok = o.tok
+GROUP BY 1
+"""
+
+
+@query(
+    "doc_bpe_encoded_stats",
+    oracle=_bpe_encode_oracle(),
+    doc="The ENCODE half of the BPE loop: documents tokenized with the "
+    "merges bpe_learned_merges just learned from this same corpus — "
+    "train and encode as one composed, verified pipeline (the "
+    "train-your-tokenizer-then-tokenize shape every LLM corpus build "
+    "runs). Encoding applies the learned replaces to the DISTINCT-word "
+    "table only (the Zipf trick shared with doc_wordpiece_tokens), "
+    "counts pieces per word from the sentinel representation, and joins "
+    "piece counts back to occurrences — the per-doc aggregate moves "
+    "(doc, word) rows, never re-tokenizes text. Compression is visible "
+    "in the output: n_pieces < n_chars exactly where merges fired. The "
+    "oracle chains the full 6-round trainer replay with the same "
+    "encode-and-join.",
+)
+def doc_bpe_encoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words_final, _merges = _bpe_train(spark, sf_dir)
+    enc = words_final.select(
+        "tok",
+        F.size(
+            F.regexp_extract_all(
+                F.col("rep"),
+                F.lit(f"{_BPE_SEP}([^{_BPE_SEP}]+){_BPE_SEP}"),
+                1,
+            )
+        ).alias("pieces"),
+    )
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    occ = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    ).where(F.col("tok").rlike("^[a-z]+$"))
+    return (
+        occ.join(enc, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("pieces").cast("bigint").alias("n_pieces"),
+            F.sum(F.length("tok")).cast("bigint").alias("n_chars"),
+        )
     )
