@@ -924,7 +924,23 @@ def encode_mp4(did: int) -> bytes:
         + b"\x00" * 24  # pre_defined
         + struct.pack(">I", 2)  # next_track_ID
     )
-    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd_body))
+    # real track hierarchy with a sample-size table (stsz): the per-frame
+    # size index every player seeks with. trak > mdia > minf > stbl > stsz.
+    n_samples = did % 30 + 2
+    sizes = [(did * 13 + i * 7) % 900 + 100 for i in range(n_samples)]
+    stsz_body = (
+        struct.pack(">I", 0)  # version 0 + flags
+        + struct.pack(">II", 0, n_samples)  # sample_size=0 -> per-sample
+        + b"".join(struct.pack(">I", sz) for sz in sizes)
+    )
+    trak = _mp4_box(
+        b"trak",
+        _mp4_box(
+            b"mdia",
+            _mp4_box(b"minf", _mp4_box(b"stbl", _mp4_box(b"stsz", stsz_body))),
+        ),
+    )
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd_body) + trak)
     mdat = _mp4_box(
         b"mdat", bytes((did * 31 + i) % 256 for i in range(did % 64 + 8))
     )
@@ -949,7 +965,8 @@ def decode_mp4(payload: bytes) -> dict | None:
                 return False
             body = buf[pos + 8 : pos + size]
             out.append((tag, body))
-            if tag == b"moov":  # container: recurse with the same validation
+            # pure containers: recurse with the same size-chain validation
+            if tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
                 if not walk(body, out):
                     return False
             pos += size
@@ -966,12 +983,19 @@ def decode_mp4(payload: bytes) -> dict | None:
     if mvhd is None or mdat is None or len(mvhd) < 20 or mvhd[0] != 0:
         return None
     timescale, duration = struct.unpack_from(">II", mvhd, 12)
+    samples: list[int] | None = None
+    stsz = next((b for t, b in boxes if t == b"stsz"), None)
+    if stsz is not None and len(stsz) >= 12 and stsz[0] == 0:
+        fixed, n = struct.unpack_from(">II", stsz, 4)
+        if fixed == 0 and len(stsz) >= 12 + 4 * n:
+            samples = list(struct.unpack_from(f">{n}I", stsz, 12))
     return {
         "n_boxes": len(boxes),
         "timescale": timescale,
         "duration": duration,
         "mdat_bytes": len(mdat),
         "mdat_checksum": sum(v * (i + 1) for i, v in enumerate(mdat)),
+        "samples": samples,
     }
 
 
@@ -991,7 +1015,7 @@ byt AS (
   FROM vids
 )
 SELECT media_id,
-       CAST(4 AS INT) AS n_boxes,
+       CAST(9 AS INT) AS n_boxes,
        CAST(any_value(timescale) AS INT) AS timescale,
        CAST(any_value(duration) AS INT) AS duration,
        CAST(any_value(nd) AS BIGINT) AS mdat_bytes,
@@ -1007,7 +1031,8 @@ FROM byt GROUP BY media_id
     "pipeline does with video metadata (frame-level codec decode stays "
     "out of scope honestly; a pure-Python H.264 would be padding). "
     "Position-weighted mdat checksum oracle, same family as PNG/WAV. "
-    "n_boxes=4 counts ftyp, moov, its nested mvhd, and mdat.",
+    "n_boxes=9 counts ftyp, moov, mvhd, the trak>mdia>minf>stbl chain, "
+    "stsz, and mdat.",
 )
 def media_mp4_box_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(
@@ -1329,4 +1354,79 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         features,
         "media_id long, n_samples int, energy long, zero_crossings long, "
         "peak_abs long",
+    )
+
+
+@query(
+    "media_mp4_sample_sizes",
+    oracle="""
+WITH vids AS (
+  SELECT doc_id AS media_id, doc_id % 30 + 2 AS n
+  FROM documents WHERE doc_id % 3 = 2
+),
+samp AS (
+  SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+  FROM vids
+),
+vals AS (
+  SELECT media_id, n, i,
+         (media_id * 13 + i * 7) % 900 + 100 AS sz
+  FROM samp
+)
+SELECT media_id,
+       CAST(any_value(n) AS INT) AS n_samples,
+       CAST(sum(sz) AS BIGINT) AS total_sample_bytes,
+       CAST(sum(sz * (i + 1)) AS BIGINT) AS size_checksum,
+       CAST(max(sz) AS BIGINT) AS max_sample_bytes
+FROM vals GROUP BY media_id
+""",
+    doc="REAL sample-table parse — the frame-size index (stsz) every "
+    "player and frame-sampling pipeline seeks with: encode_mp4 now "
+    "writes a genuine trak>mdia>minf>stbl>stsz chain (version-0 stsz, "
+    "per-sample u32 sizes) and decode_mp4 walks ALL pure containers "
+    "with size-chain validation and unpacks the table. Per-video "
+    "output: sample count, total/max bytes, and a position-weighted "
+    "size checksum, so an off-by-one in the box walk or the u32 unpack "
+    "fails the compare. This is the structural video-metadata surface "
+    "frame-stride sampling (media_frame_samples) would drive at "
+    "production — which bytes to fetch per sampled frame — while "
+    "frame-level codec decode honestly stays out of scope.",
+)
+def media_mp4_sample_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = widen(
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 2),
+        spark,
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "n_samples": [],
+                "total_sample_bytes": [],
+                "size_checksum": [],
+                "max_sample_bytes": [],
+            }
+            for mid in pdf["doc_id"]:
+                got = decode_mp4(encode_mp4(int(mid)))
+                if got is None or got.get("samples") is None:
+                    continue
+                sizes = got["samples"]
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(sizes))
+                out["total_sample_bytes"].append(sum(sizes))
+                out["size_checksum"].append(
+                    sum(sz * (i + 1) for i, sz in enumerate(sizes))
+                )
+                out["max_sample_bytes"].append(max(sizes))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        extract,
+        "media_id long, n_samples int, total_sample_bytes long, "
+        "size_checksum long, max_sample_bytes long",
     )
