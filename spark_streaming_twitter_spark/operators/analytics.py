@@ -1217,3 +1217,95 @@ def session_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_scaled"),
         )
     )
+
+
+@query(
+    "ops_training_pipeline",
+    oracle="""
+WITH admitted AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                 ORDER BY ts, event_id) AS slot
+    FROM events
+  ) WHERE slot <= 3
+),
+flagged AS (
+  SELECT user_id, event_id, event_type, ts_s,
+         CASE WHEN ts_s - lag(ts_s) OVER w > 1800
+                   OR lag(ts_s) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM admitted
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+),
+numbered AS (
+  SELECT user_id, event_type, ts_s,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+examples AS (
+  SELECT user_id, session_seq,
+         count(*) AS n_events,
+         max(ts_s) - min(ts_s) AS duration_secs,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+  FROM numbered GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_examples,
+       CAST(sum(n_events) AS BIGINT) AS n_admitted_events,
+       CAST(sum(label) AS BIGINT) AS n_positive,
+       CAST(sum(duration_secs) AS BIGINT) AS total_duration_secs,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM examples
+""",
+    doc="The events-side capstone, composing this round's ops operators "
+    "into the batch twin of the streaming curation path: per-(user, "
+    "hour) admission control (stream_user_hourly_quota's exact "
+    "contract, as the row_number closed form) feeding gap-based "
+    "sessionization feeding the training-example aggregate with its "
+    "conversion label — rate-limit, sessionize, label as ONE Catalyst "
+    "plan with no intermediate materialization. The composition is the "
+    "point: each stage is independently oracle-verified, and this "
+    "query pins that chaining them preserves exactness (all-BIGINT "
+    "summary). Plan: both windows and the session aggregate key on "
+    "user_id — one shuffle carries all three stages; the final "
+    "summary is a scalar aggregate.",
+)
+def ops_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    w_quota = Window.partitionBy(
+        "user_id", F.date_trunc("hour", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    admitted = (
+        ev.withColumn("slot", F.row_number().over(w_quota))
+        .where(F.col("slot") <= 3)
+        .select("user_id", "event_id", "event_type", "ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gap = F.col("ts_s") - F.lag("ts_s").over(w)
+    numbered = admitted.withColumn(
+        "is_new", (gap.isNull() | (gap > 1800)).cast("bigint")
+    ).withColumn("session_seq", F.sum("is_new").over(run))
+    examples = numbered.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_s") - F.min("ts_s")).alias("duration_secs"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("label"),
+    )
+    return examples.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_examples"),
+        F.sum("n_events").cast("bigint").alias("n_admitted_events"),
+        F.sum("label").cast("bigint").alias("n_positive"),
+        F.sum("duration_secs").cast("bigint").alias("total_duration_secs"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
