@@ -1091,3 +1091,81 @@ def similarity_ivf_recall_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nprobe_not_worse"
         ),
     )
+
+
+@query(
+    "similarity_diversified_topk",
+    oracle=f"""
+{_ORACLE_PRELUDE},
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, e.label,
+         CAST({scaled_dot_sql("q.q_emb", "c.embedding")} AS DOUBLE)
+           / (sqrt(CAST(q.q_n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+           AS cosine
+  FROM queries q
+  JOIN corpus c ON q.query_id <> c.vec_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+),
+label_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, label
+                               ORDER BY cosine DESC, neighbor_id ASC)
+              AS label_rank
+  FROM scored
+),
+diversified AS (
+  SELECT query_id, neighbor_id, label, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM label_ranked WHERE label_rank <= 2
+)
+SELECT query_id, neighbor_id, CAST(label AS INT) AS label,
+       CAST(rank AS BIGINT) AS rank, cosine
+FROM diversified WHERE rank <= {TOP_K}
+""",
+    doc="Diversified top-k — search-result diversification by source "
+    "cluster (at most 2 results per label in each query's top-k page), "
+    "serving-side constraint every retrieval stack layers over raw "
+    "similarity (dedupe near-identical sources, force topical spread "
+    "in RAG context windows). Two stacked rank windows: per-(query, "
+    "label) quota first, then the global cut over survivors — both "
+    "rank over bitwise-deterministic integer-scaled cosines, so the "
+    "diversified page is hash-exact. Plan shape matches the exact "
+    "scorer (query set broadcasts, corpus streams); the label quota "
+    "window keys on (query, label) — same shuffle cardinality class "
+    "as the plain ranking.",
+)
+def similarity_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_with_norms(spark, sf_dir).join(
+        table(spark, sf_dir, "embeddings").select("vec_id", "label"), "vec_id"
+    )
+    queries = corpus.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    pairs = corpus.join(
+        F.broadcast(queries), F.col("query_id") != F.col("vec_id")
+    )
+    cosine = scaled_dot(F.col("q_emb"), F.col("embedding")).cast("double") / (
+        F.sqrt(F.col("q_n2").cast("double"))
+        * F.sqrt(F.col("n2").cast("double"))
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("int").alias("label"),
+        cosine.alias("cosine"),
+    )
+    w_label = Window.partitionBy("query_id", "label").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("label_rank", F.row_number().over(w_label))
+        .where(F.col("label_rank") <= 2)
+        .withColumn("rank", F.row_number().over(w_global).cast("bigint"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "label", "rank", "cosine")
+    )
