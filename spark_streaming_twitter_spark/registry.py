@@ -168,6 +168,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "media_mp4_sample_sizes",
     "ops_training_pipeline",
     "similarity_diversified_topk",
+    "similarity_pq_recall",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",

@@ -280,7 +280,9 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_adc_oracle() -> str:
+def _pq_adc_chain() -> str:
+    """WITH-chain qv/cb/dists/codes/lut/adc shared by the ADC top-k and
+    recall oracles."""
     vals_k = ", ".join(f"({k}, {k * QUERY_STRIDE})" for k in range(K_CODES))
     vals_m = ", ".join(f"({m})" for m in range(M_SUB))
     sub_d2 = (
@@ -323,14 +325,19 @@ adc AS (
   SELECT l.q_vec_id, co.vec_id, sum(l.d2) AS adc_dist2
   FROM codes co JOIN lut l ON l.m = co.m AND l.k = co.k
   GROUP BY 1, 2
-)
-SELECT q_vec_id, vec_id, CAST(adc_dist2 AS BIGINT) AS adc_dist2,
-       CAST(rank AS BIGINT) AS rank
-FROM (
+),
+adc_ranked AS (
   SELECT *, row_number() OVER (PARTITION BY q_vec_id
                                ORDER BY adc_dist2 ASC, vec_id ASC) AS rank
   FROM adc
-) WHERE rank <= 10
+)"""
+
+
+def _pq_adc_oracle() -> str:
+    return f"""{_pq_adc_chain()}
+SELECT q_vec_id, vec_id, CAST(adc_dist2 AS BIGINT) AS adc_dist2,
+       CAST(rank AS BIGINT) AS rank
+FROM adc_ranked WHERE rank <= 10
 """
 
 
@@ -607,4 +614,90 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= 10)
+    )
+
+
+def _pq_recall_oracle() -> str:
+    return f"""{_pq_adc_chain()},
+exact_d AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         sum((list_extract(q.q, CAST(i AS INT))
+              - list_extract(v.q, CAST(i AS INT)))
+             * (list_extract(q.q, CAST(i AS INT))
+                - list_extract(v.q, CAST(i AS INT)))) AS d2
+  FROM (SELECT * FROM qv WHERE vec_id % {QUERY_STRIDE} = 0) q,
+       qv v,
+       unnest(generate_series(1, {M_SUB * SUB_DIM})) t(i)
+  WHERE v.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+exact_ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2 ASC, neighbor_id ASC) AS rank
+  FROM exact_d
+)
+SELECT e.query_id,
+       count(*) AS n_exact,
+       CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+       CAST(count(a.vec_id) AS DOUBLE) / count(*) AS recall
+FROM (SELECT query_id, neighbor_id FROM exact_ranked WHERE rank <= 5) e
+LEFT JOIN (SELECT q_vec_id, vec_id FROM adc_ranked WHERE rank <= 10) a
+  ON a.q_vec_id = e.query_id AND a.vec_id = e.neighbor_id
+GROUP BY e.query_id
+""" 
+
+
+@query(
+    "similarity_pq_recall",
+    oracle=_pq_recall_oracle(),
+    doc="PQ quality measurement, same contract as similarity_ann_recall / "
+    "similarity_ivf_recall_nprobe: per-query recall of the ADC top-10 "
+    "against the EXACT quantized-L2 top-5 — metric-matched (both sides "
+    "rank squared L2 on the same quantized vectors), so the number "
+    "isolates pure quantization loss: 4 subspaces x 4 codewords is a "
+    "deliberately coarse codebook and the measured recall is the "
+    "tuning signal for K_CODES/M_SUB, exactly how production PQ is "
+    "sized. Both rankings integer-exact -> the recall fraction is "
+    "bitwise-reproducible.",
+)
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = widen(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        spark,
+    )
+    qv = emb.withColumn("q", _quantized(F.col("embedding")))
+    queries = qv.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qq, q, (x, c) -> (x - c) * (x - c)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        qv.select(F.col("vec_id").alias("neighbor_id"), "q")
+        .join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("d2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    adc = similarity_pq_adc_topk(spark, sf_dir).select(
+        F.col("q_vec_id").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.lit(1).alias("hit"),
+    )
+    return (
+        exact.join(adc, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").cast("bigint").alias("n_hits"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias(
+                "recall"
+            ),
+        )
     )
