@@ -2172,3 +2172,52 @@ def stream_type_drift_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("l1_drift_scaled"),
     )
+
+
+@query(
+    "stream_stream_semi_converted_signups",
+    oracle="""
+SELECT s.user_id, CAST(floor(epoch(s.ts)) AS BIGINT) AS signup_epoch
+FROM events s
+WHERE s.event_type = 'signup'
+  AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = s.user_id
+          AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR)
+""",
+    doc="Stream-stream LEFT SEMI interval join — the EXISTS of the join "
+    "family in streaming form: a signup emits ONCE when its first "
+    "in-band purchase arrives, never multiplies per match (the inner "
+    "join emits every pair; semi is the dedup-at-the-join answer to "
+    "conversion FLAGGING as opposed to conversion ENUMERATION), and "
+    "unmatched signups never emit at all — so unlike the outer "
+    "variants there is no watermark-deadline emission to encode and "
+    "the oracle is the plain EXISTS. State remains bounded by "
+    "interval + delay on both sides exactly as the inner join.",
+)
+def stream_stream_semi_converted_signups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", WATERMARK)
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", WATERMARK)
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    )
+    out = run_to_memory(joined, output_mode="append")
+    return out.select(
+        "user_id", F.unix_timestamp("s_ts").alias("signup_epoch")
+    )
