@@ -1309,3 +1309,65 @@ def ops_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("duration_secs").cast("bigint").alias("total_duration_secs"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@query(
+    "incremental_rollup_maintenance",
+    oracle="""
+SELECT event_type,
+       CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_ts,
+       count(*) AS n_events,
+       CAST(sum(user_id) AS BIGINT) AS user_checksum
+FROM events GROUP BY 1, 2
+""",
+    doc="Incremental view maintenance — the don't-rescan-history "
+    "primitive: the first 80%% of event time is rolled up ONCE into a "
+    "persisted parquet artifact (spool_fixture: written one time per "
+    "fixture content, reused across every later call — the 'nightly "
+    "base' of a lambda pipeline), and the query combines that stored "
+    "base with partials computed over ONLY the 20%% delta slice, "
+    "re-aggregating on the (type, day) key. Counts and checksums are "
+    "associative, so base+delta must equal the full recompute — which "
+    "is exactly what the oracle is. At 100 TB this is the difference "
+    "between a daily rollup costing O(day) and O(history); the same "
+    "shape generalizes to any associative aggregate (see the sketch "
+    "family for the non-trivial mergeable states).",
+)
+def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.catalog import spool_fixture
+
+    ev = table(spark, sf_dir, "events").select("event_type", "ts", "user_id")
+    lo, hi = ev.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    cutoff = lo + (hi - lo) * 4 // 5
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias(
+                "day_ts"
+            ),
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("user_id").alias("user_checksum"),
+        )
+
+    def write_base(base_dir) -> None:
+        rollup(ev.where(F.unix_timestamp("ts") < cutoff)).write.mode(
+            "overwrite"
+        ).parquet(str(base_dir / "rollup"))
+
+    base_path = str(
+        spool_fixture("rollup_base", sf_dir, "v1", write_base) / "rollup"
+    )
+    base = spark.read.parquet(base_path)
+    delta = rollup(ev.where(F.unix_timestamp("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type", "day_ts")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("user_checksum").cast("bigint").alias("user_checksum"),
+        )
+    )
