@@ -1371,3 +1371,70 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("user_checksum").cast("bigint").alias("user_checksum"),
         )
     )
+
+
+@query(
+    "segment_priority_independence",
+    oracle="""
+WITH joined AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+cells AS (SELECT seg, pri, count(*) AS o FROM joined GROUP BY 1, 2),
+rows_t AS (SELECT seg, sum(o) AS r FROM cells GROUP BY 1),
+cols_t AS (SELECT pri, sum(o) AS c FROM cells GROUP BY 1),
+tot AS (SELECT sum(o) AS n FROM cells)
+SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_orders,
+       CAST((SELECT count(*) FROM rows_t) AS BIGINT) AS n_segments,
+       CAST((SELECT count(*) FROM cols_t) AS BIGINT) AS n_priorities,
+       CAST(sum((ce.o * t.n - rt.r * ct.c) * (ce.o * t.n - rt.r * ct.c)
+                // (rt.r * ct.c)) AS BIGINT) AS chi2_times_n_floor
+FROM cells ce
+JOIN rows_t rt USING (seg)
+JOIN cols_t ct USING (pri)
+CROSS JOIN tot t
+""",
+    doc="Chi-square independence audit between two categorical columns "
+    "(market segment x order priority) — the feature-selection / "
+    "leakage-check statistic — kept EXACT by clearing denominators: "
+    "chi2 = sum (o*n - r*c)^2 / (n*r*c), so sum (o*n - r*c)^2 DIV "
+    "(r*c) is n*chi2 with per-cell floors, pure BIGINT (independent "
+    "columns score ~n*dof; fixture magnitudes fit int64 through "
+    "sf0.1 — at larger n the same expression runs in DECIMAL(38,0)). "
+    "Plan: one fact-dim join collapses to a #segments x #priorities "
+    "cell table; marginals and the total are broadcast-sized "
+    "re-aggregations of it — the statistic costs the contingency "
+    "groupBy and nothing else at any scale.",
+)
+def segment_priority_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint()
+    )
+    rows_t = cells.groupBy("seg").agg(F.sum("o").alias("r"))
+    cols_t = cells.groupBy("pri").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    n_seg = rows_t.count()
+    n_pri = cols_t.count()
+    return (
+        cells.join(F.broadcast(rows_t), "seg")
+        .join(F.broadcast(cols_t), "pri")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.any_value("n").cast("bigint").alias("n_orders"),
+            F.lit(n_seg).cast("bigint").alias("n_segments"),
+            F.lit(n_pri).cast("bigint").alias("n_priorities"),
+            F.sum(
+                F.expr("(o * n - r * c) * (o * n - r * c) DIV (r * c)")
+            )
+            .cast("bigint")
+            .alias("chi2_times_n_floor"),
+        )
+    )

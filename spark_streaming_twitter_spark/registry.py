@@ -171,6 +171,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "similarity_pq_recall",
     "stream_stream_semi_converted_signups",
     "incremental_rollup_maintenance",
+    "segment_priority_independence",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",
