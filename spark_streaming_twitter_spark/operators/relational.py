@@ -973,3 +973,80 @@ def sql_correlated_excess_suppliers(
 
     register_views(spark, sf_dir)
     return spark.sql(_EXCESS_SQL)
+
+
+@query(
+    "sql_group_by_all_status_priority",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+""",
+    doc="Spark 4 `GROUP BY ALL`: the grouping keys are inferred as every "
+    "non-aggregate select item — the analyzer surface, resolved before "
+    "Catalyst so the physical plan is identical to the explicit form "
+    "(which is what the oracle runs in DuckDB). Guards against the "
+    "silent-miscount class where an added select column changes the "
+    "grouping: with ALL, select list and grouping cannot diverge.",
+)
+def sql_group_by_all_status_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_streaming_twitter_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        GROUP BY ALL
+        """
+    )
+
+
+@query(
+    "sql_parameterized_segment_revenue",
+    oracle=f"""
+SELECT c_mktsegment,
+       count(DISTINCT o_orderkey) AS n_orders,
+       {dsum_sql('o_totalprice')} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY c_mktsegment
+""",
+    doc="Parameterized SQL (Spark 4 named-parameter markers): the query "
+    "text carries :segs and :since placeholders and the VALUES arrive "
+    "via spark.sql(..., args=...) — the injection-safe templating "
+    "surface a multi-tenant serving layer needs (literals arrive as "
+    "typed values, never string-spliced). The bound plan is identical "
+    "to the literal form the oracle runs; array parameter binds "
+    "through IN via array_contains semantics.",
+)
+def sql_parameterized_segment_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_streaming_twitter_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(DISTINCT o_orderkey) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE array_contains(:segs, c_mktsegment)
+          AND o_orderdate >= :since
+        GROUP BY c_mktsegment
+        """,
+        args={
+            "segs": ["BUILDING", "MACHINERY"],
+            "since": "1996-01-01 00:00:00",
+        },
+    )

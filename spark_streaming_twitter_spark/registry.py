@@ -172,6 +172,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_stream_semi_converted_signups",
     "incremental_rollup_maintenance",
     "segment_priority_independence",
+    "sql_group_by_all_status_priority",
+    "sql_parameterized_segment_revenue",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",
