@@ -2221,3 +2221,69 @@ def stream_stream_semi_converted_signups(
     return out.select(
         "user_id", F.unix_timestamp("s_ts").alias("signup_epoch")
     )
+
+
+@query(
+    "stream_progress_metrics",
+    oracle="""
+SELECT CAST(4 AS BIGINT) AS n_data_triggers,
+       count(*) AS total_input_rows,
+       count(*) AS total_processed_rows
+FROM events
+""",
+    doc="Streaming observability — the StreamingQueryProgress surface "
+    "(the streaming twin of observed_orders_metrics' batch observe()): "
+    "the engine's own per-trigger accounting (numInputRows from "
+    "lastProgress/recentProgress) is collected across a deterministic "
+    "4-file / maxFilesPerTrigger=1 run and audited against the batch "
+    "row count — the monitoring contract a production pipeline alarms "
+    "on (input-rate drops, trigger starvation). Progress objects are "
+    "driver-side JSON the engine already maintains; reading them costs "
+    "nothing at any scale. Pinned: exactly 4 data-bearing triggers, "
+    "and the engine's input accounting sums to the true row count.",
+)
+def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.catalog import spool_fixture
+    from spark_streaming_twitter_spark.catalog import table as _table
+    from spark_streaming_twitter_spark.streaming.harness import (
+        _scoped_shuffle_partitions,
+    )
+
+    def write_spool(base) -> None:
+        _table(spark, sf_dir, "events").select(
+            "ts", "event_id", "event_type"
+        ).repartition(4).write.mode("overwrite").parquet(str(base / "events"))
+
+    spool = str(
+        spool_fixture("events_fanout", sf_dir, "v1", write_spool) / "events"
+    )
+    ev = (
+        spark.readStream.schema(
+            "ts timestamp, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spool)
+    )
+    counts = ev.groupBy("event_type").count()
+    with _scoped_shuffle_partitions(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("progress_probe")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        finally:
+            q.stop()
+            q.awaitTermination()
+    total_in = sum(p["numInputRows"] for p in progress)
+    total_proc = sum(
+        int(p["sources"][0]["numInputRows"]) for p in progress
+    )
+    return spark.createDataFrame(
+        [(len(progress), total_in, total_proc)],
+        "n_data_triggers long, total_input_rows long, "
+        "total_processed_rows long",
+    )
