@@ -1054,3 +1054,216 @@ def doc_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.expr("raw DIV n_bigrams").cast("bigint").alias("lm_score_scaled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of the
+# lexical (BM25) and dense (cosine) rankings — the standard production
+# fusion because it needs no score calibration, only ranks. With the
+# rank-reciprocals integer-scaled (SCALE // (60 + rank)) the fused score
+# is exact BIGINT, so the fused page is hash-checkable like everything
+# else. Dense side: embeddings map to documents by vec_id == doc_id (the
+# fixture contract); docs without a vector simply get no dense
+# contribution — the honest partial-coverage semantics of a corpus whose
+# embedding job trails its text ingest.
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_SCALE = 1_000_000
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=f"""
+WITH toks AS (
+  SELECT d.doc_id, u.term
+  FROM documents d,
+       unnest(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                          x -> x <> '')) AS u(term)
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+corpus_stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl
+),
+postings AS (
+  SELECT t.doc_id, t.term, count(*) AS tf
+  FROM toks t
+  JOIN (VALUES {", ".join(f"('{t}')" for t in _SEARCH_TERMS)}) q(term)
+    ON t.term = q.term
+  GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+bm25 AS (
+  SELECT p.doc_id,
+         sum(((2 * c.n_docs - 2 * df.df + 1) * {_IDF_SCALE} // (2 * df.df + 1))
+             * ((22 * p.tf * c.total_len * {_BM25_SAT_SCALE})
+                // (10 * p.tf * c.total_len + 3 * c.total_len
+                    + 9 * dl.dl * c.n_docs))
+             // {_BM25_SAT_SCALE}) AS score
+  FROM postings p
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus_stats c
+  GROUP BY 1
+),
+text_ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS t_rank
+  FROM bm25
+),
+vecs AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(
+           list_zip(list_transform(embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0)
+                                AS BIGINT)),
+                    list_transform(embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0)
+                                AS BIGINT))),
+           p -> CAST(p[1] AS BIGINT) * p[2])) AS n2
+  FROM embeddings
+),
+dense AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS doc_id,
+         CAST(list_sum(list_transform(
+           list_zip(list_transform(q.embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0)
+                                AS BIGINT)),
+                    list_transform(v.embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0)
+                                AS BIGINT))),
+           p -> CAST(p[1] AS BIGINT) * p[2])) AS DOUBLE)
+           / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE)))
+           AS cosine
+  FROM (SELECT * FROM vecs WHERE vec_id % {100} = 0) q
+  JOIN vecs v ON v.vec_id <> q.vec_id
+),
+dense_ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id ASC) AS d_rank
+  FROM dense
+),
+fused AS (
+  SELECT d.query_id, d.doc_id,
+         {_RRF_SCALE} // ({_RRF_K} + d.d_rank)
+           + coalesce({_RRF_SCALE} // ({_RRF_K} + t.t_rank), 0) AS rrf_scaled
+  FROM dense_ranked d
+  LEFT JOIN text_ranked t ON t.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, CAST(rrf_scaled AS BIGINT) AS rrf_scaled,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_scaled DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= 10
+""",
+    doc="Hybrid retrieval — reciprocal-rank fusion of the lexical BM25 "
+    "ranking and the dense cosine ranking (Cormack et al. 2009), the "
+    "production RAG serving pattern (no score calibration, only "
+    "ranks; integer-scaled reciprocals keep the fused score exact "
+    "BIGINT — see the module note). Per query vector: its dense "
+    "ranking over the embedded subset fuses with the corpus-global "
+    "BM25 ranking for the standing term set; documents without a "
+    "vector or without a term hit contribute only their covered leg. "
+    "Plan: the BM25 leg is keyword_search_bm25's shape (two bounded "
+    "shuffles); the dense leg broadcasts the query set; fusion is a "
+    "left join on doc_id of two ranked relations whose sizes are "
+    "O(matches) and O(queries x corpus-subset) — both far below the "
+    "raw corpus. Everything above the legs is rank arithmetic.",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.dedup.dedup import (
+        scaled_dot,
+        scaled_norm2,
+    )
+
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).localCheckpoint()
+    corpus_stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    terms = F.array([F.lit(t) for t in _SEARCH_TERMS])
+    matching = F.filter(
+        tokens(F.lower(F.col("text"))), lambda t: F.array_contains(terms, t)
+    )
+    postings = (
+        docs.select("doc_id", F.explode(matching).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    bm25 = (
+        postings.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus_stats))
+        .withColumn(
+            "score",
+            F.expr(
+                f"((2 * n_docs - 2 * df + 1) * {_IDF_SCALE} DIV (2 * df + 1))"
+                f" * ((22 * tf * total_len * {_BM25_SAT_SCALE})"
+                f"    DIV (10 * tf * total_len + 3 * total_len"
+                f"         + 9 * dl * n_docs))"
+                f" DIV {_BM25_SAT_SCALE}"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("score").alias("score"))
+    )
+    w_text = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    text_ranked = bm25.select(
+        "doc_id", F.row_number().over(w_text).alias("t_rank")
+    )
+    emb = widen(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        spark,
+    ).withColumn("n2", scaled_norm2(F.col("embedding")))
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    cosine = scaled_dot(F.col("q_emb"), F.col("embedding")).cast("double") / (
+        F.sqrt(F.col("q_n2").cast("double"))
+        * F.sqrt(F.col("n2").cast("double"))
+    )
+    w_dense = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    dense_ranked = (
+        emb.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            cosine.alias("cosine"),
+        )
+        .withColumn("d_rank", F.row_number().over(w_dense))
+        .select("query_id", "doc_id", "d_rank")
+    )
+    fused = dense_ranked.join(F.broadcast(text_ranked), "doc_id", "left").select(
+        "query_id",
+        "doc_id",
+        (
+            F.expr(f"{_RRF_SCALE} DIV ({_RRF_K} + d_rank)")
+            + F.coalesce(
+                F.expr(f"{_RRF_SCALE} DIV ({_RRF_K} + t_rank)"), F.lit(0)
+            )
+        ).alias("rrf_scaled"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_scaled").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f).cast("bigint"))
+        .where(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rrf_scaled").cast("bigint").alias("rrf_scaled"),
+            "rank",
+        )
+    )
