@@ -204,3 +204,99 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_wedges))
         .crossJoin(F.broadcast(n_tris))
     )
+
+
+@query(
+    "copurchase_node_clustering",
+    oracle="""
+WITH inc AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p
+),
+degrees AS (
+  SELECT x AS part, count(*) AS deg
+  FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY 1
+),
+tris AS (
+  SELECT w.a, w.b, w.c
+  FROM (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1 JOIN edges e2 ON e1.v = e2.u) w
+  JOIN edges e ON w.a = e.u AND w.c = e.v
+),
+tri_counts AS (
+  SELECT x AS part, count(*) AS n_tri
+  FROM (SELECT a AS x FROM tris UNION ALL
+        SELECT b FROM tris UNION ALL
+        SELECT c FROM tris)
+  GROUP BY 1
+)
+SELECT d.part, CAST(d.deg AS BIGINT) AS deg,
+       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+       CAST(2 * coalesce(t.n_tri, 0) * 1000000
+            // (d.deg * (d.deg - 1)) AS BIGINT) AS clustering_scaled
+FROM degrees d LEFT JOIN tri_counts t ON t.part = d.part
+WHERE d.deg >= 2
+""",
+    doc="Per-node clustering coefficient on the co-purchase graph — the "
+    "local-density feature (2*tri(v) / deg(v)(deg(v)-1)) that separates "
+    "parts embedded in tight co-purchase cliques from hub parts bridging "
+    "unrelated orders, in exact scaled BIGINT. Reuses the id-ordered "
+    "two-join triangle enumeration (copurchase_triangle_stats): each "
+    "enumerated triangle credits all three vertices via a 3-way "
+    "union-explode, then joins the degree table. Same scale notes as "
+    "the global count (wedge stage is sum-of-squared-degrees; "
+    "degree-ordering is the production orientation); the per-node "
+    "aggregation adds one groupBy over 3x the triangle rows.",
+)
+def copurchase_node_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.catalog import table
+
+    inc = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    b = inc.select(F.col("o"), F.col("p").alias("q"))
+    edges = (
+        inc.join(b, "o")
+        .where(F.col("p") < F.col("q"))
+        .select(F.col("p").alias("u"), F.col("q").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    degrees = (
+        edges.select(F.col("u").alias("part"))
+        .unionAll(edges.select(F.col("v").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = edges.join(e2, edges.v == e2.b).select(
+        F.col("u").alias("a"), F.col("v").alias("b"), "c"
+    )
+    closing = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tris = wedges.join(closing, ["a", "c"])
+    tri_counts = (
+        tris.select(F.col("a").alias("part"))
+        .unionAll(tris.select(F.col("b").alias("part")))
+        .unionAll(tris.select(F.col("c").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        degrees.where(F.col("deg") >= 2)
+        .join(tri_counts, "part", "left")
+        .withColumn("n_tri", F.coalesce(F.col("n_tri"), F.lit(0)))
+        .select(
+            "part",
+            F.col("deg").cast("bigint").alias("deg"),
+            F.col("n_tri").cast("bigint").alias("n_triangles"),
+            F.expr("2 * n_tri * 1000000 DIV (deg * (deg - 1))")
+            .cast("bigint")
+            .alias("clustering_scaled"),
+        )
+    )
