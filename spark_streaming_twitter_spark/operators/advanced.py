@@ -667,3 +667,72 @@ def event_values_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(clamped).alias("winsorized_sum"),
         )
     )
+
+
+@query(
+    "event_interarrival_p99",
+    oracle="""
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+ranked AS (
+  SELECT event_type, gap_us,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY gap_us ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM gaps WHERE gap_us IS NOT NULL
+)
+SELECT event_type,
+       CAST(any_value(n) AS BIGINT) AS n_gaps,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                     THEN gap_us END) AS BIGINT) AS p50_gap_us,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                     THEN gap_us END) AS BIGINT) AS p99_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM ranked GROUP BY event_type
+""",
+    doc="Inter-arrival SLA monitor: exact p50/p99/max of the per-type gap "
+    "between consecutive events — the freshness alarm (a p99 gap "
+    "blowing out means a producer stalled) with rank-selection exact "
+    "quantiles (deterministic under ties; gap ties are common at "
+    "regular cadences, where interpolating percentiles diverge between "
+    "engines). Microsecond-integer gaps end to end. Two windows, both "
+    "partitioned by the bounded event_type key: the lag pass and the "
+    "rank pass — at 100 TB consider pre-bucketing per type per hour "
+    "and monitoring bucket maxima instead of global ranks.",
+)
+def event_interarrival_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "ts", "event_id")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # fixture ts may read as TIMESTAMP_NTZ (micros generation); session tz
+    # is UTC so the cast is wall-clock-preserving and unix_micros resolves
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.select(
+        "event_type", (ts_us - F.lag(ts_us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    w_rank = Window.partitionBy("event_type").orderBy(F.col("gap_us").asc())
+    ranked = gaps.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.any_value("n").cast("bigint").alias("n_gaps"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.5 * F.col("n")), F.col("gap_us"))
+        )
+        .cast("bigint")
+        .alias("p50_gap_us"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.99 * F.col("n")), F.col("gap_us"))
+        )
+        .cast("bigint")
+        .alias("p99_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )
