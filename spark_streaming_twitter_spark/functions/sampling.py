@@ -14,7 +14,7 @@ between jobs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_streaming_twitter_spark.catalog import table
@@ -113,4 +113,76 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
         )
+    )
+
+
+@query(
+    "contrastive_negative_samples",
+    oracle="""
+WITH pos AS (
+  SELECT user_id, event_id AS pos_id, ts AS pos_ts
+  FROM events WHERE event_type = 'purchase'
+),
+neg AS (
+  SELECT user_id, event_id AS neg_id, ts AS neg_ts
+  FROM events WHERE event_type = 'view'
+),
+paired AS (
+  SELECT p.pos_id, n.neg_id,
+         row_number() OVER (
+           PARTITION BY p.pos_id
+           ORDER BY CAST(('0x' || substr(md5(CAST(p.pos_id AS VARCHAR)
+                                         || ':' || CAST(n.neg_id AS VARCHAR)),
+                          1, 15)) AS BIGINT) ASC,
+                    n.neg_id ASC) AS neg_rank
+  FROM pos p JOIN neg n
+    ON n.user_id = p.user_id AND n.neg_ts < p.pos_ts
+)
+SELECT pos_id, neg_id, CAST(neg_rank AS BIGINT) AS neg_rank
+FROM paired WHERE neg_rank <= 3
+""",
+    doc="Deterministic negative sampling for contrastive training: every "
+    "purchase (positive) draws 3 of the same user's earlier views "
+    "(in-session hard negatives — same user, same context, different "
+    "outcome) by PAIR-SEEDED hash rank: ordering on "
+    "portable_hash(pos_id:neg_id) makes each positive draw an "
+    "independent pseudo-random subset, yet the whole sample is exactly "
+    "reproducible across engines and reruns — the property negative "
+    "sampling needs for resumable training-data builds (same epoch, "
+    "same negatives). Plan: per-user equi-join with a time predicate "
+    "(bounded per-user fan-out), one rank window per positive; at "
+    "100 TB cap the per-user candidate pool (hash-rank top-M views "
+    "first) to bound the pairing quadratic.",
+)
+def contrastive_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.functions.hashing import portable_hash
+
+    ev = table(spark, sf_dir, "events")
+    pos = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pos_id"), F.col("ts").alias("pos_ts")
+    )
+    neg = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("n_user"),
+        F.col("event_id").alias("neg_id"),
+        F.col("ts").alias("neg_ts"),
+    )
+    pair_hash = portable_hash(
+        F.concat(
+            F.col("pos_id").cast("string"),
+            F.lit(":"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("pos_id").orderBy(
+        pair_hash.asc(), F.col("neg_id").asc()
+    )
+    return (
+        pos.join(
+            neg,
+            (F.col("n_user") == F.col("user_id"))
+            & (F.col("neg_ts") < F.col("pos_ts")),
+        )
+        .withColumn("neg_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("neg_rank") <= 3)
+        .select("pos_id", "neg_id", "neg_rank")
     )
