@@ -426,3 +426,26 @@ def test_correlated_subquery_decorrelates(spark):
     assert f.raw.count("lineitem.parquet") <= 4, f.raw.count(
         "lineitem.parquet"
     )
+
+
+def test_late_session_queries_plan_clean(spark):
+    """Late-session additions: no cartesian products anywhere; the fusion/
+    sampling/monitor plans broadcast their small sides."""
+    for name in (
+        "hybrid_search_rrf",
+        "contrastive_negative_samples",
+        "event_interarrival_p99",
+        "copurchase_node_clustering",
+        "incremental_rollup_maintenance",
+        "segment_priority_independence",
+    ):
+        f = _features(spark, name)
+        assert "CartesianProduct" not in f.raw, name
+    # hybrid: text-rank join and query set must broadcast
+    f = _features(spark, "hybrid_search_rrf")
+    assert "BroadcastHashJoin" in f.join_nodes or (
+        "BroadcastNestedLoopJoin" in f.join_nodes
+    ), f.join_nodes
+    # chi-square: marginals broadcast back onto the cells table
+    f = _features(spark, "segment_priority_independence")
+    assert "BroadcastHashJoin" in f.join_nodes, f.join_nodes
