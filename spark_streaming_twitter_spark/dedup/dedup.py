@@ -1491,3 +1491,73 @@ def corpus_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("n_emails").alias("n_emails_redacted"),
         F.sum("n_phones").alias("n_phones_redacted"),
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common * 1000000 // sa.n AS BIGINT) AS contain_a_scaled,
+       CAST(n_common * 1000000 // sb.n AS BIGINT) AS contain_b_scaled
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_common * 1000000 // sa.n >= 800000
+   OR n_common * 1000000 // sb.n >= 800000
+""",
+    doc="CONTAINMENT dedup — the asymmetric companion to Jaccard "
+    "(Broder's C(A,B) = |A n B| / |A|): a short document quoted "
+    "verbatim inside a long one scores near-zero Jaccard (the union is "
+    "dominated by the long doc) but containment ~1.0 — the "
+    "quotation/subset duplication class an LLM corpus needs flagged "
+    "that dedup_ngram_jaccard_pairs structurally cannot see. Both "
+    "directions reported, pairs kept when either side is >= 0.8 "
+    "contained, all exact scaled-BIGINT (int division, no float). "
+    "Same inverted-shingle-join plan as the Jaccard twin: "
+    "intersections without a cross product, size table joined back "
+    "plain (unbounded at corpus scale, never force-broadcast).",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.expr("n_common * 1000000 DIV na")
+            .cast("bigint")
+            .alias("contain_a_scaled"),
+            F.expr("n_common * 1000000 DIV nb")
+            .cast("bigint")
+            .alias("contain_b_scaled"),
+        )
+        .where(
+            (F.col("contain_a_scaled") >= 800000)
+            | (F.col("contain_b_scaled") >= 800000)
+        )
+    )
