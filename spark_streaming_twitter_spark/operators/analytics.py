@@ -1438,3 +1438,49 @@ def segment_priority_independence(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("chi2_times_n_floor"),
         )
     )
+
+
+@query(
+    "events_seasonality_profile",
+    oracle="""
+SELECT event_type,
+       CAST(dayofweek(ts) AS INT) AS dow,
+       CAST(hour(ts) AS INT) AS hod,
+       count(*) AS n_events,
+       CAST(count(*) * 1000000
+            // sum(count(*)) OVER (PARTITION BY event_type) AS BIGINT)
+         AS share_ppm
+FROM events GROUP BY 1, 2, 3
+""",
+    doc="Calendar seasonality profile: the (type x day-of-week x "
+    "hour-of-day) activity grid with each cell's exact ppm share of its "
+    "type — the baseline surface anomaly/drift monitors normalize "
+    "against (a Tuesday-3am spike is anomalous; a Monday-9am one is "
+    "the pattern), feeding events_anomaly_zscore's obvious seasonal "
+    "refinement. DuckDB dayofweek is Sunday=0 while Spark dayofweek is "
+    "Sunday=1, so the Spark side subtracts 1 to the shared convention. "
+    "One map-side-combinable groupBy to a <= #types x 168 cell grid; "
+    "the share window runs over that grid, not the raw stream.",
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    cells = ev.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type")
+    return cells.select(
+        "event_type",
+        "dow",
+        "hod",
+        "n_events",
+        F.expr("n_events * 1000000").cast("bigint").alias("_num"),
+        F.sum("n_events").over(w).alias("_den"),
+    ).select(
+        "event_type",
+        "dow",
+        "hod",
+        "n_events",
+        F.expr("_num DIV _den").cast("bigint").alias("share_ppm"),
+    )

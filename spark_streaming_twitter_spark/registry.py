@@ -180,6 +180,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "event_interarrival_p99",
     "contrastive_negative_samples",
     "dedup_containment_pairs",
+    "events_seasonality_profile",
     # (d) newest row round 4, registration order — the next-oldest debt;
     # ~14 of these fit round 6's budget, the rest roll to round 7
     "weekly_cohort_retention",
