@@ -58,67 +58,9 @@ def query(
 # driver row is still round 1, i.e. predates the round-4 fixture
 # regeneration, (d) the round-4 set oldest-first as buffer.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # (a) new in round 6 — no driver row by construction
-    "stream_update_emission_trace",
-    "similarity_ann_multiprobe_topk",
-    "similarity_ann_recall_probed",
-    "stream_sliding_counts_prebucket",
-    "skewed_join_revenue_unsalted",
-    "skewed_join_revenue_salted",
-    "media_png_pixel_roundtrip",
-    "dedup_semantic_within_cells",
-    "python_datasource_shard_stats",
-    "stream_hourly_from_minutely_chained",
-    "python_stream_datasource_totals",
-    "stream_events_per_minute_rocksdb",
-    "similarity_ivf_nprobe_topk",
-    "similarity_ivf_recall_nprobe",
-    "media_wav_pcm_roundtrip",
-    "media_mp4_box_stats",
-    # (b) oracle/implementation hardened this round (ADVICE r5): the
-    # timer fire condition, the exact GEMM re-rank, the small-n bracket,
-    # the DISTINCT signup cogroup — re-prove under the new contracts
-    "stream_session_timeout_stateful",
-    "similarity_topk_numpy",
-    "approx_value_percentiles",
-    "cogrouped_purchase_latency",
-    # (c) newest driver row is ROUND 1 — predates the r4 fixture
-    # regeneration (VERDICT r5 "what's wrong" #2); judge-replayed green
-    # locally but the driver record is stale
-    "train_val_test_split",
-    "doc_token_stats",
-    "doc_quality_scores",
-    "doc_lang_id",
-    "doc_fingerprints",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "dedup_near_duplicates",
-    "pricing_summary",
-    "top_revenue_orders",
-    "part_brand_revenue",
-    "customers_with_orders",
-    "customers_without_orders",
-    "nation_region_rollup",
-    "order_status_cube",
-    "supplier_distinct_parts",
-    "part_price_rank",
-    "customer_running_spend",
-    "top3_orders_per_priority",
-    "customer_segment_set_ops",
-    "part_string_functions",
-    "orders_by_month",
-    "top_lineitems_global",
-    "priority_status_pivot",
-    "above_avg_customers_per_nation",
-    "sql_revenue_by_region",
-    # (c2) round-6-session additions: brand-new (no driver row); they
-    # follow the stale-r1 block so the judge's r5 'retire the 26
-    # pre-regeneration rows' criterion completes first — these have
-    # fresh local-replay evidence and roll into the r7 gate front
-    "events_gapfill_locf",
-    "doc_quality_classifier",
-    "stream_state_store_checkpoint",
-    "media_jpeg_roundtrip",
+    # (a) never driver-tested (all round-6 additions) — VERDICT r6 task #1:
+    # the 50-slot gate must land on these first; 62 entries, so ~12 roll
+    # to round 8. Round-7 additions are appended after this block.
     "part_zorder_cells",
     "stream_upsert_latest_state",
     "doc_wordpiece_tokens",
@@ -181,8 +123,58 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "contrastive_negative_samples",
     "dedup_containment_pairs",
     "events_seasonality_profile",
-    # (d) newest row round 4, registration order — the next-oldest debt;
-    # ~14 of these fit round 6's budget, the rest roll to round 7
+    # (b) ROUND7_NEW_MARKER — new round-7 queries insert here
+    # (c) driver-proven rows, oldest evidence first (buffer)
+    "stream_update_emission_trace",
+    "similarity_ann_multiprobe_topk",
+    "similarity_ann_recall_probed",
+    "stream_sliding_counts_prebucket",
+    "skewed_join_revenue_unsalted",
+    "skewed_join_revenue_salted",
+    "media_png_pixel_roundtrip",
+    "dedup_semantic_within_cells",
+    "python_datasource_shard_stats",
+    "stream_hourly_from_minutely_chained",
+    "python_stream_datasource_totals",
+    "stream_events_per_minute_rocksdb",
+    "similarity_ivf_nprobe_topk",
+    "similarity_ivf_recall_nprobe",
+    "media_wav_pcm_roundtrip",
+    "media_mp4_box_stats",
+    "stream_session_timeout_stateful",
+    "similarity_topk_numpy",
+    "approx_value_percentiles",
+    "cogrouped_purchase_latency",
+    "train_val_test_split",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "doc_lang_id",
+    "doc_fingerprints",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_near_duplicates",
+    "pricing_summary",
+    "top_revenue_orders",
+    "part_brand_revenue",
+    "customers_with_orders",
+    "customers_without_orders",
+    "nation_region_rollup",
+    "order_status_cube",
+    "supplier_distinct_parts",
+    "part_price_rank",
+    "customer_running_spend",
+    "top3_orders_per_priority",
+    "customer_segment_set_ops",
+    "part_string_functions",
+    "orders_by_month",
+    "top_lineitems_global",
+    "priority_status_pivot",
+    "above_avg_customers_per_nation",
+    "sql_revenue_by_region",
+    "events_gapfill_locf",
+    "doc_quality_classifier",
+    "stream_state_store_checkpoint",
+    "media_jpeg_roundtrip",
     "weekly_cohort_retention",
     "user_event_sessions",
     "latest_event_per_user_type",
