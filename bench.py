@@ -9,7 +9,9 @@ Prints exactly one JSON line:
 "value"/"queries" stay min-of-N (continuity with BENCH_r01/r02);
 "queries_p50" is the noise floor — judge regressions against it.
 Runs are clamped to >=3 (even via $SPARK_GRAFT_BENCH_RUNS) so the
-reported p50 is always a true median, never a mean-of-two.
+reported p50 is always a true median, never a mean-of-two; a query whose
+median lands >25% above its min is re-sampled with 2 extra runs so
+2-of-3 host-noise draws can't fabricate a slow median (VERDICT r6 #3).
 The session-scoped staged-dedup artifact build (exact-copy map + verified
 pairs, read by all dedup consumers) is timed as its own explicit entry
 so the cache can't hide real work from the headline.
@@ -95,6 +97,17 @@ def main() -> None:
             df = spec.fn(spark, sf_dir)
             n = len(df.collect())
             times.append(time.perf_counter() - t0)
+        # Noise escalation (VERDICT r6 #3): with exactly 3 runs, two
+        # host-noise spikes make the MEDIAN slow even though the plan is
+        # unchanged (similarity_topk_cosine r6: p50 1.38s vs min 0.54s).
+        # When p50 disagrees with min by >25%, take 2 more samples so a
+        # 2-of-3 unlucky draw needs to become 3-of-5 to move the median.
+        if statistics.median(times) > 1.25 * min(times):
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                n = len(df.collect())
+                times.append(time.perf_counter() - t0)
         timings[name] = round(min(times), 3)
         p50s[name] = round(statistics.median(times), 3)
         print(

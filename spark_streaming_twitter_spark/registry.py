@@ -124,6 +124,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_containment_pairs",
     "events_seasonality_profile",
     # (b) ROUND7_NEW_MARKER — new round-7 queries insert here
+    "dedup_ngram_jaccard_pairs_capped",
+    "dedup_containment_pairs_capped",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",

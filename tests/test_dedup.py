@@ -260,3 +260,60 @@ def test_star_cc_matches_min_label_on_random_graphs(spark):
             for r in connected_components_star(edf, ndf).collect()
         }
         assert got == want, (edges, got, want)
+
+
+def test_df_cap_suppresses_boilerplate_pair_blowup(spark):
+    """The exact pair scorers' hot-shingle guard (VERDICT r6 #2): one
+    boilerplate text shared by 40 docs makes every one of its shingles
+    df=40, so the uncapped inverted join emits C(40,2)=780 pair rows per
+    shingle. With df_cap=8 every boilerplate shingle is dropped before the
+    join and the blow-up vanishes, while a genuine quotation pair (short
+    doc verbatim inside a long one, rare shingles) keeps containment 1.0
+    with TRUE uncapped sizes as denominators."""
+    from spark_streaming_twitter_spark.dedup.dedup import (
+        _pair_scores_from,
+        _rare_shingles,
+    )
+
+    boiler = [(i, "terms of service apply to all users of this site "
+               "and govern every interaction with the platform")
+              for i in range(40)]
+    quoted = "an unusual sentence about cobalt finches nesting in radio towers"
+    genuine = [
+        (100, quoted),
+        (101, quoted + " plus a long unique tail discussing migratory "
+              "patterns observed near coastal lighthouses every autumn"),
+    ]
+    sh = doc_shingles(
+        spark.createDataFrame(boiler + genuine, ["doc_id", "text"])
+    )
+
+    uncapped = _pair_scores_from(sh, sh)
+    assert uncapped.where(F.col("doc_a") < 100).count() == 780
+
+    capped = _pair_scores_from(sh, _rare_shingles(sh, 8))
+    rows = capped.collect()
+    assert all(r.doc_a >= 100 for r in rows), "boilerplate pairs must vanish"
+    (pair,) = [r for r in rows if (r.doc_a, r.doc_b) == (100, 101)]
+    # containment of the short doc in the long one is exact 1.0: n_common
+    # equals the short doc's TRUE shingle count (denominator is uncapped)
+    assert pair.n_common == pair.na
+    assert pair.jaccard < 0.8, "jaccard alone would have missed this pair"
+
+
+def test_df_cap_is_fixture_neutral(spark):
+    """Cap=64 exceeds the max fixture shingle df (25 at sf0.1), so the
+    capped queries must return EXACTLY the uncapped queries' rows on
+    driver fixtures — the contract that lets the uncapped SQL remain the
+    oracle."""
+    from spark_streaming_twitter_spark.dedup.dedup import (
+        dedup_containment_pairs,
+        dedup_containment_pairs_capped,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = {tuple(r) for r in dedup_containment_pairs(spark, sf).collect()}
+    capd = {
+        tuple(r) for r in dedup_containment_pairs_capped(spark, sf).collect()
+    }
+    assert base == capd and base
