@@ -1,0 +1,158 @@
+"""Dynamic partition pruning over a date-partitioned fact table.
+
+The single most common 100 TB scan lever (VERDICT r6 "next round" #4): a
+fact table laid out as one directory per day means a dim-side filter can
+skip whole days of data BEFORE any fact bytes are read. Static pruning
+(``WHERE day = X`` — tests/test_storage_layout.py) handles literal
+predicates; DYNAMIC partition pruning (DPP) handles the production shape,
+where the filter lives on a dimension table and the fact predicate only
+materializes at runtime: Catalyst plants a ``dynamicpruningexpression`` on
+the fact scan's partition column, fed by the (reused) broadcast of the
+filtered dim side, so the scan lists only the surviving partitions. With a
+broadcast dim the pruning subquery is FREE — it reuses the exchange the
+join needs anyway.
+
+The fixtures are single flat parquet files, so the production layout is
+materialized once per (fixture content, recipe) into a spool: ``events``
+rewritten as ``fact/day_ts=<epoch>/*.parquet`` (30 day-partitions over the
+Jan-2024 fixture span) plus a 30-row ``dates`` dim carrying a day-of-week
+attribute. The dim's weekend attribute is pure epoch arithmetic —
+``(day_ts // 86400 + 4) % 7`` maps 1970-01-01 (a Thursday) to 4, so 0 is
+Sunday and 6 Saturday — exact BIGINT on both engines, no timezone and no
+calendar library. At 100 TB the same layout is the table's real
+partitioning; the spool write here stands in for the ingest job that
+maintains it.
+
+Plan shape (pinned by tests/test_plan_shapes.py): the fact scan carries
+``PartitionFilters: [... dynamicpruning#... ]`` and the join is a
+``BroadcastHashJoin`` whose exchange the pruning subquery reuses — scans
+of the 22 non-weekend day directories never happen, which at fact scale
+is a 73% I/O cut purchased with a 30-row broadcast.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_streaming_twitter_spark.catalog import spool_fixture, table
+from spark_streaming_twitter_spark.functions.numeric import dsum, dsum_sql
+from spark_streaming_twitter_spark.registry import query
+
+# (epoch_days + 4) % 7: 0=Sunday .. 6=Saturday (1970-01-01 was a Thursday)
+_DOW = "pmod(day_ts DIV 86400 + 4, 7)"
+_DOW_SQL = "((day_ts // 86400) + 4) % 7"
+
+
+def dpp_layout(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(fact, dates) with the production partitioned layout, spooled once.
+
+    fact: events + day_ts, stored partitioned by day_ts (one directory per
+    day — the physical partition column DPP prunes on). dates: one row per
+    distinct day with its day-of-week attributes.
+    """
+
+    def _write(wip: Path) -> None:
+        # DATE-typed partition column (directories day=2024-01-06/...): the
+        # production star-schema layout, and the type Spark's partition
+        # inference round-trips EXACTLY — an INT/BIGINT mismatch between
+        # the discovered partition column and the dim key would insert a
+        # cast on the fact side and silently defeat DPP (measured here:
+        # epoch-seconds values infer as INT, dim held BIGINT, no pruning).
+        ev = table(spark, sf_dir, "events").withColumn(
+            "day_ts", F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+        )
+        # repartition by the partition column so each day directory is
+        # written by one task (no small-file fan-out: #files = #days, not
+        # #days x #tasks); drop ts (its NANOS type is fixture-specific and
+        # the day bucket carries the query-relevant time information).
+        ev.withColumn("day", F.to_date(F.date_trunc("day", F.col("ts")))).drop(
+            "ts", "day_ts"
+        ).repartition("day").write.partitionBy("day").parquet(str(wip / "fact"))
+        dates = (
+            ev.select(
+                "day_ts", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+            )
+            .distinct()
+            .select("day", "day_ts", F.expr(_DOW).alias("dow"))
+            .withColumn("is_weekend", F.col("dow").isin(0, 6))
+        )
+        dates.coalesce(1).write.parquet(str(wip / "dim"))
+
+    base = spool_fixture("dpp_events", sf_dir, "v2", _write)
+    fact = spark.read.parquet(str(base / "fact"))
+    dates = spark.read.parquet(str(base / "dim"))
+    return fact, dates
+
+
+@query(
+    "dpp_weekend_revenue_by_type",
+    oracle=f"""
+SELECT event_type,
+       count(*) AS n_events,
+       {dsum_sql("value")} AS total_value
+FROM events
+WHERE ((CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400) + 4) % 7
+      IN (0, 6)
+GROUP BY 1
+""",
+    doc="Weekend revenue by event type through DYNAMIC partition pruning: "
+    "the weekend predicate lives on the 30-row dates dim, never on the "
+    "fact — Catalyst plants a dynamicpruningexpression on the fact scan's "
+    "day_ts partition column fed by the dim's reused broadcast, so only "
+    "the 8 weekend day-directories (of 30) are listed and read. The "
+    "oracle replays the SAME row semantics on the flat events view with "
+    "the weekend test inlined (the epoch-day arithmetic is exact BIGINT "
+    "on both engines). Sum is DECIMAL(18,6)-exact. At 100 TB this is the "
+    "canonical date-dim star-join scan cut: I/O proportional to matching "
+    "partitions, constant 30-row broadcast overhead.",
+    bench=True,
+)
+def dpp_weekend_revenue_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact, dates = dpp_layout(spark, sf_dir)
+    # filter via the IN predicate, not the bare `is_weekend` boolean column:
+    # PartitionPruning's isLikelySelective() recognizes In/BinaryComparison/
+    # Not/And/Or — a bare boolean attribute is NOT on the list, so filtering
+    # on it would silently skip DPP insertion (measured here).
+    weekend = dates.where(F.col("dow").isin(0, 6)).select("day")
+    return (
+        fact.join(F.broadcast(weekend), "day")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "dpp_pruned_partition_count",
+    oracle=f"""
+WITH d AS (
+  SELECT DISTINCT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_ts
+  FROM events
+)
+SELECT count(*) AS n_days,
+       CAST(sum(CASE WHEN {_DOW_SQL} IN (0, 6) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_weekend,
+       CAST(sum(CASE WHEN {_DOW_SQL} IN (0, 6) THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_pruned
+FROM d
+""",
+    doc="The pruning ledger for dpp_weekend_revenue_by_type: how many "
+    "day-partitions exist, survive, and are skipped. Computed from the "
+    "dates dim (30 rows — the partition listing, not the fact data), so "
+    "the query costs O(#partitions) regardless of fact size; the oracle "
+    "recomputes the same ledger from the flat view. Documents the scan "
+    "cut the DPP plan buys: n_pruned/n_days of the fact I/O never "
+    "happens.",
+)
+def dpp_pruned_partition_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, dates = dpp_layout(spark, sf_dir)
+    return dates.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("is_weekend").cast("bigint")).alias("n_weekend"),
+        F.sum((~F.col("is_weekend")).cast("bigint")).alias("n_pruned"),
+    )

@@ -42,3 +42,37 @@ def plan_features(df: DataFrame) -> PlanFeatures:
         n_exchanges=raw.count("Exchange "),
         raw=raw,
     )
+
+
+def scan_partition_reads(df: DataFrame) -> list[dict[str, int]]:
+    """Runtime scan metrics per file-scan node, AFTER the df has executed.
+
+    Walks the executed plan through AQE's QueryStage wrappers (whose
+    ``children()`` is empty — the real subtree hangs off ``plan()`` /
+    ``executedPlan()``) and returns each parquet scan's metric map. The
+    ``numPartitions`` entry is the number of partition DIRECTORIES the
+    scan actually listed after static + dynamic pruning — the execution
+    proof behind the DPP plan pin (a dynamicpruningexpression that never
+    pruned would still show all partitions here).
+    """
+    out: list[dict[str, int]] = []
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        if "Scan" in name:
+            metrics: dict[str, int] = {}
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                metrics[kv._1()] = kv._2().value()
+            out.append(metrics)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+        elif "QueryStage" in name:
+            walk(node.plan())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out

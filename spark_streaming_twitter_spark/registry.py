@@ -126,6 +126,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # (b) ROUND7_NEW_MARKER — new round-7 queries insert here
     "dedup_ngram_jaccard_pairs_capped",
     "dedup_containment_pairs_capped",
+    "dpp_weekend_revenue_by_type",
+    "dpp_pruned_partition_count",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
@@ -241,6 +243,7 @@ def load_all() -> dict[str, QuerySpec]:
     import spark_streaming_twitter_spark.operators.layout  # noqa: F401
     import spark_streaming_twitter_spark.operators.sketches  # noqa: F401
     import spark_streaming_twitter_spark.operators.modern  # noqa: F401
+    import spark_streaming_twitter_spark.operators.pruning  # noqa: F401
     import spark_streaming_twitter_spark.operators.relational  # noqa: F401
     import spark_streaming_twitter_spark.operators.trending  # noqa: F401
     import spark_streaming_twitter_spark.operators.windows  # noqa: F401

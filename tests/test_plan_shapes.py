@@ -449,3 +449,23 @@ def test_late_session_queries_plan_clean(spark):
     # chi-square: marginals broadcast back onto the cells table
     f = _features(spark, "segment_priority_independence")
     assert "BroadcastHashJoin" in f.join_nodes, f.join_nodes
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    """Dynamic partition pruning (VERDICT r6 #4): the weekend filter lives
+    on the 30-row dates dim only, yet the date-partitioned fact scan must
+    carry a dynamicpruningexpression on its partition column — fed by the
+    dim's reused broadcast — so non-matching day directories are never
+    read. Execution proof on top of the plan pin: the fact scan's runtime
+    metrics report 8 of 30 partition directories actually listed."""
+    from spark_streaming_twitter_spark.plans.audit import scan_partition_reads
+
+    df = SPECS["dpp_weekend_revenue_by_type"].fn(spark, SF)
+    f = plan_features(df)
+    assert "dynamicpruningexpression" in f.raw, f.raw
+    assert "BroadcastHashJoin" in f.join_nodes, f.join_nodes
+    df.collect()  # materialize so scan metrics are populated
+    fact_scans = [
+        m for m in scan_partition_reads(df) if "numPartitions" in m
+    ]
+    assert fact_scans and fact_scans[0]["numPartitions"] == 8, fact_scans
