@@ -128,6 +128,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_containment_pairs_capped",
     "dpp_weekend_revenue_by_type",
     "dpp_pruned_partition_count",
+    "stream_exactly_once_sink_replay",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",

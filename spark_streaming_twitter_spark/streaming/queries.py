@@ -2287,3 +2287,99 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_data_triggers long, total_input_rows long, "
         "total_processed_rows long",
     )
+
+
+@query(
+    "stream_exactly_once_sink_replay",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+    doc="Exactly-once sink proof UNDER RETRY (VERDICT r6 #5): the events "
+    "spool streams through a foreachBatch sink whose epoch-1 FIRST "
+    "attempt writes a partial half of the batch to the sink and then "
+    "raises — the query dies with an uncommitted epoch and real partial "
+    "output on disk, the worst-case sink state. A restart from the SAME "
+    "checkpoint replays epoch 1 (the offset log never committed it) "
+    "through parquet_epoch_overwrite_writer, whose per-epoch-directory "
+    "overwrite REPLACES the partial attempt instead of appending beside "
+    "it. The oracle compares final per-type counts to the batch answer "
+    "over all events — high on surviving duplicates (append semantics), "
+    "low on a skipped replay — and the query itself asserts the "
+    "injection fired, so a green row certifies recovery actually "
+    "happened, not a clean run. At 100 TB this is the idempotent-sink "
+    "half of exactly-once; the checkpoint offset log is the other half "
+    "(stream_incremental_availablenow_runs).",
+)
+def stream_exactly_once_sink_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from spark_streaming_twitter_spark.catalog import spool_fixture, table
+    from spark_streaming_twitter_spark.streaming.sinks import (
+        parquet_epoch_overwrite_writer,
+    )
+
+    def write_spool(base) -> None:
+        table(spark, sf_dir, "events").select("ts", "event_type").repartition(
+            4
+        ).write.mode("overwrite").parquet(str(base / "events"))
+
+    spool = str(
+        spool_fixture("events_an", sf_dir, "v1", write_spool) / "events"
+    )
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("event_type", StringType())]
+    )
+    out = tempfile.mkdtemp(prefix="eo_sink_")
+    ckpt = os.path.join(out, "_ckpt")
+    sink = os.path.join(out, "data")
+    inner = parquet_epoch_overwrite_writer(sink)
+    state = {"injected": 0}
+
+    def flaky(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id == 1 and not state["injected"]:
+            state["injected"] = 1
+            half = max(1, batch_df.count() // 2)
+            batch_df.limit(half).write.mode("overwrite").parquet(
+                f"{sink}/epoch={epoch_id}"
+            )
+            raise RuntimeError("injected sink failure after partial write")
+        inner(batch_df, epoch_id)
+
+    def run_once() -> None:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(spool)
+        )
+        q = (
+            raw.select("event_type")
+            .writeStream.foreachBatch(flaky)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        run_once()
+        raise AssertionError("injected epoch-1 failure did not surface")
+    except Exception as exc:  # noqa: BLE001 — StreamingQueryException wrapper
+        if "injected sink failure" not in str(exc):
+            raise
+    assert state["injected"] == 1
+    run_once()  # restart from the same checkpoint: epoch 1 replays clean
+
+    return (
+        spark.read.option("basePath", sink)
+        .parquet(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

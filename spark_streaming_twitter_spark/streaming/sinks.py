@@ -163,3 +163,25 @@ def parquet_point_writer(path: str) -> Callable[[DataFrame, int], None]:
         )
 
     return write
+
+
+def parquet_epoch_overwrite_writer(path: str) -> Callable[[DataFrame, int], None]:
+    """Exactly-once-under-retry: one directory per epoch, overwrite mode.
+
+    ``parquet_point_writer`` appends, so a replayed epoch (task retry, job
+    restart from checkpoint before the batch committed) lands NEXT TO its
+    partial first attempt and leaves duplicate rows for readers to dedup.
+    This writer makes the replay REPLACE the attempt instead: each epoch
+    writes to ``path/epoch=<id>/`` with overwrite, so however many times
+    Structured Streaming re-runs an uncommitted epoch, the directory holds
+    exactly one complete copy when the epoch finally commits — the
+    idempotent-sink half of the exactly-once contract (the checkpoint's
+    offset log is the other half). Readers take the union of epoch
+    directories with no dedup step. Proven under injected failure by
+    ``stream_exactly_once_sink_replay`` and tests/test_sinks.py.
+    """
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{path}/epoch={epoch_id}")
+
+    return write

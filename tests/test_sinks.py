@@ -115,3 +115,40 @@ def test_influx_http_writer_posts_line_protocol(spark):
         "TrendingHashTagSpark,hashtag=#spark n=7.0 1704103200",
         "TrendingHashTagSpark,hashtag=#sql n=3.0 1704103500",
     ]
+
+
+def test_epoch_overwrite_writer_replaces_partial_attempt(spark, tmp_path):
+    """The retry contract behind stream_exactly_once_sink_replay, phase by
+    phase: a partial epoch attempt on disk, then the replay. The overwrite
+    writer must leave EXACTLY the full batch; the append writer (the
+    at-least-once baseline) provably leaves duplicates under the same
+    replay — the guard is load-bearing, not decorative."""
+    from spark_streaming_twitter_spark.streaming.sinks import (
+        parquet_epoch_overwrite_writer,
+    )
+
+    batch = spark.range(100).select(F.col("id").alias("v"))
+    sink_o = str(tmp_path / "overwrite")
+    sink_a = str(tmp_path / "append")
+
+    # attempt 1: partial write (sink failed mid-epoch, batch uncommitted)
+    batch.limit(40).write.mode("overwrite").parquet(f"{sink_o}/epoch=7")
+    batch.limit(40).withColumn("epoch", F.lit(7)).write.mode(
+        "append"
+    ).parquet(sink_a)
+    # replay of epoch 7 through both writers
+    parquet_epoch_overwrite_writer(sink_o)(batch, 7)
+    from spark_streaming_twitter_spark.streaming.sinks import (
+        parquet_point_writer,
+    )
+
+    parquet_point_writer(sink_a)(batch, 7)
+
+    got = spark.read.option("basePath", sink_o).parquet(sink_o)
+    assert got.count() == 100, "overwrite replay must REPLACE the partial"
+    assert got.select("v").distinct().count() == 100
+    appended = spark.read.parquet(sink_a)
+    assert appended.count() == 140, (
+        "append replay keeps the partial attempt — the duplicate mode "
+        "the overwrite writer exists to prevent"
+    )
