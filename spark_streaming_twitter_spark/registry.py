@@ -129,6 +129,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dpp_weekend_revenue_by_type",
     "dpp_pruned_partition_count",
     "stream_exactly_once_sink_replay",
+    "stream_watermark_policy_join_trace",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",

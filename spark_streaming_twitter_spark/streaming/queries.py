@@ -2383,3 +2383,108 @@ def stream_exactly_once_sink_replay(
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "stream_watermark_policy_join_trace",
+    oracle="""
+WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+wms AS (
+  SELECT 'min' AS policy,
+         least((SELECT max(ts) FROM s) - INTERVAL 300 SECOND,
+               (SELECT max(ts) FROM p) - INTERVAL 86400 SECOND) AS w
+  UNION ALL
+  SELECT 'max' AS policy,
+         greatest((SELECT max(ts) FROM s) - INTERVAL 300 SECOND,
+                  (SELECT max(ts) FROM p) - INTERVAL 86400 SECOND) AS w
+),
+matched AS (
+  SELECT s.user_id, s.ts AS s_ts, p.ts AS p_ts
+  FROM s JOIN p ON s.user_id = p.user_id
+              AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+),
+un AS (
+  SELECT s.user_id, s.ts AS s_ts
+  FROM s
+  WHERE NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.user_id = s.user_id
+            AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR)
+)
+SELECT policy, user_id, signup_epoch, purchase_epoch FROM (
+  SELECT w.policy AS policy, m.user_id AS user_id,
+         CAST(floor(epoch(m.s_ts)) AS BIGINT) AS signup_epoch,
+         CAST(floor(epoch(m.p_ts)) AS BIGINT) AS purchase_epoch
+  FROM matched m CROSS JOIN wms w
+  UNION ALL
+  SELECT w.policy, u.user_id,
+         CAST(floor(epoch(u.s_ts)) AS BIGINT),
+         CAST(NULL AS BIGINT)
+  FROM un u JOIN wms w ON u.s_ts + INTERVAL 1 HOUR < w.w
+)
+""",
+    doc="Multiple-watermark POLICY made observable (VERDICT r6 #6): the "
+    "same left-outer interval join (signup -> purchase within 1h) runs "
+    "twice with asymmetric per-input delays (signups 300 s, purchases "
+    "86400 s) — once under spark.sql.streaming.multipleWatermarkPolicy="
+    "min (the safe default: global watermark = slowest input, fewer "
+    "unmatched rows finalized) and once under max (fastest input: more "
+    "null-padded signups emitted, at the cost of potentially dropping "
+    "data arriving later than the fast clock). Matched pairs emit under "
+    "BOTH policies; an unmatched signup emits iff its forward 1-hour "
+    "band closes under that policy's combined watermark (wm > s_ts + 1h, "
+    "strict), so the policy difference IS the extra band of null rows "
+    "between the two watermarks — oracle-encoded exactly (least/greatest "
+    "of the per-input final watermarks), the same trace technique as "
+    "stream_update_emission_trace. The conf is scoped per run and "
+    "restored.",
+)
+def stream_watermark_policy_join_trace(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    key = "spark.sql.streaming.multipleWatermarkPolicy"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 — unset in a vanilla session
+        prev = "min"
+    outs = []
+    try:
+        for policy in ("min", "max"):
+            spark.conf.set(key, policy)
+            ev = stream_events(spark, sf_dir)
+            signups = (
+                ev.where(F.col("event_type") == "signup")
+                .select(
+                    F.col("user_id").alias("s_user_id"),
+                    F.col("ts").alias("s_ts"),
+                )
+                .withWatermark("s_ts", "300 seconds")
+            )
+            purchases = (
+                ev.where(F.col("event_type") == "purchase")
+                .select(
+                    F.col("user_id").alias("p_user_id"),
+                    F.col("ts").alias("p_ts"),
+                )
+                .withWatermark("p_ts", "86400 seconds")
+            )
+            joined = signups.join(
+                purchases,
+                (F.col("s_user_id") == F.col("p_user_id"))
+                & (F.col("p_ts") >= F.col("s_ts"))
+                & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+                "leftOuter",
+            )
+            out = run_to_memory(joined, output_mode="append")
+            outs.append(
+                out.select(
+                    F.lit(policy).alias("policy"),
+                    F.col("s_user_id").alias("user_id"),
+                    F.unix_timestamp("s_ts").alias("signup_epoch"),
+                    F.unix_timestamp("p_ts").alias("purchase_epoch"),
+                )
+            )
+    finally:
+        spark.conf.set(key, prev)
+    return outs[0].unionByName(outs[1])

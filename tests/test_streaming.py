@@ -871,3 +871,23 @@ def test_funnel_state_survives_restart(spark, stream_dir, tmp_path):
     assert emitted == [(7, t)], (
         f"pending signup must survive the restart and match: {emitted}"
     )
+
+
+def test_watermark_policy_max_finalizes_more_nulls(spark):
+    """The multipleWatermarkPolicy lever must be OBSERVABLE: with signup
+    delay 300 s vs purchase delay 1 day, the max policy's combined
+    watermark runs ~1 day ahead of min's, so strictly more unmatched
+    signups get their null row finalized (sf0.001: 194 vs 185 by the
+    oracle's math). Matched pairs are policy-independent."""
+    from spark_streaming_twitter_spark.registry import load_all
+
+    df = load_all()["stream_watermark_policy_join_trace"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    unmatched = {"min": 0, "max": 0}
+    matched = {"min": 0, "max": 0}
+    for r in rows:
+        (unmatched if r.purchase_epoch is None else matched)[r.policy] += 1
+    assert unmatched["max"] > unmatched["min"], unmatched
+    assert matched["max"] == matched["min"], matched
