@@ -130,6 +130,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dpp_pruned_partition_count",
     "stream_exactly_once_sink_replay",
     "stream_watermark_policy_join_trace",
+    "stream_user_sliding_state_heap",
+    "stream_user_sliding_state_rocksdb",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
