@@ -132,6 +132,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_watermark_policy_join_trace",
     "stream_user_sliding_state_heap",
     "stream_user_sliding_state_rocksdb",
+    "embedding_sq8_codes",
+    "similarity_sq8_topk",
+    "similarity_sq8_recall",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
@@ -259,6 +262,7 @@ def load_all() -> dict[str, QuerySpec]:
     import spark_streaming_twitter_spark.sources.tweets  # noqa: F401
     import spark_streaming_twitter_spark.similarity.kmeans  # noqa: F401
     import spark_streaming_twitter_spark.similarity.search  # noqa: F401
+    import spark_streaming_twitter_spark.similarity.sq  # noqa: F401
     import spark_streaming_twitter_spark.streaming.queries  # noqa: F401
     import spark_streaming_twitter_spark.text.analysis  # noqa: F401
     import spark_streaming_twitter_spark.text.corpus  # noqa: F401

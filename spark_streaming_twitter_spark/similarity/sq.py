@@ -1,0 +1,296 @@
+"""Scalar quantization (SQ8) — the third standard ANN codec, completing
+the family: LSH buckets (search.py), IVF cells + PQ codes (kmeans.py), and
+here the per-dimension 8-bit scalar quantizer (the "SQ8" of FAISS /
+Milvus / Lucene KNN, all public systems): every dimension is linearly
+mapped to 0..255 against the CORPUS-WIDE per-dimension min/max, so a
+64-dim float vector stores as 64 bytes — a 4x cut vs float32 (8x vs the
+raw doubles) with far gentler recall loss than PQ's 1-byte-per-vector
+regime, which is why SQ8 is the default first lever when an index almost
+fits in RAM.
+
+All arithmetic stays in the repo's integer-exact calculus: elements are
+the usual round(x * 2^20) BIGINTs, the quantization step is floor integer
+division ((x - lo) * 255 DIV rng, operands non-negative so Spark DIV and
+DuckDB // agree), and reconstruction/distances are exact BIGINT sums —
+the DuckDB oracle replays every stage bitwise.
+
+Scale design: the (lo, rng) stats are ONE 64-element row broadcast to the
+encode pass (a groupBy over posexploded dims — the only shuffle, keyed on
+the 64-value dimension id after map-side partial min/max); encode is then
+a row-local zip_with chain, no join. Search broadcasts the ~n/100 query
+vectors and streams the corpus codes once (the same
+BroadcastNestedLoopJoin shape as similarity_topk_cosine); recall joins
+the SQ8 top-10 against the exact top-5 per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_streaming_twitter_spark.catalog import table, widen
+from spark_streaming_twitter_spark.registry import query
+from spark_streaming_twitter_spark.similarity.search import (
+    DIM,
+    QUERY_STRIDE,
+    _QUANT_SQL,
+    _quantized,
+)
+
+_SQ_LEVELS = 255  # 8-bit code range 0..255
+
+
+_SQ_CTES = f"""
+qv AS (
+  SELECT vec_id, {_QUANT_SQL.format(vec="embedding")} AS q FROM embeddings
+),
+dims AS (
+  SELECT CAST(i.i AS INT) AS d,
+         min(list_extract(q.q, i.i)) AS lo,
+         max(list_extract(q.q, i.i)) - min(list_extract(q.q, i.i)) AS rng
+  FROM qv q, unnest(generate_series(1, {DIM})) i(i)
+  GROUP BY 1
+),
+stats AS (
+  SELECT list(lo ORDER BY d) AS lo_arr, list(rng ORDER BY d) AS rng_arr
+  FROM dims
+),
+codes AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, {DIM}), i ->
+           CASE WHEN list_extract(rng_arr, i) > 0
+                THEN ((list_extract(q, i) - list_extract(lo_arr, i))
+                      * {_SQ_LEVELS}) // list_extract(rng_arr, i)
+                ELSE CAST(0 AS BIGINT) END) AS code,
+         q
+  FROM qv, stats
+),
+recon AS (
+  SELECT vec_id, q,
+         list_transform(generate_series(1, {DIM}), i ->
+           list_extract(lo_arr, i)
+           + (list_extract(code, i) * list_extract(rng_arr, i))
+             // {_SQ_LEVELS}) AS r,
+         code
+  FROM codes, stats
+)
+"""
+
+
+def _sq_stats(corpus: DataFrame) -> DataFrame:
+    """One row: (lo_arr, rng_arr) — the corpus-wide per-dim quantizer."""
+    dims = corpus.select(F.posexplode("q").alias("d", "v"))
+    per_dim = dims.groupBy("d").agg(
+        F.min("v").alias("lo"), (F.max("v") - F.min("v")).alias("rng")
+    )
+    return per_dim.agg(
+        F.expr("transform(array_sort(collect_list(struct(d, lo))), s -> s.lo)")
+        .alias("lo_arr"),
+        F.expr("transform(array_sort(collect_list(struct(d, rng))), s -> s.rng)")
+        .alias("rng_arr"),
+    )
+
+
+def _sq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q, code, r): quantized input, SQ8 code, reconstruction."""
+    emb = widen(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        spark,
+    )
+    corpus = emb.withColumn("q", _quantized(F.col("embedding")))
+    stats = _sq_stats(corpus)
+    coded = corpus.crossJoin(F.broadcast(stats)).withColumn(
+        "code",
+        F.expr(
+            f"zip_with(zip_with(q, lo_arr, (x, l) -> x - l), rng_arr, "
+            f"(s, r) -> CASE WHEN r > 0 THEN (s * {_SQ_LEVELS}) DIV r "
+            f"ELSE 0L END)"
+        ),
+    )
+    return coded.withColumn(
+        "r",
+        F.expr(
+            f"zip_with(zip_with(code, rng_arr, "
+            f"(c, rg) -> (c * rg) DIV {_SQ_LEVELS}), lo_arr, "
+            f"(cr, l) -> cr + l)"
+        ),
+    ).select("vec_id", "q", "code", "r")
+
+
+@query(
+    "embedding_sq8_codes",
+    oracle=f"""
+WITH {_SQ_CTES}
+SELECT vec_id,
+       CAST(list_sum(code) AS BIGINT) AS code_sum,
+       CAST(list_min(code) AS BIGINT) AS code_min,
+       CAST(list_max(code) AS BIGINT) AS code_max,
+       CAST(list_sum(list_transform(list_zip(q, r),
+            p -> (CAST(p[1] AS BIGINT) - p[2])
+                 * (CAST(p[1] AS BIGINT) - p[2]))) AS BIGINT)
+         AS recon_err2
+FROM recon
+""",
+    doc="SQ8 ENCODE: per-dimension linear map to 0..255 against the "
+    "corpus-wide (min, max) of each dimension — one 64-element stats row "
+    "computed by a posexplode + per-dim min/max groupBy (the only "
+    "shuffle, 64 keys with map-side partials) and broadcast back; encode "
+    "and reconstruction are then row-local zip_with chains. Output per "
+    "vector: code checksum/min/max and the EXACT integer reconstruction "
+    "error — the quantization-loss ledger that sizes the codec (compare "
+    "recon_err2 against embedding_pq_codes' to see why SQ8 recalls "
+    "better than 1-byte PQ). Floor division on non-negative operands, "
+    "so Spark DIV == DuckDB // bitwise.",
+)
+def embedding_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = _sq_recon(spark, sf_dir)
+    err2 = F.expr(
+        "aggregate(zip_with(q, r, (x, y) -> (x - y) * (x - y)), 0L, "
+        "(acc, x) -> acc + x)"
+    )
+    return rec.select(
+        "vec_id",
+        F.expr("aggregate(code, 0L, (a, x) -> a + x)").alias("code_sum"),
+        F.array_min("code").cast("bigint").alias("code_min"),
+        F.array_max("code").cast("bigint").alias("code_max"),
+        err2.alias("recon_err2"),
+    )
+
+
+@query(
+    "similarity_sq8_topk",
+    oracle=f"""
+WITH {_SQ_CTES},
+qs AS (SELECT vec_id AS query_id, q AS qq FROM qv
+       WHERE vec_id % {QUERY_STRIDE} = 0),
+scored AS (
+  SELECT qs.query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(qs.qq, c.r),
+           p -> (CAST(p[1] AS BIGINT) - p[2])
+                * (CAST(p[1] AS BIGINT) - p[2]))) AS sq_dist2
+  FROM qs, recon c
+)
+SELECT query_id, neighbor_id, CAST(sq_dist2 AS BIGINT) AS sq_dist2,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sq_dist2 ASC, neighbor_id ASC)
+              AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+    doc="Asymmetric SQ8 search: the full-precision query scores against "
+    "RECONSTRUCTED corpus codes (query side never quantizes — the same "
+    "asymmetric trick as PQ's ADC, halving the quantization noise in "
+    "the distance). Exact BIGINT squared-L2 per (query, code), top-10 "
+    "per query with neighbor-id tie-break. Plan: the ~n/100 query rows "
+    "broadcast, the code table streams once (BroadcastNestedLoopJoin, "
+    "the deliberate brute-force-over-codes shape — at 100 TB the scan "
+    "reads 1-byte-per-dim codes instead of raw vectors, which is the "
+    "4x memory-bandwidth win SQ8 exists for; compose with the IVF "
+    "router to restrict candidates).",
+)
+def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = _sq_recon(spark, sf_dir)
+    qs = rec.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qq, r, (x, y) -> (x - y) * (x - y)), 0L, "
+        "(acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sq_dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rec.select(F.col("vec_id").alias("neighbor_id"), "r")
+        .crossJoin(F.broadcast(qs))
+        .withColumn("sq_dist2", d2)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "sq_dist2", "rank")
+    )
+
+
+@query(
+    "similarity_sq8_recall",
+    oracle=f"""
+WITH {_SQ_CTES},
+qs AS (SELECT vec_id AS query_id, q AS qq FROM qv
+       WHERE vec_id % {QUERY_STRIDE} = 0),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qs.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY qs.query_id
+             ORDER BY list_sum(list_transform(list_zip(qs.qq, c.q),
+                p -> (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT))
+                     * (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT)))) ASC,
+               c.vec_id ASC) AS rank
+    FROM qs, qv c WHERE c.vec_id <> qs.query_id
+  ) WHERE rank <= 5
+),
+sq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qs.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY qs.query_id
+             ORDER BY list_sum(list_transform(list_zip(qs.qq, c.r),
+                p -> (CAST(p[1] AS BIGINT) - p[2])
+                     * (CAST(p[1] AS BIGINT) - p[2]))) ASC,
+               c.vec_id ASC) AS rank
+    FROM qs, recon c
+  ) WHERE rank <= 10
+)
+SELECT e.query_id,
+       count(*) AS n_exact,
+       CAST(count(s.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(s.neighbor_id) AS DOUBLE) / count(*) AS recall
+FROM exact e
+LEFT JOIN sq s ON s.query_id = e.query_id
+              AND s.neighbor_id = e.neighbor_id
+GROUP BY 1
+""",
+    doc="SQ8 quality measurement, same contract as similarity_pq_recall: "
+    "per-query recall of the SQ8 top-10 against the exact quantized-L2 "
+    "top-5 (both integer-exact, so the fraction is bitwise-"
+    "reproducible). The expected shape — and the reason SQ8 is the "
+    "first codec you reach for — is recall far above PQ's at this "
+    "dimensionality: 8 bits/dim vs PQ's 2 bits/subspace-of-16-dims "
+    "keeps per-dimension resolution. Pinned >= PQ's mean recall in "
+    "tests/test_similarity_codecs.py.",
+)
+def similarity_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = _sq_recon(spark, sf_dir)
+    qs = rec.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    exact_d2 = F.expr(
+        "aggregate(zip_with(qq, q, (x, y) -> (x - y) * (x - y)), 0L, "
+        "(acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        rec.select(F.col("vec_id").alias("neighbor_id"), "q")
+        .join(F.broadcast(qs), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("d2", exact_d2)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    sq = similarity_sq8_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(sq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").cast("bigint").alias("n_hits"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias(
+                "recall"
+            ),
+        )
+    )

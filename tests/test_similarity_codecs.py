@@ -1,0 +1,79 @@
+"""Codec-family behavioral tests: the SQ8 / PQ quality ordering.
+
+Oracle parity proves each codec's arithmetic; these tests prove the
+RELATIONSHIP the family is designed around — more bits per dimension must
+buy measurably better fidelity, or the codec selection guidance in the
+docstrings is wrong.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sq8_recall_dominates_pq(spark):
+    """SQ8 keeps 8 bits per DIMENSION; this fixture's PQ keeps 2 bits per
+    16-dim subspace. Mean recall@top-5-exact must reflect that order."""
+    from spark_streaming_twitter_spark.similarity.kmeans import (
+        similarity_pq_recall,
+    )
+    from spark_streaming_twitter_spark.similarity.sq import (
+        similarity_sq8_recall,
+    )
+
+    sq = similarity_sq8_recall(spark, SF).agg(F.avg("recall")).collect()[0][0]
+    pq = similarity_pq_recall(spark, SF).agg(F.avg("recall")).collect()[0][0]
+    assert sq >= pq, (sq, pq)
+    assert sq >= 0.9, f"8-bit scalar codes should near-exactly rank: {sq}"
+
+
+def test_sq8_reconstruction_error_is_small_and_bounded(spark):
+    """Per-dimension error of an 8-bit linear quantizer is at most one
+    step (rng/255), so recon_err2 <= DIM * max_rng_step^2 — an ANALYTIC
+    bound, not a tuned threshold. Also strictly below PQ's recon error,
+    which collapses 16 dims onto 4 codewords."""
+    from spark_streaming_twitter_spark.similarity.kmeans import (
+        embedding_pq_codes,
+    )
+    from spark_streaming_twitter_spark.similarity.sq import (
+        _sq_recon,
+        _sq_stats,
+        embedding_sq8_codes,
+    )
+    from spark_streaming_twitter_spark.catalog import table
+    from spark_streaming_twitter_spark.similarity.search import _quantized
+
+    corpus = table(spark, SF, "embeddings").select("vec_id", "embedding")
+    stats = _sq_stats(
+        corpus.withColumn("q", _quantized(F.col("embedding")))
+    ).collect()[0]
+    max_step = max(r // 255 + 1 for r in stats.rng_arr)
+    bound = len(stats.rng_arr) * max_step * max_step
+
+    sq_err = embedding_sq8_codes(spark, SF).agg(
+        F.max("recon_err2"), F.avg("recon_err2")
+    ).collect()[0]
+    assert sq_err[0] <= bound, (sq_err[0], bound)
+
+    pq_avg = (
+        embedding_pq_codes(spark, SF).agg(F.avg("recon_err2")).collect()[0][0]
+    )
+    assert sq_err[1] < pq_avg / 100, (
+        "SQ8 mean recon error should be orders of magnitude below PQ's "
+        f"(got sq={sq_err[1]}, pq={pq_avg})"
+    )
+
+
+def test_sq8_codes_are_byte_range(spark):
+    from spark_streaming_twitter_spark.similarity.sq import (
+        embedding_sq8_codes,
+    )
+
+    row = (
+        embedding_sq8_codes(spark, SF)
+        .agg(F.min("code_min"), F.max("code_max"))
+        .collect()[0]
+    )
+    assert row[0] >= 0 and row[1] <= 255, row
