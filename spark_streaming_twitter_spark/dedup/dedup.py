@@ -1701,3 +1701,155 @@ def _pair_scores_from(sh_sizes: DataFrame, sh_join: DataFrame) -> DataFrame:
             / (F.col("na") + F.col("nb") - F.col("n_common")),
         )
     )
+
+
+@query(
+    "dedup_lsh_candidate_recall",
+    oracle=f"""
+WITH {_MINHASH_BUCKETS_SQL},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact_pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5
+),
+hits AS (
+  SELECT e.doc_a FROM exact_pairs e
+  JOIN cand c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+)
+SELECT (SELECT count(*) FROM exact_pairs) AS n_exact,
+       (SELECT count(*) FROM cand) AS n_candidates,
+       (SELECT count(*) FROM hits) AS n_hits,
+       CAST((SELECT count(*) FROM hits) AS DOUBLE)
+         / (SELECT count(*) FROM exact_pairs) AS recall
+""",
+    doc="LSH INDEX-TUNING metric — the dedup twin of similarity_ann_recall: "
+    "what fraction of the true jaccard>=0.5 pairs does the 4-band x "
+    "4-row MinHash index surface as candidates? Recall here is the "
+    "band/row sizing signal (more bands -> higher recall, more candidate "
+    "volume), exactly how production LSH is tuned — and it quantifies "
+    "the miss rate the banding trades for never running all-pairs. The "
+    "exact side reuses the inverted-shingle scorer; at 100 TB the "
+    "metric runs on a sampled sub-corpus (the exact side is the "
+    "expensive one — that asymmetry is the point of the index) or "
+    "through the df-capped twin. Three bounded 1-row aggregates "
+    "broadcast-crossed into one summary row.",
+)
+def dedup_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    hits = exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        ne.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_exact")).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+_QUALITY_CHAIN_SQL = r"""
+qtoks AS (
+  SELECT doc_id, n_chars, text,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+qscored AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+           / GREATEST(n_chars, 1) AS punct_ratio,
+         CAST(len(list_filter(toks,
+                  t -> list_contains(['the','a','of','and','to','is','in'], t)))
+              AS DOUBLE) / GREATEST(len(toks), 1) AS stopword_ratio
+  FROM qtoks
+),
+qual AS (
+  SELECT doc_id,
+         0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * (1.0 - punct_ratio)
+           + 0.3 * LEAST(stopword_ratio * 5.0, 1.0) AS quality
+  FROM qscored
+)
+"""
+
+
+@query(
+    "dedup_quality_keeper_drop_list",
+    oracle=f"""
+WITH {_VERIFIED_PAIRS_SQL},
+members AS (SELECT doc_a AS id FROM verified UNION SELECT doc_b FROM verified),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+          UNION SELECT doc_b, doc_a FROM verified),
+reach AS (
+  WITH RECURSIVE r(node, label) AS (
+    SELECT id, id FROM members
+    UNION
+    SELECT e.b, r.label FROM r JOIN edges e ON e.a = r.node
+  )
+  SELECT node, min(label) AS group_id FROM r GROUP BY node
+),
+{_QUALITY_CHAIN_SQL.lstrip()},
+ranked AS (
+  SELECT g.node AS doc_id, g.group_id, q.quality,
+         row_number() OVER (PARTITION BY g.group_id
+                            ORDER BY q.quality DESC, g.node ASC) AS rn,
+         first_value(g.node) OVER (PARTITION BY g.group_id
+                                   ORDER BY q.quality DESC, g.node ASC)
+           AS kept_doc_id
+  FROM reach g JOIN qual q ON q.doc_id = g.node
+)
+SELECT doc_id AS drop_doc_id, group_id, kept_doc_id
+FROM ranked WHERE rn > 1
+""",
+    doc="QUALITY-AWARE keeper rule — the curation-grade refinement of "
+    "dedup_drop_list's keep-min-id: within each near-dup group "
+    "(connected components over verified pairs), keep the HIGHEST-"
+    "quality member (doc_quality_scores' C4/Gopher heuristic; min "
+    "doc_id tie-break) and drop the rest, so deduplication removes the "
+    "boilerplate-heavy or truncated variant instead of whichever "
+    "happened to have the larger id — the keeper policy real corpus "
+    "pipelines use (e.g. keeping the longest/cleanest of a mirror set). "
+    "Composes two proven families with one (doc_id) join + one "
+    "per-group window; the quality double is the identical expression "
+    "tree on both engines, so ordering and output match bitwise.",
+)
+def dedup_quality_keeper_drop_list(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_streaming_twitter_spark.text.analysis import doc_quality_scores
+
+    groups = dedup_group_ids(spark, sf_dir)
+    qual = doc_quality_scores(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        groups.join(qual, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("kept_doc_id", F.first("doc_id").over(w))
+    )
+    return ranked.where(F.col("rn") > 1).select(
+        F.col("doc_id").alias("drop_doc_id"), "group_id", "kept_doc_id"
+    )

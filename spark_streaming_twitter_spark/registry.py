@@ -135,6 +135,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "embedding_sq8_codes",
     "similarity_sq8_topk",
     "similarity_sq8_recall",
+    "dedup_lsh_candidate_recall",
+    "dedup_quality_keeper_drop_list",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
