@@ -469,3 +469,27 @@ def test_dpp_prunes_fact_partitions(spark):
         m for m in scan_partition_reads(df) if "numPartitions" in m
     ]
     assert fact_scans and fact_scans[0]["numPartitions"] == 8, fact_scans
+
+
+def test_sq8_search_broadcasts_queries_no_cartesian(spark):
+    """similarity_sq8_topk must stream the code table ONCE against the
+    broadcast query set (BroadcastNestedLoopJoin BuildRight/Left) — the
+    same deliberate shape as similarity_topk_cosine — and never a real
+    CartesianProduct."""
+    f = _features(spark, "similarity_sq8_topk")
+    assert "BroadcastNestedLoopJoin" in f.raw, f.join_nodes
+    assert "CartesianProduct" not in f.raw
+
+
+def test_quality_keeper_single_window_no_extra_shuffle(spark):
+    """dedup_quality_keeper_drop_list: the quality join keys on doc_id and
+    the keeper window partitions by group_id — the plan must contain the
+    group_id exchange exactly once (rn and kept_doc_id share one window
+    spec, so Catalyst plans ONE Window node for both)."""
+    f = _features(spark, "dedup_quality_keeper_drop_list")
+    assert f.raw.count("Window") >= 1
+    ghash = [
+        line for line in f.raw.splitlines()
+        if "Exchange hashpartitioning(group_id" in line
+    ]
+    assert len(ghash) <= 1, f"group_id shuffled {len(ghash)}x:\n{f.raw}"
