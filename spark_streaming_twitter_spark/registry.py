@@ -137,6 +137,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "similarity_sq8_recall",
     "dedup_lsh_candidate_recall",
     "dedup_quality_keeper_drop_list",
+    "python_datasource_writer_roundtrip",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",

@@ -25,8 +25,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from spark_streaming_twitter_spark.registry import query
@@ -217,5 +219,156 @@ def python_stream_datasource_totals(spark: SparkSession, sf_dir: str) -> DataFra
         (F.col("event_id") / STREAM_BATCH).cast("int").alias("batch_idx")
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("value_sum"),
+    )
+
+
+# --- Writer variant: the SINK half of the custom-connector surface ---
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int) -> None:
+        self.path = path
+        self.n_rows = n_rows
+
+
+class ManifestSinkWriter(DataSourceWriter):
+    """Two-phase-commit file sink: the write-side contract a real Python
+    connector implements against an external store.
+
+    Each executor task writes its partition to its OWN uniquely-named file
+    and returns a commit message; only the driver's ``commit()`` publishes
+    the batch, by writing a ``_MANIFEST`` listing exactly the committed
+    files — readers resolve the manifest, so a file from a failed/ aborted
+    task (``abort()`` deletes them, and an unlisted orphan is equally
+    invisible) can never leak into results. This is the same
+    task-attempt/manifest protocol as Hadoop output committers and
+    Iceberg/Delta snapshot publishing, reduced to its observable core.
+    On a cluster ``path`` is shared storage; the two-phase structure is
+    identical.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+        self.fail_shard = int(options.get("fail_shard", "-1"))
+
+    def write(self, iterator) -> _FileCommit:
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"part-{uuid.uuid4().hex}.csv")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                if row[1] == self.fail_shard:
+                    raise RuntimeError(
+                        f"injected write failure on shard {self.fail_shard}"
+                    )
+                f.write(f"{row[0]},{row[1]},{row[2]}\n")
+                n += 1
+        return _FileCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        manifest = os.path.join(self.path, "_MANIFEST")
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            for m in messages:
+                f.write(f"{m.path}\n")
+        os.rename(tmp, manifest)  # atomic publish
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+
+class ManifestSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_sink"
+
+    def schema(self) -> str:
+        return "event_id bigint, shard int, value bigint"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return ManifestSinkWriter(self.options)
+
+
+def read_manifest_sink(spark: SparkSession, path: str) -> DataFrame:
+    """Resolve the manifest and read EXACTLY the committed files."""
+    import os
+
+    with open(os.path.join(path, "_MANIFEST")) as f:
+        files = [line.strip() for line in f if line.strip()]
+    return spark.read.schema("event_id bigint, shard int, value bigint").csv(
+        files
+    )
+
+
+@query(
+    "python_datasource_writer_roundtrip",
+    oracle=f"""
+WITH src AS (
+  SELECT i AS event_id,
+         CAST(CASE WHEN i < ({PYSOURCE_ROWS} // {PYSOURCE_SHARDS} + 1)
+                        * ({PYSOURCE_ROWS} % {PYSOURCE_SHARDS})
+              THEN i // ({PYSOURCE_ROWS} // {PYSOURCE_SHARDS} + 1)
+              ELSE ({PYSOURCE_ROWS} % {PYSOURCE_SHARDS})
+                   + (i - ({PYSOURCE_ROWS} // {PYSOURCE_SHARDS} + 1)
+                          * ({PYSOURCE_ROWS} % {PYSOURCE_SHARDS}))
+                     // ({PYSOURCE_ROWS} // {PYSOURCE_SHARDS})
+              END AS INT) AS shard,
+         (i * {_MIX}) % 1000 AS value
+  FROM generate_series(0, {PYSOURCE_ROWS - 1}) t(i)
+)
+SELECT shard,
+       count(*) AS n_rows,
+       min(event_id) AS first_id,
+       max(event_id) AS last_id,
+       CAST(sum(value) AS BIGINT) AS value_sum
+FROM src GROUP BY shard
+""",
+    doc="The WRITER half of the Python DataSource surface, composed with "
+    "the reader half into one round-trip: the synthetic source's planned "
+    "shards stream through df.write.format('manifest_sink') — each task "
+    "writes its own file and returns a commit message, the driver's "
+    "commit() atomically publishes a _MANIFEST of exactly the committed "
+    "files — and the result is read back VIA THE MANIFEST and "
+    "re-aggregated. The oracle is the same generator SQL as the read "
+    "path, so a dropped partition file, a duplicated task attempt, or a "
+    "leaked uncommitted file all fail the value hash. The abort path "
+    "(injected task failure -> no manifest -> nothing visible) is "
+    "pinned by tests/test_pysource_writer.py.",
+)
+def python_datasource_writer_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(ManifestSinkDataSource)
+    src = (
+        spark.read.format("synthetic_events")
+        .option("rows", str(PYSOURCE_ROWS))
+        .option("shards", str(PYSOURCE_SHARDS))
+        .load()
+    )
+    out = tempfile.mkdtemp(prefix="manifest_sink_")
+    src.write.format("manifest_sink").option("path", out).mode(
+        "append"
+    ).save()
+    back = read_manifest_sink(spark, out)
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
         F.sum("value").alias("value_sum"),
     )
