@@ -231,3 +231,71 @@ def mapinarrow_byte_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInArrow(hist, "media_id long, bucket int, frac double")
+
+
+@query(
+    "applyinarrow_type_quantiles",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         CAST(round(CAST(value AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+  FROM events
+),
+r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) - 1 AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM s
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rk = (n - 1) // 2 THEN v END) AS p50_scaled,
+       max(CASE WHEN rk = ((n - 1) * 9) // 10 THEN v END) AS p90_scaled
+FROM r GROUP BY 1
+""",
+    doc="GroupedData.applyInArrow (Spark 4) — the zero-pandas grouped "
+    "entry point, completing the Arrow family (pandas_udf / "
+    "applyInPandas / cogroup / mapInArrow / UDTF): each event_type "
+    "group arrives as ONE pyarrow.Table and exact lower-rank quantiles "
+    "(index floor((n-1)q) of the ascending sort) come straight from "
+    "pyarrow.compute sort+take — no pandas materialization, no numpy "
+    "copy, the cheapest possible Python hop for columnar per-group "
+    "logic. Values pre-scaled to BIGINT (round(v * 2^20)) so the "
+    "selected elements are integers and the oracle's row_number replay "
+    "matches bitwise. Plan: one shuffle on the 5-value group key; at "
+    "100 TB per-group data must fit one task (the applyInPandas "
+    "contract) — for heavy-tailed keys use the two-stage "
+    "approx_value_percentiles instead; this entry is the EXACT "
+    "small-group tier.",
+)
+def applyinarrow_type_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value").cast("double") * F.lit(1048576.0))
+        .cast("bigint")
+        .alias("v"),
+    )
+
+    def quantiles(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        v = pc.sort_indices(t.column("v"))
+        sv = pc.take(t.column("v"), v)
+        n = len(sv)
+        p50 = sv[(n - 1) // 2].as_py()
+        p90 = sv[((n - 1) * 9) // 10].as_py()
+        return pa.table(
+            {
+                "event_type": [t.column("event_type")[0].as_py()],
+                "n": pa.array([n], pa.int64()),
+                "p50_scaled": pa.array([p50], pa.int64()),
+                "p90_scaled": pa.array([p90], pa.int64()),
+            }
+        )
+
+    return ev.groupBy("event_type").applyInArrow(
+        quantiles,
+        schema="event_type string, n bigint, p50_scaled bigint, "
+        "p90_scaled bigint",
+    )

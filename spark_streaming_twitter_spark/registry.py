@@ -138,6 +138,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_lsh_candidate_recall",
     "dedup_quality_keeper_drop_list",
     "python_datasource_writer_roundtrip",
+    "applyinarrow_type_quantiles",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
