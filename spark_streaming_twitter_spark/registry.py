@@ -139,6 +139,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_quality_keeper_drop_list",
     "python_datasource_writer_roundtrip",
     "applyinarrow_type_quantiles",
+    "stream_events_per_minute_rocksdb_changelog",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",

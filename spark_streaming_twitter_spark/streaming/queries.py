@@ -2584,3 +2584,93 @@ def stream_user_sliding_state_rocksdb(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return _user_sliding_state(spark, sf_dir, rocksdb=True)
+
+
+@query(
+    "stream_events_per_minute_rocksdb_changelog",
+    oracle="""
+SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket_ts,
+       count(*) AS n
+FROM events GROUP BY 1
+""",
+    doc="RocksDB with CHANGELOG checkpointing — the incremental-"
+    "checkpoint lever on top of the provider swap "
+    "(stream_events_per_minute_rocksdb): with "
+    "rocksdb.changelogCheckpointing.enabled, each commit uploads only "
+    "the batch's state DELTA (a .changelog file) instead of snapshotting "
+    "the full store, so per-trigger checkpoint cost is O(changed keys) "
+    "rather than O(store size) — at 100 TB state this is the difference "
+    "between seconds and minutes of commit latency (snapshots still "
+    "happen, but in the background at minDeltasForSnapshot cadence). "
+    "Identical oracle again = answer-neutral; the changelog files' "
+    "existence in the checkpoint is pinned by "
+    "tests/test_streaming.py::test_rocksdb_changelog_files_written.",
+)
+def stream_events_per_minute_rocksdb_changelog(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    out, _ = _rocksdb_changelog_run(spark, sf_dir)
+    return out
+
+
+def _rocksdb_changelog_run(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, str]:
+    """(result df, checkpoint dir) for the changelog-checkpointing query."""
+    import os
+    import tempfile
+    import uuid
+
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    }
+    prev: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset in a vanilla session
+            prev[k] = None
+        spark.conf.set(k, v)
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"rocksdb_changelog_{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        ev = stream_events(spark, sf_dir)
+        agg = (
+            ev.withWatermark("ts", WATERMARK)
+            .groupBy(F.window("ts", "1 minute").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        name = f"mem_{uuid.uuid4().hex[:12]}"
+        from spark_streaming_twitter_spark.streaming.harness import (
+            _scoped_shuffle_partitions,
+        )
+
+        with _scoped_shuffle_partitions(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination()
+        out = spark.table(name).select(
+            F.unix_timestamp("w.start").alias("bucket_ts"), "n"
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out, ckpt

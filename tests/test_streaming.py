@@ -891,3 +891,19 @@ def test_watermark_policy_max_finalizes_more_nulls(spark):
         (unmatched if r.purchase_epoch is None else matched)[r.policy] += 1
     assert unmatched["max"] > unmatched["min"], unmatched
     assert matched["max"] == matched["min"], matched
+
+
+def test_rocksdb_changelog_files_written(spark):
+    """Changelog checkpointing must actually engage: the state checkpoint
+    directory contains .changelog delta files (the per-commit O(changed
+    keys) upload), not only full .zip snapshots."""
+    import pathlib
+
+    from spark_streaming_twitter_spark.streaming.queries import (
+        _rocksdb_changelog_run,
+    )
+
+    out, ckpt = _rocksdb_changelog_run(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    files = list(pathlib.Path(ckpt).rglob("*.changelog"))
+    assert files, f"no .changelog files under {ckpt}"
