@@ -2674,3 +2674,68 @@ def _rocksdb_changelog_run(
             else:
                 spark.conf.set(k, v)
     return out, ckpt
+
+
+@query(
+    "stream_session_windows_dynamic_gap",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts,
+         ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 600 SECOND
+                   ELSE INTERVAL 300 SECOND END AS end_t
+  FROM events
+),
+marks AS (
+  SELECT user_id, ts, end_t,
+         CASE WHEN max(end_t) OVER w IS NULL
+                OR ts >= max(end_t) OVER w
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+grouped AS (
+  SELECT user_id, ts, end_t,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marks
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(max(end_t))) AS BIGINT) AS session_end,
+       count(*) AS n_events
+FROM grouped GROUP BY user_id, session_id
+""",
+    doc="Session windows with a DYNAMIC per-event gap (Spark 3.2+ "
+    "session_window(ts, gapExpr)): purchases hold a session open 10 "
+    "minutes, everything else 5 — the engagement-weighted sessionization "
+    "real funnels use, and an API the fixed-gap entry can't express. "
+    "With variable gaps the lag-based islands rewrite is WRONG (a long "
+    "gap can bridge over a short-gap event), so the oracle uses the "
+    "general interval-merge form: running MAX of window ends over "
+    "preceding events, new session iff ts >= that cummax (half-open "
+    "windows, matching Spark's merge rule); session end = max event "
+    "end, not last-event + constant. Same complete-mode streaming "
+    "drive as stream_session_windows.",
+)
+def stream_session_windows_dynamic_gap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    # gapExpr must be CalendarIntervalType: INTERVAL literals parse as
+    # DayTimeIntervalType, so route through make_interval / string gaps
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("10 minutes")
+    ).otherwise(F.lit("5 minutes"))
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.unix_timestamp("w.start").alias("session_start"),
+        F.unix_timestamp("w.end").alias("session_end"),
+        "n_events",
+    )
