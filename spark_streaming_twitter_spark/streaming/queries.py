@@ -2545,18 +2545,27 @@ def _user_sliding_state(
             )
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        out = run_to_memory(agg, output_mode="complete")
+        import uuid
+
+        name = f"mem_{uuid.uuid4().hex[:12]}"
+        out = run_to_memory(agg, name=name, output_mode="complete")
+        # the memory sink holds ~1.15M rows at sf0.1 and would stay
+        # registered (and on-heap) for the session; reduce to the 1-row
+        # summary, then DROP the sink table so repeated bench runs don't
+        # accumulate megarow tables and pressure later entries' GC
+        summary = out.agg(
+            F.count(F.lit(1)).alias("n_state_rows"),
+            F.sum("n").alias("total_assignments"),
+            F.max("n").alias("max_n"),
+        ).collect()
+        spark.catalog.dropTempView(name)
     finally:
         if rocksdb:
             if prev is None:
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
-    return out.agg(
-        F.count(F.lit(1)).alias("n_state_rows"),
-        F.sum("n").alias("total_assignments"),
-        F.max("n").alias("max_n"),
-    )
+    return spark.createDataFrame(summary)
 
 
 @query(
