@@ -1853,3 +1853,121 @@ def dedup_quality_keeper_drop_list(
     return ranked.where(F.col("rn") > 1).select(
         F.col("doc_id").alias("drop_doc_id"), "group_id", "kept_doc_id"
     )
+
+
+@query(
+    "corpus_curation_pipeline_v4",
+    oracle=f"""
+WITH {_VERIFIED_PAIRS_SQL},
+members AS (SELECT doc_a AS id FROM verified UNION SELECT doc_b FROM verified),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+          UNION SELECT doc_b, doc_a FROM verified),
+reach AS (
+  WITH RECURSIVE r(node, label) AS (
+    SELECT id, id FROM members
+    UNION
+    SELECT e.b, r.label FROM r JOIN edges e ON e.a = r.node
+  )
+  SELECT node, min(label) AS group_id FROM r GROUP BY node
+),
+{_QUALITY_CHAIN_SQL.lstrip()},
+drops1 AS (
+  SELECT doc_id FROM (
+    SELECT g.node AS doc_id,
+           row_number() OVER (PARTITION BY g.group_id
+                              ORDER BY q.quality DESC, g.node ASC) AS rn
+    FROM reach g JOIN qual q ON q.doc_id = g.node
+  ) WHERE rn > 1
+),
+cinter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cpairs AS (
+  SELECT c.doc_a, c.doc_b,
+         c.n_common * 1000000 // sa.n AS ca,
+         c.n_common * 1000000 // sb.n AS cb
+  FROM cinter c
+  JOIN sizes sa ON c.doc_a = sa.doc_id
+  JOIN sizes sb ON c.doc_b = sb.doc_id
+  WHERE c.n_common * 1000000 // sa.n >= 800000
+     OR c.n_common * 1000000 // sb.n >= 800000
+),
+drops2 AS (
+  SELECT CASE WHEN ca >= 800000 AND cb >= 800000 THEN doc_b
+              WHEN ca >= 800000 THEN doc_a
+              ELSE doc_b END AS doc_id
+  FROM cpairs
+),
+drops AS (SELECT doc_id FROM drops1 UNION SELECT doc_id FROM drops2),
+surv AS (
+  SELECT d.doc_id, d.source FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+),
+kept AS (
+  SELECT * FROM (
+    SELECT s.doc_id, s.source, q.quality, qs.n_tokens,
+           row_number() OVER (PARTITION BY s.source
+                              ORDER BY q.quality DESC, s.doc_id ASC) AS rn
+    FROM surv s
+    JOIN qual q ON q.doc_id = s.doc_id
+    JOIN qscored qs ON qs.doc_id = s.doc_id
+  ) WHERE rn <= 50
+)
+SELECT source,
+       count(*) AS n_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(quality) AS min_quality
+FROM kept GROUP BY 1
+""",
+    doc="Round-7 curation capstone, composing the new operators into one "
+    "plan: (1) QUALITY-AWARE near-dup dedup — within each verified-pair "
+    "connected component keep the highest-quality member "
+    "(dedup_quality_keeper_drop_list); (2) CONTAINMENT pruning — drop "
+    "the contained (quoted/subset) side of every >=0.8 containment "
+    "pair through the df-capped scorer (container kept; mutual "
+    "containment keeps min id); (3) per-source QUALITY BUDGET — top-50 "
+    "docs per source by quality. Output: per-source kept count, token "
+    "total, and the quality floor the budget enforced. Shuffle "
+    "ledger: the shingle stages reuse one sh relation; the two drop "
+    "lists union into a single anti-join; the budget is one "
+    "source-keyed window — nothing rescans documents more than the "
+    "component pipelines already do.",
+)
+def corpus_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.text.analysis import doc_quality_scores
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    drops1 = dedup_quality_keeper_drop_list(spark, sf_dir).select(
+        F.col("drop_doc_id").alias("doc_id")
+    )
+    cont = dedup_containment_pairs_capped(spark, sf_dir)
+    drops2 = cont.select(
+        F.when(
+            (F.col("contain_a_scaled") >= 800000)
+            & (F.col("contain_b_scaled") >= 800000),
+            F.col("doc_b"),
+        )
+        .when(F.col("contain_a_scaled") >= 800000, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("doc_id")
+    )
+    drops = drops1.unionByName(drops2).distinct()
+    surv = docs.join(drops, "doc_id", "left_anti")
+    qual = doc_quality_scores(spark, sf_dir).select(
+        "doc_id", "quality", "n_tokens"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    kept = (
+        surv.join(qual, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("quality").alias("min_quality"),
+    )

@@ -141,6 +141,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "applyinarrow_type_quantiles",
     "stream_events_per_minute_rocksdb_changelog",
     "stream_session_windows_dynamic_gap",
+    "corpus_curation_pipeline_v4",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
