@@ -736,3 +736,63 @@ def event_interarrival_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p99_gap_us"),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
+
+
+@query(
+    "user_event_type_map_profile",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+filtered AS (SELECT * FROM counts WHERE n >= 2)
+SELECT user_id,
+       string_agg(event_type || '=' || n, ',' ORDER BY event_type)
+         AS profile,
+       count(*) AS n_types,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM filtered GROUP BY 1
+""",
+    doc="MAP higher-order functions exercised end to end (the map half of "
+    "the collection-function surface; the array half is covered by the "
+    "zip_with/aggregate/transform vector calculus everywhere): per-user "
+    "event-type counts build a real MapType via map_from_entries, "
+    "map_filter drops rare types (v >= 2), and the canonical output "
+    "string renders via array_sort(map_keys) + transform + element_at + "
+    "array_join — all JVM-side codegen'd expressions, no UDF. Maps "
+    "can't cross the oracle boundary (canonical row-sort), so the "
+    "CONTRACT output is the sorted 'type=n' string + sizes, which the "
+    "oracle rebuilds with ordered string_agg. One shuffle pair "
+    "(user,type) -> user, both partial-aggregated.",
+)
+def user_event_type_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_user = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    filtered = per_user.withColumn(
+        "fm", F.map_filter("m", lambda k, v: v >= 2)
+    ).where(F.size("fm") > 0)
+    profile = F.array_join(
+        F.transform(
+            F.array_sort(F.map_keys("fm")),
+            lambda k: F.concat(
+                k, F.lit("="), F.element_at(F.col("fm"), k).cast("string")
+            ),
+        ),
+        ",",
+    )
+    return filtered.select(
+        "user_id",
+        profile.alias("profile"),
+        F.size("fm").cast("bigint").alias("n_types"),
+        F.expr(
+            "aggregate(map_values(fm), 0L, (acc, x) -> acc + x)"
+        ).alias("n_events"),
+    )
