@@ -156,3 +156,53 @@ def dpp_pruned_partition_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_weekend").cast("bigint")).alias("n_weekend"),
         F.sum((~F.col("is_weekend")).cast("bigint")).alias("n_pruned"),
     )
+
+
+def _nested_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events rewritten with a nested struct payload, spooled once.
+
+    Production event logs carry nested payloads (struct/array-of-struct
+    columns); the flat fixture can't exercise NESTED schema pruning, so
+    this layout packs (type, v, uid) into one struct column ``meta``.
+    """
+
+    def _write(wip: Path) -> None:
+        ev = table(spark, sf_dir, "events").select(
+            "event_id",
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.col("value").alias("v"),
+                F.col("user_id").alias("uid"),
+            ).alias("meta"),
+        )
+        ev.write.parquet(str(wip / "nested"))
+
+    base = spool_fixture("nested_events", sf_dir, "v1", _write)
+    return spark.read.parquet(str(base / "nested"))
+
+
+@query(
+    "nested_struct_pruning_stats",
+    oracle=f"""
+SELECT event_type AS type,
+       count(*) AS n,
+       {dsum_sql("value")} AS total_v
+FROM events GROUP BY 1
+""",
+    doc="NESTED schema pruning (spark.sql.optimizer.nestedSchemaPruning, "
+    "on by default): the query touches only meta.type and meta.v of a "
+    "3-field struct, and the parquet scan's ReadSchema must shrink to "
+    "exactly those two leaf fields — meta.uid's column chunks are never "
+    "read (pinned by tests/test_plan_shapes.py). On a wide production "
+    "event payload (dozens of nested fields, deeply nested telemetry) "
+    "this is the same I/O multiplier as top-level column pruning, and "
+    "it silently disappears if an opaque UDF touches the whole struct — "
+    "which is why the check pins the leaf-level ReadSchema, not just "
+    "'query ran'. Values oracle-checked against the flat fixture.",
+)
+def nested_struct_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _nested_events(spark, sf_dir)
+    return ev.groupBy(F.col("meta.type").alias("type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("meta.v")).alias("total_v"),
+    )

@@ -143,6 +143,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_session_windows_dynamic_gap",
     "corpus_curation_pipeline_v4",
     "user_event_type_map_profile",
+    "nested_struct_pruning_stats",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",

@@ -493,3 +493,18 @@ def test_quality_keeper_single_window_no_extra_shuffle(spark):
         if "Exchange hashpartitioning(group_id" in line
     ]
     assert len(ghash) <= 1, f"group_id shuffled {len(ghash)}x:\n{f.raw}"
+
+
+def test_nested_schema_pruning_reaches_scan(spark):
+    """nested_struct_pruning_stats touches meta.type and meta.v only; the
+    parquet ReadSchema must contain exactly those two leaf fields of the
+    3-field struct — meta.uid's column chunks never read."""
+    f = _features(spark, "nested_struct_pruning_stats")
+    scan_schemas = [s for s in f.read_schemas if "meta" in s]
+    assert scan_schemas, f.read_schemas
+    assert "uid" not in scan_schemas[0], (
+        f"meta.uid must be pruned from the scan: {scan_schemas[0]}"
+    )
+    assert "type" in scan_schemas[0] and "v:" in scan_schemas[0], (
+        scan_schemas[0]
+    )
