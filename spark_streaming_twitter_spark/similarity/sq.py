@@ -97,7 +97,11 @@ def _sq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
         spark,
     )
-    corpus = emb.withColumn("q", _quantized(F.col("embedding")))
+    return _sq_encode(emb.withColumn("q", _quantized(F.col("embedding"))))
+
+
+def _sq_encode(corpus: DataFrame) -> DataFrame:
+    """SQ8 encode+reconstruct any (vec_id, q: array<bigint>) DataFrame."""
     stats = _sq_stats(corpus)
     coded = corpus.crossJoin(F.broadcast(stats)).withColumn(
         "code",

@@ -593,3 +593,38 @@ def test_gif_lzw_codec_roundtrips_arbitrary_index_streams(w, h, data):
         )
     )
     assert decode_gif(encode_gif(w, h, idx)) == (w, h, idx)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-10, max_value=10,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=12,
+    )
+)
+@_SETTINGS
+def test_sq8_codes_bounded_and_recon_within_one_step(spark, vecs):
+    """SQ8 invariants on arbitrary vectors: every code lands in [0, 255],
+    and per-dimension reconstruction error is at most one quantization
+    step (floor division can undershoot by < rng/255 twice: once encoding,
+    once reconstructing — bound 2*(rng//255 + 1) in scaled space)."""
+    from spark_streaming_twitter_spark.similarity.search import _quantized
+    from spark_streaming_twitter_spark.similarity.sq import (
+        _sq_encode,
+        _sq_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    ).withColumn("q", _quantized(F.col("embedding")))
+    stats = _sq_stats(df).collect()[0]
+    steps = [2 * (r // 255 + 1) for r in stats.rng_arr]
+    for row in _sq_encode(df).collect():
+        assert all(0 <= c <= 255 for c in row.code), row.code
+        for x, rec, step in zip(row.q, row.r, steps):
+            assert abs(x - rec) <= step, (x, rec, step)
