@@ -50,13 +50,13 @@ def query(
 
 
 # The driver's correctness gate walks the registry in order and records ~50
-# rows per round, so ordering IS coverage policy. Round-6 rotation
-# (VERDICT r5 "Next round" #2): r5 proved its whole 50-slot set green, so
-# those drop to the back; the front is (a) brand-new round-6 queries,
-# (b) queries whose ORACLES changed this round (ADVICE r5 hardening —
-# their green rows predate the change), (c) the 26 queries whose newest
-# driver row is still round 1, i.e. predates the round-4 fixture
-# regeneration, (d) the round-4 set oldest-first as buffer.
+# rows per round, so ordering IS coverage policy. Round-7 rotation
+# (VERDICT r6 "Next round" #1): the front is (a) the 62 round-6 queries
+# that have never had a driver row — the gate's 50 slots land on these
+# first, retiring the debt (the ~12 overflow plus (b) roll to round 8);
+# (b) round-7 additions (locally verified via tools/verify_driver.py,
+# awaiting driver rows); (c) driver-proven rows as buffer, oldest
+# evidence first.
 _GATE_PRIORITY: tuple[str, ...] = (
     # (a) never driver-tested (all round-6 additions) — VERDICT r6 task #1:
     # the 50-slot gate must land on these first; 62 entries, so ~12 roll
