@@ -144,6 +144,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "corpus_curation_pipeline_v4",
     "user_event_type_map_profile",
     "nested_struct_pruning_stats",
+    "doc_char_diversity",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",

@@ -1267,3 +1267,80 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# Char-diversity alphabet: the 26 ASCII letters plus space, counted on the
+# lowercased text. Fixed and explicit so the Spark expression and the DuckDB
+# oracle are generated from the SAME constant.
+_DIVERSITY_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+
+_ALPHA_SQL_LIST = ", ".join(f"'{c}'" for c in _DIVERSITY_ALPHABET)
+
+
+@query(
+    "doc_char_diversity",
+    oracle=f"""
+WITH counts AS (
+  SELECT d.doc_id,
+         CAST(length(lower(coalesce(d.text, '')))
+              - length(replace(lower(coalesce(d.text, '')), a.ch, ''))
+              AS BIGINT) AS c
+  FROM documents d
+  CROSS JOIN (SELECT unnest([{_ALPHA_SQL_LIST}]) AS ch) a
+),
+stats AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_alpha,
+         CAST(sum(c * c) AS BIGINT) AS sum_sq_counts,
+         CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS INT) AS distinct_chars
+  FROM counts GROUP BY 1
+)
+SELECT doc_id, n_alpha, sum_sq_counts, distinct_chars,
+       CASE WHEN n_alpha > 0
+            THEN CAST(1 AS DOUBLE)
+                 - CAST(sum_sq_counts AS DOUBLE)
+                   / (CAST(n_alpha AS DOUBLE) * CAST(n_alpha AS DOUBLE))
+            ELSE CAST(0 AS DOUBLE) END AS simpson_diversity
+FROM stats
+""",
+    doc="Character-diversity gibberish detector (the curation filter that "
+    "catches aaaaaa/keyboard-mash/one-char spam that token-level Gopher "
+    "rules miss): per-document Simpson diversity 1 - sum(c_i^2)/n^2 over "
+    "a fixed 27-char alphabet (a-z + space, lowercased). LOG-FREE BY "
+    "DESIGN — Shannon entropy would compare Java's Math.log against "
+    "DuckDB's libm; Simpson is exact BIGINT sums followed by one IEEE "
+    "divide + subtract, so the oracle matches bitwise. Zero shuffle, "
+    "zero explode: counts come from 27 length(replace(...)) scans per "
+    "row via transform over a literal array — whole-stage codegen end "
+    "to end, embarrassingly parallel at any scale.",
+)
+def doc_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    counts = F.transform(
+        F.array(*[F.lit(c) for c in _DIVERSITY_ALPHABET]),
+        lambda ch: (F.length(low) - F.length(F.replace(low, ch, F.lit("")))).cast(
+            "long"
+        ),
+    )
+    zero = F.lit(0).cast("long")
+    stats = docs.select(
+        "doc_id",
+        F.aggregate(counts, zero, lambda a, x: a + x).alias("n_alpha"),
+        F.aggregate(counts, zero, lambda a, x: a + x * x).alias("sum_sq_counts"),
+        F.size(F.filter(counts, lambda x: x > 0)).cast("int").alias("distinct_chars"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_alpha",
+        "sum_sq_counts",
+        "distinct_chars",
+        F.when(
+            F.col("n_alpha") > 0,
+            F.lit(1.0)
+            - F.col("sum_sq_counts").cast("double")
+            / (F.col("n_alpha").cast("double") * F.col("n_alpha").cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("simpson_diversity"),
+    )
