@@ -508,3 +508,21 @@ def test_nested_schema_pruning_reaches_scan(spark):
     assert "type" in scan_schemas[0] and "v:" in scan_schemas[0], (
         scan_schemas[0]
     )
+
+
+def test_char_diversity_zero_shuffle_single_project(spark):
+    """doc_char_diversity is one embarrassingly-parallel Project over the
+    documents scan: no key shuffle (the only allowed Exchange is widen()'s
+    RoundRobin parallelism repartition, which a real cluster scan wouldn't
+    need), no Python boundary, and the scan reads only the two touched
+    columns."""
+    f = _features(spark, "doc_char_diversity")
+    key_exchanges = [
+        line
+        for line in f.raw.splitlines()
+        if "Exchange" in line and "RoundRobinPartitioning" not in line
+    ]
+    assert not key_exchanges, f"must be shuffle-free:\n{key_exchanges}"
+    assert "Python" not in f.raw, "must stay JVM-side"
+    doc_schema = [s for s in f.read_schemas if "text" in s]
+    assert doc_schema and "lang" not in doc_schema[0], f.read_schemas
