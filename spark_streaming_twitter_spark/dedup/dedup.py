@@ -1971,3 +1971,109 @@ def corpus_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.min("quality").alias("min_quality"),
     )
+
+
+# Chunk-level global dedup: fixed window width in tokens. 8 stands in for
+# the line/paragraph boundary real corpora have (the fixture text carries
+# no newlines); the operator is boundary-function-agnostic.
+_CHUNK_W = 8
+
+
+@query(
+    "dedup_chunk_keep_first",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     t -> t <> '') AS l
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(l[(i * {_CHUNK_W} + 1):(i * {_CHUNK_W} + {_CHUNK_W})],
+                         ' ') AS chunk
+  FROM toks,
+       unnest(generate_series(
+         0, CAST(floor((len(l) - 1) / {_CHUNK_W}.0) AS BIGINT))) AS u(i)
+  WHERE len(l) > 0
+),
+hashed AS (
+  SELECT doc_id, idx, chunk, {portable_hash_sql("chunk")} AS h FROM chunks
+),
+ranked AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+  FROM hashed
+),
+totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM hashed GROUP BY 1
+),
+kept AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(chunk, ' ' ORDER BY idx)) AS kept_md5
+  FROM ranked WHERE rn = 1 GROUP BY 1
+)
+SELECT t.doc_id, t.n_chunks,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(k.n_kept, 0) AS DOUBLE) / t.n_chunks AS kept_frac,
+       coalesce(k.kept_md5, md5('')) AS kept_md5
+FROM totals t LEFT JOIN kept k USING (doc_id)
+""",
+    doc="Chunk-level GLOBAL dedup (the CCNet/RefinedWeb line-dedup stage, "
+    "which removes boilerplate the doc-level passes can't touch): split "
+    "every document into fixed 8-token chunks, keep each distinct chunk's "
+    "FIRST occurrence corpus-wide (deterministic keeper = lexicographic "
+    "min (doc_id, idx) per chunk hash), emit per-doc total/kept counts, "
+    "kept fraction, and the md5 of the surviving text in position order. "
+    "Scale shape: explode to chunk rows, ONE aggregation keyed by chunk "
+    "hash picks keepers (map-side combine — a boilerplate chunk shared by "
+    "millions of docs partially aggregates per partition, so unlike a "
+    "pair self-join there is NO freq^2 term), join back on the hash, then "
+    "re-aggregate per doc. Two shuffles, both on high-cardinality keys.",
+)
+def dedup_chunk_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    toks = tokens(F.lower(F.col("text")))
+    chunks_arr = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.size(toks).cast("double") - 1.0) / float(_CHUNK_W)),
+            ),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, (i * _CHUNK_W + 1).cast("int"), _CHUNK_W)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = (
+        docs.select("doc_id", F.posexplode(chunks_arr).alias("idx", "chunk"))
+        .withColumn("h", portable_hash(F.col("chunk")))
+    )
+    keepers = hashed.groupBy("h").agg(F.min(F.struct("doc_id", "idx")).alias("k"))
+    kept_rows = hashed.join(keepers, "h").where(
+        (F.col("doc_id") == F.col("k.doc_id")) & (F.col("idx") == F.col("k.idx"))
+    )
+    totals = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    kept = kept_rows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        (
+            F.coalesce("n_kept", F.lit(0).cast("long")).cast("double")
+            / F.col("n_chunks")
+        ).alias("kept_frac"),
+        F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+    )

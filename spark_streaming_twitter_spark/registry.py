@@ -145,6 +145,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "user_event_type_map_profile",
     "nested_struct_pruning_stats",
     "doc_char_diversity",
+    "dedup_chunk_keep_first",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
