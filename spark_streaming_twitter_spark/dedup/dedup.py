@@ -2033,6 +2033,11 @@ FROM totals t LEFT JOIN kept k USING (doc_id)
 )
 def dedup_chunk_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    return chunk_keep_first(docs)
+
+
+def chunk_keep_first(docs: DataFrame) -> DataFrame:
+    """Core of ``dedup_chunk_keep_first`` over any (doc_id, text) frame."""
     toks = tokens(F.lower(F.col("text")))
     chunks_arr = F.when(
         F.size(toks) > 0,

@@ -317,3 +317,33 @@ def test_df_cap_is_fixture_neutral(spark):
         tuple(r) for r in dedup_containment_pairs_capped(spark, sf).collect()
     }
     assert base == capd and base
+
+
+def test_chunk_keep_first_removes_planted_boilerplate(spark):
+    """Three docs share one verbatim 8-token boilerplate chunk; the doc
+    with the smallest id keeps it, the others lose exactly that chunk,
+    and a doc that is ALL boilerplate keeps nothing."""
+    from spark_streaming_twitter_spark.dedup.dedup import chunk_keep_first
+
+    boiler = "all rights reserved terms of service apply here"  # 8 tokens
+    rows = [
+        (1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, boiler + " one two three four five six seven eight"),
+        (3, boiler),  # pure boilerplate: every chunk already seen
+    ]
+    out = {
+        r.doc_id: r
+        for r in chunk_keep_first(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1].n_chunks == 2 and out[1].n_kept == 2
+    assert out[2].n_chunks == 2 and out[2].n_kept == 1
+    assert out[2].kept_frac == 0.5
+    assert out[3].n_chunks == 1 and out[3].n_kept == 0
+    assert out[3].kept_frac == 0.0
+    # doc 2's surviving text is exactly its unique chunk
+    import hashlib
+
+    want = hashlib.md5(b"one two three four five six seven eight").hexdigest()
+    assert out[2].kept_md5 == want
