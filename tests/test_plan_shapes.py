@@ -526,3 +526,19 @@ def test_char_diversity_zero_shuffle_single_project(spark):
     assert "Python" not in f.raw, "must stay JVM-side"
     doc_schema = [s for s in f.read_schemas if "text" in s]
     assert doc_schema and "lang" not in doc_schema[0], f.read_schemas
+
+
+def test_chunk_keep_first_aggregates_not_self_joins(spark):
+    """dedup_chunk_keep_first's keeper decision must be an aggregation
+    (partial/final HashAggregate pair on the chunk hash — map-side
+    combine bounds boilerplate chunks), never a bucket self-join, and
+    the plan must contain no cartesian/broadcast-nested-loop node."""
+    f = _features(spark, "dedup_chunk_keep_first")
+    assert "CartesianProduct" not in f.raw
+    assert "BroadcastNestedLoopJoin" not in f.raw
+    # struct min isn't hash-aggregable, so the keeper plans a SortAggregate
+    # pair — the partial_min half IS the map-side combine that bounds
+    # boilerplate chunks to one partial row per partition.
+    assert "partial_min(struct(doc_id" in f.raw, (
+        f"keeper min must partial-aggregate map-side:\n{f.raw}"
+    )
