@@ -146,6 +146,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "nested_struct_pruning_stats",
     "doc_char_diversity",
     "dedup_chunk_keep_first",
+    "doc_importance_weights",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
