@@ -815,6 +815,12 @@ def doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(
         table(spark, sf_dir, "documents").select("doc_id", "lang", "text"), spark
     )
+    return importance_weights(docs)
+
+
+def importance_weights(docs: DataFrame) -> DataFrame:
+    """Core of ``doc_importance_weights`` over any (doc_id, lang, text)
+    frame; target = lang='en'."""
     toks = tokens(F.lower(F.col("text")))
     bigrams = F.when(
         F.size(toks) >= 2,

@@ -628,3 +628,31 @@ def test_sq8_codes_bounded_and_recon_within_one_step(spark, vecs):
         assert all(0 <= c <= 255 for c in row.code), row.code
         for x, rec, step in zip(row.q, row.r, steps):
             assert abs(x - rec) <= step, (x, rec, step)
+
+
+def test_importance_weights_prefer_target_like_docs(spark):
+    """DSIR-class selection: docs written in the target distribution's
+    vocabulary must out-score docs with disjoint vocabulary. Target =
+    lang='en'; two en docs establish the target buckets, one 'de' doc
+    reuses the en vocabulary (target-like) and one uses disjoint terms."""
+    from spark_streaming_twitter_spark.text.corpus import importance_weights
+
+    en_text = "the quick brown fox jumps over the lazy dog again"
+    rows = [
+        (1, "en", en_text),
+        (2, "en", "the quick dog jumps over the brown fox once more"),
+        (3, "de", en_text),  # target-like content, non-target label
+        (4, "de", "vollkommen anderes vokabular ohne gemeinsame begriffe"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in importance_weights(
+            spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        ).collect()
+    }
+    # the target-like doc scores above the disjoint-vocabulary doc
+    assert (
+        out[3].importance_mean_scaled > out[4].importance_mean_scaled
+    ), (out[3], out[4])
+    # docs IN the target set score at least as high as the disjoint doc
+    assert out[1].importance_mean_scaled > out[4].importance_mean_scaled
