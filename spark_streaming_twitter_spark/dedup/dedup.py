@@ -2082,3 +2082,133 @@ def chunk_keep_first(docs: DataFrame) -> DataFrame:
         ).alias("kept_frac"),
         F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
     )
+
+
+# All-pairs similarity search (Bayardo et al. 2007, "Scaling Up All Pairs
+# Similarity Search"): sparse TF-IDF cosine over word-BIGRAM terms. The df
+# cap is the APSS frequent-term prefix filter AND the freq^2 guard in one:
+# a term kept by the cap joins at most C(64,2) pairs, so the term-keyed
+# pair join is bounded by construction — this scorer is born with the guard
+# the unigram-shingle scorers had to retrofit.
+_APSS_DF_CAP = 64
+_APSS_IDF_SCALE = 1000  # linear idf, integer-scaled (overflow headroom:
+# wt <= tf * n_docs * 1000; wt^2 sums stay < 2^63 through ~10^7 docs — at
+# larger corpora drop the scale a decade per 100x docs, ranking unchanged.
+_APSS_MIN_COSINE = 0.35
+
+
+@query(
+    "dedup_tfidf_cosine_pairs",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+g AS (
+  SELECT doc_id, l[i] || ' ' || l[i + 1] AS term
+  FROM t, unnest(generate_series(1, len(l) - 1)) AS u(i)
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM g GROUP BY 1, 2),
+dfs AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+  HAVING count(*) <= {_APSS_DF_CAP}
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ((nd.n * {_APSS_IDF_SCALE}) // dfs.df) AS wt
+  FROM tf JOIN dfs USING (term) CROSS JOIN nd
+),
+norms AS (SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS n2 FROM w GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(a.wt * b.wt) AS BIGINT) AS dot,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b, d.n_common,
+       CAST(d.dot AS DOUBLE)
+         / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         AS cosine
+FROM dots d
+JOIN norms na ON na.doc_id = d.doc_a
+JOIN norms nb ON nb.doc_id = d.doc_b
+WHERE CAST(d.dot AS DOUBLE)
+        / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+      >= {_APSS_MIN_COSINE}
+""",
+    doc="All-pairs sparse TF-IDF cosine (APSS, Bayardo et al. 2007) over "
+    "word-bigram terms: integer-scaled linear-idf weights, exact BIGINT "
+    "dot products via the inverted-index term join, cosine as one "
+    "sqrt-normalized IEEE division (sqrt is correctly-rounded in both "
+    "engines). The df<=64 cap IS the APSS frequent-term filter: every "
+    "surviving term joins <= C(64,2) pairs, so the pair join is bounded "
+    "by construction — the freq^2 exposure the unigram scorers needed "
+    "retrofitted caps for cannot arise here. Scale shape: tf/df aggs on "
+    "(doc, term) and (term), a term-keyed pair join bounded by the cap, "
+    "pair-keyed dot agg, two doc-keyed norm joins.",
+)
+def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = tokens(F.lower(F.col("text")))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i + 1, 1)[0], F.slice(toks, i + 2, 1)[0]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tf = (
+        docs.select("doc_id", F.explode(bigrams).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    dfs = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _APSS_DF_CAP)
+    )
+    w = (
+        tf.join(dfs, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("wt", F.expr(f"tf * ((n_docs * {_APSS_IDF_SCALE}) DIV df)"))
+        .select("doc_id", "term", "wt")
+        .localCheckpoint()
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("wt") * F.col("wt")).alias("n2")
+    )
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("wt").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("wt").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b"))
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("cosine", cosine)
+        .where(F.col("cosine") >= _APSS_MIN_COSINE)
+        .select("doc_a", "doc_b", "n_common", "cosine")
+    )

@@ -147,6 +147,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "doc_char_diversity",
     "dedup_chunk_keep_first",
     "doc_importance_weights",
+    "dedup_tfidf_cosine_pairs",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
