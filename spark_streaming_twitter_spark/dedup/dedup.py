@@ -2030,6 +2030,7 @@ FROM totals t LEFT JOIN kept k USING (doc_id)
     "millions of docs partially aggregates per partition, so unlike a "
     "pair self-join there is NO freq^2 term), join back on the hash, then "
     "re-aggregate per doc. Two shuffles, both on high-cardinality keys.",
+    bench=True,
 )
 def dedup_chunk_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
@@ -2150,6 +2151,7 @@ WHERE CAST(d.dot AS DOUBLE)
     "retrofitted caps for cannot arise here. Scale shape: tf/df aggs on "
     "(doc, term) and (term), a term-keyed pair join bounded by the cap, "
     "pair-keyed dot agg, two doc-keyed norm joins.",
+    bench=True,
 )
 def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)

@@ -810,6 +810,7 @@ GROUP BY 1
     "target/source counts come from the same aggregation via a "
     "conditional sum), broadcast back onto the feature stream, per-doc "
     "sum — two shuffles (bucket id, doc_id), no floating point anywhere.",
+    bench=True,
 )
 def doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(
