@@ -2214,3 +2214,71 @@ def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cosine") >= _APSS_MIN_COSINE)
         .select("doc_a", "doc_b", "n_common", "cosine")
     )
+
+
+@query(
+    "doc_duplicate_chunk_fraction",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     t -> t <> '') AS l
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         CASE WHEN len(l) > 0 THEN
+           [array_to_string(l[(i * {_CHUNK_W} + 1):(i * {_CHUNK_W} + {_CHUNK_W})], ' ')
+            FOR i IN generate_series(0, CAST(floor((len(l) - 1) / {_CHUNK_W}.0) AS BIGINT))]
+         ELSE [] END AS cs
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(cs) AS BIGINT) AS n_chunks,
+       CAST(len(list_distinct(cs)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(cs) > 0
+            THEN CAST(1 AS DOUBLE)
+                 - CAST(len(list_distinct(cs)) AS DOUBLE) / len(cs)
+            ELSE CAST(0 AS DOUBLE) END AS dup_chunk_frac
+FROM chunks
+""",
+    doc="Within-document duplicate-chunk fraction (the Gopher "
+    "duplicate-line-fraction quality rule, on the same fixed 8-token "
+    "chunking as dedup_chunk_keep_first): 1 - distinct/total chunks per "
+    "doc — high values mark internally-repetitive spam. ENTIRELY "
+    "row-local: the chunk array and its array_distinct never leave the "
+    "row, so the plan is one Project over the scan with zero shuffles; "
+    "the only arithmetic is exact counts and a single IEEE division.",
+)
+def doc_duplicate_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    toks = tokens(F.lower(F.col("text")))
+    chunks_arr = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.size(toks).cast("double") - 1.0) / float(_CHUNK_W)),
+            ),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, (i * _CHUNK_W + 1).cast("int"), _CHUNK_W)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        "doc_id",
+        F.size(chunks_arr).cast("long").alias("n_chunks"),
+        F.size(F.array_distinct(chunks_arr)).cast("long").alias("n_distinct"),
+    )
+    return base.select(
+        "doc_id",
+        "n_chunks",
+        "n_distinct",
+        F.when(
+            F.col("n_chunks") > 0,
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double") / F.col("n_chunks"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_chunk_frac"),
+    )

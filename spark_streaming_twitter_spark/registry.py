@@ -148,6 +148,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_chunk_keep_first",
     "doc_importance_weights",
     "dedup_tfidf_cosine_pairs",
+    "doc_duplicate_chunk_fraction",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
