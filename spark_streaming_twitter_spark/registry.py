@@ -149,6 +149,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "doc_importance_weights",
     "dedup_tfidf_cosine_pairs",
     "doc_duplicate_chunk_fraction",
+    "doc_winnowing_fingerprints",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",

@@ -1344,3 +1344,131 @@ def doc_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("simpson_diversity"),
     )
+
+
+# Winnowing (Schleimer-Wilkerson-Aiken 2003, the MOSS fingerprinter):
+# guarantee-bearing fingerprint selection — every match of length >=
+# _WIN_T = _WIN_W + _WIN_SH - 1 tokens between two documents shares at
+# least one selected fingerprint. Tie rule = RIGHTMOST minimal hash in the
+# window (the paper's "robust winnowing"), encoded identically on both
+# engines.
+_WIN_SH = 5  # tokens per shingle (matches doc_fingerprints)
+_WIN_W = 4   # winnowing window: shingle hashes per selection window
+_WIN_INIT = 1 << 62  # > any 60-bit portable hash
+
+
+@query(
+    "doc_winnowing_fingerprints",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     t -> t <> '') AS l
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(l) >= {_WIN_SH} THEN
+           [array_to_string(l[i:i + {_WIN_SH} - 1], ' ')
+            FOR i IN generate_series(1, len(l) - {_WIN_SH} + 1)]
+         ELSE [array_to_string(l, ' ')] END AS shs
+  FROM toks
+),
+hs AS (
+  SELECT doc_id,
+         [CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) FOR s IN shs] AS h
+  FROM sh
+),
+sel AS (
+  SELECT doc_id, h,
+         [lpad(CAST(i + len(h[i:least(i + {_WIN_W} - 1, len(h))])
+                 - list_position(list_reverse(h[i:least(i + {_WIN_W} - 1, len(h))]),
+                                 list_min(h[i:least(i + {_WIN_W} - 1, len(h))]))
+                 - 1 AS VARCHAR), 10, '0')
+          || ':' ||
+          lpad(CAST(list_min(h[i:least(i + {_WIN_W} - 1, len(h))]) AS VARCHAR),
+               19, '0')
+          FOR i IN generate_series(1, greatest(len(h) - {_WIN_W} + 1, 1))] AS fps
+  FROM hs
+)
+SELECT doc_id,
+       CAST(len(h) AS BIGINT) AS n_shingles,
+       CAST(len(list_distinct(fps)) AS BIGINT) AS n_fingerprints,
+       md5(array_to_string(list_sort(list_distinct(fps)), ',')) AS fp_md5
+FROM sel
+""",
+    doc="Winnowing document fingerprints (Schleimer et al. 2003 — the MOSS "
+    "plagiarism-detection selector): hash every 5-token shingle, slide a "
+    "4-hash window, select the RIGHTMOST minimal hash per window, dedupe "
+    "consecutive selections. Guarantees any shared run of >= 8 tokens "
+    "between two docs shares a fingerprint while storing ~2/(w+1) of the "
+    "hashes. ENTIRELY row-local — shingling, hashing, window argmin, and "
+    "the ordered fingerprint digest all happen inside one Project via "
+    "higher-order array functions; zero shuffles, zero explode.",
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    return winnow_digests(docs)
+
+
+def winnow_selections(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_shingles, fps) with fps = encoded "p:fh" selections
+    (pre-distinct) — the winnowing core over any (doc_id, text) frame."""
+    toks = tokens(F.lower(F.col("text")))
+    shs = F.when(
+        F.size(toks) >= _WIN_SH,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - _WIN_SH),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _WIN_SH)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    hs = F.transform(shs, lambda s: portable_hash(s))
+    docs = docs.select("doc_id", hs.alias("h"))
+    h = F.col("h")
+    win_len = F.least(F.lit(_WIN_W), F.size(h))
+    n_windows = F.greatest(F.size(h) - _WIN_W + 1, F.lit(1))
+    # rightmost-min via aggregate with <= : later equal hashes replace
+    fps = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(0), win_len - 1),
+            F.struct(
+                F.lit(-1).cast("long").alias("p"),
+                F.lit(_WIN_INIT).cast("long").alias("fh"),
+            ),
+            lambda acc, j: F.when(
+                F.element_at(h, (i + j + 1).cast("int")) <= acc["fh"],
+                F.struct(
+                    (i + j).cast("long").alias("p"),
+                    F.element_at(h, (i + j + 1).cast("int")).alias("fh"),
+                ),
+            ).otherwise(acc),
+        ),
+    )
+    # fixed-width "p:fh" string encoding: lexicographic order == numeric
+    # (p, fh) order, and list-distinct on strings is portable to DuckDB
+    # (its list_distinct over STRUCT lists is unimplemented)
+    encoded = F.transform(
+        fps,
+        lambda s: F.concat_ws(
+            ":",
+            F.lpad(s["p"].cast("string"), 10, "0"),
+            F.lpad(s["fh"].cast("string"), 19, "0"),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(h).cast("long").alias("n_shingles"),
+        encoded.alias("fps"),
+    )
+
+
+def winnow_digests(docs: DataFrame) -> DataFrame:
+    sel = winnow_selections(docs)
+    distinct = F.array_distinct(F.col("fps"))
+    return sel.select(
+        "doc_id",
+        "n_shingles",
+        F.size(distinct).cast("long").alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", F.array_sort(distinct))).alias("fp_md5"),
+    )

@@ -656,3 +656,26 @@ def test_importance_weights_prefer_target_like_docs(spark):
     ), (out[3], out[4])
     # docs IN the target set score at least as high as the disjoint doc
     assert out[1].importance_mean_scaled > out[4].importance_mean_scaled
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """Schleimer et al.'s winnowing guarantee: any shared token run of
+    length >= w + k - 1 (= 8 tokens here) must produce at least one
+    common (hash) fingerprint between the two documents, regardless of
+    position. Positions differ across docs, so compare hash parts."""
+    from spark_streaming_twitter_spark.text.analysis import winnow_selections
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, "one two three " + shared + " four five six"),
+        (2, shared + " completely different tail words here now"),
+        (3, "unrelated content with no overlap at all whatsoever kept"),
+    ]
+    out = {
+        r.doc_id: {fp.split(":")[1] for fp in r.fps}
+        for r in winnow_selections(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1] & out[2], "shared 8-token run must share a fingerprint"
+    assert not (out[1] & out[3]) or not (out[2] & out[3])
