@@ -150,6 +150,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_tfidf_cosine_pairs",
     "doc_duplicate_chunk_fraction",
     "doc_winnowing_fingerprints",
+    "dedup_winnowing_pairs",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",

@@ -1357,9 +1357,11 @@ _WIN_W = 4   # winnowing window: shingle hashes per selection window
 _WIN_INIT = 1 << 62  # > any 60-bit portable hash
 
 
-@query(
-    "doc_winnowing_fingerprints",
-    oracle=rf"""
+# Shared CTE: the full winnowing selection pipeline (toks -> shingles ->
+# hashes -> per-window rightmost-min "p:fh" encodings). Used by BOTH the
+# fingerprint-digest oracle and the pair-detection oracle so the two
+# queries can never drift apart in selection semantics.
+_WINNOW_CTE = rf"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\s+'),
@@ -1390,7 +1392,13 @@ sel AS (
                19, '0')
           FOR i IN generate_series(1, greatest(len(h) - {_WIN_W} + 1, 1))] AS fps
   FROM hs
-)
+)"""
+
+
+@query(
+    "doc_winnowing_fingerprints",
+    oracle=_WINNOW_CTE
+    + """
 SELECT doc_id,
        CAST(len(h) AS BIGINT) AS n_shingles,
        CAST(len(list_distinct(fps)) AS BIGINT) AS n_fingerprints,
@@ -1471,4 +1479,72 @@ def winnow_digests(docs: DataFrame) -> DataFrame:
         "n_shingles",
         F.size(distinct).cast("long").alias("n_fingerprints"),
         F.md5(F.concat_ws(",", F.array_sort(distinct))).alias("fp_md5"),
+    )
+
+
+# Winnowing-pair detection: fingerprints shared by more than this many
+# docs are dropped before pairing (the same df-cap discipline as the
+# dedup family's exact scorers — boilerplate fingerprints would otherwise
+# reintroduce the freq^2 join term winnowing is supposed to avoid).
+_WIN_PAIR_DF_CAP = 64
+_WIN_PAIR_MIN_SHARED = 2
+
+
+@query(
+    "dedup_winnowing_pairs",
+    oracle=_WINNOW_CTE
+    + f""",
+fh AS (
+  SELECT doc_id, unnest(list_distinct([substr(f, 12) FOR f IN fps])) AS fh
+  FROM sel
+),
+kept AS (
+  SELECT fh FROM fh GROUP BY 1 HAVING count(*) <= {_WIN_PAIR_DF_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared_fps
+  FROM fh a
+  JOIN kept k ON k.fh = a.fh
+  JOIN fh b ON b.fh = a.fh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared_fps
+FROM pairs WHERE n_shared_fps >= {_WIN_PAIR_MIN_SHARED}
+""",
+    doc="MOSS-style match detection over winnowing fingerprints: two docs "
+    "pair when they share >= 2 selected fingerprint HASHES (position-"
+    "independent, so moved/reordered passages still match — the property "
+    "winnowing exists for). The df<=64 cap drops boilerplate "
+    "fingerprints before the pair join, bounding it at C(64,2) per "
+    "fingerprint exactly like the chunk/APSS guards; candidates then "
+    "aggregate per pair. Scale shape: explode distinct fingerprints "
+    "(~2/(w+1) of shingles), one df agg, one capped hash-keyed pair "
+    "join, one pair-keyed count agg.",
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    sel = winnow_selections(docs)
+    fh = sel.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(F.col("fps"), lambda f: F.substring(f, 12, 19))
+            )
+        ).alias("fh"),
+    ).localCheckpoint()
+    kept = (
+        fh.groupBy("fh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _WIN_PAIR_DF_CAP)
+        .select("fh")
+    )
+    a = fh.join(kept, "fh").select(F.col("doc_id").alias("doc_a"), "fh")
+    b = fh.select(F.col("doc_id").alias("doc_b"), "fh")
+    return (
+        a.join(b, "fh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .where(F.col("n_shared_fps") >= _WIN_PAIR_MIN_SHARED)
     )
