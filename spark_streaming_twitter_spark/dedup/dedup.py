@@ -2282,3 +2282,110 @@ def doc_duplicate_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("dup_chunk_frac"),
     )
+
+
+def _capstone_v5_oracle() -> str:
+    """Assemble the v5 oracle from the registered sub-oracles — the
+    capstone can never drift from the stage queries' semantics."""
+    import spark_streaming_twitter_spark.text.corpus  # noqa: F401  (registers imp)
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    dup = QUERIES["doc_duplicate_chunk_fraction"].oracle
+    ck = QUERIES["dedup_chunk_keep_first"].oracle
+    imp = QUERIES["doc_importance_weights"].oracle
+    return f"""
+WITH dup AS ({dup}),
+ck AS ({ck}),
+imp AS ({imp}),
+joined AS (
+  SELECT d.source, dup.doc_id, imp.n_feats, imp.importance_mean_scaled
+  FROM dup
+  JOIN ck ON ck.doc_id = dup.doc_id
+  JOIN imp ON imp.doc_id = dup.doc_id
+  JOIN documents d ON d.doc_id = dup.doc_id
+  WHERE dup.n_distinct * 2 >= dup.n_chunks
+    AND ck.n_kept * 10 >= ck.n_chunks * 3
+),
+ranked AS (
+  SELECT source, doc_id, n_feats, importance_mean_scaled,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY importance_mean_scaled DESC,
+                                     doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM joined
+)
+SELECT source,
+       CAST(max(cnt) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN rn * 2 <= cnt + 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept_docs,
+       CAST(sum(CASE WHEN rn * 2 <= cnt + 1 THEN n_feats ELSE 0 END)
+            AS BIGINT) AS kept_feats,
+       CAST(min(CASE WHEN rn * 2 <= cnt + 1
+                     THEN importance_mean_scaled END) AS BIGINT)
+         AS min_kept_imp
+FROM ranked GROUP BY 1
+"""
+
+
+@query(
+    "corpus_curation_pipeline_v5",
+    oracle=_capstone_v5_oracle(),
+    doc="Round-7 curation capstone: the new stages composed into ONE "
+    "Catalyst plan — (1) internal-repetition gate (Gopher duplicate-"
+    "chunk fraction <= 0.5, as the EXACT integer test 2*n_distinct >= "
+    "n_chunks), (2) corpus-global boilerplate gate (chunk keep-first "
+    "kept fraction >= 0.3, as 10*n_kept >= 3*n_chunks), (3) DSIR "
+    "importance ranking with a per-source median cut (rightmost-stable "
+    "row_number tie-broken on doc_id), reported per source. All "
+    "thresholds are integer cross-multiplications — no float literal "
+    "ever meets a computed double. Scale: the three stage pipelines "
+    "shuffle on their own keys then join on doc_id; the per-source "
+    "window runs over the post-filter survivors only.",
+)
+def corpus_curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.text.corpus import importance_weights
+
+    base = widen(
+        table(spark, sf_dir, "documents").select("doc_id", "lang", "text", "source"),
+        spark,
+    )
+    dup = doc_duplicate_chunk_fraction(spark, sf_dir).select(
+        "doc_id", "n_chunks", "n_distinct"
+    )
+    ck = chunk_keep_first(base.select("doc_id", "text")).select(
+        F.col("doc_id"), F.col("n_chunks").alias("ck_chunks"), "n_kept"
+    )
+    imp = importance_weights(base.select("doc_id", "lang", "text")).select(
+        "doc_id", "n_feats", "importance_mean_scaled"
+    )
+    joined = (
+        dup.join(ck, "doc_id")
+        .join(imp, "doc_id")
+        .join(base.select("doc_id", "source"), "doc_id")
+        .where(
+            (F.col("n_distinct") * 2 >= F.col("n_chunks"))
+            & (F.col("n_kept") * 10 >= F.col("ck_chunks") * 3)
+        )
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("importance_mean_scaled").desc(), F.col("doc_id").asc()
+    )
+    w_cnt = Window.partitionBy("source")
+    ranked = joined.select(
+        "source",
+        "n_feats",
+        "importance_mean_scaled",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_cnt).alias("cnt"),
+    )
+    kept = F.col("rn") * 2 <= F.col("cnt") + 1
+    return ranked.groupBy("source").agg(
+        F.max("cnt").cast("long").alias("n_candidates"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept_docs"),
+        F.sum(F.when(kept, F.col("n_feats")).otherwise(0))
+        .cast("long")
+        .alias("kept_feats"),
+        F.min(F.when(kept, F.col("importance_mean_scaled")))
+        .cast("long")
+        .alias("min_kept_imp"),
+    )

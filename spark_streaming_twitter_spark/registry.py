@@ -151,6 +151,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "doc_duplicate_chunk_fraction",
     "doc_winnowing_fingerprints",
     "dedup_winnowing_pairs",
+    "corpus_curation_pipeline_v5",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
