@@ -542,3 +542,20 @@ def test_chunk_keep_first_aggregates_not_self_joins(spark):
     assert "partial_min(struct(doc_id" in f.raw, (
         f"keeper min must partial-aggregate map-side:\n{f.raw}"
     )
+
+
+def test_curation_v5_no_cartesian_single_source_window(spark):
+    """corpus_curation_pipeline_v5 composes three stage pipelines by
+    doc_id equi-joins — no cartesian anywhere, and the per-source
+    ranking's two Window nodes (row_number + count: different frames,
+    can't merge) share ONE source-keyed exchange."""
+    f = _features(spark, "corpus_curation_pipeline_v5")
+    assert "CartesianProduct" not in f.raw
+    win_lines = [l for l in f.raw.splitlines() if "Window [" in l]
+    assert len(win_lines) == 2, win_lines
+    src_exchanges = [
+        l
+        for l in f.raw.splitlines()
+        if "Exchange hashpartitioning(source" in l
+    ]
+    assert len(src_exchanges) <= 1, src_exchanges
