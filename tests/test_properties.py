@@ -679,3 +679,23 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
     }
     assert out[1] & out[2], "shared 8-token run must share a fingerprint"
     assert not (out[1] & out[3]) or not (out[2] & out[3])
+
+
+def test_winnowing_density_near_theory(spark):
+    """Schleimer et al. prove expected density 2/(w+1) for random hashes
+    (= 0.4 at w=4). Pin the corpus-level mean selected/shingle ratio to
+    a band around theory — a selector bug (wrong window, wrong dedupe)
+    lands far outside it."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitter_spark.catalog import table
+    from spark_streaming_twitter_spark.text.analysis import winnow_digests
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    out = winnow_digests(docs).agg(
+        F.sum("n_fingerprints").alias("fp"), F.sum("n_shingles").alias("sh")
+    ).collect()[0]
+    density = out.fp / out.sh
+    assert 0.30 <= density <= 0.55, density
