@@ -2389,3 +2389,37 @@ def corpus_curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("min_kept_imp"),
     )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+WITH g AS ({_GROUP_IDS_ORACLE}),
+sizes AS (
+  SELECT group_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM g GROUP BY 1
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1
+""",
+    doc="Curation observability: the near-dup CLUSTER-SIZE distribution "
+    "(how many clusters of 2, of 3, ... — the first chart every dedup "
+    "run gets audited with; a sudden mass at large sizes means "
+    "boilerplate is bridging unrelated docs). Composes dedup_group_ids "
+    "(its oracle embeds the group-ids recursive-CTE oracle verbatim) "
+    "with two tiny aggregations; output is bounded by the number of "
+    "DISTINCT cluster sizes, which grows at most logarithmically in "
+    "practice. Scale: both aggs run over the (already tiny) group-label "
+    "table, not the corpus.",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = dedup_group_ids(spark, sf_dir)
+    sizes = groups.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+    )

@@ -152,6 +152,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "doc_winnowing_fingerprints",
     "dedup_winnowing_pairs",
     "corpus_curation_pipeline_v5",
+    "dedup_cluster_size_histogram",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
