@@ -153,6 +153,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_winnowing_pairs",
     "corpus_curation_pipeline_v5",
     "dedup_cluster_size_histogram",
+    "similarity_matryoshka_topk",
+    "similarity_matryoshka_recall",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",

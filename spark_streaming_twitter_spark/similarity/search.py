@@ -1169,3 +1169,133 @@ def similarity_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "label", "rank", "cosine")
     )
+
+
+# Matryoshka retrieval (Kusupati et al. 2022, "Matryoshka Representation
+# Learning"): MRL-trained embeddings pack coarse semantics into their prefix
+# dims, so searching on the first MRL_DIMS coordinates buys a DIMS/MRL_DIMS
+# compute-and-bandwidth cut; the recall twin measures what that truncation
+# costs on THIS corpus (synthetic fixtures aren't MRL-trained, so the
+# measured recall is the honest pessimistic floor).
+MRL_DIMS = 16
+
+_MRL_EMB = f"embedding[1:{MRL_DIMS}]"
+
+_MRL_PRELUDE = f"""
+WITH m_corpus AS (
+  SELECT vec_id, {_MRL_EMB} AS m_emb,
+         {scaled_dot_sql(_MRL_EMB, _MRL_EMB)} AS m_n2
+  FROM embeddings
+),
+m_queries AS (
+  SELECT vec_id AS query_id, m_emb AS q_emb, m_n2 AS q_n2
+  FROM m_corpus WHERE vec_id % {QUERY_STRIDE} = 0
+),
+m_scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST({scaled_dot_sql("q.q_emb", "c.m_emb")} AS DOUBLE)
+           / (sqrt(CAST(q.q_n2 AS DOUBLE)) * sqrt(CAST(c.m_n2 AS DOUBLE)))
+           AS cosine
+  FROM m_queries q JOIN m_corpus c ON q.query_id <> c.vec_id
+),
+m_ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM m_scored
+)"""
+
+
+def _mrl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = widen(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
+    trunc = F.slice(F.col("embedding"), 1, MRL_DIMS)
+    return emb.select(
+        "vec_id", trunc.alias("m_emb")
+    ).withColumn("m_n2", scaled_norm2(F.col("m_emb")))
+
+
+@query(
+    "similarity_matryoshka_topk",
+    oracle=f"""
+{_MRL_PRELUDE}
+SELECT query_id, neighbor_id, rank, cosine FROM m_ranked WHERE rank <= {TOP_K}
+""",
+    doc="Matryoshka-truncated retrieval (Kusupati et al. 2022): exact "
+    "cosine top-k over only the first 16 of 64 embedding dims — a 4x cut "
+    "in dot-product flops and scan bytes (with column pruning down to "
+    "the prefix at a columnar store that splits dims). Same broadcast-"
+    "query/streaming-corpus shape as similarity_topk_cosine; the "
+    "truncation is one slice() at the scan.",
+)
+def similarity_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _mrl_corpus(spark, sf_dir)
+    queries = corpus.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("m_emb").alias("q_emb"),
+        F.col("m_n2").alias("q_n2"),
+    )
+    pairs = corpus.join(
+        F.broadcast(queries), F.col("query_id") != F.col("vec_id")
+    )
+    cosine = scaled_dot(F.col("q_emb"), F.col("m_emb")).cast("double") / (
+        F.sqrt(F.col("q_n2").cast("double"))
+        * F.sqrt(F.col("m_n2").cast("double"))
+    )
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine")
+    )
+    return _topk_filter(scored)
+
+
+@query(
+    "similarity_matryoshka_recall",
+    oracle=f"""
+{_MRL_PRELUDE},
+corpus AS (
+  SELECT vec_id, embedding,
+         {scaled_dot_sql("embedding", "embedding")} AS n2
+  FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2
+  FROM corpus WHERE vec_id % {QUERY_STRIDE} = 0
+),
+exact_scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST({scaled_dot_sql("q.q_emb", "c.embedding")} AS DOUBLE)
+           / (sqrt(CAST(q.q_n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+           AS cosine
+  FROM queries q JOIN corpus c ON q.query_id <> c.vec_id
+),
+exact_ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM exact_scored
+)
+SELECT e.query_id,
+       count(*) AS n_exact,
+       CAST(count(m.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(m.neighbor_id) AS DOUBLE) / count(*) AS recall
+FROM (SELECT query_id, neighbor_id FROM exact_ranked WHERE rank <= {TOP_K}) e
+LEFT JOIN (SELECT query_id, neighbor_id FROM m_ranked WHERE rank <= {TOP_K}) m
+  ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
+GROUP BY e.query_id
+""",
+    doc="Recall@5 of 16-dim Matryoshka-truncated search against the full "
+    "64-dim exact ranking — the index-design metric for prefix-dim "
+    "retrieval (coarse-search-then-rerank at 100 TB: truncated pass "
+    "prunes, full-dim pass re-ranks survivors). Same deterministic "
+    "integer-scaled arithmetic as every recall metric here.",
+)
+def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = similarity_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    mrl = similarity_matryoshka_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    joined = exact.join(mrl, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("hit").alias("n_hits"),
+        (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+    )
