@@ -155,6 +155,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_size_histogram",
     "similarity_matryoshka_topk",
     "similarity_matryoshka_recall",
+    "similarity_matryoshka_rerank_topk",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",

@@ -1299,3 +1299,105 @@ def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").alias("n_hits"),
         (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
     )
+
+
+MRL_POOL = 50  # truncated-pass candidate pool per query before full re-rank
+
+
+@query(
+    "similarity_matryoshka_rerank_topk",
+    oracle=f"""
+{_MRL_PRELUDE},
+corpus AS (
+  SELECT vec_id, embedding,
+         {scaled_dot_sql("embedding", "embedding")} AS n2
+  FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2
+  FROM corpus WHERE vec_id % {QUERY_STRIDE} = 0
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM m_ranked WHERE rank <= {MRL_POOL}
+),
+rescored AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST({scaled_dot_sql("q.q_emb", "f.embedding")} AS DOUBLE)
+           / (sqrt(CAST(q.q_n2 AS DOUBLE)) * sqrt(CAST(f.n2 AS DOUBLE)))
+           AS cosine
+  FROM cand c
+  JOIN queries q ON q.query_id = c.query_id
+  JOIN corpus f ON f.vec_id = c.neighbor_id
+),
+reranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rescored
+)
+SELECT query_id, neighbor_id, rank, cosine
+FROM reranked WHERE rank <= {TOP_K}
+""",
+    doc="The OPERATIONAL Matryoshka pattern (coarse-then-rerank): the "
+    "16-dim truncated pass prunes the corpus to a 50-candidate pool per "
+    "query (4x cheaper flops on 100% of the corpus), then the full "
+    "64-dim exact cosine re-ranks only the pool (full-precision flops on "
+    "1% of it). At 100 TB the full-dim vectors are fetched for POOL "
+    "rows per query instead of streamed corpus-wide — the bandwidth "
+    "shape IVF-PQ buys with codebooks, bought here with dimension "
+    "prefixes instead. Both passes integer-scaled and deterministic.",
+)
+def similarity_matryoshka_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    full = _corpus_with_norms(spark, sf_dir)
+    trunc = _mrl_corpus(spark, sf_dir)
+    m_queries = trunc.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("m_emb").alias("q_emb"),
+        F.col("m_n2").alias("q_n2"),
+    )
+    m_pairs = trunc.join(
+        F.broadcast(m_queries), F.col("query_id") != F.col("vec_id")
+    )
+    m_cos = scaled_dot(F.col("q_emb"), F.col("m_emb")).cast("double") / (
+        F.sqrt(F.col("q_n2").cast("double"))
+        * F.sqrt(F.col("m_n2").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("m_cos").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        m_pairs.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), m_cos.alias("m_cos")
+        )
+        .withColumn("m_rank", F.row_number().over(w))
+        .where(F.col("m_rank") <= MRL_POOL)
+        .select("query_id", "neighbor_id")
+    )
+    f_queries = full.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    rescored = (
+        cand.join(F.broadcast(f_queries), "query_id")
+        .join(
+            full.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("n_emb"),
+                F.col("n2").alias("n_n2"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                scaled_dot(F.col("q_emb"), F.col("n_emb")).cast("double")
+                / (
+                    F.sqrt(F.col("q_n2").cast("double"))
+                    * F.sqrt(F.col("n_n2").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    return _topk_filter(rescored)
