@@ -1348,6 +1348,10 @@ FROM reranked WHERE rank <= {TOP_K}
     "prefixes instead. Both passes integer-scaled and deterministic.",
 )
 def similarity_matryoshka_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mrl_rerank_topk(spark, sf_dir, MRL_POOL)
+
+
+def _mrl_rerank_topk(spark: SparkSession, sf_dir: str, pool: int) -> DataFrame:
     full = _corpus_with_norms(spark, sf_dir)
     trunc = _mrl_corpus(spark, sf_dir)
     m_queries = trunc.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
@@ -1370,7 +1374,7 @@ def similarity_matryoshka_rerank_topk(spark: SparkSession, sf_dir: str) -> DataF
             "query_id", F.col("vec_id").alias("neighbor_id"), m_cos.alias("m_cos")
         )
         .withColumn("m_rank", F.row_number().over(w))
-        .where(F.col("m_rank") <= MRL_POOL)
+        .where(F.col("m_rank") <= pool)
         .select("query_id", "neighbor_id")
     )
     f_queries = full.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
@@ -1401,3 +1405,100 @@ def similarity_matryoshka_rerank_topk(spark: SparkSession, sf_dir: str) -> DataF
         )
     )
     return _topk_filter(rescored)
+
+
+MRL_POOLS = (10, 50, 250)  # pool-size sweep for the rerank tuning curve
+
+
+def _mrl_pool_cte(pool: int) -> str:
+    """Per-pool candidate/rescored/reranked CTE chain (suffix _p{pool})."""
+    return f""",
+cand_p{pool} AS (
+  SELECT query_id, neighbor_id FROM m_ranked WHERE rank <= {pool}
+),
+rescored_p{pool} AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST({scaled_dot_sql("q.q_emb", "f.embedding")} AS DOUBLE)
+           / (sqrt(CAST(q.q_n2 AS DOUBLE)) * sqrt(CAST(f.n2 AS DOUBLE)))
+           AS cosine
+  FROM cand_p{pool} c
+  JOIN queries q ON q.query_id = c.query_id
+  JOIN corpus f ON f.vec_id = c.neighbor_id
+),
+reranked_p{pool} AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rescored_p{pool}
+)"""
+
+
+@query(
+    "similarity_matryoshka_pool_recall",
+    oracle=f"""
+{_MRL_PRELUDE},
+corpus AS (
+  SELECT vec_id, embedding,
+         {scaled_dot_sql("embedding", "embedding")} AS n2
+  FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2
+  FROM corpus WHERE vec_id % {QUERY_STRIDE} = 0
+),
+exact_scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST({scaled_dot_sql("q.q_emb", "c.embedding")} AS DOUBLE)
+           / (sqrt(CAST(q.q_n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+           AS cosine
+  FROM queries q JOIN corpus c ON q.query_id <> c.vec_id
+),
+exact_ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM exact_scored
+),
+exact_top AS (
+  SELECT query_id, neighbor_id FROM exact_ranked WHERE rank <= {TOP_K}
+){"".join(_mrl_pool_cte(p) for p in MRL_POOLS)}
+{" UNION ALL ".join(
+    f'''SELECT CAST({p} AS BIGINT) AS pool,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(r.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(r.neighbor_id) AS DOUBLE) / count(*) AS recall
+FROM exact_top e
+LEFT JOIN (SELECT query_id, neighbor_id FROM reranked_p{p}
+           WHERE rank <= {TOP_K}) r
+  ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id'''
+    for p in MRL_POOLS
+)}
+""",
+    doc="The Matryoshka POOL-SIZE tuning curve: corpus-level recall@5 of "
+    "the two-tier search at candidate pools 10/50/250 — the number that "
+    "sizes the truncated-pass pool before a 100 TB run, exactly as "
+    "similarity_ivf_recall_nprobe sizes nprobe and "
+    "similarity_ann_recall_probed sizes multi-probe. Recall can only "
+    "rise with pool size (candidate supersets); one aggregate row per "
+    "pool, integer hit counts, one IEEE division each.",
+)
+def similarity_matryoshka_pool_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = similarity_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    out = None
+    for pool in MRL_POOLS:
+        rr = _mrl_rerank_topk(spark, sf_dir, pool).select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        row = (
+            exact.join(rr, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.count("hit").alias("n_hits"),
+                (F.count("hit").cast("double") / F.count(F.lit(1))).alias(
+                    "recall"
+                ),
+            )
+            .select(F.lit(pool).cast("long").alias("pool"), "*")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
