@@ -157,6 +157,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "similarity_matryoshka_recall",
     "similarity_matryoshka_rerank_topk",
     "similarity_matryoshka_pool_recall",
+    "quality_spearman_calibration",
     # (c) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",

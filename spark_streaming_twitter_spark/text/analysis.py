@@ -1548,3 +1548,82 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .where(F.col("n_shared_fps") >= _WIN_PAIR_MIN_SHARED)
     )
+
+
+# Spearman calibration sample: rank correlation needs GLOBAL ranks, and a
+# global rank is a single-partition window — statistically, a calibration
+# coefficient needs ~10^3 points, not the corpus, so the contract is a
+# deterministic stride sample (the QUERY_STRIDE argument, applied to
+# metric calibration). The window then runs over a BOUNDED row set at any
+# corpus size.
+_SPEARMAN_STRIDE = 10
+
+
+def _spearman_oracle() -> str:
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    q = QUERIES["doc_quality_scores"].oracle
+    c = QUERIES["doc_charlm_score"].oracle
+    return f"""
+WITH q AS ({q}),
+c AS ({c}),
+j AS (
+  SELECT q.doc_id, q.quality, c.lm_score_scaled
+  FROM q JOIN c ON c.doc_id = q.doc_id
+  WHERE q.doc_id % {_SPEARMAN_STRIDE} = 0
+),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY quality ASC, doc_id ASC) AS ra,
+         row_number() OVER (ORDER BY lm_score_scaled ASC, doc_id ASC) AS rb
+  FROM j
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+       CAST(1 AS DOUBLE)
+         - CAST(6 * sum((ra - rb) * (ra - rb)) AS DOUBLE)
+           / (CAST(count(*) AS DOUBLE)
+              * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+                 - CAST(1 AS DOUBLE)))
+         AS spearman_rho
+FROM r
+"""
+
+
+@query(
+    "quality_spearman_calibration",
+    oracle=_spearman_oracle(),
+    doc="Scorer-agreement calibration: Spearman rank correlation between "
+    "the heuristic quality score and the char-LM score on a "
+    "deterministic stride-10 sample — the number that tells a curation "
+    "run whether its two quality signals agree before either gates "
+    "documents. Exact arithmetic end to end: integer ranks "
+    "(doc_id-tie-broken), BIGINT sum of squared rank differences, and "
+    "rho = 1 - 6*sum_d2/(n(n^2-1)) as one IEEE expression. The oracle "
+    "embeds both scorers' registered oracles verbatim. The global rank "
+    "window is bounded BY CONTRACT (calibration needs ~10^3 points, not "
+    "the corpus), so the single-partition window never sees corpus-"
+    "scale rows.",
+)
+def quality_spearman_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = doc_quality_scores(spark, sf_dir).select("doc_id", "quality")
+    c = doc_charlm_score(spark, sf_dir).select("doc_id", "lm_score_scaled")
+    j = q.join(c, "doc_id").where(F.col("doc_id") % _SPEARMAN_STRIDE == 0)
+    wa = Window.orderBy(F.col("quality").asc(), F.col("doc_id").asc())
+    wb = Window.orderBy(F.col("lm_score_scaled").asc(), F.col("doc_id").asc())
+    ranked = j.select(
+        "doc_id",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    d2 = (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+    n = F.count(F.lit(1)).cast("double")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(d2).alias("sum_d2"),
+        (
+            F.lit(1.0)
+            - (F.lit(6) * F.sum(d2)).cast("double")
+            / (n * (n * n - F.lit(1.0)))
+        ).alias("spearman_rho"),
+    )
