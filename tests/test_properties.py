@@ -699,3 +699,43 @@ def test_winnowing_density_near_theory(spark):
     ).collect()[0]
     density = out.fp / out.sh
     assert 0.30 <= density <= 0.55, density
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(TAGS), min_size=1, max_size=20),
+        min_size=1,
+        max_size=5,
+    )
+)
+@_SETTINGS
+def test_chunk_keep_first_matches_python(spark, docs):
+    """Randomized chunk-dedup check vs a plain-Python reference: same
+    8-token chunking, same first-(doc_id, idx)-wins keeper rule —
+    catches off-by-one chunk boundaries and tie-break drift."""
+    from spark_streaming_twitter_spark.dedup.dedup import (
+        _CHUNK_W,
+        chunk_keep_first,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept)
+        for r in chunk_keep_first(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    seen: set[str] = set()
+    want: dict[int, tuple[int, int]] = {}
+    for doc_id, toks in enumerate(docs):
+        chunks = [
+            " ".join(toks[i : i + _CHUNK_W])
+            for i in range(0, len(toks), _CHUNK_W)
+        ]
+        kept = 0
+        for ch in chunks:
+            if ch not in seen:
+                seen.add(ch)
+                kept += 1
+        want[doc_id] = (len(chunks), kept)
+    assert got == want
