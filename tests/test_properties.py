@@ -739,3 +739,57 @@ def test_chunk_keep_first_matches_python(spark, docs):
                 kept += 1
         want[doc_id] = (len(chunks), kept)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.lists(st.sampled_from(TAGS), min_size=1, max_size=10),
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+@_SETTINGS
+def test_importance_weights_match_python(spark, docs):
+    """Randomized DSIR check vs a plain-Python reference that replays the
+    md5 bucket hash, the conditional target count, the smoothed integer
+    ratio, and the per-doc sum exactly."""
+    import hashlib
+
+    from spark_streaming_twitter_spark.text.corpus import (
+        _DSIR_BUCKETS,
+        _DSIR_SCALE,
+        importance_weights,
+    )
+
+    rows = [(i, lang, " ".join(toks)) for i, (lang, toks) in enumerate(docs)]
+    got = {
+        r.doc_id: (r.n_feats, r.importance_scaled, r.importance_mean_scaled)
+        for r in importance_weights(
+            spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        ).collect()
+    }
+
+    def bucket(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _DSIR_BUCKETS
+
+    feats = []  # (doc_id, lang, bucket)
+    for doc_id, (lang, toks) in enumerate(docs):
+        fs = list(toks) + [
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        ]
+        feats.extend((doc_id, lang, bucket(f)) for f in fs)
+    s_b: dict[int, int] = {}
+    t_b: dict[int, int] = {}
+    for _, lang, b in feats:
+        s_b[b] = s_b.get(b, 0) + 1
+        if lang == "en":
+            t_b[b] = t_b.get(b, 0) + 1
+    wt = {b: ((t_b.get(b, 0) + 1) * _DSIR_SCALE) // (s + 1) for b, s in s_b.items()}
+    want: dict[int, tuple[int, int, int]] = {}
+    for doc_id in range(len(docs)):
+        ws = [wt[b] for d, _, b in feats if d == doc_id]
+        want[doc_id] = (len(ws), sum(ws), sum(ws) // len(ws))
+    assert got == want
