@@ -793,3 +793,76 @@ def test_importance_weights_match_python(spark, docs):
         ws = [wt[b] for d, _, b in feats if d == doc_id]
         want[doc_id] = (len(ws), sum(ws), sum(ws) // len(ws))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(TAGS), min_size=2, max_size=10),
+        min_size=2,
+        max_size=5,
+    )
+)
+@_SETTINGS
+def test_apss_pairs_match_python(spark, docs):
+    """Randomized APSS check vs a plain-Python reference: bigram tf/df,
+    the df cap, integer idf weights, BIGINT dots, and the IEEE cosine
+    (math.sqrt == both engines' sqrt) replayed exactly."""
+    import math
+
+    from spark_streaming_twitter_spark.dedup.dedup import (
+        _APSS_DF_CAP,
+        _APSS_IDF_SCALE,
+        _APSS_MIN_COSINE,
+        dedup_tfidf_cosine_pairs,
+    )
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # Spark side: run the registered query fn against a temp fixture dir
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.withColumn("lang", F.lit("en")).withColumn(
+            "source", F.lit("s")
+        ).withColumn("n_chars", F.length("text")).write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        got = {
+            (r.doc_a, r.doc_b): (r.n_common, r.cosine)
+            for r in dedup_tfidf_cosine_pairs(spark, tmp).collect()
+        }
+
+    # python reference
+    tf: dict[tuple[int, str], int] = {}
+    for doc_id, toks in enumerate(docs):
+        for i in range(len(toks) - 1):
+            g = f"{toks[i]} {toks[i + 1]}"
+            tf[(doc_id, g)] = tf.get((doc_id, g), 0) + 1
+    dfc: dict[str, int] = {}
+    for (_, g), _c in tf.items():
+        dfc[g] = dfc.get(g, 0) + 1
+    n = len(docs)
+    w = {
+        (d, g): c * ((n * _APSS_IDF_SCALE) // dfc[g])
+        for (d, g), c in tf.items()
+        if dfc[g] <= _APSS_DF_CAP
+    }
+    norms: dict[int, int] = {}
+    for (d, _g), wt in w.items():
+        norms[d] = norms.get(d, 0) + wt * wt
+    want: dict[tuple[int, int], tuple[int, float]] = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            dot = 0
+            n_common = 0
+            for (d, g), wt in w.items():
+                if d == a and (b, g) in w:
+                    dot += wt * w[(b, g)]
+                    n_common += 1
+            if n_common == 0:
+                continue
+            cos = dot / (math.sqrt(norms[a]) * math.sqrt(norms[b]))
+            if cos >= _APSS_MIN_COSINE:
+                want[(a, b)] = (n_common, cos)
+    assert got == want
