@@ -866,3 +866,58 @@ def test_apss_pairs_match_python(spark, docs):
             if cos >= _APSS_MIN_COSINE:
                 want[(a, b)] = (n_common, cos)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(TAGS), min_size=1, max_size=25),
+        min_size=1,
+        max_size=4,
+    )
+)
+@_SETTINGS
+def test_winnowing_selection_matches_python(spark, docs):
+    """Randomized winnowing check vs a plain-Python reference replaying
+    shingling, the md5 hash, and the RIGHTMOST-minimal-hash window rule
+    — the tie-break detail most likely to drift between engines."""
+    import hashlib
+
+    from spark_streaming_twitter_spark.text.analysis import (
+        _WIN_SH,
+        _WIN_W,
+        winnow_selections,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    got = {
+        r.doc_id: sorted(set(r.fps))
+        for r in winnow_selections(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want: dict[int, list[str]] = {}
+    for doc_id, toks in enumerate(docs):
+        if len(toks) >= _WIN_SH:
+            shs = [
+                " ".join(toks[i : i + _WIN_SH])
+                for i in range(len(toks) - _WIN_SH + 1)
+            ]
+        else:
+            shs = [" ".join(toks)]
+        hs = [h(s) for s in shs]
+        sel = set()
+        n_win = max(len(hs) - _WIN_W + 1, 1)
+        for i in range(n_win):
+            window = hs[i : i + min(_WIN_W, len(hs))]
+            # rightmost minimal hash
+            best_j, best_h = 0, window[0]
+            for j, hv in enumerate(window):
+                if hv <= best_h:
+                    best_j, best_h = j, hv
+            sel.add(f"{i + best_j:010d}:{best_h:019d}")
+        want[doc_id] = sorted(sel)
+    assert got == want
