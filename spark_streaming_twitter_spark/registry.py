@@ -51,16 +51,15 @@ def query(
 
 # The driver's correctness gate walks the registry in order and records ~50
 # rows per round, so ordering IS coverage policy. Round-7 rotation
-# (VERDICT r6 "Next round" #1): the front is (a) the 62 round-6 queries
-# that have never had a driver row — the gate's 50 slots land on these
-# first, retiring the debt (the ~12 overflow plus (b) roll to round 8);
-# (b) round-7 additions (locally verified via tools/verify_driver.py,
-# awaiting driver rows); (c) driver-proven rows as buffer, oldest
-# evidence first.
+# rebalance: VERDICT r6 asks #2/#4/#5/#6 each require a *driver* row
+# ("Done = green CORRECTNESS row"), so their 8 deliverable queries plus
+# the two judge-named round-6 stragglers (hybrid_search_rrf,
+# dedup_containment_pairs) are promoted into the 50-slot window; 40 of
+# the 62 never-driver-tested round-6 queries fill the rest (task #1),
+# and the 10 displaced round-6 entries queue immediately after, still
+# ahead of the remaining round-7 additions and the driver-proven buffer.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # (a) never driver-tested (all round-6 additions) — VERDICT r6 task #1:
-    # the 50-slot gate must land on these first; 62 entries, so ~12 roll
-    # to round 8. Round-7 additions are appended after this block.
+    # (a) round-6 never-driver-tested debt, judge-named entries kept
     "part_zorder_cells",
     "stream_upsert_latest_state",
     "doc_wordpiece_tokens",
@@ -100,30 +99,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "embedding_pq_codes",
     "lineitem_feature_correlations",
     "similarity_pq_adc_topk",
-    "event_values_winsorized",
-    "stream_type_drift_hourly",
-    "session_association_rules",
-    "orders_snapshot_diff",
-    "similarity_ivfpq_topk",
-    "sql_correlated_excess_suppliers",
-    "doc_bpe_encoded_stats",
     "media_mp4_sample_sizes",
-    "ops_training_pipeline",
-    "similarity_diversified_topk",
-    "similarity_pq_recall",
-    "stream_stream_semi_converted_signups",
-    "incremental_rollup_maintenance",
-    "segment_priority_independence",
-    "sql_group_by_all_status_priority",
-    "sql_parameterized_segment_revenue",
-    "stream_progress_metrics",
+    # (b) VERDICT r6 ask #2/#4/#5/#6 deliverables + judge-named stragglers
     "hybrid_search_rrf",
-    "copurchase_node_clustering",
-    "event_interarrival_p99",
-    "contrastive_negative_samples",
     "dedup_containment_pairs",
-    "events_seasonality_profile",
-    # (b) ROUND7_NEW_MARKER — new round-7 queries insert here
     "dedup_ngram_jaccard_pairs_capped",
     "dedup_containment_pairs_capped",
     "dpp_weekend_revenue_by_type",
@@ -132,6 +111,29 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_watermark_policy_join_trace",
     "stream_user_sliding_state_heap",
     "stream_user_sliding_state_rocksdb",
+    # (c) displaced round-6 debt — first in line for round 8
+    "event_values_winsorized",
+    "stream_type_drift_hourly",
+    "session_association_rules",
+    "orders_snapshot_diff",
+    "similarity_ivfpq_topk",
+    "sql_correlated_excess_suppliers",
+    "doc_bpe_encoded_stats",
+    "ops_training_pipeline",
+    "similarity_diversified_topk",
+    "similarity_pq_recall",
+    # (d) remaining round-6 overflow, then round-7 additions
+    # ROUND7_NEW_MARKER — new round-7 queries insert before the buffer
+    "stream_stream_semi_converted_signups",
+    "incremental_rollup_maintenance",
+    "segment_priority_independence",
+    "sql_group_by_all_status_priority",
+    "sql_parameterized_segment_revenue",
+    "stream_progress_metrics",
+    "copurchase_node_clustering",
+    "event_interarrival_p99",
+    "contrastive_negative_samples",
+    "events_seasonality_profile",
     "embedding_sq8_codes",
     "similarity_sq8_topk",
     "similarity_sq8_recall",
@@ -158,7 +160,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "similarity_matryoshka_rerank_topk",
     "similarity_matryoshka_pool_recall",
     "quality_spearman_calibration",
-    # (c) driver-proven rows, oldest evidence first (buffer)
+    # (e) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
     "similarity_ann_recall_probed",
