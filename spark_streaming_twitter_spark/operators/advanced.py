@@ -796,3 +796,89 @@ def user_event_type_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(map_values(fm), 0L, (acc, x) -> acc + x)"
         ).alias("n_events"),
     )
+
+
+@query(
+    "events_interval_burst_stats",
+    oracle=f"""
+WITH seeds AS (
+  SELECT event_id AS window_id,
+         CAST(floor(epoch(ts)) AS BIGINT) - 1800 AS start_sec,
+         CAST(floor(epoch(ts)) AS BIGINT) + 5400 AS end_sec
+  FROM events
+  ORDER BY value DESC, event_id ASC
+  LIMIT 48
+),
+pts AS (
+  SELECT event_id, user_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS e_sec
+  FROM events
+)
+SELECT s.window_id,
+       count(*) AS n_events,
+       count(DISTINCT p.user_id) AS n_users,
+       {dsum_sql('p.value')} AS sum_value,
+       min(p.event_id) AS first_event,
+       max(p.event_id) AS last_event
+FROM pts p JOIN seeds s
+  ON p.e_sec >= s.start_sec AND p.e_sec < s.end_sec
+GROUP BY s.window_id
+""",
+    doc="Interval-containment join WITHOUT an equi key — the classic case "
+    "where naive Spark falls back to BroadcastNestedLoopJoin (O(n x m) "
+    "compares; at 100 TB with a large interval set, unrunnable). The "
+    "48 highest-value events each open a [ts-30min, ts+90min) burst "
+    "window (TakeOrdered seed selection, never a global sort) and every "
+    "event is matched to every window containing it by BINNING: windows "
+    "explode onto the 1-hour bins they cover (<= 3 rows each), points "
+    "compute their single bin with integer DIV, and the match becomes an "
+    "EQUI-join on bin_id + a residual range filter — each (event, window) "
+    "pair meets in exactly one bin (the event's), so no post-join dedup. "
+    "DuckDB's native IEJoin runs the same inequality join as the oracle. "
+    "Scale: bin fan-out is len/bin_width + 1 per interval, the join is a "
+    "plain hash join keyed by bin_id (broadcast here because 48 windows; "
+    "drop the hint and it shuffles both sides on bin_id for a large "
+    "interval set), and skew is bounded by events-per-hour. Plan pin: "
+    "tests/test_plan_shapes.py asserts the naive inequality formulation "
+    "produces a BroadcastNestedLoopJoin while this one has none.",
+    bench=True,
+)
+def events_interval_burst_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    BIN = 3600
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.unix_timestamp("ts").alias("e_sec"),
+    )
+    seeds = (
+        ev.orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(48)
+        .select(
+            F.col("event_id").alias("window_id"),
+            (F.col("e_sec") - 1800).alias("start_sec"),
+            (F.col("e_sec") + 5400).alias("end_sec"),
+        )
+    )
+    bins = seeds.select(
+        "window_id",
+        "start_sec",
+        "end_sec",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_sec DIV {BIN}"),
+                F.expr(f"(end_sec - 1) DIV {BIN}"),
+            )
+        ).alias("bin_id"),
+    )
+    pts = ev.withColumn("bin_id", F.expr(f"e_sec DIV {BIN}"))
+    joined = pts.join(F.broadcast(bins), "bin_id").where(
+        (F.col("e_sec") >= F.col("start_sec")) & (F.col("e_sec") < F.col("end_sec"))
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value").alias("sum_value"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )

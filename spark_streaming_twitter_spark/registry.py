@@ -124,6 +124,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "similarity_pq_recall",
     # (d) remaining round-6 overflow, then round-7 additions
     # ROUND7_NEW_MARKER — new round-7 queries insert before the buffer
+    "events_interval_burst_stats",
     "stream_stream_semi_converted_signups",
     "incremental_rollup_maintenance",
     "segment_priority_independence",

@@ -559,3 +559,36 @@ def test_curation_v5_no_cartesian_single_source_window(spark):
         if "Exchange hashpartitioning(source" in l
     ]
     assert len(src_exchanges) <= 1, src_exchanges
+
+
+def test_interval_burst_join_is_equi_binned(spark):
+    # The binned interval join must plan an EQUI join on bin_id — never a
+    # nested-loop over the interval set (SCALE.md: bin-bucketed range join).
+    f = _features(spark, "events_interval_burst_stats")
+    assert "BroadcastHashJoin" in f.join_nodes, f.join_nodes
+    assert "BroadcastNestedLoopJoin" not in f.join_nodes, f.join_nodes
+    assert "CartesianProduct" not in f.raw, "interval join must never cartesian"
+
+    # Control: the naive inequality-only formulation of the SAME join IS a
+    # BroadcastNestedLoopJoin — the binning rewrite is what removes it.
+    from pyspark.sql import functions as F
+    from spark_streaming_twitter_spark.catalog import table
+
+    ev = table(spark, SF, "events").select(
+        "event_id", "value", F.unix_timestamp("ts").alias("e_sec")
+    )
+    seeds = (
+        ev.orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(48)
+        .select(
+            F.col("event_id").alias("window_id"),
+            (F.col("e_sec") - 1800).alias("start_sec"),
+            (F.col("e_sec") + 5400).alias("end_sec"),
+        )
+    )
+    naive = ev.join(
+        seeds,
+        (F.col("e_sec") >= F.col("start_sec")) & (F.col("e_sec") < F.col("end_sec")),
+    )
+    naive_plan = plan_features(naive)
+    assert "BroadcastNestedLoopJoin" in naive_plan.join_nodes, naive_plan.join_nodes
