@@ -921,3 +921,45 @@ def test_winnowing_selection_matches_python(spark, docs):
             sel.add(f"{i + best_j:010d}:{best_h:019d}")
         want[doc_id] = sorted(sel)
     assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_interval_binning_matches_brute_force(data):
+    """Pure-Python replay of events_interval_burst_stats's bin rewrite:
+    for ANY bin width, point set, and [start, end) interval set, the
+    explode-onto-covered-bins + point-bin equi match + residual filter
+    yields exactly the brute-force containment pairs, and every pair
+    meets in exactly ONE bin (the point's) — the invariant that lets the
+    Spark plan skip post-join dedup. Domain is non-negative (epoch
+    seconds), matching Spark DIV == Python // there."""
+    from collections import defaultdict
+
+    bin_w = data.draw(st.integers(1, 50))
+    pts = data.draw(st.lists(st.integers(0, 500), max_size=60))
+    ivs = []
+    for i in range(data.draw(st.integers(0, 20))):
+        s = data.draw(st.integers(0, 500))
+        ln = data.draw(st.integers(1, 120))
+        ivs.append((i, s, s + ln))
+
+    brute = {
+        (pi, wi)
+        for pi, p in enumerate(pts)
+        for wi, s, e in ivs
+        if s <= p < e
+    }
+
+    buckets = defaultdict(list)
+    for wi, s, e in ivs:
+        for b in range(s // bin_w, (e - 1) // bin_w + 1):
+            buckets[b].append((wi, s, e))
+    matches = [
+        (pi, wi)
+        for pi, p in enumerate(pts)
+        for wi, s, e in buckets.get(p // bin_w, ())
+        if s <= p < e
+    ]
+
+    assert len(matches) == len(set(matches)), "a pair met in two bins"
+    assert set(matches) == brute
