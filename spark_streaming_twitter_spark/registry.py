@@ -125,6 +125,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # (d) remaining round-6 overflow, then round-7 additions
     # ROUND7_NEW_MARKER — new round-7 queries insert before the buffer
     "events_interval_burst_stats",
+    "doc_charlm_ccnet_buckets",
     "stream_stream_semi_converted_signups",
     "incremental_rollup_maintenance",
     "segment_priority_independence",

@@ -1627,3 +1627,82 @@ def quality_spearman_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n * (n * n - F.lit(1.0)))
         ).alias("spearman_rho"),
     )
+
+
+def _ccnet_buckets_oracle() -> str:
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    c = QUERIES["doc_charlm_score"].oracle
+    return f"""
+WITH c AS ({c}),
+j AS (
+  SELECT c.doc_id, d.lang, d.n_chars, c.lm_score_scaled
+  FROM c JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT lang, n_chars, lm_score_scaled,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY lm_score_scaled DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM j
+)
+SELECT lang,
+       CASE ((rn - 1) * 3) // n
+         WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+       END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+       CAST(min(lm_score_scaled) AS BIGINT) AS min_score,
+       CAST(max(lm_score_scaled) AS BIGINT) AS max_score
+FROM r
+GROUP BY lang, ((rn - 1) * 3) // n
+"""
+
+
+@query(
+    "doc_charlm_ccnet_buckets",
+    oracle=_ccnet_buckets_oracle(),
+    doc="CCNet's selection step (Wenzek et al. 2020): per-language "
+    "head/middle/tail split of the corpus by LM quality — head feeds "
+    "training, tail is dropped, middle is the tunable reserve. Buckets "
+    "are EXACT per-lang tertiles from the rank idiom (bucket = "
+    "(rn-1)*3 DIV n, integer-only, deterministic under ties via doc_id), "
+    "on top of the registered char-LM scorer whose oracle is embedded "
+    "verbatim (the two can't drift). Output audits each bucket's volume "
+    "and score range — what a curation run checks before committing the "
+    "keep decision. Scale: the per-lang rank window shuffles once on "
+    "lang; a dominant language makes that window the hot partition, so "
+    "at 100 TB swap exact tertiles for approx_percentile cutpoints "
+    "joined broadcast — same bucket plan, bounded skew (the winsorize "
+    "precedent). Scoring stays the charlm plan: corpus-sized explode, "
+    "alphabet-bounded broadcast model.",
+)
+def doc_charlm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = doc_charlm_score(spark, sf_dir).select("doc_id", "lm_score_scaled")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    j = scores.join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("lm_score_scaled").desc(), F.col("doc_id").asc()
+    )
+    wn = Window.partitionBy("lang")
+    ranked = j.select(
+        "lang",
+        "n_chars",
+        "lm_score_scaled",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).withColumn("bidx", F.expr("((rn - 1) * 3) DIV n"))
+    bucket = (
+        F.when(F.col("bidx") == 0, "head")
+        .when(F.col("bidx") == 1, "middle")
+        .otherwise("tail")
+    )
+    return (
+        ranked.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+            F.min("lm_score_scaled").alias("min_score"),
+            F.max("lm_score_scaled").alias("max_score"),
+        )
+    )
