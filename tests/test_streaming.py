@@ -907,3 +907,70 @@ def test_rocksdb_changelog_files_written(spark):
     assert out.count() > 0
     files = list(pathlib.Path(ckpt).rglob("*.changelog"))
     assert files, f"no .changelog files under {ckpt}"
+
+
+def test_state_partition_count_pinned_by_checkpoint(spark, stream_dir, tmp_path):
+    """Operational invariant a 100 TB deployment relies on: the number of
+    state-store partitions is fixed by spark.sql.shuffle.partitions at the
+    query's FIRST run and recorded in the checkpoint; a restart under a
+    DIFFERENT conf keeps the checkpointed count (state cannot rescale
+    in place) and still answers correctly. Re-sharding state requires a
+    new checkpoint — this pins the behavior so nobody "tunes" shuffle
+    partitions on a live checkpoint expecting the state to follow."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt_pin")
+
+    def state_partition_dirs() -> int:
+        root = os.path.join(ckpt, "state", "0")
+        return len([d for d in os.listdir(root) if d.isdigit()])
+
+    def start_query():
+        src = _stream(spark, stream_dir)
+        agg = src.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        return (
+            agg.writeStream.format("memory")
+            .queryName("ckpt_pin_test")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _write_batch(
+        stream_dir,
+        "p1.json",
+        [
+            {"user_id": 1, "ts": "2024-01-01 10:00:00", "event": "a"},
+            {"user_id": 2, "ts": "2024-01-01 10:00:01", "event": "a"},
+        ],
+    )
+    q = start_query()  # first run under the fixture's 4 shuffle partitions
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert state_partition_dirs() == 4
+
+    _write_batch(
+        stream_dir,
+        "p2.json",
+        [{"user_id": 1, "ts": "2024-01-01 10:01:00", "event": "a"}],
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = start_query()  # restart under a DIFFERENT conf
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    assert state_partition_dirs() == 4, (
+        "checkpoint must pin the original state partition count"
+    )
+    rows = {r.user_id: r.n for r in spark.table("ckpt_pin_test").collect()}
+    assert rows == {1: 2, 2: 1}, rows
