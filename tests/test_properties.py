@@ -963,3 +963,22 @@ def test_interval_binning_matches_brute_force(data):
 
     assert len(matches) == len(set(matches)), "a pair met in two bins"
     assert set(matches) == brute
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(1, 10_000))
+def test_tertile_rank_rule_is_balanced_and_monotone(n):
+    """Pure-Python replay of doc_charlm_ccnet_buckets' bucket rule
+    ((rn-1)*3 DIV n over rn in 1..n): buckets are contiguous in rank
+    (monotone non-decreasing), all three appear whenever n >= 3, and
+    sizes differ by at most 1 — the exact-tertile guarantee that makes
+    the head/middle/tail keep decision reproducible at any corpus size."""
+    buckets = [((rn - 1) * 3) // n for rn in range(1, n + 1)]
+    assert buckets == sorted(buckets)
+    assert set(buckets) <= {0, 1, 2}
+    if n >= 3:
+        assert set(buckets) == {0, 1, 2}
+    from collections import Counter
+
+    sizes = Counter(buckets).values()
+    assert max(sizes) - min(sizes) <= 1
