@@ -126,6 +126,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # ROUND7_NEW_MARKER — new round-7 queries insert before the buffer
     "events_interval_burst_stats",
     "doc_charlm_ccnet_buckets",
+    "stream_rules_reload_enrichment",
     "stream_stream_semi_converted_signups",
     "incremental_rollup_maintenance",
     "segment_priority_independence",

@@ -2767,3 +2767,138 @@ def stream_session_windows_dynamic_gap(
         F.unix_timestamp("w.end").alias("session_end"),
         "n_events",
     )
+
+
+@query(
+    "stream_rules_reload_enrichment",
+    oracle="""
+WITH scored AS (
+  SELECT event_type, event_id,
+         CASE WHEN event_id % 2 = 0 THEN length(event_type)
+              ELSE length(event_type) + 10 END AS mult
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id * mult) AS BIGINT) AS weighted_sum
+FROM scored GROUP BY event_type
+""",
+    doc="DYNAMIC-CONFIG enrichment — the broadcast-rules-reload pattern: "
+    "a long-running stream must pick up rule/dim changes without a "
+    "restart, but a stream-static join freezes the static side's "
+    "content at planning in ways operators can't control. The "
+    "production answer is foreachBatch re-reading the rules table at "
+    "EVERY micro-batch and broadcast-joining it (rules are dim-sized), "
+    "so a rules publish takes effect at the next trigger boundary — "
+    "never mid-batch, which keeps each epoch's output a pure function "
+    "of (batch rows, rules version) and therefore idempotent under "
+    "replay (epoch-stamped dynamic-partition overwrite, the "
+    "fanout_write_batch argument). Proven with two AvailableNow runs "
+    "over one checkpoint: run A scores the even-event_id spool file "
+    "under rules v1 (mult = len(type)), the rules table is then "
+    "REPUBLISHED as v2 (mult = len(type)+10), and run B scores only "
+    "the odd-id file under v2 — the oracle encodes exactly that "
+    "version-by-parity split, so a stale-rules read (v1 applied to "
+    "batch B) or a frozen static join fails the hash. Scale: the "
+    "per-trigger reload costs one dim-table read per trigger "
+    "(seconds-cadence triggers amortize it; the read is pruned and "
+    "broadcast), and the stream side never repartitions.",
+)
+def stream_rules_reload_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.catalog import table as _table
+
+    bt = _table(spark, sf_dir, "events").select("event_id", "event_type")
+    base = tempfile.mkdtemp(prefix="rules_reload_")
+    spool = os.path.join(base, "spool")
+    os.makedirs(spool)
+    rules_dir = os.path.join(base, "rules")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "_ckpt")
+    try:
+        staged = []
+        for i, pred in enumerate(
+            [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1]
+        ):
+            stage = os.path.join(base, f"_stage_{i}")
+            bt.where(pred).coalesce(1).write.parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            staged.append((os.path.join(stage, part), f"batch_{i}.parquet"))
+        schema = spark.read.parquet(staged[0][0]).schema
+
+        def publish_rules(offset: int) -> None:
+            (
+                bt.select("event_type")
+                .distinct()
+                .withColumn(
+                    "mult",
+                    (F.length("event_type") + F.lit(offset)).cast("long"),
+                )
+                .write.mode("overwrite")
+                .parquet(rules_dir)
+            )
+
+        def score_batch(df: DataFrame, epoch_id: int) -> None:
+            rules = spark.read.parquet(rules_dir)  # per-trigger reload
+            (
+                df.join(F.broadcast(rules), "event_type")
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.col("event_id") * F.col("mult")).alias(
+                        "weighted_sum"
+                    ),
+                )
+                .withColumn("epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(sink)
+            )
+
+        def expose(k: int) -> None:
+            src, name = staged[k]
+            dst = os.path.join(spool, name)
+            shutil.copy(src, dst)
+            os.utime(dst, (1_000_000_000 + k * 3600,) * 2)
+
+        def run_once() -> None:
+            raw = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "batch_*.parquet")
+                .parquet(spool)
+            )
+            q = (
+                raw.writeStream.foreachBatch(score_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        publish_rules(0)
+        expose(0)
+        run_once()  # run A: even ids under rules v1
+        publish_rules(10)
+        expose(1)
+        run_once()  # run B: same checkpoint, odd ids under rules v2
+        rows = (
+            spark.read.parquet(sink)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_events").cast("bigint").alias("n_events"),
+                F.sum("weighted_sum").cast("bigint").alias("weighted_sum"),
+            )
+            .collect()  # materialize before the sink dir is removed
+        )
+        return spark.createDataFrame(
+            rows, "event_type string, n_events long, weighted_sum long"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

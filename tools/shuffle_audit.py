@@ -63,6 +63,10 @@ AUDIT_SET = (
     "similarity_ivf_nprobe_topk",
     # deliberate outlier: repartitions the token payload by design
     "pack_training_sequences",
+    # corpus explode collapsing into the alphabet-bounded LM model
+    "doc_charlm_score",
+    # rank-window tertile split on top of the charlm plan
+    "doc_charlm_ccnet_buckets",
 )
 
 
