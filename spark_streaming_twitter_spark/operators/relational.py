@@ -1050,3 +1050,44 @@ def sql_parameterized_segment_revenue(
             "since": "1996-01-01 00:00:00",
         },
     )
+
+
+@query(
+    "sql_session_variables_revenue",
+    oracle=f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders
+WHERE o_totalprice > 300000.0
+GROUP BY o_orderpriority
+""",
+    doc="SQL session variables + parameterized identifier (Spark 4 "
+    "scripting surface): the threshold lives in a DECLAREd session "
+    "variable set by SET VAR (typed, session-scoped — the way a SQL "
+    "workflow threads config between statements without string "
+    "templating), and the table name binds through IDENTIFIER(:tbl) "
+    "(the injection-safe dynamic-relation marker). The planned query "
+    "is identical to the literal form the oracle runs — variables "
+    "fold to literals at analysis, so pushdown/pruning are unchanged.",
+)
+def sql_session_variables_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_streaming_twitter_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR price_floor = 300000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_price
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > price_floor
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "orders"},
+    )

@@ -127,6 +127,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "events_interval_burst_stats",
     "doc_charlm_ccnet_buckets",
     "stream_rules_reload_enrichment",
+    "sql_session_variables_revenue",
     "stream_stream_semi_converted_signups",
     "incremental_rollup_maintenance",
     "segment_priority_independence",

@@ -592,3 +592,15 @@ def test_interval_burst_join_is_equi_binned(spark):
     )
     naive_plan = plan_features(naive)
     assert "BroadcastNestedLoopJoin" in naive_plan.join_nodes, naive_plan.join_nodes
+
+
+def test_per_group_topk_plans_window_group_limit(spark):
+    # rank-filter top-k must trigger WindowGroupLimit in BOTH Partial
+    # (map-side, before the shuffle) and Final mode — each task keeps at
+    # most k rows per group, so the window shuffle moves O(groups x k)
+    # rows instead of the whole table. The 100 TB difference between
+    # "top-3 per key" and "sort everything per key, then filter".
+    f = _features(spark, "top3_orders_per_priority")
+    lines = f.raw.splitlines()
+    assert any("WindowGroupLimit" in l and "Partial" in l for l in lines), f.raw
+    assert any("WindowGroupLimit" in l and "Final" in l for l in lines), f.raw
