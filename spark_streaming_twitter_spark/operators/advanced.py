@@ -798,6 +798,47 @@ def user_event_type_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bin_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """Reusable interval-containment join (point in [start, end)) WITHOUT
+    an equi key, rewritten as an equi hash join on bin id.
+
+    Intervals explode onto the (end-start)/bin_width + 1 bins they cover;
+    each point computes its single bin with integer DIV (non-negative
+    domain, e.g. epoch seconds); the residual range filter completes the
+    match. Every (point, interval) pair meets in exactly one bin — the
+    point's — so no post-join dedup (property-tested in
+    tests/test_properties.py::test_interval_binning_matches_brute_force).
+    Pick bin_width ~ the median interval length to keep interval fan-out
+    <= 2. Set broadcast_intervals=False for a large interval set: the
+    same plan shuffles both sides on bin_id instead.
+    """
+    bins = intervals.withColumn(
+        "bin_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_col} DIV {bin_width}"),
+                F.expr(f"({end_col} - 1) DIV {bin_width}"),
+            )
+        ),
+    )
+    if broadcast_intervals:
+        bins = F.broadcast(bins)
+    pts = points.withColumn("bin_id", F.expr(f"{point_col} DIV {bin_width}"))
+    return pts.join(bins, "bin_id").where(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) < F.col(end_col))
+    )
+
+
+
 @query(
     "events_interval_burst_stats",
     oracle=f"""
@@ -844,7 +885,6 @@ GROUP BY s.window_id
     bench=True,
 )
 def events_interval_burst_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    BIN = 3600
     ev = table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -860,20 +900,8 @@ def events_interval_burst_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("e_sec") + 5400).alias("end_sec"),
         )
     )
-    bins = seeds.select(
-        "window_id",
-        "start_sec",
-        "end_sec",
-        F.explode(
-            F.sequence(
-                F.expr(f"start_sec DIV {BIN}"),
-                F.expr(f"(end_sec - 1) DIV {BIN}"),
-            )
-        ).alias("bin_id"),
-    )
-    pts = ev.withColumn("bin_id", F.expr(f"e_sec DIV {BIN}"))
-    joined = pts.join(F.broadcast(bins), "bin_id").where(
-        (F.col("e_sec") >= F.col("start_sec")) & (F.col("e_sec") < F.col("end_sec"))
+    joined = bin_interval_join(
+        ev, seeds, "e_sec", "start_sec", "end_sec", bin_width=3600
     )
     return joined.groupBy("window_id").agg(
         F.count(F.lit(1)).alias("n_events"),
