@@ -1484,3 +1484,122 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.expr("_num DIV _den").cast("bigint").alias("share_ppm"),
     )
+
+
+@query(
+    "orders_constraint_audit",
+    oracle="""
+WITH j AS (
+  SELECT o.*, c.c_custkey AS ref_key
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+),
+agg AS (
+  SELECT count(*) AS n_rows,
+         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+         count(*) - count(DISTINCT o_orderkey) AS v_uniq,
+         sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                  THEN 1 ELSE 0 END) AS v_pos,
+         sum(CASE WHEN o_orderstatus IS NULL
+                    OR o_orderstatus NOT IN ('O', 'F', 'P')
+                  THEN 1 ELSE 0 END) AS v_dom,
+         sum(CASE WHEN o_orderdate IS NULL
+                    OR o_orderdate < TIMESTAMP '1990-01-01'
+                    OR o_orderdate >= TIMESTAMP '2010-01-01'
+                  THEN 1 ELSE 0 END) AS v_rng,
+         sum(CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END) AS v_cap,
+         sum(CASE WHEN ref_key IS NULL THEN 1 ELSE 0 END) AS v_ref
+  FROM j
+)
+SELECT constraint_name,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(v AS BIGINT) AS n_violations,
+       CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+FROM (
+  SELECT 'o_orderkey_not_null' AS constraint_name, n_rows, v_nn AS v FROM agg
+  UNION ALL SELECT 'o_orderkey_unique', n_rows, v_uniq FROM agg
+  UNION ALL SELECT 'o_totalprice_positive', n_rows, v_pos FROM agg
+  UNION ALL SELECT 'o_orderstatus_in_domain', n_rows, v_dom FROM agg
+  UNION ALL SELECT 'o_orderdate_in_range', n_rows, v_rng FROM agg
+  UNION ALL SELECT 'o_totalprice_under_450k', n_rows, v_cap FROM agg
+  UNION ALL SELECT 'o_custkey_references_customer', n_rows, v_ref FROM agg
+)
+""",
+    doc="Deequ-class data-quality gate: a DECLARED constraint set "
+    "(not-null, uniqueness, positivity, domain membership, date range, "
+    "a soft volume expectation, and customer referential integrity) "
+    "evaluated in ONE pass and emitted as a per-constraint "
+    "violations/passed report — the check a training pipeline runs "
+    "before it trusts a new partition. All row-local predicates fold "
+    "into a single aggregate (conditional sums), uniqueness rides the "
+    "same Expand as the profiling query, and the referential check is "
+    "one left join against the dim's key column (broadcast here; "
+    "bucket or shuffle-hash at 100 TB — and at that scale swap exact "
+    "uniqueness for approx_count_distinct drift detection per the "
+    "documented pattern). The soft cap (>450k) FAILS on this fixture "
+    "by design: the report shows real violation counts, not just "
+    "green checkmarks.",
+)
+def orders_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ref_key")
+    )
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.ref_key, "left"
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+        ).alias("v_nn"),
+        (
+            F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))
+        ).alias("v_uniq"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0),
+                1,
+            ).otherwise(0)
+        ).alias("v_pos"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus").isNull()
+                | ~F.col("o_orderstatus").isin("O", "F", "P"),
+                1,
+            ).otherwise(0)
+        ).alias("v_dom"),
+        F.sum(
+            F.when(
+                F.col("o_orderdate").isNull()
+                | (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("2010-01-01").cast("timestamp")
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("v_rng"),
+        F.sum(
+            F.when(F.col("o_totalprice") > 450000, 1).otherwise(0)
+        ).alias("v_cap"),
+        F.sum(F.when(F.col("ref_key").isNull(), 1).otherwise(0)).alias(
+            "v_ref"
+        ),
+    )
+    stack = F.expr(
+        "stack(7, "
+        "'o_orderkey_not_null', v_nn, "
+        "'o_orderkey_unique', v_uniq, "
+        "'o_totalprice_positive', v_pos, "
+        "'o_orderstatus_in_domain', v_dom, "
+        "'o_orderdate_in_range', v_rng, "
+        "'o_totalprice_under_450k', v_cap, "
+        "'o_custkey_references_customer', v_ref"
+        ") AS (constraint_name, v)"
+    )
+    return agg.select(stack, "n_rows").select(
+        "constraint_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("v").cast("bigint").alias("n_violations"),
+        F.when(F.col("v") == 0, 1).otherwise(0).cast("bigint").alias("passed"),
+    )

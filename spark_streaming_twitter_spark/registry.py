@@ -128,6 +128,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "doc_charlm_ccnet_buckets",
     "stream_rules_reload_enrichment",
     "sql_session_variables_revenue",
+    "orders_constraint_audit",
     "stream_stream_semi_converted_signups",
     "incremental_rollup_maintenance",
     "segment_priority_independence",
