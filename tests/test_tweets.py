@@ -91,3 +91,33 @@ def test_missing_text_rows_are_dropped(spark):
     no_text = {"lang": "en", "timestamp": "1570510535121"}
     df = parse_tweets(_kafka_shaped(spark, [json.dumps(no_text)]))
     assert df.count() == 0
+
+
+def test_ignore_corrupt_files_salvages_parquet_scan(spark, tmp_path):
+    """File-level resilience twin of the row-level PERMISSIVE audit
+    (jsonl_corrupt_record_audit): a 100 TB lake always contains a few
+    truncated/garbage files (killed writers, partial uploads). Default
+    strict mode fails the whole scan on the first bad file; with
+    spark.sql.files.ignoreCorruptFiles the scan completes and returns
+    every row from the readable files — the salvage-and-alert posture a
+    backfill job wants (paired with a file-count audit, not silence)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    good = tmp_path / "data"
+    spark.range(100).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.parquet(str(good))
+    (good / "part-corrupt.parquet").write_bytes(b"PAR1 this is not a parquet file")
+
+    strict = spark.read.parquet(str(good))
+    with pytest.raises(Exception, match="PAR1|corrupt|Could not read footer|FAILED_READ_FILE"):
+        strict.count()
+
+    old = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        rows = spark.read.parquet(str(good)).count()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", old)
+    assert rows == 100
