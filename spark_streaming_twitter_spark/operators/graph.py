@@ -300,3 +300,115 @@ def copurchase_node_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_scaled"),
         )
     )
+
+
+@query(
+    "copurchase_khop_features",
+    oracle="""
+WITH inc AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM inc a JOIN inc b ON a.o = b.o AND a.p <> b.p
+),
+feat AS (
+  SELECT p_partkey AS id,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part
+),
+h1 AS (
+  SELECT e.u AS id, count(*) AS n_1hop, sum(f.cents) AS s1
+  FROM und e JOIN feat f ON e.v = f.id GROUP BY e.u
+),
+two AS (
+  SELECT DISTINCT e1.u AS id, e2.v AS w
+  FROM und e1 JOIN und e2 ON e1.v = e2.u
+  WHERE e2.v <> e1.u
+),
+two_excl AS (
+  SELECT t.id, t.w
+  FROM two t LEFT JOIN und d ON t.id = d.u AND t.w = d.v
+  WHERE d.u IS NULL
+),
+h2 AS (
+  SELECT t.id, count(*) AS n_2hop, sum(f.cents) AS s2
+  FROM two_excl t JOIN feat f ON t.w = f.id GROUP BY t.id
+)
+SELECT h1.id AS part_id,
+       CAST(h1.n_1hop AS BIGINT) AS n_1hop,
+       CAST(h1.s1 AS BIGINT) AS sum_price_1hop_cents,
+       CAST(coalesce(h2.n_2hop, 0) AS BIGINT) AS n_2hop,
+       CAST(coalesce(h2.s2, 0) AS BIGINT) AS sum_price_2hop_cents
+FROM h1 LEFT JOIN h2 ON h1.id = h2.id
+ORDER BY coalesce(h2.n_2hop, 0) DESC, part_id ASC
+LIMIT 25
+""",
+    doc="K-hop neighborhood feature aggregation — the message-passing "
+    "primitive a GNN data pipeline materializes offline (GraphSAGE-style "
+    "neighbor features without the model): per part, the DISTINCT "
+    "exact-distance-1 and exact-distance-2 co-purchase neighborhoods "
+    "and their exact price-cents feature sums. Hop 1 is one join keyed "
+    "on vertex id against the broadcast feature dim; hop 2 is the wedge "
+    "join (same plan as triangle counting) deduped, minus self, minus "
+    "direct neighbors via LEFT ANTI against the edge set — so 'distance "
+    "2' is exact, not 'reachable in 2'. Features integer-scaled "
+    "(cents), top-25 page via TakeOrdered. Scale: wedge volume is "
+    "sum-of-squared-degrees — the same degree-orientation bound as "
+    "triangles applies, and production GNN samplers cap per-node "
+    "fan-out (uniform neighbor sampling) with the identical plan; hub "
+    "skew lands in the wedge join where AQE's skew splitter engages.",
+)
+def copurchase_khop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.catalog import table
+
+    inc = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    b = inc.select(F.col("o"), F.col("p").alias("q"))
+    und = (
+        inc.join(b, "o")
+        .where(F.col("p") != F.col("q"))
+        .select(F.col("p").alias("u"), F.col("q").alias("v"))
+        .distinct()
+        .localCheckpoint()  # three consumers: h1, wedge join, anti join
+    )
+    feat = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+    )
+    h1 = (
+        und.join(F.broadcast(feat), und.v == feat.id)
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n_1hop"), F.sum("cents").alias("s1"))
+        .select(F.col("u").alias("id"), "n_1hop", "s1")
+    )
+    e2 = und.select(F.col("u").alias("m"), F.col("v").alias("w"))
+    two = (
+        und.join(e2, und.v == F.col("m"))
+        .where(F.col("w") != F.col("u"))
+        .select(F.col("u").alias("id"), "w")
+        .distinct()
+    )
+    direct = und.select(F.col("u").alias("id"), F.col("v").alias("w"))
+    two_excl = two.join(direct, ["id", "w"], "left_anti")
+    h2 = (
+        two_excl.join(F.broadcast(feat), two_excl.w == feat.id)
+        .groupBy(two_excl.id)
+        .agg(F.count(F.lit(1)).alias("n_2hop"), F.sum("cents").alias("s2"))
+    )
+    out = (
+        h1.join(h2, "id", "left")
+        .select(
+            F.col("id").alias("part_id"),
+            F.col("n_1hop").cast("bigint").alias("n_1hop"),
+            F.col("s1").cast("bigint").alias("sum_price_1hop_cents"),
+            F.coalesce("n_2hop", F.lit(0)).cast("bigint").alias("n_2hop"),
+            F.coalesce("s2", F.lit(0)).cast("bigint").alias(
+                "sum_price_2hop_cents"
+            ),
+        )
+    )
+    return out.orderBy(F.col("n_2hop").desc(), F.col("part_id").asc()).limit(25)

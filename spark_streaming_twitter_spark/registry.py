@@ -129,6 +129,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_rules_reload_enrichment",
     "sql_session_variables_revenue",
     "orders_constraint_audit",
+    "copurchase_khop_features",
     "stream_stream_semi_converted_signups",
     "incremental_rollup_maintenance",
     "segment_priority_independence",
