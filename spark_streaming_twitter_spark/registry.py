@@ -130,6 +130,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sql_session_variables_revenue",
     "orders_constraint_audit",
     "copurchase_khop_features",
+    "doc_unigram_viterbi_tokens",
     "stream_stream_semi_converted_signups",
     "incremental_rollup_maintenance",
     "segment_priority_independence",

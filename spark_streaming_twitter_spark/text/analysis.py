@@ -1706,3 +1706,138 @@ def doc_charlm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lm_score_scaled").alias("max_score"),
         )
     )
+
+
+# "Trained-offline" unigram-LM vocabulary: piece -> integer weight (the
+# log-prob surrogate; see doc_unigram_viterbi_tokens). Multi-char weights
+# are chosen so greedy longest-match is NOT always optimal — the DP earns
+# its keep. Single characters a-z carry weight 10 (appended below), so
+# segmentation is total.
+_UNIGRAM_PIECES = {
+    "th": 30, "the": 45, "he": 28, "in": 30, "ing": 50, "an": 28,
+    "and": 44, "er": 30, "re": 28, "on": 27, "en": 26, "ti": 25,
+    "tion": 70, "at": 26, "st": 27, "or": 26, "es": 27, "ed": 28,
+    "to": 26, "it": 25, "is": 25, "ou": 26, "le": 25, "ar": 26,
+    "nd": 26, "me": 25, "nt": 26,
+}
+_UNIGRAM_VOCAB_FULL = dict(_UNIGRAM_PIECES)
+for _c in "abcdefghijklmnopqrstuvwxyz":
+    _UNIGRAM_VOCAB_FULL[_c] = 10
+_NEG = -2_000_000_000
+
+
+def _unigram_vocab_sql() -> str:
+    return ", ".join(
+        f"('{p}', {w})" for p, w in sorted(_UNIGRAM_VOCAB_FULL.items())
+    )
+
+
+def unigram_viterbi_scores(words: DataFrame) -> DataFrame:
+    """(tok, score) Viterbi-optimal segmentation score for DISTINCT words.
+
+    max-sum DP over piece weights (lengths 1-4), the unigram-LM decode
+    with integer weights standing in for scaled log-probs — the DP, the
+    state space, and the decode are exactly SentencePiece's Viterbi; only
+    the weight source differs (plan-embedded here, trained EM weights in
+    production, swapped in as data).
+    """
+    from collections.abc import Iterator
+
+    distinct_words = words.select("tok").distinct()
+    vocab = dict(_UNIGRAM_VOCAB_FULL)
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            scores = []
+            for tok in pdf["tok"]:
+                n = len(tok)
+                best = [0] * (n + 1)
+                for i in range(1, n + 1):
+                    b = best[i - 1] + vocab.get(tok[i - 1], 10)
+                    for ln in (2, 3, 4):
+                        if i >= ln:
+                            w = vocab.get(tok[i - ln : i])
+                            if w is not None:
+                                b = max(b, best[i - ln] + w)
+                    best[i] = b
+                scores.append(best[n])
+            yield pd.DataFrame({"tok": pdf["tok"], "score": scores})
+
+    return distinct_words.mapInPandas(decode, "tok string, score long")
+
+
+@query(
+    "doc_unigram_viterbi_tokens",
+    oracle=rf"""
+WITH RECURSIVE
+vocab(piece, w) AS (SELECT * FROM (VALUES {_unigram_vocab_sql()}) t(p, w)),
+doc_words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+words AS (SELECT DISTINCT tok FROM doc_words),
+step(tok, i, s0, s1, s2, s3) AS (
+  SELECT tok, 0, CAST(0 AS BIGINT), CAST({_NEG} AS BIGINT),
+         CAST({_NEG} AS BIGINT), CAST({_NEG} AS BIGINT)
+  FROM words
+  UNION ALL
+  SELECT tok, i + 1,
+    greatest(
+      s0 + coalesce((SELECT v.w FROM vocab v
+                     WHERE v.piece = substr(tok, i + 1, 1)), 10),
+      CASE WHEN i >= 1 THEN
+        s1 + coalesce((SELECT v.w FROM vocab v
+                       WHERE v.piece = substr(tok, i, 2)), {_NEG})
+      ELSE CAST({_NEG} AS BIGINT) END,
+      CASE WHEN i >= 2 THEN
+        s2 + coalesce((SELECT v.w FROM vocab v
+                       WHERE v.piece = substr(tok, i - 1, 3)), {_NEG})
+      ELSE CAST({_NEG} AS BIGINT) END,
+      CASE WHEN i >= 3 THEN
+        s3 + coalesce((SELECT v.w FROM vocab v
+                       WHERE v.piece = substr(tok, i - 2, 4)), {_NEG})
+      ELSE CAST({_NEG} AS BIGINT) END),
+    s0, s1, s2
+  FROM step WHERE i < length(tok)
+),
+done AS (SELECT tok, s0 AS score FROM step WHERE i = length(tok))
+SELECT d.doc_id,
+       count(*) AS n_words,
+       CAST(sum(p.score) AS BIGINT) AS viterbi_score,
+       CAST(sum(length(d.tok)) AS BIGINT) AS n_chars
+FROM doc_words d JOIN done p USING (tok)
+GROUP BY 1
+""",
+    doc="Unigram-LM Viterbi segmentation (the SentencePiece decode; "
+    "Kudo 2018) — completes the tokenizer trio next to BPE training "
+    "(bpe_learned_merges) and greedy WordPiece (doc_wordpiece_tokens): "
+    "per word, the OPTIMAL max-sum segmentation over piece weights "
+    "(lengths 1-4, single-char fallback at weight 10), with integer "
+    "weights as the scaled log-prob surrogate so the decode is exact "
+    "BIGINT on both engines (the weights make greedy longest-match "
+    "suboptimal on e.g. 'ti'+'on' vs 'tion' boundaries, so the DP is "
+    "doing real work). Spark shape: the Viterbi loop runs once per "
+    "DISTINCT word inside Arrow-batched mapInPandas (Zipf: distinct "
+    "words << occurrences), per-word scores join back to the occurrence "
+    "stream and aggregate per doc — identical scaling shape to "
+    "wordpiece. The oracle replays the SAME DP as a DuckDB recursive "
+    "CTE that carries a rolling 4-deep best-score window (s0..s3) per "
+    "(word, position) state with correlated vocab lookups — two "
+    "independent implementations of the dynamic program, compared "
+    "hash-exact.",
+)
+def doc_unigram_viterbi_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    words = wordpiece_words(docs)
+    scores = unigram_viterbi_scores(words)
+    return words.join(scores, "tok").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("score").cast("bigint").alias("viterbi_score"),
+        F.sum(F.length("tok")).cast("bigint").alias("n_chars"),
+    )

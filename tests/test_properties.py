@@ -982,3 +982,44 @@ def test_tertile_rank_rule_is_balanced_and_monotone(n):
 
     sizes = Counter(buckets).values()
     assert max(sizes) - min(sizes) <= 1
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="theandingorest", min_size=1, max_size=10))
+def test_unigram_viterbi_is_optimal_over_all_segmentations(tok):
+    """The rolling-window DP in unigram_viterbi_scores (and its recursive-
+    CTE oracle twin) must equal the brute-force maximum over ALL
+    segmentations into vocab pieces of length 1-4 — optimality, not just
+    cross-engine agreement. The alphabet is chosen to hit the multi-char
+    pieces (the/and/ing/tion boundaries) constantly."""
+    from spark_streaming_twitter_spark.text.analysis import (
+        _UNIGRAM_VOCAB_FULL,
+    )
+
+    vocab = dict(_UNIGRAM_VOCAB_FULL)
+    n = len(tok)
+
+    best = [0] * (n + 1)
+    for i in range(1, n + 1):
+        b = best[i - 1] + vocab.get(tok[i - 1], 10)
+        for ln in (2, 3, 4):
+            if i >= ln:
+                w = vocab.get(tok[i - ln : i])
+                if w is not None:
+                    b = max(b, best[i - ln] + w)
+        best[i] = b
+
+    def brute(pos):
+        if pos == n:
+            return 0
+        out = None
+        for ln in (1, 2, 3, 4):
+            if pos + ln <= n:
+                piece = tok[pos : pos + ln]
+                w = vocab.get(piece, 10 if ln == 1 else None)
+                if w is not None:
+                    cand = w + brute(pos + ln)
+                    out = cand if out is None else max(out, cand)
+        return out
+
+    assert best[n] == brute(0)
