@@ -131,6 +131,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "orders_constraint_audit",
     "copurchase_khop_features",
     "doc_unigram_viterbi_tokens",
+    "corpus_curation_pipeline_v6",
     "stream_stream_semi_converted_signups",
     "incremental_rollup_maintenance",
     "segment_priority_independence",

@@ -1841,3 +1841,115 @@ def doc_unigram_viterbi_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("score").cast("bigint").alias("viterbi_score"),
         F.sum(F.length("tok")).cast("bigint").alias("n_chars"),
     )
+
+
+def _capstone_v6_oracle() -> str:
+    """Assemble the v6 oracle from the registered stage oracles — the
+    capstone can never drift from the stages (the v5 convention)."""
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    c = QUERIES["doc_charlm_score"].oracle
+    wp = QUERIES["doc_wordpiece_tokens"].oracle
+    uv = QUERIES["doc_unigram_viterbi_tokens"].oracle
+    return f"""
+WITH c AS ({c}),
+wp AS ({wp}),
+uv AS ({uv}),
+j AS (
+  SELECT d.doc_id, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY c.lm_score_scaled DESC,
+                                     d.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY d.lang) AS n
+  FROM c JOIN documents d USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, lang,
+         CASE ((rn - 1) * 3) // n WHEN 0 THEN 'head' ELSE 'middle' END
+           AS bucket
+  FROM j WHERE ((rn - 1) * 3) // n <= 1
+)
+SELECT k.lang, k.bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(wp.n_pieces) AS BIGINT) AS wordpiece_pieces,
+       CAST(sum(uv.viterbi_score) AS BIGINT) AS viterbi_score_total,
+       CAST(sum(wp.n_chars) AS BIGINT) AS n_chars_total
+FROM kept k
+JOIN wp ON wp.doc_id = k.doc_id
+JOIN uv ON uv.doc_id = k.doc_id
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "corpus_curation_pipeline_v6",
+    oracle=_capstone_v6_oracle(),
+    doc="Late-round-7 curation capstone: CCNet selection feeding the "
+    "tokenizer budget, in ONE Catalyst plan — (1) the char-LM scores "
+    "every doc, (2) the per-lang tertile rule keeps head+middle and "
+    "drops tail (doc_charlm_ccnet_buckets' exact integer split), "
+    "(3) the kept slice is budgeted under BOTH production tokenizers: "
+    "greedy WordPiece piece counts and the unigram Viterbi score — "
+    "the number a training run uses to size its data mix per "
+    "(lang, quality-bucket) cell. Inner joins mean wordless docs drop "
+    "out identically on both engines. The oracle is assembled verbatim "
+    "from the three registered stage oracles (two recursive-CTE "
+    "automata nested as subqueries + the charlm model CTEs) — stage "
+    "drift is structurally impossible. Scale: each stage keeps its own "
+    "documented shape (distinct-word tokenizer loops, alphabet-bounded "
+    "LM model, one lang-keyed rank window over survivors); the capstone "
+    "adds only doc_id equi-joins.",
+)
+def corpus_curation_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(
+        table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        spark,
+    )
+    scores = doc_charlm_score(spark, sf_dir).select("doc_id", "lm_score_scaled")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("lm_score_scaled").desc(), F.col("doc_id").asc()
+    )
+    wn = Window.partitionBy("lang")
+    kept = (
+        scores.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .withColumn("bidx", F.expr("((rn - 1) * 3) DIV n"))
+        .where(F.col("bidx") <= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("bidx") == 0, "head").otherwise("middle").alias(
+                "bucket"
+            ),
+        )
+    )
+    words = wordpiece_words(docs.select("doc_id", "text"))
+    wp = (
+        words.join(wordpiece_piece_counts(words), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("pieces").cast("bigint").alias("n_pieces"),
+            F.sum(F.length("tok")).cast("bigint").alias("n_chars"),
+        )
+    )
+    uv = (
+        words.join(unigram_viterbi_scores(words), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("score").cast("bigint").alias("viterbi_score"))
+    )
+    return (
+        kept.join(wp, "doc_id")
+        .join(uv, "doc_id")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pieces").cast("bigint").alias("wordpiece_pieces"),
+            F.sum("viterbi_score").cast("bigint").alias("viterbi_score_total"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        )
+    )
