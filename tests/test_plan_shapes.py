@@ -604,3 +604,39 @@ def test_per_group_topk_plans_window_group_limit(spark):
     lines = f.raw.splitlines()
     assert any("WindowGroupLimit" in l and "Partial" in l for l in lines), f.raw
     assert any("WindowGroupLimit" in l and "Final" in l for l in lines), f.raw
+
+
+def test_bin_interval_join_shuffle_path(spark):
+    # broadcast_intervals=False is the large-interval-set variant: the
+    # SAME rewrite must plan a shuffle join keyed on bin_id (never a
+    # nested loop), with both sides exchanged on the bin key.
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitter_spark.catalog import table
+    from spark_streaming_twitter_spark.operators.advanced import (
+        bin_interval_join,
+    )
+
+    ev = table(spark, SF, "events").select(
+        "event_id", F.unix_timestamp("ts").alias("e_sec")
+    )
+    ivs = ev.select(
+        F.col("event_id").alias("window_id"),
+        (F.col("e_sec") - 600).alias("start_sec"),
+        (F.col("e_sec") + 600).alias("end_sec"),
+    )
+    j = bin_interval_join(
+        ev, ivs, "e_sec", "start_sec", "end_sec", 3600,
+        broadcast_intervals=False,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        f = plan_features(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastNestedLoopJoin" not in f.join_nodes, f.join_nodes
+    assert (
+        "SortMergeJoin" in f.join_nodes or "ShuffledHashJoin" in f.join_nodes
+    ), f.join_nodes
+    assert "hashpartitioning(bin_id" in f.raw, f.raw
