@@ -1023,3 +1023,41 @@ def test_unigram_viterbi_is_optimal_over_all_segmentations(tok):
         return out
 
     assert best[n] == brute(0)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_khop_wedge_minus_direct_equals_bfs_distance_two(data):
+    """Pure-Python replay of copurchase_khop_features' hop-2 construction:
+    (wedge join, dedup, minus self, minus direct neighbors) over a random
+    undirected graph must equal the BFS exact-distance-2 set for every
+    node — 'distance 2' really means distance 2, not 'reachable in 2'."""
+    n = data.draw(st.integers(2, 12))
+    edges = set()
+    for _ in range(data.draw(st.integers(0, 20))):
+        u = data.draw(st.integers(0, n - 1))
+        v = data.draw(st.integers(0, n - 1))
+        if u != v:
+            edges.add((u, v))
+            edges.add((v, u))
+
+    # engine logic: wedge join + dedup - self - direct
+    two = {
+        (a, c)
+        for (a, b) in edges
+        for (b2, c) in edges
+        if b == b2 and c != a
+    }
+    engine = two - edges
+
+    # reference: BFS distance == 2
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    bfs = set()
+    for s in adj:
+        d1 = adj[s]
+        d2 = {w for v in d1 for w in adj.get(v, ()) if w != s} - d1
+        bfs |= {(s, w) for w in d2}
+
+    assert engine == bfs
