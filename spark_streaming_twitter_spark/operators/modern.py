@@ -428,3 +428,94 @@ def observed_orders_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders long, total_price double, n_finished long, "
         "max_orderdate_epoch long",
     )
+
+
+@query(
+    "udtf_table_arg_user_sessions",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id
+  FROM events WHERE user_id % 20 = 0
+),
+gaps AS (
+  SELECT user_id,
+         ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                ORDER BY ts_s, event_id) AS gap
+  FROM ev
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions,
+       CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_s
+FROM gaps GROUP BY user_id
+""",
+    doc="Python UDTF with a PARTITIONED TABLE ARGUMENT (Spark 4: "
+    "f(TABLE(...) PARTITION BY ... ORDER BY ...)) — the user-extensible "
+    "per-key sequential processor: Spark shuffles and sorts each "
+    "user's rows, the UDTF instance sees them in order (eval per row, "
+    "terminate per partition) and emits gap-based session stats — the "
+    "same execution contract as applyInPandasWithState's batch twin, "
+    "exposed through SQL. Restricted to a 1-in-20 user sample (the "
+    "row-at-a-time Python path is the capability proof, not the hot "
+    "path — SCALE.md rule 1; the production sessionizers are the "
+    "declarative window/session_window queries). The oracle is the "
+    "lag-window closed form of the same gap rule, tie-broken on "
+    "event_id exactly like the UDTF's ORDER BY.",
+)
+def udtf_table_arg_user_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "user_id bigint, n_events bigint, n_sessions bigint, "
+            "max_gap_s bigint"
+        )
+    )
+    class UserSessionStats:
+        def __init__(self) -> None:
+            self.user = None
+            self.n = 0
+            self.sessions = 0
+            self.last = None
+            self.max_gap = 0
+
+        def eval(self, row):
+            self.user = row["user_id"]
+            ts = row["ts_s"]
+            if self.last is None:
+                self.sessions = 1
+            else:
+                gap = ts - self.last
+                if gap > self.max_gap:
+                    self.max_gap = gap
+                if gap > 1800:
+                    self.sessions += 1
+            self.last = ts
+            self.n += 1
+
+        def terminate(self):
+            if self.user is not None:
+                yield self.user, self.n, self.sessions, self.max_gap
+
+    spark.udtf.register("user_session_stats_udtf", UserSessionStats)
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 20 == 0)
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").alias("ts_s"),
+            "event_id",
+        )
+    )
+    ev.createOrReplaceTempView("ev_udtf_sessions")
+    return spark.sql(
+        """
+SELECT * FROM user_session_stats_udtf(
+  TABLE(SELECT user_id, ts_s, event_id FROM ev_udtf_sessions)
+  PARTITION BY user_id ORDER BY (ts_s, event_id)
+)
+"""
+    )

@@ -132,6 +132,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "copurchase_khop_features",
     "doc_unigram_viterbi_tokens",
     "corpus_curation_pipeline_v6",
+    "udtf_table_arg_user_sessions",
     "stream_stream_semi_converted_signups",
     "incremental_rollup_maintenance",
     "segment_priority_independence",
