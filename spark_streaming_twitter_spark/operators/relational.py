@@ -1091,3 +1091,57 @@ def sql_session_variables_revenue(
         """,
         args={"tbl": "orders"},
     )
+
+
+@query(
+    "sql_lateral_top_orders",
+    oracle=f"""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice_cents, t.rk
+FROM customer c,
+     LATERAL (
+       SELECT o_orderkey,
+              CAST(round(o_totalprice * 100) AS BIGINT)
+                AS o_totalprice_cents,
+              row_number() OVER (ORDER BY o_totalprice DESC,
+                                 o_orderkey ASC) AS rk
+       FROM orders
+       WHERE o_custkey = c.c_custkey
+       ORDER BY o_totalprice DESC, o_orderkey ASC
+       LIMIT 2
+     ) t
+WHERE c.c_custkey % 50 = 0
+""",
+    doc="Correlated LATERAL derived-table join (SQL:1999 lateral; Spark "
+    "3.2+): each customer row drives a dependent subquery returning its "
+    "top-2 orders — the 'top-N per outer row' idiom BI tools emit. "
+    "Catalyst DECORRELATES it into the rank-window + filter plan (the "
+    "same WindowGroupLimit shape as top3_orders_per_priority) rather "
+    "than executing per-row subqueries — which is the entire 100 TB "
+    "story: a naive nested-loop evaluation is O(customers x orders), "
+    "the decorrelated plan is one shuffle on the correlation key. "
+    "DuckDB executes the LATERAL natively as the oracle. The rk column "
+    "is emitted so the per-group ordering itself is hash-checked; "
+    "cents-integer prices keep the compare exact.",
+)
+def sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice_cents, t.rk
+FROM customer c,
+     LATERAL (
+       SELECT o_orderkey,
+              CAST(round(o_totalprice * 100) AS BIGINT)
+                AS o_totalprice_cents,
+              row_number() OVER (ORDER BY o_totalprice DESC,
+                                 o_orderkey ASC) AS rk
+       FROM orders
+       WHERE o_custkey = c.c_custkey
+       ORDER BY o_totalprice DESC, o_orderkey ASC
+       LIMIT 2
+     ) t
+WHERE c.c_custkey % 50 = 0
+"""
+    )

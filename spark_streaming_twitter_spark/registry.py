@@ -133,6 +133,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "doc_unigram_viterbi_tokens",
     "corpus_curation_pipeline_v6",
     "udtf_table_arg_user_sessions",
+    "sql_lateral_top_orders",
     "stream_stream_semi_converted_signups",
     "incremental_rollup_maintenance",
     "segment_priority_independence",
