@@ -134,6 +134,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "corpus_curation_pipeline_v6",
     "udtf_table_arg_user_sessions",
     "sql_lateral_top_orders",
+    "stream_hourly_value_p95",
     "stream_stream_semi_converted_signups",
     "incremental_rollup_maintenance",
     "segment_priority_independence",

@@ -2902,3 +2902,74 @@ def stream_rules_reload_enrichment(spark: SparkSession, sf_dir: str) -> DataFram
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "stream_hourly_value_p95",
+    oracle="""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_ts,
+       count(value) AS n_values,
+       CAST(1 AS INT) AS p95_bracketed
+FROM events GROUP BY 1
+""",
+    doc="Percentile sketches INSIDE streaming state — the latency-SLO "
+    "monitor shape: hourly approx_percentile(value, 0.95) over the "
+    "event stream, per-window quantile-sketch partials merging across "
+    "micro-batches in the state store (fixed-size per window; exact "
+    "windowed percentiles would buffer every value in state). Bounded-"
+    "check oracle, same contract as approx_value_percentiles: the "
+    "streamed estimate must land between the EXACT batch percentiles at "
+    "0.95 +/- 0.02 (a 200x margin on the sketch's rank-error bound; "
+    "windows under the min-N rule pass vacuously because the bracket is "
+    "narrower than a rank gap there), and per-hour counts value-compare "
+    "against DuckDB exactly.",
+)
+def stream_hourly_value_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.catalog import table
+    from spark_streaming_twitter_spark.operators.advanced import (
+        _PCT_ACCURACY,
+        _PCT_EPS,
+        _PCT_MIN_N,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.approx_percentile("value", 0.95, _PCT_ACCURACY).alias(
+                "approx_p95"
+            )
+        )
+    )
+    mat = run_to_memory(agg, output_mode="complete").select(
+        F.unix_timestamp("w.start").alias("bucket_ts"), "approx_p95"
+    )
+    exact = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias(
+                "bucket_ts"
+            )
+        )
+        .agg(
+            F.count("value").alias("n_values"),
+            F.expr(
+                f"percentile(value, array({0.95 - _PCT_EPS}, "
+                f"{0.95 + _PCT_EPS}))"
+            ).alias("brackets"),
+        )
+    )
+    return mat.join(exact, "bucket_ts").select(
+        "bucket_ts",
+        "n_values",
+        (
+            (F.col("n_values") < _PCT_MIN_N)
+            | (
+                (F.col("brackets")[0] <= F.col("approx_p95"))
+                & (F.col("approx_p95") <= F.col("brackets")[1])
+            )
+        )
+        .cast("int")
+        .alias("p95_bracketed"),
+    )
