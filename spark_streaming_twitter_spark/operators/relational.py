@@ -1114,11 +1114,13 @@ WHERE c.c_custkey % 50 = 0
     doc="Correlated LATERAL derived-table join (SQL:1999 lateral; Spark "
     "3.2+): each customer row drives a dependent subquery returning its "
     "top-2 orders — the 'top-N per outer row' idiom BI tools emit. "
-    "Catalyst DECORRELATES it into the rank-window + filter plan (the "
-    "same WindowGroupLimit shape as top3_orders_per_priority) rather "
-    "than executing per-row subqueries — which is the entire 100 TB "
-    "story: a naive nested-loop evaluation is O(customers x orders), "
-    "the decorrelated plan is one shuffle on the correlation key. "
+    "Catalyst DECORRELATES it into one per-key rank window + rank "
+    "filter + equi join on the correlation key rather than executing "
+    "per-row subqueries — which is the entire 100 TB story: a naive "
+    "nested-loop evaluation is O(customers x orders), the decorrelated "
+    "plan is one shuffle on the correlation key (the rank-predicate "
+    "form, deliberately: the ORDER BY+LIMIT lateral form decorrelates "
+    "with a leftover GLOBAL range sort — pinned against regression). "
     "DuckDB executes the LATERAL natively as the oracle. The rk column "
     "is emitted so the per-group ordering itself is hash-checked; "
     "cents-integer prices keep the compare exact.",
@@ -1127,6 +1129,10 @@ def sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_streaming_twitter_spark.catalog import register_views
 
     register_views(spark, sf_dir)
+    # rank-predicate form, NOT "ORDER BY ... LIMIT 2" inside the lateral:
+    # the limit form decorrelates with a leftover GLOBAL range sort and no
+    # WindowGroupLimit; filtering on the windowed rank decorrelates to the
+    # map-side-pruned rank plan (pinned in test_plan_shapes).
     return spark.sql(
         """
 SELECT c.c_custkey, t.o_orderkey, t.o_totalprice_cents, t.rk
@@ -1139,9 +1145,7 @@ FROM customer c,
                                  o_orderkey ASC) AS rk
        FROM orders
        WHERE o_custkey = c.c_custkey
-       ORDER BY o_totalprice DESC, o_orderkey ASC
-       LIMIT 2
      ) t
-WHERE c.c_custkey % 50 = 0
+WHERE c.c_custkey % 50 = 0 AND t.rk <= 2
 """
     )

@@ -640,3 +640,21 @@ def test_bin_interval_join_shuffle_path(spark):
         "SortMergeJoin" in f.join_nodes or "ShuffledHashJoin" in f.join_nodes
     ), f.join_nodes
     assert "hashpartitioning(bin_id" in f.raw, f.raw
+
+
+def test_lateral_topn_is_decorrelated(spark):
+    # The correlated LATERAL top-2-per-customer must decorrelate to ONE
+    # per-key rank window + rank filter + equi join on the correlation
+    # key — never a per-outer-row subquery loop, a cartesian, or (the
+    # ORDER BY+LIMIT lateral form's failure mode) a GLOBAL range sort.
+    f = _features(spark, "sql_lateral_top_orders")
+    assert "CartesianProduct" not in f.raw
+    assert "BroadcastNestedLoopJoin" not in f.join_nodes, f.join_nodes
+    assert "rangepartitioning" not in f.raw, "global sort leaked in:\n" + f.raw
+    lines = f.raw.splitlines()
+    assert any("Filter" in l and "rk" in l and "<= 2" in l for l in lines), f.raw
+    assert sum("Exchange hashpartitioning(o_custkey" in l for l in lines) == 1, (
+        f.raw
+    )
+    # the correlation-key sample predicate reaches BOTH scans
+    assert sum("% 50) = 0" in l and "FileScan" not in l for l in lines) >= 2, f.raw
