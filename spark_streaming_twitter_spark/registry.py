@@ -50,16 +50,74 @@ def query(
 
 
 # The driver's correctness gate walks the registry in order and records ~50
-# rows per round, so ordering IS coverage policy. Round-7 rotation
-# rebalance: VERDICT r6 asks #2/#4/#5/#6 each require a *driver* row
-# ("Done = green CORRECTNESS row"), so their 8 deliverable queries plus
-# the two judge-named round-6 stragglers (hybrid_search_rrf,
-# dedup_containment_pairs) are promoted into the 50-slot window; 40 of
-# the 62 never-driver-tested round-6 queries fill the rest (task #1),
-# and the 10 displaced round-6 entries queue immediately after, still
-# ahead of the remaining round-7 additions and the driver-proven buffer.
+# rows per round, so ordering IS coverage policy.
+# Round-8 rotation (VERDICT r7 ask #1): the 57 never-driver-tested
+# queries — the 45 round-7 additions plus the 12 round-6 leftovers — fill
+# the front of the queue so the driver's 50-slot gate spends every slot
+# on a never-proven row, leaving <=7 untested. New round-8 queries insert
+# at ROUND8_NEW_MARKER (behind the debt, ahead of the proven buffer) so
+# the round-9 rotation picks them up next.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # (a) round-6 never-driver-tested debt, judge-named entries kept
+    # (a) never-driver-tested debt: 45 round-7 additions + 12 round-6 leftovers
+    "event_values_winsorized",
+    "event_interarrival_p99",
+    "user_event_type_map_profile",
+    "events_interval_burst_stats",
+    "session_association_rules",
+    "ops_training_pipeline",
+    "incremental_rollup_maintenance",
+    "segment_priority_independence",
+    "events_seasonality_profile",
+    "orders_constraint_audit",
+    "contrastive_negative_samples",
+    "doc_char_diversity",
+    "doc_winnowing_fingerprints",
+    "dedup_winnowing_pairs",
+    "quality_spearman_calibration",
+    "doc_charlm_ccnet_buckets",
+    "doc_unigram_viterbi_tokens",
+    "corpus_curation_pipeline_v6",
+    "dedup_lsh_candidate_recall",
+    "dedup_quality_keeper_drop_list",
+    "corpus_curation_pipeline_v4",
+    "dedup_chunk_keep_first",
+    "dedup_tfidf_cosine_pairs",
+    "doc_duplicate_chunk_fraction",
+    "doc_bpe_encoded_stats",
+    "doc_importance_weights",
+    "corpus_curation_pipeline_v5",
+    "dedup_cluster_size_histogram",
+    "copurchase_node_clustering",
+    "copurchase_khop_features",
+    "udtf_table_arg_user_sessions",
+    "nested_struct_pruning_stats",
+    "orders_snapshot_diff",
+    "sql_correlated_excess_suppliers",
+    "sql_group_by_all_status_priority",
+    "sql_parameterized_segment_revenue",
+    "sql_session_variables_revenue",
+    "sql_lateral_top_orders",
+    "applyinarrow_type_quantiles",
+    "python_datasource_writer_roundtrip",
+    "similarity_diversified_topk",
+    "similarity_matryoshka_topk",
+    "similarity_matryoshka_recall",
+    "similarity_matryoshka_rerank_topk",
+    "similarity_matryoshka_pool_recall",
+    "similarity_ivfpq_topk",
+    "similarity_pq_recall",
+    "embedding_sq8_codes",
+    "similarity_sq8_topk",
+    "similarity_sq8_recall",
+    "stream_type_drift_hourly",
+    "stream_stream_semi_converted_signups",
+    "stream_progress_metrics",
+    "stream_events_per_minute_rocksdb_changelog",
+    "stream_session_windows_dynamic_gap",
+    "stream_rules_reload_enrichment",
+    "stream_hourly_value_p95",
+    # ROUND8_NEW_MARKER — new round-8 queries insert here
+    # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",
     "doc_wordpiece_tokens",
@@ -100,7 +158,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "lineitem_feature_correlations",
     "similarity_pq_adc_topk",
     "media_mp4_sample_sizes",
-    # (b) VERDICT r6 ask #2/#4/#5/#6 deliverables + judge-named stragglers
     "hybrid_search_rrf",
     "dedup_containment_pairs",
     "dedup_ngram_jaccard_pairs_capped",
@@ -111,67 +168,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_watermark_policy_join_trace",
     "stream_user_sliding_state_heap",
     "stream_user_sliding_state_rocksdb",
-    # (c) displaced round-6 debt — first in line for round 8
-    "event_values_winsorized",
-    "stream_type_drift_hourly",
-    "session_association_rules",
-    "orders_snapshot_diff",
-    "similarity_ivfpq_topk",
-    "sql_correlated_excess_suppliers",
-    "doc_bpe_encoded_stats",
-    "ops_training_pipeline",
-    "similarity_diversified_topk",
-    "similarity_pq_recall",
-    # (d) remaining round-6 overflow, then round-7 additions
-    # ROUND7_NEW_MARKER — new round-7 queries insert before the buffer
-    "events_interval_burst_stats",
-    "doc_charlm_ccnet_buckets",
-    "stream_rules_reload_enrichment",
-    "sql_session_variables_revenue",
-    "orders_constraint_audit",
-    "copurchase_khop_features",
-    "doc_unigram_viterbi_tokens",
-    "corpus_curation_pipeline_v6",
-    "udtf_table_arg_user_sessions",
-    "sql_lateral_top_orders",
-    "stream_hourly_value_p95",
-    "stream_stream_semi_converted_signups",
-    "incremental_rollup_maintenance",
-    "segment_priority_independence",
-    "sql_group_by_all_status_priority",
-    "sql_parameterized_segment_revenue",
-    "stream_progress_metrics",
-    "copurchase_node_clustering",
-    "event_interarrival_p99",
-    "contrastive_negative_samples",
-    "events_seasonality_profile",
-    "embedding_sq8_codes",
-    "similarity_sq8_topk",
-    "similarity_sq8_recall",
-    "dedup_lsh_candidate_recall",
-    "dedup_quality_keeper_drop_list",
-    "python_datasource_writer_roundtrip",
-    "applyinarrow_type_quantiles",
-    "stream_events_per_minute_rocksdb_changelog",
-    "stream_session_windows_dynamic_gap",
-    "corpus_curation_pipeline_v4",
-    "user_event_type_map_profile",
-    "nested_struct_pruning_stats",
-    "doc_char_diversity",
-    "dedup_chunk_keep_first",
-    "doc_importance_weights",
-    "dedup_tfidf_cosine_pairs",
-    "doc_duplicate_chunk_fraction",
-    "doc_winnowing_fingerprints",
-    "dedup_winnowing_pairs",
-    "corpus_curation_pipeline_v5",
-    "dedup_cluster_size_histogram",
-    "similarity_matryoshka_topk",
-    "similarity_matryoshka_recall",
-    "similarity_matryoshka_rerank_topk",
-    "similarity_matryoshka_pool_recall",
-    "quality_spearman_calibration",
-    # (e) driver-proven rows, oldest evidence first (buffer)
     "stream_update_emission_trace",
     "similarity_ann_multiprobe_topk",
     "similarity_ann_recall_probed",
@@ -270,6 +266,52 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "vocab_oov_rate",
     "stratified_split_exact",
     "source_temperature_weights",
+    "asof_signup_before_purchase",
+    "exact_value_quantiles",
+    "salted_user_event_counts",
+    "doc_array_functions",
+    "grouping_sets_revenue",
+    "unpivot_order_totals",
+    "customer_order_window_frames",
+    "lineitem_math_functions",
+    "null_semantics_orders",
+    "customer_rfm_scores",
+    "user_dynamic_sessions",
+    "events_time_rollup",
+    "deterministic_sample_docs",
+    "stratified_sample_docs",
+    "dedup_substring_spans",
+    "source_mixture_plan",
+    "ps_orders_priority_stats",
+    "signup_purchase_conversion",
+    "approx_distinct_parts",
+    "customer_order_gaps",
+    "event_props_stats",
+    "trending_terms_by_source",
+    "trending_event_type_hourly",
+    "events_per_minute",
+    "events_sliding_10m_5m",
+    "running_event_total",
+    "media_decoded_dimensions",
+    "media_resize_thumbnails",
+    "file_format_roundtrip_stats",
+    "schema_evolution_merged_stats",
+    "jsonl_corrupt_record_audit",
+    "similarity_ann_recall",
+    "stream_events_per_minute",
+    "stream_events_per_minute_append",
+    "stream_running_total",
+    "stream_trending_event_type",
+    "stream_session_windows",
+    "stream_dedup_user_event_types",
+    "stream_dedup_within_watermark",
+    "stream_user_event_counts_stateful",
+    "stream_hourly_approx_users",
+    "stream_sliding_counts",
+    "stream_stream_join_conversions",
+    "stream_stream_left_join_conversions",
+    "stream_static_segment_counts",
+    "stream_minutely_rate_pt",
 )
 
 

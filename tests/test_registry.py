@@ -14,6 +14,26 @@ def test_coverage_doc_cites_every_query():
     assert not missing, f"uncited in COVERAGE.md: {missing}"
 
 
+def test_coverage_doc_headline_count_matches_registry():
+    """The prose query count in COVERAGE.md drifted twice (r6: 206, r7: 226);
+    pin it to the registry via an explicit QUERY_COUNT marker so adding a
+    query without bumping the header fails loudly (VERDICT r7 ask #2)."""
+    import pathlib
+    import re
+
+    from spark_streaming_twitter_spark.registry import load_all
+
+    cov = (
+        pathlib.Path(__file__).resolve().parents[1] / "COVERAGE.md"
+    ).read_text()
+    m = re.search(r"<!--QUERY_COUNT-->(\d+)<!--/QUERY_COUNT-->", cov)
+    assert m, "COVERAGE.md is missing the QUERY_COUNT marker"
+    assert int(m.group(1)) == len(load_all()), (
+        f"COVERAGE.md says {m.group(1)} queries but the registry has "
+        f"{len(load_all())} — update the header marker"
+    )
+
+
 def test_bpe_sentinel_replace_is_greedy_leftmost_merge():
     """The wrap-each-symbol sentinel encoding's core claim (text/corpus.py):
     plain string replace of '_a__b_' with '_ab_' implements EXACTLY the
