@@ -1769,30 +1769,23 @@ def dedup_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUALITY_CHAIN_SQL = r"""
-qtoks AS (
-  SELECT doc_id, n_chars, text,
-         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
-  FROM documents
-),
-qscored AS (
-  SELECT doc_id,
-         CAST(len(toks) AS INT) AS n_tokens,
-         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
-           / GREATEST(n_chars, 1) AS punct_ratio,
-         CAST(len(list_filter(toks,
-                  t -> list_contains(['the','a','of','and','to','is','in'], t)))
-              AS DOUBLE) / GREATEST(len(toks), 1) AS stopword_ratio
-  FROM qtoks
-),
-qual AS (
-  SELECT doc_id,
-         0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-           + 0.3 * (1.0 - punct_ratio)
-           + 0.3 * LEAST(stopword_ratio * 5.0, 1.0) AS quality
-  FROM qscored
-)
-"""
+def _quality_chain_sql() -> str:
+    """``qual(doc_id, quality)`` CTE assembled from the REGISTERED
+    doc_quality_scores oracle — compose, don't copy (ADVICE r7): the
+    Spark side of both consumers calls doc_quality_scores() directly, so
+    the oracle must track the registered scorer's formula automatically,
+    matching the _capstone_v5_oracle/_capstone_v6_oracle convention."""
+    import spark_streaming_twitter_spark.text.analysis  # noqa: F401
+
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    q = QUERIES["doc_quality_scores"].oracle
+    return (
+        f"qual AS (\n  SELECT doc_id, quality, n_tokens FROM (\n{q}\n  )\n)"
+    )
+
+
+_QUALITY_CHAIN_SQL = _quality_chain_sql()
 
 
 @query(
@@ -1907,12 +1900,11 @@ surv AS (
 ),
 kept AS (
   SELECT * FROM (
-    SELECT s.doc_id, s.source, q.quality, qs.n_tokens,
+    SELECT s.doc_id, s.source, q.quality, q.n_tokens,
            row_number() OVER (PARTITION BY s.source
                               ORDER BY q.quality DESC, s.doc_id ASC) AS rn
     FROM surv s
     JOIN qual q ON q.doc_id = s.doc_id
-    JOIN qscored qs ON qs.doc_id = s.doc_id
   ) WHERE rn <= 50
 )
 SELECT source,

@@ -819,7 +819,14 @@ def bin_interval_join(
     Pick bin_width ~ the median interval length to keep interval fan-out
     <= 2. Set broadcast_intervals=False for a large interval set: the
     same plan shuffles both sides on bin_id instead.
+
+    Precondition: end > start. An empty/inverted interval would make
+    F.sequence generate a DESCENDING bin list — exploding the interval
+    onto bins it does not cover and breaking the one-bin-per-pair
+    invariant — so such rows are filtered out up front (they can match
+    no point under [start, end) anyway).
     """
+    intervals = intervals.where(F.col(end_col) > F.col(start_col))
     bins = intervals.withColumn(
         "bin_id",
         F.explode(

@@ -2447,7 +2447,7 @@ def stream_watermark_policy_join_trace(
     try:
         prev = spark.conf.get(key)
     except Exception:  # noqa: BLE001 — unset in a vanilla session
-        prev = "min"
+        prev = None
     outs = []
     try:
         for policy in ("min", "max"):
@@ -2486,7 +2486,12 @@ def stream_watermark_policy_join_trace(
                 )
             )
     finally:
-        spark.conf.set(key, prev)
+        # restore the UNSET state too — leaving an explicit conf behind
+        # changes later queries' default-policy behavior in this session
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     return outs[0].unionByName(outs[1])
 
 
@@ -2564,20 +2569,27 @@ def _user_sliding_state(
         # sink is O(1) driver memory at any state size, and repeated
         # bench runs leave no on-heap tables behind (the round-7
         # memory-sink hygiene finding, now moot on this pair).
-        out_dir = os.path.join(
-            tempfile.mkdtemp(prefix="sliding_state_"), "final"
-        )
+        import shutil
+
+        tmp_root = tempfile.mkdtemp(prefix="sliding_state_")
+        out_dir = os.path.join(tmp_root, "final")
 
         def _write(batch_df: DataFrame, epoch_id: int) -> None:
             batch_df.write.mode("overwrite").parquet(out_dir)
 
-        run_foreach_batch(agg, _write, output_mode="complete")
-        final = spark.read.parquet(out_dir)
-        summary = final.agg(
-            F.count(F.lit(1)).alias("n_state_rows"),
-            F.sum("n").alias("total_assignments"),
-            F.max("n").alias("max_n"),
-        ).collect()
+        try:
+            run_foreach_batch(agg, _write, output_mode="complete")
+            final = spark.read.parquet(out_dir)
+            summary = final.agg(
+                F.count(F.lit(1)).alias("n_state_rows"),
+                F.sum("n").alias("total_assignments"),
+                F.max("n").alias("max_n"),
+            ).collect()
+        finally:
+            # ~state-table-sized parquet per run; repeated bench runs were
+            # accumulating these in /tmp (VERDICT r7 "what's wrong" #3).
+            # Safe to remove eagerly: `summary` is already collected.
+            shutil.rmtree(tmp_root, ignore_errors=True)
     finally:
         if rocksdb:
             if prev is None:

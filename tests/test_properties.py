@@ -940,7 +940,11 @@ def test_interval_binning_matches_brute_force(data):
     ivs = []
     for i in range(data.draw(st.integers(0, 20))):
         s = data.draw(st.integers(0, 500))
-        ln = data.draw(st.integers(1, 120))
+        # length <= 0 draws empty/inverted intervals: bin_interval_join
+        # filters them (end > start guard) — they can match no point and
+        # an unguarded descending F.sequence would explode them onto
+        # bins they don't cover (ADVICE r7)
+        ln = data.draw(st.integers(-30, 120))
         ivs.append((i, s, s + ln))
 
     brute = {
@@ -952,6 +956,8 @@ def test_interval_binning_matches_brute_force(data):
 
     buckets = defaultdict(list)
     for wi, s, e in ivs:
+        if e <= s:  # the operator's precondition filter
+            continue
         for b in range(s // bin_w, (e - 1) // bin_w + 1):
             buckets[b].append((wi, s, e))
     matches = [
