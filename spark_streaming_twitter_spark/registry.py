@@ -117,6 +117,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_rules_reload_enrichment",
     "stream_hourly_value_p95",
     # ROUND8_NEW_MARKER — new round-8 queries insert here
+    "media_phash_codes",
+    "media_phash_dup_pairs",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",
@@ -336,6 +338,7 @@ def load_all() -> dict[str, QuerySpec]:
     import spark_streaming_twitter_spark.functions.pandas_udfs  # noqa: F401
     import spark_streaming_twitter_spark.functions.sampling  # noqa: F401
     import spark_streaming_twitter_spark.multimodal.columns  # noqa: F401
+    import spark_streaming_twitter_spark.multimodal.phash  # noqa: F401
     import spark_streaming_twitter_spark.sources.pysource  # noqa: F401
     import spark_streaming_twitter_spark.sources.tweets  # noqa: F401
     import spark_streaming_twitter_spark.similarity.kmeans  # noqa: F401

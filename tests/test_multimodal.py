@@ -93,3 +93,79 @@ def test_png_codec_roundtrip_all_filters_and_corruption():
     corrupt = bytearray(intact)
     corrupt[40] ^= 1
     assert mm.decode_png(bytes(corrupt)) is None
+
+
+def test_phash_codes_match_independent_python_replay(spark):
+    """dHash/aHash from the DECODED payload must equal an independent
+    pure-Python computation from the generator formula — pinning both the
+    fixture encode and the numpy decode/hash path, bit for bit."""
+    from spark_streaming_twitter_spark.multimodal import phash as ph
+
+    got = {
+        r.media_id: (r.dhash, r.ahash)
+        for r in ph.perceptual_hashes(
+            ph.phash_media_table(spark, SF)
+        ).collect()
+    }
+    assert len(got) == len([d for d in range(500) if d % 3 == 0])
+    for did in (0, 3, 21, 24, 141, 498):
+        g, v = did // 24, (did % 24) // 3
+        w, h = g % 16 + 8, g % 12 + 8
+        step, off = (2 * g + 71) % 256, g * 131 + v
+
+        def p(i):
+            return (off + i * step) % 256
+
+        ys = [(gy * h) // 8 for gy in range(8)]
+        xs = [(gx * w) // 8 for gx in range(8)]
+        cells = [
+            [sum(p((y * w + x) * 3 + c) for c in range(3)) for x in xs]
+            for y in ys
+        ]
+        dh = sum(
+            1 << (y * 7 + x)
+            for y in range(8)
+            for x in range(7)
+            if cells[y][x] > cells[y][x + 1]
+        )
+        total = sum(sum(r) for r in cells)
+        ah = sum(
+            1 << (y * 8 + x)
+            for y in range(8)
+            for x in range(8)
+            if y * 8 + x < 56 and cells[y][x] * 64 > total
+        )
+        assert got[did] == (dh, ah), did
+
+
+def test_phash_dup_pairs_recover_planted_groups(spark):
+    """The banded pair query must surface within-group brightness variants
+    (the planted near-dups) and every emitted pair must satisfy the verify
+    threshold; pigeonhole says NO pair within Hamming radius 3 can be
+    missed by the 4-chunk banding."""
+    from spark_streaming_twitter_spark.multimodal import phash as ph
+
+    codes = {
+        r.media_id: r.dhash
+        for r in ph.media_phash_codes(spark, SF).collect()
+    }
+    pairs = {
+        (r.media_a, r.media_b): r.hamming_dhash
+        for r in ph.media_phash_dup_pairs(spark, SF).collect()
+    }
+    assert pairs, "no near-dup pairs found on the planted fixture"
+    within = [p for p in pairs if p[0] // 24 == p[1] // 24]
+    assert len(within) >= len(pairs) * 2 // 3, (
+        "planted groups should dominate the matches"
+    )
+    for (a, b), hd in pairs.items():
+        assert a < b
+        assert hd == bin(codes[a] ^ codes[b]).count("1")
+        assert hd <= ph.PHASH_RADIUS
+    # pigeonhole recall guarantee at radius <= 3
+    import itertools
+
+    for a, b in itertools.combinations(sorted(codes), 2):
+        hd = bin(codes[a] ^ codes[b]).count("1")
+        if hd <= 3:
+            assert (a, b) in pairs, (a, b, hd)
