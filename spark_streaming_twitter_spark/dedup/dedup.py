@@ -521,10 +521,12 @@ SPAN_MIN_TOKENS = 8
 SPAN_MAX_SHINGLE_OCC = 64  # drop shingles occurring more often corpus-wide
 
 
-@query(
-    "dedup_substring_spans",
-    oracle=rf"""
-WITH toks AS (
+# Shared CTE chain for the exact-substring family: positional shingles ->
+# df-capped self-join -> diagonal islands. Reused VERBATIM by the span
+# DETECTION oracle (dedup_substring_spans) and the span REMOVAL oracle
+# (dedup_span_removal) so the two can never desynchronize.
+_SPAN_RUNS_SQL = rf"""
+toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
            AS toks
@@ -548,15 +550,22 @@ rare AS (
 ),
 m AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.pos AS pa, a.pos - b.pos AS diag
+         a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
   FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
 ),
 runs AS (
-  SELECT doc_a, doc_b, diag,
+  SELECT doc_a, doc_b, diag, pa, pb,
          pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
                                  ORDER BY pa) AS island
   FROM m
-),
+)
+"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=rf"""
+WITH {_SPAN_RUNS_SQL.lstrip()},
 spans AS (
   SELECT doc_a, doc_b,
          CAST(count(*) + {SHINGLE_N - 1} AS BIGINT) AS span_tokens
@@ -625,6 +634,207 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("span_tokens").alias("max_span_tokens"),
             F.count(F.lit(1)).alias("n_spans"),
         )
+    )
+
+
+@query(
+    "dedup_span_removal",
+    oracle=rf"""
+WITH {_SPAN_RUNS_SQL.lstrip()},
+sp AS (
+  SELECT doc_b AS doc_id, min(pb) AS s,
+         min(pb) + count(*) + {SHINGLE_N - 1} - 1 AS e
+  FROM runs GROUP BY doc_a, doc_b, diag, island
+  HAVING count(*) + {SHINGLE_N - 1} >= {SPAN_MIN_TOKENS}
+),
+rem AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM sp
+  )
+),
+tkpos AS (
+  SELECT doc_id, pos, toks[pos] AS tok
+  FROM (
+    SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos
+    FROM toks
+  )
+),
+surv AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tkpos t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rem r WHERE r.doc_id = t.doc_id AND r.pos = t.pos
+  )
+),
+kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
+  FROM surv GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       CAST(len(d.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(k.kept_md5, md5('')) AS kept_md5
+FROM toks d LEFT JOIN kept k ON k.doc_id = d.doc_id
+""",
+    doc="Exact-substring span REMOVAL with document reassembly (VERDICT r7 "
+    "ask #4) — the second half of Lee et al. 2022, which dedup_"
+    "substring_spans only detects: every >= 8-token verbatim span keeps "
+    "its FIRST corpus-wide occurrence (the minimum-doc_id copy — every "
+    "later copy pairs with some earlier doc via the shared rare "
+    "shingles, so the keeper rule is global, not per-pair) and later "
+    "occurrences are EXCISED token-by-token; the surviving tokens "
+    "reassemble in position order and the post-removal text is digested "
+    "(the dedup_chunk_keep_first kept_md5 contract — the oracle rebuilds "
+    "the excised document and must match the digest bit-for-bit). "
+    "Scope: cross-document occurrences (the a<b pair orientation); "
+    "within-document self-repeats are doc_repetition_scores' domain. "
+    "Scale shape: reuses the detection machinery's two shuffles "
+    "unchanged, then removal cost is OUTPUT-bound — the position "
+    "explode is proportional to duplicated tokens, the anti-join keys "
+    "on (doc_id, pos), and reassembly is one groupBy(doc_id). No new "
+    "quadratic term beyond the df-capped join the detector already "
+    "bounds.",
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    with_toks = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    psh = (
+        with_toks.where(F.size("toks") >= SHINGLE_N)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - SHINGLE_N),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("toks"), i + 1, SHINGLE_N)
+                    ),
+                )
+            ).alias("pos0", "sh"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "sh")
+    )
+    rare = psh.withColumn(
+        "occ", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    ).where(F.col("occ") <= SPAN_MAX_SHINGLE_OCC)
+    a, b = rare.alias("a"), rare.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w_run = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = m.withColumn("island", F.col("pa") - F.row_number().over(w_run))
+    sp = (
+        runs.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.min("pb").alias("s"), F.count(F.lit(1)).alias("n_sh"))
+        .where(F.col("n_sh") + (SHINGLE_N - 1) >= SPAN_MIN_TOKENS)
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            "s",
+            (F.col("s") + F.col("n_sh") + (SHINGLE_N - 2)).alias("e"),
+        )
+    )
+    rem = sp.select(
+        "doc_id", F.explode(F.sequence("s", "e")).alias("pos")
+    ).distinct()
+    tkpos = with_toks.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    surv = tkpos.join(rem, ["doc_id", "pos"], "left_anti")
+    kept = surv.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    totals = with_toks.select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+    )
+
+
+def _capstone_v7_oracle() -> str:
+    """Assemble the v7 oracle from the registered span-removal oracle —
+    compose, don't copy (the _capstone_v5_oracle convention)."""
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    rem = QUERIES["dedup_span_removal"].oracle
+    return f"""
+WITH removal AS ({rem}),
+gated AS (
+  SELECT r.doc_id, r.n_tokens, r.n_removed, r.kept_md5, d.source
+  FROM removal r JOIN documents d ON d.doc_id = r.doc_id
+  WHERE r.n_removed * 2 < GREATEST(r.n_tokens, 1)
+)
+SELECT source,
+       count(*) AS n_docs_kept,
+       CAST(sum(n_tokens - n_removed) AS BIGINT) AS surviving_tokens,
+       md5(string_agg(kept_md5, ',' ORDER BY doc_id)) AS corpus_digest
+FROM gated GROUP BY source
+"""
+
+
+@query(
+    "corpus_curation_pipeline_v7",
+    oracle=_capstone_v7_oracle(),
+    doc="Round-8 curation capstone: span REMOVAL wired as a pipeline "
+    "stage — (1) excise every non-first occurrence of >= 8-token "
+    "verbatim spans and reassemble documents (dedup_span_removal, "
+    "oracle embedded verbatim), (2) MOSTLY-DUPLICATE gate: drop docs "
+    "that lost half or more of their tokens (exact integer test "
+    "2*n_removed < max(n_tokens,1) — the Lee-et-al. observation that a "
+    "doc which is mostly copied text should go entirely), (3) "
+    "per-source ledger: surviving doc count, surviving token volume, "
+    "and an order-pinned digest over every excised document's "
+    "kept_md5 — one wrong byte in any reassembled doc fails the "
+    "source-level hash. Adds one broadcast-size doc_id->source join "
+    "and one groupBy(source) on top of the removal plan.",
+)
+def corpus_curation_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    rem = dedup_span_removal(spark, sf_dir)
+    gated = rem.join(docs, "doc_id").where(
+        F.col("n_removed") * 2 < F.greatest(F.col("n_tokens"), F.lit(1))
+    )
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum(F.col("n_tokens") - F.col("n_removed"))
+        .cast("bigint")
+        .alias("surviving_tokens"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "kept_md5"))
+                    ),
+                    lambda s: s["kept_md5"],
+                ),
+            )
+        ).alias("corpus_digest"),
     )
 
 

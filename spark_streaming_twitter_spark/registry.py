@@ -119,6 +119,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # ROUND8_NEW_MARKER — new round-8 queries insert here
     "media_phash_codes",
     "media_phash_dup_pairs",
+    "dedup_span_removal",
+    "corpus_curation_pipeline_v7",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

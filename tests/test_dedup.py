@@ -347,3 +347,76 @@ def test_chunk_keep_first_removes_planted_boilerplate(spark):
 
     want = hashlib.md5(b"one two three four five six seven eight").hexdigest()
     assert out[2].kept_md5 == want
+
+
+def test_span_removal_matches_pure_python_replay(spark):
+    """Full pure-Python reimplementation of the Lee-et-al. removal rule —
+    positional shingles, df<=64 cap, diagonal runs, keep-first excision,
+    reassembly — compared digest-for-digest against the Spark plan on the
+    real fixture. Pins the keeper orientation (doc_b side excised), the
+    interval arithmetic (span = run + SHINGLE_N - 1 tokens), and the
+    overlap-union semantics in one shot."""
+    import hashlib
+    from collections import defaultdict
+
+    from spark_streaming_twitter_spark.dedup.dedup import (
+        SHINGLE_N,
+        SPAN_MAX_SHINGLE_OCC,
+        SPAN_MIN_TOKENS,
+        dedup_span_removal,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.kept_md5)
+        for r in dedup_span_removal(spark, sf).collect()
+    }
+
+    docs = {
+        r.doc_id: [t for t in r.text.lower().split() if t]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    occ: dict[str, int] = defaultdict(int)
+    psh: dict[str, list[tuple[int, int]]] = defaultdict(list)
+    for did, toks in docs.items():
+        for p0 in range(len(toks) - SHINGLE_N + 1):
+            sh = " ".join(toks[p0 : p0 + SHINGLE_N])
+            occ[sh] += 1
+            psh[sh].append((did, p0 + 1))
+    diag_hits: dict[tuple[int, int, int], list[int]] = defaultdict(list)
+    for sh, places in psh.items():
+        if occ[sh] > SPAN_MAX_SHINGLE_OCC:
+            continue
+        for da, pa in places:
+            for db, pb in places:
+                if da < db:
+                    diag_hits[(da, db, pa - pb)].append(pa)
+    removed: dict[int, set[int]] = defaultdict(set)
+    for (da, db, diag), pas in diag_hits.items():
+        pas = sorted(set(pas))
+        run_start = prev = pas[0]
+        runs = []
+        for pa in pas[1:]:
+            if pa == prev + 1:
+                prev = pa
+            else:
+                runs.append((run_start, prev))
+                run_start = prev = pa
+        runs.append((run_start, prev))
+        for s, e in runs:
+            span_tokens = e - s + 1 + SHINGLE_N - 1
+            if span_tokens >= SPAN_MIN_TOKENS:
+                pb_start = s - diag
+                for p in range(pb_start, pb_start + span_tokens):
+                    removed[db].add(p)
+    n_docs_with_removal = 0
+    for did, toks in docs.items():
+        surv = [t for i, t in enumerate(toks, 1) if i not in removed[did]]
+        md5 = hashlib.md5(" ".join(surv).encode()).hexdigest()
+        want = (len(toks), len(toks) - len(surv), md5)
+        assert got[did] == want, (did, got[did][:2], want[:2])
+        if want[1]:
+            n_docs_with_removal += 1
+    assert n_docs_with_removal > 0, "fixture planted no removable spans"
