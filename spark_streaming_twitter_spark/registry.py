@@ -121,6 +121,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "media_phash_dup_pairs",
     "dedup_span_removal",
     "corpus_curation_pipeline_v7",
+    "media_audio_fingerprints",
+    "media_audio_dup_pairs",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

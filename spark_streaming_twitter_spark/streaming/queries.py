@@ -2617,7 +2617,12 @@ def stream_user_sliding_state_heap(
     doc=_USER_SLIDING_DOC + " This is the RocksDB provider: state "
     "off-heap/on-disk with incremental snapshots — the 100 TB backend, "
     "where per-partition state is bounded by local SSD instead of "
-    "executor heap.",
+    "executor heap. MEASURED crossover (tools/state_backend_probe.py, "
+    "bench_artifacts/r8_state_backend_probe.json): at ~11.5M state rows "
+    "the heap provider wins 20.7 vs 29.1 s on an 8g JVM but dies with "
+    "java.lang.OutOfMemoryError on a 2g JVM where RocksDB completes in "
+    "40.6 s — a cliff, not a curve; pick RocksDB for survival once "
+    "state approaches executor heap.",
     bench=True,
 )
 def stream_user_sliding_state_rocksdb(

@@ -169,3 +169,53 @@ def test_phash_dup_pairs_recover_planted_groups(spark):
         hd = bin(codes[a] ^ codes[b]).count("1")
         if hd <= 3:
             assert (a, b) in pairs, (a, b, hd)
+
+
+def test_audio_fingerprints_match_independent_python_replay(spark):
+    """Energy-envelope fingerprints from the DECODED WAV payload must
+    equal an independent pure-Python computation from the generator
+    formula, and the banded pair query must recover every planted
+    within-group variant pair (measured max within-group distance 2,
+    inside the radius-3 pigeonhole guarantee)."""
+    from spark_streaming_twitter_spark.multimodal import phash as ph
+
+    got = {
+        r.media_id: r.fingerprint
+        for r in ph.audio_fingerprints(
+            ph.fp_audio_table(spark, SF)
+        ).collect()
+    }
+    ids = [d for d in range(500) if d % 3 == 1]
+    assert len(got) == len(ids)
+    want = {}
+    for did in ids:
+        g, v = did // 24, (did % 24) // 3
+        n = g % 256 + 200
+        kg = ((g * 4093 + 31) % 65536) | 1
+        off = g * 37 + v * 16
+        flen = n // ph.AFP_FRAMES
+        energy = [
+            sum(
+                abs(((off + i * i * kg) % 65536) - 32768)
+                for i in range(f * flen, (f + 1) * flen)
+            )
+            for f in range(ph.AFP_FRAMES)
+        ]
+        want[did] = sum(
+            1 << f
+            for f in range(ph.AFP_FRAMES - 1)
+            if energy[f] > energy[f + 1]
+        )
+    assert got == want
+
+    pairs = {
+        (r.media_a, r.media_b): r.hamming
+        for r in ph.media_audio_dup_pairs(spark, SF).collect()
+    }
+    import itertools
+
+    for a, b in itertools.combinations(ids, 2):
+        if a // 24 == b // 24:
+            hd = bin(got[a] ^ got[b]).count("1")
+            assert hd <= 3, (a, b, hd)
+            assert (a, b) in pairs, (a, b)
