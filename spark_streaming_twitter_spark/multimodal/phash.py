@@ -488,3 +488,356 @@ def media_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "media_a", "media_b", hd.cast("int").alias("hamming")
     ).where(F.col("hamming") <= AFP_RADIUS)
+
+
+# ---------------------------------------------------------------------------
+# Image dedup ACTION stage: connected components over phash pairs + a
+# detail-keeping keeper rule (the image twin of dedup_quality_keeper).
+# ---------------------------------------------------------------------------
+
+# pairs CTE chain shared by the pair query's oracle and the keeper oracle
+_PHASH_PAIRS_SQL = f"""
+chunks AS (
+  SELECT media_id, dhash, ahash, c,
+         (dhash >> (c * 14)) & 16383 AS chunk_val
+  FROM sigs
+  CROSS JOIN (SELECT unnest(generate_series(0, {PHASH_CHUNKS - 1})) AS c)
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         a.dhash AS da, b.dhash AS db
+  FROM chunks a
+  JOIN chunks b ON a.c = b.c AND a.chunk_val = b.chunk_val
+               AND a.media_id < b.media_id
+),
+pairs AS (
+  SELECT media_a, media_b FROM cand
+  WHERE bit_count(xor(da, db)) <= {PHASH_RADIUS}
+)
+"""
+
+
+@query(
+    "media_phash_group_keeper",
+    oracle=f"""
+WITH {_PHASH_SIGS_SQL.lstrip()},
+{_PHASH_PAIRS_SQL.lstrip()},
+members AS (
+  SELECT media_a AS id FROM pairs UNION SELECT media_b FROM pairs
+),
+edges AS (
+  SELECT media_a AS a, media_b AS b FROM pairs
+  UNION SELECT media_b, media_a FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(node, label) AS (
+    SELECT id, id FROM members
+    UNION
+    SELECT e.b, r.label FROM r JOIN edges e ON e.a = r.node
+  )
+  SELECT node, min(label) AS group_id FROM r GROUP BY node
+),
+ranked AS (
+  SELECT g.node AS media_id, g.group_id,
+         row_number() OVER (
+           PARTITION BY g.group_id
+           ORDER BY bit_count(s.dhash) DESC, g.node ASC) AS rn,
+         first_value(g.node) OVER (
+           PARTITION BY g.group_id
+           ORDER BY bit_count(s.dhash) DESC, g.node ASC) AS kept_media_id
+  FROM reach g JOIN sigs s ON s.media_id = g.node
+)
+SELECT media_id AS drop_media_id, group_id, kept_media_id
+FROM ranked WHERE rn > 1
+""",
+    doc="IMAGE-dedup ACTION stage — detection alone doesn't shrink a "
+    "corpus: connected components over the banded dHash pairs (the "
+    "dedup_group_ids min-label loop reused verbatim on image nodes), "
+    "then within each duplicate group keep the HIGHEST-DETAIL variant — "
+    "most dHash gradient transitions, i.e. max bit_count(dhash), min "
+    "media_id tie-break (the image analogue of dedup_quality_keeper's "
+    "keep-best rule: of a re-encoded/brightness-shifted set, keep the "
+    "copy with the most surviving edge structure) — and emit the drop "
+    "list. Scale: the CC label table is #matched-images rows (tiny next "
+    "to the corpus), diameter of brightness-variant clusters is 1-2 "
+    "rounds; everything else is one window over groups.",
+)
+def media_phash_group_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_streaming_twitter_spark.dedup.dedup import (
+        connected_components,
+    )
+
+    sigs = media_phash_codes(spark, sf_dir)
+    pairs = media_phash_dup_pairs(spark, sf_dir).select(
+        F.col("media_a").alias("a"), F.col("media_b").alias("b")
+    )
+    nodes = (
+        pairs.select(F.col("a").alias("id"))
+        .unionByName(pairs.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    groups = connected_components(pairs, nodes).select(
+        F.col("doc_id").alias("media_id"), "group_id"
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.bit_count("dhash").desc(), F.col("media_id").asc()
+    )
+    ranked = (
+        groups.join(sigs.select("media_id", "dhash"), "media_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("kept_media_id", F.first("media_id").over(w))
+    )
+    return ranked.where(F.col("rn") > 1).select(
+        F.col("media_id").alias("drop_media_id"), "group_id", "kept_media_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video: frame-signature dedup — frames are the shingles of video.
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAMES = 16  # frames per fixture clip
+VIDEO_FRAME_BYTES = 48  # bytes per frame payload
+VIDEO_MIN_SHARED = 8  # pair threshold: >= 8 of 16 frames identical
+VIDEO_SIG_MAX_OCC = 64  # df cap on frame signatures (rule-8 guard)
+
+
+def fp_video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup video fixture: REAL MP4s (ftyp + moov/mvhd + trak/stsz +
+    mdat) whose mdat is 16 concatenated 48-byte frames indexed by a
+    correct stsz sample-size table. Group ``g`` fixes the frame content
+    ``(g*53 + f*29 + j*kg) % 256`` (group-odd ``kg``); variant ``v``
+    RE-ENCODES the first v frames (an edited intro — the classic
+    near-dup video shape), leaving frames v..15 bit-identical across the
+    group."""
+    import struct
+
+    from spark_streaming_twitter_spark.multimodal.columns import _mp4_box
+
+    docs = widen(
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 2),
+        spark,
+    )
+
+    def encode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did // 24, (did % 24) // 3
+                kg = ((g * 4093 + 31) % 256) | 1
+                frames = []
+                for f in range(VIDEO_FRAMES):
+                    bump = 5 + v * 11 if f < v else 0
+                    frames.append(
+                        bytes(
+                            (g * 53 + f * 29 + j * kg + bump) % 256
+                            for j in range(VIDEO_FRAME_BYTES)
+                        )
+                    )
+                ftyp = _mp4_box(
+                    b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2"
+                )
+                stsz_body = (
+                    struct.pack(">I", 0)
+                    + struct.pack(">II", 0, VIDEO_FRAMES)
+                    + b"".join(
+                        struct.pack(">I", len(fr)) for fr in frames
+                    )
+                )
+                trak = _mp4_box(
+                    b"trak",
+                    _mp4_box(
+                        b"mdia",
+                        _mp4_box(
+                            b"minf",
+                            _mp4_box(b"stbl", _mp4_box(b"stsz", stsz_body)),
+                        ),
+                    ),
+                )
+                mvhd_body = (
+                    struct.pack(">I", 0)
+                    + struct.pack(">II", 0, 0)
+                    + struct.pack(">II", 600, VIDEO_FRAMES * 40)
+                    + struct.pack(">I", 0x00010000)
+                    + struct.pack(">HH", 0x0100, 0)
+                    + b"\x00" * 8
+                    + struct.pack(
+                        ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+                    )
+                    + b"\x00" * 24
+                    + struct.pack(">I", 2)
+                )
+                moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd_body) + trak)
+                mdat = _mp4_box(b"mdat", b"".join(frames))
+                payloads.append(ftyp + moov + mdat)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(encode, "media_id long, payload binary")
+
+
+def video_frame_signatures(df: DataFrame) -> DataFrame:
+    """(media_id, frame_idx, frame_sig) from decoded MP4s: stsz gives the
+    per-frame sizes, the mdat body splits at those offsets, and each
+    frame's signature is the exact position-weighted checksum
+    ``sum(byte * (j+1))`` — the stand-in for a per-frame perceptual hash
+    that a SQL oracle can replay byte-for-byte (a real pipeline would
+    put media_phash_codes' dHash here; the Spark plumbing is identical)."""
+    import struct
+
+    from spark_streaming_twitter_spark.multimodal.columns import decode_mp4
+
+    def sigs(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_sig": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                meta = decode_mp4(payload)
+                if meta is None or not meta.get("samples"):
+                    continue
+                # locate the mdat body with a top-level box walk
+                pos, mdat = 0, None
+                while pos + 8 <= len(payload):
+                    (size,) = struct.unpack_from(">I", payload, pos)
+                    if size < 8 or pos + size > len(payload):
+                        break
+                    if payload[pos + 4 : pos + 8] == b"mdat":
+                        mdat = payload[pos + 8 : pos + size]
+                        break
+                    pos += size
+                if mdat is None:
+                    continue
+                off = 0
+                for f, sz in enumerate(meta["samples"]):
+                    frame = mdat[off : off + sz]
+                    if len(frame) != sz:
+                        break
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["frame_sig"].append(
+                        sum(b * (j + 1) for j, b in enumerate(frame))
+                    )
+                    off += sz
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        sigs, "media_id long, frame_idx int, frame_sig long"
+    )
+
+
+_VIDEO_SIGS_SQL = f"""
+vids AS (
+  SELECT doc_id AS media_id,
+         doc_id // 24 AS g,
+         (doc_id % 24) // 3 AS v
+  FROM documents WHERE doc_id % 3 = 2
+),
+vdims AS (
+  SELECT media_id, v, g * 53 AS base, ((g * 4093 + 31) % 256) | 1 AS kg
+  FROM vids
+),
+vframe AS (
+  SELECT media_id, v, base, kg,
+         unnest(generate_series(0, {VIDEO_FRAMES - 1})) AS f
+  FROM vdims
+),
+vbyte AS (
+  SELECT media_id, f,
+         unnest(generate_series(0, {VIDEO_FRAME_BYTES - 1})) AS j,
+         base + f * 29 + CASE WHEN f < v THEN 5 + v * 11 ELSE 0 END AS c0,
+         kg
+  FROM vframe
+),
+vsigs AS (
+  SELECT media_id, f AS frame_idx,
+         CAST(sum(((c0 + j * kg) % 256) * (j + 1)) AS BIGINT) AS frame_sig
+  FROM vbyte GROUP BY 1, 2
+)
+"""
+
+
+@query(
+    "media_video_frame_signatures",
+    oracle=f"""
+WITH {_VIDEO_SIGS_SQL.lstrip()}
+SELECT media_id, frame_idx, frame_sig FROM vsigs
+""",
+    doc="Per-frame signatures for VIDEO dedup: the stsz sample table "
+    "(media_mp4_sample_sizes' index) drives the mdat split into real "
+    "frame payloads, each reduced to an exact position-weighted "
+    "checksum inside one mapInPandas pass — frames are the shingles of "
+    "video, and this is the explode that feeds the inverted-index "
+    "join. Generator-replay oracle recomputes every frame byte.",
+)
+def media_video_frame_signatures(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return video_frame_signatures(fp_video_table(spark, sf_dir))
+
+
+@query(
+    "media_video_dup_pairs",
+    oracle=f"""
+WITH {_VIDEO_SIGS_SQL.lstrip()},
+rare AS (
+  SELECT * FROM (
+    SELECT media_id, frame_sig,
+           count(*) OVER (PARTITION BY frame_sig) AS occ
+    FROM vsigs
+  ) WHERE occ <= {VIDEO_SIG_MAX_OCC}
+),
+vinter AS (
+  SELECT a.media_id AS media_a, b.media_id AS media_b,
+         count(*) AS n_shared
+  FROM rare a JOIN rare b ON a.frame_sig = b.frame_sig
+                         AND a.media_id < b.media_id
+  GROUP BY 1, 2
+)
+SELECT media_a, media_b, CAST(n_shared AS BIGINT) AS n_shared
+FROM vinter WHERE n_shared >= {VIDEO_MIN_SHARED}
+""",
+    doc="Near-duplicate VIDEO pairs: inverted-index join on frame "
+    "signatures — two clips sharing >= 8 of their 16 frames "
+    "bit-identically are variants of one source (the edited-intro "
+    "fixture shares exactly 16 - max(va, vb) frames within a group). "
+    "EXACTLY the text-shingle containment plan with frames as "
+    "shingles: df-capped (occ <= 64, rule 8) so a viral/boilerplate "
+    "frame (black frame, title card) can't go quadratic, join keyed on "
+    "the signature, one aggregation per pair — never all-pairs, no "
+    "per-pair frame alignment loop.",
+)
+def media_video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sigs = media_video_frame_signatures(spark, sf_dir)
+    rare = sigs.withColumn(
+        "occ", F.count(F.lit(1)).over(Window.partitionBy("frame_sig"))
+    ).where(F.col("occ") <= VIDEO_SIG_MAX_OCC)
+    a, b = rare.alias("a"), rare.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.frame_sig") == F.col("b.frame_sig"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= VIDEO_MIN_SHARED)
+    )

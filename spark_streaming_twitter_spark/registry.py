@@ -123,6 +123,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "corpus_curation_pipeline_v7",
     "media_audio_fingerprints",
     "media_audio_dup_pairs",
+    "media_phash_group_keeper",
+    "media_video_frame_signatures",
+    "media_video_dup_pairs",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

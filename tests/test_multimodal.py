@@ -219,3 +219,93 @@ def test_audio_fingerprints_match_independent_python_replay(spark):
             hd = bin(got[a] ^ got[b]).count("1")
             assert hd <= 3, (a, b, hd)
             assert (a, b) in pairs, (a, b)
+
+
+def test_video_dup_pairs_shared_frames_match_construction(spark):
+    """Exact brute-force replay: per-frame signatures recomputed in pure
+    Python from the generator, pair counts via the same occurrence-pair
+    join arithmetic (sum over sig of cnt_a * cnt_b, df-capped), and the
+    qualitative floor — variants share their >= 16 - max(va, vb)
+    unmodified frames, so every within-group pair with that floor over
+    the threshold must appear."""
+    from collections import Counter, defaultdict
+
+    from spark_streaming_twitter_spark.multimodal import phash as ph
+
+    got = {
+        (r.media_a, r.media_b): r.n_shared
+        for r in ph.media_video_dup_pairs(spark, SF).collect()
+    }
+    assert got
+
+    ids = [d for d in range(500) if d % 3 == 2]
+
+    def sigs_of(did):
+        g, v = did // 24, (did % 24) // 3
+        kg = ((g * 4093 + 31) % 256) | 1
+        out = []
+        for f in range(ph.VIDEO_FRAMES):
+            bump = 5 + v * 11 if f < v else 0
+            c0 = g * 53 + f * 29 + bump
+            out.append(
+                sum(
+                    ((c0 + j * kg) % 256) * (j + 1)
+                    for j in range(ph.VIDEO_FRAME_BYTES)
+                )
+            )
+        return out
+
+    sigs = {d: sigs_of(d) for d in ids}
+    occ = Counter(s for d in ids for s in sigs[d])
+    kept = {
+        d: Counter(s for s in sigs[d] if occ[s] <= ph.VIDEO_SIG_MAX_OCC)
+        for d in ids
+    }
+    inv = defaultdict(list)
+    for d in ids:
+        for s in kept[d]:
+            inv[s].append(d)
+    import itertools
+
+    want: dict[tuple[int, int], int] = defaultdict(int)
+    for s, docs in inv.items():
+        for a, b in itertools.combinations(sorted(set(docs)), 2):
+            want[(a, b)] += kept[a][s] * kept[b][s]
+    want = {
+        k: v for k, v in want.items() if v >= ph.VIDEO_MIN_SHARED
+    }
+    assert got == want
+    # qualitative floor: unmodified frames always match within a group
+    for a, b in itertools.combinations(ids, 2):
+        if a // 24 == b // 24:
+            floor = ph.VIDEO_FRAMES - max((a % 24) // 3, (b % 24) // 3)
+            if floor >= ph.VIDEO_MIN_SHARED:
+                assert got.get((a, b), 0) >= floor, (a, b, floor)
+
+
+def test_phash_group_keeper_keeps_highest_detail_variant(spark):
+    """Keeper invariants: every drop row's group contains its keeper; the
+    keeper is never dropped; the keeper maximizes bit_count(dhash) with
+    min-id tie-break among its group's members."""
+    from spark_streaming_twitter_spark.multimodal import phash as ph
+
+    codes = {
+        r.media_id: r.dhash
+        for r in ph.media_phash_codes(spark, SF).collect()
+    }
+    drops = ph.media_phash_group_keeper(spark, SF).collect()
+    assert drops
+    by_group: dict[int, list] = {}
+    for r in drops:
+        by_group.setdefault(r.group_id, []).append(r)
+    for gid, rows in by_group.items():
+        kept = {r.kept_media_id for r in rows}
+        assert kept == {next(iter(kept))}, "one keeper per group"
+        keeper = next(iter(kept))
+        assert keeper not in {r.drop_media_id for r in rows}
+        members = [r.drop_media_id for r in rows] + [keeper]
+        best = max(
+            members,
+            key=lambda m: (bin(codes[m]).count("1"), -m),
+        )
+        assert keeper == best, (gid, keeper, best)
