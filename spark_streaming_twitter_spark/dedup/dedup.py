@@ -694,6 +694,7 @@ FROM toks d LEFT JOIN kept k ON k.doc_id = d.doc_id
     "on (doc_id, pos), and reassembly is one groupBy(doc_id). No new "
     "quadratic term beyond the df-capped join the detector already "
     "bounds.",
+    bench=True,
 )
 def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(

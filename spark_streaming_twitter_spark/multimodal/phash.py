@@ -841,3 +841,123 @@ def media_video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= VIDEO_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming composition: near-dup check AT INGEST against a static index.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_media_phash_ingest_dedup",
+    oracle=f"""
+WITH {_PHASH_SIGS_SQL.lstrip()},
+refs AS (
+  SELECT media_id AS ref_id, dhash AS ref_dhash FROM sigs
+  WHERE media_id % 24 = 0
+),
+schunks AS (
+  SELECT media_id, dhash, c, (dhash >> (c * 14)) & 16383 AS chunk_val
+  FROM sigs
+  CROSS JOIN (SELECT unnest(generate_series(0, {PHASH_CHUNKS - 1})) AS c)
+),
+rchunks AS (
+  SELECT ref_id, ref_dhash, c, (ref_dhash >> (c * 14)) & 16383 AS chunk_val
+  FROM refs
+  CROSS JOIN (SELECT unnest(generate_series(0, {PHASH_CHUNKS - 1})) AS c)
+),
+hits AS (
+  SELECT DISTINCT s.media_id, r.ref_id, s.dhash, r.ref_dhash
+  FROM schunks s
+  JOIN rchunks r ON s.c = r.c AND s.chunk_val = r.chunk_val
+               AND s.media_id <> r.ref_id
+)
+SELECT media_id, ref_id,
+       CAST(bit_count(xor(dhash, ref_dhash)) AS INT) AS hamming
+FROM hits
+WHERE bit_count(xor(dhash, ref_dhash)) <= {PHASH_RADIUS}
+""",
+    doc="Near-dup detection AT INGEST — the streaming composition a 100 TB "
+    "pipeline actually runs: incoming image payloads arrive as an "
+    "unbounded file stream (4 micro-batches via maxFilesPerTrigger=1, "
+    "the Kafka-swap shape), are DECODED AND HASHED inside the streaming "
+    "plan (mapInPandas on a streaming DataFrame — the Arrow batch path "
+    "works identically there), and each micro-batch probes a BROADCAST "
+    "static index of canonical codes (the v=0 group representatives) "
+    "via the same 4x14-bit chunk LSH, emitting (media_id, ref_id, "
+    "hamming) matches in append mode — completely STATELESS: no state "
+    "store, no watermark, per-batch cost independent of stream history, "
+    "which is why this shape scales to unbounded ingest. The memory-"
+    "sink read-back is re-deduplicated batch-side (a pair can surface "
+    "through more than one matching chunk) and compared against the "
+    "generator-replay oracle that recomputes codes, banding, and "
+    "verify for the whole corpus.",
+)
+def stream_media_phash_ingest_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_to_memory,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="phash_stream_")
+    data_dir = os.path.join(tmp, "payloads")
+    try:
+        src = phash_media_table(spark, sf_dir)
+        src.repartition(4).write.parquet(data_dir)
+
+        codes = media_phash_codes(spark, sf_dir)
+        refs = codes.where(F.col("media_id") % 24 == 0).select(
+            F.col("media_id").alias("ref_id"),
+            F.col("dhash").alias("ref_dhash"),
+        )
+        ref_chunks = refs.select(
+            "ref_id",
+            "ref_dhash",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(PHASH_CHUNKS - 1))
+            ).alias("c"),
+        ).withColumn(
+            "chunk_val",
+            F.expr("shiftright(ref_dhash, c * 14)").bitwiseAND(F.lit(16383)),
+        )
+
+        schema = "media_id long, payload binary"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data_dir)
+        )
+        scodes = perceptual_hashes(stream)
+        schunks = scodes.select(
+            "media_id",
+            "dhash",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(PHASH_CHUNKS - 1))
+            ).alias("c"),
+        ).withColumn(
+            "chunk_val",
+            F.expr("shiftright(dhash, c * 14)").bitwiseAND(F.lit(16383)),
+        )
+        hamming = F.bit_count(F.col("dhash").bitwiseXOR(F.col("ref_dhash")))
+        matches = (
+            schunks.join(
+                F.broadcast(ref_chunks),
+                ["c", "chunk_val"],
+            )
+            .where(F.col("media_id") != F.col("ref_id"))
+            .where(hamming <= PHASH_RADIUS)
+            .select(
+                "media_id", "ref_id", hamming.cast("int").alias("hamming")
+            )
+        )
+        sink = run_to_memory(matches, output_mode="append").distinct()
+        rows = sink.collect()
+        out = spark.createDataFrame(rows, sink.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -126,6 +126,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "media_phash_group_keeper",
     "media_video_frame_signatures",
     "media_video_dup_pairs",
+    "stream_media_phash_ingest_dedup",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",
