@@ -658,3 +658,21 @@ def test_lateral_topn_is_decorrelated(spark):
     )
     # the correlation-key sample predicate reaches BOTH scans
     assert sum("% 50) = 0" in l and "FileScan" not in l for l in lines) >= 2, f.raw
+
+
+def test_media_dedup_pairs_no_cartesian_no_forced_broadcast(spark):
+    # The perceptual-dedup family's pair joins are unbounded on both sides
+    # at corpus scale (all three modalities): they must stay equi-joins on
+    # the chunk/signature key — no cartesian, no BroadcastNestedLoopJoin,
+    # no forced broadcast of a corpus-sized relation.
+    for name in (
+        "media_phash_dup_pairs",
+        "media_audio_dup_pairs",
+        "media_video_dup_pairs",
+    ):
+        df = SPECS[name].fn(spark, SF)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" not in optimized, (name, optimized)
+        f = plan_features(df)
+        assert "CartesianProduct" not in f.raw, name
+        assert "BroadcastNestedLoopJoin" not in f.raw, name
