@@ -127,6 +127,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "media_video_frame_signatures",
     "media_video_dup_pairs",
     "stream_media_phash_ingest_dedup",
+    "bloom_join_urgent_revenue",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

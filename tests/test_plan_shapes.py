@@ -676,3 +676,44 @@ def test_media_dedup_pairs_no_cartesian_no_forced_broadcast(spark):
         f = plan_features(df)
         assert "CartesianProduct" not in f.raw, name
         assert "BroadcastNestedLoopJoin" not in f.raw, name
+
+
+def test_bloom_filter_runtime_injection_and_control(spark):
+    # Under the query's scoped confs (fact big enough to filter, dim not
+    # broadcastable) InjectRuntimeFilter must plant the bloom semi-join
+    # reduction on the fact side; under DEFAULT confs it must correctly
+    # decline (a broadcastable dim prunes at the join itself).
+    from spark_streaming_twitter_spark.operators.pruning import (
+        _BLOOM_CONFS,
+        _bloom_pruned_plan,
+    )
+
+    prev = {}
+    for k, v in _BLOOM_CONFS.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        plan = (
+            _bloom_pruned_plan(spark, SF)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, p in prev.items():
+            if p is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, p)
+    control = (
+        _bloom_pruned_plan(spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "might_contain" not in control
