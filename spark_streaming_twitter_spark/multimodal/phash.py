@@ -961,3 +961,71 @@ def stream_media_phash_ingest_dedup(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def _media_ledger_oracle() -> str:
+    """Assemble the ledger oracle from the REGISTERED media-dedup oracles
+    verbatim — compose, don't copy (the capstone convention)."""
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    ip = QUERIES["media_phash_dup_pairs"].oracle
+    ik = QUERIES["media_phash_group_keeper"].oracle
+    ap = QUERIES["media_audio_dup_pairs"].oracle
+    vp = QUERIES["media_video_dup_pairs"].oracle
+    return f"""
+WITH ipairs AS ({ip}),
+ikeeper AS ({ik}),
+apairs AS ({ap}),
+vpairs AS ({vp})
+SELECT 'image' AS kind,
+       (SELECT count(*) FROM documents WHERE doc_id % 3 = 0) AS n_media,
+       (SELECT count(*) FROM ipairs) AS n_dup_pairs,
+       (SELECT count(*) FROM ikeeper) AS n_dropped
+UNION ALL
+SELECT 'audio',
+       (SELECT count(*) FROM documents WHERE doc_id % 3 = 1),
+       (SELECT count(*) FROM apairs),
+       (SELECT count(DISTINCT media_b) FROM apairs)
+UNION ALL
+SELECT 'video',
+       (SELECT count(*) FROM documents WHERE doc_id % 3 = 2),
+       (SELECT count(*) FROM vpairs),
+       (SELECT count(DISTINCT media_b) FROM vpairs)
+"""
+
+
+@query(
+    "media_curation_ledger",
+    oracle=_media_ledger_oracle(),
+    doc="The media-dedup capstone — one run-report row per modality: "
+    "corpus size, near-dup pairs surfaced, and items the keeper rule "
+    "drops (images: the detail-keeping group keeper; audio/video: the "
+    "min-id rule — any item pairing with a smaller id goes). All four "
+    "stage oracles are embedded verbatim at decoration time, so the "
+    "ledger can never drift from the registered detectors — one wrong "
+    "pair anywhere flips a count. This is the observability row a "
+    "100 TB dedup run logs per modality; each count is an O(pairs) "
+    "aggregate over plans that are themselves banded/df-capped.",
+)
+def media_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def kind_row(kind: str, mod: int, pairs: DataFrame, dropped: DataFrame):
+        n_media = docs.where(F.col("doc_id") % 3 == mod).count()
+        n_pairs = pairs.count()
+        n_drop = dropped.count()
+        return (kind, n_media, n_pairs, n_drop)
+
+    ipairs = media_phash_dup_pairs(spark, sf_dir)
+    apairs = media_audio_dup_pairs(spark, sf_dir)
+    vpairs = media_video_dup_pairs(spark, sf_dir)
+    rows = [
+        kind_row(
+            "image", 0, ipairs, media_phash_group_keeper(spark, sf_dir)
+        ),
+        kind_row("audio", 1, apairs, apairs.select("media_b").distinct()),
+        kind_row("video", 2, vpairs, vpairs.select("media_b").distinct()),
+    ]
+    return spark.createDataFrame(
+        rows, "kind string, n_media bigint, n_dup_pairs bigint, n_dropped bigint"
+    )

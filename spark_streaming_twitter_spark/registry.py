@@ -128,6 +128,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "media_video_dup_pairs",
     "stream_media_phash_ingest_dedup",
     "bloom_join_urgent_revenue",
+    "media_curation_ledger",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",
