@@ -1149,3 +1149,75 @@ FROM customer c,
 WHERE c.c_custkey % 50 = 0 AND t.rk <= 2
 """
     )
+
+
+@query(
+    "sql_script_threshold_search",
+    oracle="""
+WITH lad AS (
+  SELECT k, 1000 * (CAST(1 AS BIGINT) << k) AS thr
+  FROM (SELECT unnest(generate_series(0, 40)) AS k)
+),
+counts AS (
+  SELECT l.k, l.thr, count(o.o_orderkey) AS n_above
+  FROM lad l LEFT JOIN orders o ON o.o_totalprice > l.thr
+  GROUP BY 1, 2
+),
+pick AS (SELECT min(k) AS k FROM counts WHERE n_above <= 1000)
+SELECT c.thr AS threshold,
+       CAST(c.n_above AS BIGINT) AS n_above,
+       CAST(c.k AS INT) AS n_steps
+FROM counts c JOIN pick p ON c.k = p.k
+""",
+    doc="Spark 4 SQL SCRIPTING (BEGIN...END, DECLARE, data-dependent "
+    "WHILE): a doubling search for the smallest power-of-two price "
+    "cutoff isolating at most 1000 premium orders — each iteration is "
+    "a full Catalyst query (scan + pushed-down predicate + count) whose "
+    "result drives the loop condition through a scalar subquery into a "
+    "script variable; the loop runs O(log range) passes. This is the "
+    "control-flow surface for genuinely SEQUENTIAL logic (each step's "
+    "predicate depends on the last step's result — adaptive sampling, "
+    "backoff, convergence loops); for THIS particular ladder a single "
+    "conditional-aggregation pass is the throughput shape (the oracle "
+    "runs exactly that form), which is the honest trade: scripting buys "
+    "expressiveness, not fewer scans. Conf-scoped "
+    "(spark.sql.scripting.enabled, restored in finally) and "
+    "materialized inside the scope.",
+)
+def sql_script_threshold_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_streaming_twitter_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    key = "spark.sql.scripting.enabled"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 — unset in a vanilla session
+        prev = None
+    spark.conf.set(key, "true")
+    try:
+        out = spark.sql(
+            """
+BEGIN
+  DECLARE thr BIGINT DEFAULT 1000;
+  DECLARE cnt BIGINT DEFAULT -1;
+  DECLARE steps INT DEFAULT 0;
+  SET cnt = (SELECT count(*) FROM orders WHERE o_totalprice > thr);
+  WHILE cnt > 1000 DO
+    SET thr = thr * 2;
+    SET cnt = (SELECT count(*) FROM orders WHERE o_totalprice > thr);
+    SET steps = steps + 1;
+  END WHILE;
+  SELECT thr AS threshold, cnt AS n_above, steps AS n_steps;
+END
+"""
+        )
+        rows = out.collect()
+        result = spark.createDataFrame(rows, out.schema)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return result

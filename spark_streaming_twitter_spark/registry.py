@@ -129,6 +129,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_media_phash_ingest_dedup",
     "bloom_join_urgent_revenue",
     "media_curation_ledger",
+    "sql_script_threshold_search",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",
