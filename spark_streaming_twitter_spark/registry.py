@@ -130,6 +130,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "bloom_join_urgent_revenue",
     "media_curation_ledger",
     "sql_script_threshold_search",
+    "dedup_prefix_filter_pairs",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

@@ -1067,3 +1067,47 @@ def test_khop_wedge_minus_direct_equals_bfs_distance_two(data):
         bfs |= {(s, w) for w in d2}
 
     assert engine == bfs
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_prefix_filter_completeness_at_half_jaccard(data):
+    """The prefix-filtering theorem behind dedup_prefix_filter_pairs
+    (PPJoin/AllPairs): with every set's elements ordered by one GLOBAL
+    order and each set indexing only its first n - ceil(t*n) + 1
+    elements (t = 0.5 -> n DIV 2 + 1), every pair with Jaccard >= t
+    shares at least one indexed element. Property-tested over random
+    universes, set sizes, and skewed frequency orders — zero recall
+    loss is the claim that lets the oracle be the naive algorithm
+    verbatim."""
+    import itertools
+    import math
+
+    n_docs = data.draw(st.integers(2, 25))
+    uni = data.draw(st.integers(5, 40))
+    docs = [
+        data.draw(
+            st.sets(st.integers(0, uni - 1), min_size=1, max_size=15)
+        )
+        for _ in range(n_docs)
+    ]
+    freq: dict[int, int] = {}
+    for s in docs:
+        for x in s:
+            freq[x] = freq.get(x, 0) + 1
+    rank = {
+        x: i
+        for i, x in enumerate(
+            sorted(freq, key=lambda x: (freq[x], x))
+        )
+    }
+    t = 0.5
+    prefixes = []
+    for s in docs:
+        n = len(s)
+        p = n - math.ceil(t * n) + 1
+        prefixes.append(set(sorted(s, key=lambda x: rank[x])[:p]))
+    for i, j in itertools.combinations(range(n_docs), 2):
+        inter = len(docs[i] & docs[j])
+        if inter / len(docs[i] | docs[j]) >= t:
+            assert prefixes[i] & prefixes[j], (docs[i], docs[j])
