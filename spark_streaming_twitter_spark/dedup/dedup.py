@@ -2654,6 +2654,7 @@ SELECT doc_a, doc_b, n_common, jaccard FROM jac WHERE jaccard >= 0.5
     "977 distinct candidate pairs). Shuffles: df count + rank "
     "window on sh/doc_id, prefix self-join on sh, one (pair) "
     "aggregation.",
+    bench=True,
 )
 def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(

@@ -420,3 +420,27 @@ def test_span_removal_matches_pure_python_replay(spark):
         if want[1]:
             n_docs_with_removal += 1
     assert n_docs_with_removal > 0, "fixture planted no removable spans"
+
+
+def test_prefix_filter_pairs_equal_naive_inverted_index(spark):
+    """dedup_prefix_filter_pairs must produce EXACTLY the rows of
+    dedup_ngram_jaccard_pairs — same pairs, same n_common, bitwise-same
+    jaccard — on the real fixture: the two Spark implementations of the
+    same exact algorithm cross-check each other (stronger than each
+    one's oracle alone, which they share)."""
+    from spark_streaming_twitter_spark.dedup.dedup import (
+        dedup_ngram_jaccard_pairs,
+        dedup_prefix_filter_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    naive = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in dedup_ngram_jaccard_pairs(spark, sf).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in dedup_prefix_filter_pairs(spark, sf).collect()
+    }
+    assert naive, "fixture planted no >= 0.5 Jaccard pairs"
+    assert pref == naive
