@@ -131,6 +131,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "media_curation_ledger",
     "sql_script_threshold_search",
     "dedup_prefix_filter_pairs",
+    "similarity_filtered_topk",
+    "similarity_postfilter_loss",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

@@ -1502,3 +1502,193 @@ def similarity_matryoshka_pool_recall(spark: SparkSession, sf_dir: str) -> DataF
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# FILTERED vector search: metadata predicate + top-k, and the post-filter
+# recall trap every vector store documents (pre-filter vs post-filter).
+# ---------------------------------------------------------------------------
+
+_FILTERED_PRELUDE = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, label,
+         {scaled_dot_sql("embedding", "embedding")} AS n2
+  FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label,
+         n2 AS q_n2
+  FROM corpus WHERE vec_id % {QUERY_STRIDE} = 0
+),
+fscored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST({scaled_dot_sql("q.q_emb", "c.embedding")} AS DOUBLE)
+           / (sqrt(CAST(q.q_n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+           AS cosine
+  FROM queries q JOIN corpus c
+    ON q.query_id <> c.vec_id AND c.label = q.q_label
+),
+franked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM fscored
+)
+"""
+
+
+def _filtered_corpus_queries(spark: SparkSession, sf_dir: str):
+    emb = widen(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        ),
+        spark,
+    )
+    corpus = emb.withColumn("n2", scaled_norm2(F.col("embedding")))
+    queries = corpus.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+        F.col("n2").alias("q_n2"),
+    )
+    return corpus, queries
+
+
+@query(
+    "similarity_filtered_topk",
+    oracle=f"""
+{_FILTERED_PRELUDE}
+SELECT query_id, neighbor_id, rank, cosine
+FROM franked WHERE rank <= {TOP_K}
+""",
+    doc="FILTERED vector search — the vector-store operation plain ANN "
+    "misses: top-k cosine where every neighbor must satisfy a metadata "
+    "predicate (here: same label as the query — the same-language/"
+    "same-tenant constraint). PRE-filtering is the correct plan and the "
+    "declarative one: the predicate joins into the scan before any "
+    "ranking, so the k results are the true best among ELIGIBLE "
+    "vectors, and Catalyst pushes the label equality into the broadcast "
+    "hash join condition — the corpus still streams in place, never "
+    "shuffles. Integer-scaled dots, bitwise-deterministic page.",
+)
+def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _filtered_corpus_queries(spark, sf_dir)
+    pairs = corpus.join(
+        F.broadcast(queries),
+        (F.col("query_id") != F.col("vec_id"))
+        & (F.col("label") == F.col("q_label")),
+    )
+    cosine = scaled_dot(F.col("q_emb"), F.col("embedding")).cast(
+        "double"
+    ) / (
+        F.sqrt(F.col("q_n2").cast("double"))
+        * F.sqrt(F.col("n2").cast("double"))
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine.alias("cosine"),
+    )
+    return _topk_filter(scored)
+
+
+@query(
+    "similarity_postfilter_loss",
+    oracle=f"""
+{_FILTERED_PRELUDE},
+uscored AS (
+  SELECT q.query_id, q.q_label, c.vec_id AS neighbor_id, c.label,
+         CAST({scaled_dot_sql("q.q_emb", "c.embedding")} AS DOUBLE)
+           / (sqrt(CAST(q.q_n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+           AS cosine
+  FROM queries q JOIN corpus c ON q.query_id <> c.vec_id
+),
+utop AS (
+  SELECT * FROM (
+    SELECT query_id, q_label, neighbor_id, label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM uscored
+  ) WHERE rank <= {TOP_K}
+),
+post AS (
+  SELECT query_id, neighbor_id FROM utop WHERE label = q_label
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM franked WHERE rank <= {TOP_K}
+)
+SELECT t.query_id,
+       CAST(coalesce(p.n_kept, 0) AS BIGINT) AS n_postfilter_kept,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+FROM (SELECT query_id FROM queries) t
+LEFT JOIN (SELECT query_id, count(*) AS n_kept FROM post GROUP BY 1) p
+  USING (query_id)
+LEFT JOIN (
+  SELECT p.query_id, count(*) AS n_hits
+  FROM post p JOIN truth t ON t.query_id = p.query_id
+                          AND t.neighbor_id = p.neighbor_id
+  GROUP BY 1
+) h USING (query_id)
+""",
+    doc="The POST-filter recall trap, measured: rank the unfiltered "
+    "corpus first, then apply the metadata predicate to the top-k page "
+    "(what a naive 'ANN then WHERE' pipeline does) — per query this "
+    "keeps only the page's label-matching survivors "
+    "(n_postfilter_kept <= k, often 0 when labels are selective) and "
+    "n_hits of them coincide with the TRUE filtered top-k. "
+    "Pre-filtering (similarity_filtered_topk) always returns k eligible "
+    "results; post-filtering returns a shrunken, biased page — this "
+    "query makes that loss a number per query, the evidence behind "
+    "'push predicates INTO vector search, never after it'. Same "
+    "broadcast-join shape as the exact scorer, two rank windows.",
+)
+def similarity_postfilter_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _filtered_corpus_queries(spark, sf_dir)
+    pairs = corpus.join(
+        F.broadcast(queries), F.col("query_id") != F.col("vec_id")
+    )
+    cosine = scaled_dot(F.col("q_emb"), F.col("embedding")).cast(
+        "double"
+    ) / (
+        F.sqrt(F.col("q_n2").cast("double"))
+        * F.sqrt(F.col("n2").cast("double"))
+    )
+    uscored = pairs.select(
+        "query_id",
+        "q_label",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        cosine.alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    utop = uscored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= TOP_K
+    )
+    post = utop.where(F.col("label") == F.col("q_label")).select(
+        "query_id", "neighbor_id"
+    )
+    truth = similarity_filtered_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    n_kept = post.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    n_hits = (
+        post.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = queries.select("query_id")
+    return (
+        base.join(n_kept, "query_id", "left")
+        .join(n_hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias(
+                "n_postfilter_kept"
+            ),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+    )
