@@ -50,13 +50,12 @@ def query(
 
 
 # The driver's correctness gate walks the registry in order and records ~50
-# rows per round, so ordering IS coverage policy.
-# Round-8 rotation (VERDICT r7 ask #1): the 57 never-driver-tested
-# queries — the 45 round-7 additions plus the 12 round-6 leftovers — fill
-# the front of the queue so the driver's 50-slot gate spends every slot
-# on a never-proven row, leaving <=7 untested. New round-8 queries insert
-# at ROUND8_NEW_MARKER (behind the debt, ahead of the proven buffer) so
-# the round-9 rotation picks them up next.
+# rows per round, so ordering IS coverage policy. Since round 9 the order is
+# DYNAMIC: ``gate_order`` reads the committed CORRECTNESS_r*.json files and
+# fronts every query with no green driver row, so the gate always reaches
+# new debt without a manual rotation commit. This tuple is only the
+# tie-break within each (unproven, proven) bucket; names not yet listed
+# here sort after listed peers in their bucket by registration order.
 _GATE_PRIORITY: tuple[str, ...] = (
     # (a) never-driver-tested debt: 45 round-7 additions + 12 round-6 leftovers
     "event_values_winsorized",
@@ -331,11 +330,66 @@ _GATE_PRIORITY: tuple[str, ...] = (
 )
 
 
+def _driver_green_names() -> frozenset[str]:
+    """Names with at least one green row in any committed CORRECTNESS_r*.json.
+
+    A row is green when every check it carries passed (rows/schema/hash true
+    where present, err null). Failing rows do NOT count — a query whose last
+    driver row failed sorts with the never-tested debt so the gate retries it.
+    """
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    green: set[str] = set()
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            checks = [
+                row.get(k)
+                for k in ("rows_match", "schema_match", "hash_match")
+                if k in row
+            ]
+            if checks and all(v is True for v in checks) and row.get("err") is None:
+                green.add(name)
+    return frozenset(green)
+
+
+def gate_order(names: "set[str] | frozenset[str]") -> list[str]:
+    """Order query names for the driver's ~50-slot correctness gate.
+
+    Driver-unproven queries (no green row in any committed CORRECTNESS file)
+    come first, so the gate always reaches new debt without a manual
+    rotation commit; the static ``_GATE_PRIORITY`` tuple is only a
+    tie-break within each bucket, and names absent from the tuple (just
+    registered this round) sort after tuple-listed peers in their bucket.
+    """
+    green = _driver_green_names()
+    static_rank = {n: i for i, n in enumerate(_GATE_PRIORITY)}
+    fallback = len(_GATE_PRIORITY)
+    reg_rank = {n: i for i, n in enumerate(QUERIES)}
+    return sorted(
+        names,
+        key=lambda n: (
+            n in green,
+            static_rank.get(n, fallback),
+            reg_rank.get(n, 0),
+        ),
+    )
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every query-defining module so the registry is fully populated.
 
     Returns the registry reordered so driver-unproven queries come first
-    (see ``_GATE_PRIORITY``) — the round driver's correctness gate walks
+    (see ``gate_order``) — the round driver's correctness gate walks
     this dict in order and may stop before the end.
     """
     import spark_streaming_twitter_spark.operators.advanced  # noqa: F401
@@ -371,6 +425,4 @@ def load_all() -> dict[str, QuerySpec]:
     assert len(set(_GATE_PRIORITY)) == len(_GATE_PRIORITY), (
         "_GATE_PRIORITY contains duplicates"
     )
-    first = {n: QUERIES[n] for n in _GATE_PRIORITY}
-    rest = {n: s for n, s in QUERIES.items() if n not in first}
-    return {**first, **rest}
+    return {n: QUERIES[n] for n in gate_order(set(QUERIES))}

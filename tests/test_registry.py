@@ -34,6 +34,68 @@ def test_coverage_doc_headline_count_matches_registry():
     )
 
 
+def test_gate_order_fronts_driver_unproven_queries():
+    """The gate queue must self-rotate (VERDICT r8 ask #1): a query named
+    green in any committed CORRECTNESS_r*.json sorts after every query that
+    is not, so the driver's ~50-slot gate always reaches new debt without a
+    manual rotation commit."""
+    from spark_streaming_twitter_spark.registry import (
+        _driver_green_names,
+        load_all,
+    )
+
+    green = _driver_green_names()
+    assert green, "no committed CORRECTNESS_r*.json rows parsed"
+    order = list(load_all())
+    unproven = [n for n in order if n not in green]
+    assert unproven, "every query already has a green driver row"
+    last_unproven = max(order.index(n) for n in unproven)
+    first_proven = min(order.index(n) for n in order if n in green)
+    assert last_unproven < first_proven, (
+        f"proven query {order[first_proven]!r} sorts before unproven "
+        f"{order[last_unproven]!r}"
+    )
+
+
+def test_gate_order_ignores_failing_driver_rows(tmp_path, monkeypatch):
+    """A failing driver row must NOT count as proven — the query stays at
+    the front of the queue for a retry."""
+    import json
+
+    import spark_streaming_twitter_spark.registry as reg
+
+    root = tmp_path / "repo"
+    pkg = root / "pkg"
+    pkg.mkdir(parents=True)
+    (root / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "good": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "err": None,
+                },
+                "bad_hash": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": False,
+                    "err": None,
+                },
+                "bad_err": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "err": "boom",
+                },
+            }
+        )
+    )
+    monkeypatch.setattr(reg, "__file__", str(pkg / "registry.py"))
+    green = reg._driver_green_names()
+    assert green == frozenset({"good"})
+
+
 def test_bpe_sentinel_replace_is_greedy_leftmost_merge():
     """The wrap-each-symbol sentinel encoding's core claim (text/corpus.py):
     plain string replace of '_a__b_' with '_ab_' implements EXACTLY the
