@@ -2640,19 +2640,27 @@ SELECT doc_a, doc_b, n_common, jaccard FROM jac WHERE jaccard >= 0.5
     "asc) and index only the first n - ceil(t*n) + 1 of them — any pair "
     "with Jaccard >= t MUST share a prefix shingle (pigeonhole on the "
     "sorted overlap; property-tested in tests/test_properties.py), so "
-    "the candidate join runs over prefixes only, and the verify step "
-    "fetches each candidate pair's two shingle ARRAYS and intersects "
-    "them row-locally — candidate-bound work, no second inverted-index "
-    "pass. The oracle is dedup_ngram_jaccard_pairs' SQL VERBATIM: the "
-    "algorithm is exact, so the answers must match the naive full "
-    "inverted-index join bit-for-bit — a stronger check than any "
-    "replayed approximation. Scale: the prefix cuts each document's "
-    "index postings ~2x at t=0.5 and, because prefixes hold the "
-    "RAREST shingles, hot boilerplate shingles land in nobody's "
-    "prefix — the df-cap's recall-free cousin (measured at sf0.01: "
-    "13,985 full-inverted-index join rows -> 1,613 prefix join rows, "
-    "977 distinct candidate pairs). Shuffles: df count + rank "
-    "window on sh/doc_id, prefix self-join on sh, one (pair) "
+    "the candidate join runs over prefixes only — further banded by the "
+    "AllPairs LENGTH filter (Bayardo et al. WWW'07 §3: J >= 0.5 forces "
+    "max(na,nb) <= 2*min(na,nb), exact, carried free on the prefix "
+    "relation) — and the verify step fetches each candidate pair's two "
+    "shingle ARRAYS and intersects them row-locally — candidate-bound "
+    "work, no second inverted-index pass. The oracle is "
+    "dedup_ngram_jaccard_pairs' SQL VERBATIM: the algorithm is exact, "
+    "so the answers must match the naive full inverted-index join "
+    "bit-for-bit — a stronger check than any replayed approximation. "
+    "Scale: the prefix cuts each document's index postings ~2x at "
+    "t=0.5 and, because prefixes hold the RAREST shingles, hot "
+    "boilerplate shingles land in nobody's prefix — the df-cap's "
+    "recall-free cousin (measured at sf0.01: 13,985 full-inverted-"
+    "index join rows -> 1,613 prefix join rows -> 1,407 after the "
+    "length band; 977 -> 772 distinct candidate pairs to verify). "
+    "The df<=64 cap composes on the prefix relation as the "
+    "ADVERSARIAL-prefix guard (a shingle rare enough to be indexed "
+    "yet shared by millions pays df^2); it does not bite on this "
+    "corpus — the max prefix-posting df here is 4, so the output "
+    "stays bit-identical to the uncapped exact join. Shuffles: df count + "
+    "rank window on sh/doc_id, prefix self-join on sh, one (pair) "
     "aggregation.",
     bench=True,
 )
@@ -2673,14 +2681,19 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.join(df_tbl, "sh")
         .withColumn("rn", F.row_number().over(w))
         .where(F.expr("rn <= n DIV 2 + 1"))
-        .select("doc_id", "sh")
+        .where(F.col("df") <= PAIR_DF_CAP)
+        .select("doc_id", "n", "sh")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # AllPairs length filter (Bayardo et al. WWW'07 §3): at t=0.5,
+            # J >= t forces max(na, nb) <= min(na, nb)/t = 2*min(na, nb).
+            & (F.col("b.n") <= 2 * F.col("a.n"))
+            & (F.col("a.n") <= 2 * F.col("b.n")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),

@@ -45,9 +45,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_streaming_twitter_spark.catalog import table, widen
-from spark_streaming_twitter_spark.multimodal.columns import (
-    _parse_image_header,
-)
 from spark_streaming_twitter_spark.registry import query
 
 PHASH_GRID = 8  # sample grid side: 8x8 cells
@@ -107,20 +104,33 @@ def perceptual_hashes(df: DataFrame) -> DataFrame:
     """
 
     def hashes(batches: Iterator) -> Iterator:
+        import re
+
         import numpy as np
         import pandas as pd
 
+        # Full P6 header through maxval: the match end IS the pixel-body
+        # offset (one whitespace after maxval per the PPM spec). A payload
+        # whose length is not header + w*h*3 is malformed and drops —
+        # hashing the LAST w*h*3 bytes of a junk-trailed payload would
+        # silently hash the wrong bytes.
+        hdr = re.compile(
+            rb"P6\s+(?:#[^\n]*\s+)*(\d+)\s+(?:#[^\n]*\s+)*(\d+)\s+"
+            rb"(?:#[^\n]*\s+)*\d+\s"
+        )
         shifts = np.arange(DHASH_BITS, dtype=np.int64)
         for pdf in batches:
             out: dict[str, list] = {"media_id": [], "dhash": [], "ahash": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
-                fmt, w, h = _parse_image_header(payload)
-                if fmt != "ppm" or w is None or len(payload) < w * h * 3:
+                m = hdr.match(payload)
+                if m is None:
+                    continue
+                w, h = int(m.group(1)), int(m.group(2))
+                if w <= 0 or h <= 0 or len(payload) != m.end() + w * h * 3:
                     continue
                 px = np.frombuffer(
-                    payload, np.uint8, count=w * h * 3,
-                    offset=len(payload) - w * h * 3,
+                    payload, np.uint8, count=w * h * 3, offset=m.end()
                 )
                 gray = px.reshape(h, w, 3).astype(np.int64).sum(axis=2)
                 ys = (np.arange(PHASH_GRID) * h) // PHASH_GRID
@@ -797,7 +807,7 @@ rare AS (
   SELECT * FROM (
     SELECT media_id, frame_sig,
            count(*) OVER (PARTITION BY frame_sig) AS occ
-    FROM vsigs
+    FROM (SELECT DISTINCT media_id, frame_sig FROM vsigs)
   ) WHERE occ <= {VIDEO_SIG_MAX_OCC}
 ),
 vinter AS (
@@ -811,19 +821,27 @@ SELECT media_a, media_b, CAST(n_shared AS BIGINT) AS n_shared
 FROM vinter WHERE n_shared >= {VIDEO_MIN_SHARED}
 """,
     doc="Near-duplicate VIDEO pairs: inverted-index join on frame "
-    "signatures — two clips sharing >= 8 of their 16 frames "
+    "signatures — two clips sharing >= 8 DISTINCT frame signatures "
     "bit-identically are variants of one source (the edited-intro "
     "fixture shares exactly 16 - max(va, vb) frames within a group). "
-    "EXACTLY the text-shingle containment plan with frames as "
-    "shingles: df-capped (occ <= 64, rule 8) so a viral/boilerplate "
-    "frame (black frame, title card) can't go quadratic, join keyed on "
-    "the signature, one aggregation per pair — never all-pairs, no "
+    "(media_id, frame_sig) is deduped BEFORE the join on both engine "
+    "and oracle sides, so a signature repeated within one clip counts "
+    "once — n_shared is set intersection, never an occurrence "
+    "product — and the occ cap counts CLIPS per signature. EXACTLY "
+    "the text-shingle containment plan with frames as shingles: "
+    "df-capped (occ <= 64, rule 8) so a viral/boilerplate frame "
+    "(black frame, title card) can't go quadratic, join keyed on the "
+    "signature, one aggregation per pair — never all-pairs, no "
     "per-pair frame alignment loop.",
 )
 def media_video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    sigs = media_video_frame_signatures(spark, sf_dir)
+    sigs = (
+        media_video_frame_signatures(spark, sf_dir)
+        .select("media_id", "frame_sig")
+        .distinct()
+    )
     rare = sigs.withColumn(
         "occ", F.count(F.lit(1)).over(Window.partitionBy("frame_sig"))
     ).where(F.col("occ") <= VIDEO_SIG_MAX_OCC)

@@ -279,10 +279,11 @@ GROUP BY 1
 def bloom_join_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev: dict[str, str | None] = {}
     for k, v in _BLOOM_CONFS.items():
-        try:
-            prev[k] = spark.conf.get(k)
-        except Exception:  # noqa: BLE001 — unset in a vanilla session
-            prev[k] = None
+        # get(k) would return the BUILT-IN default for an unset key, so a
+        # previously-unset conf would be restored as an explicit value;
+        # the None sentinel preserves the unset-vs-explicit distinction
+        # (same contract as stream_watermark_policy_join_trace).
+        prev[k] = spark.conf.get(k, None)
         spark.conf.set(k, v)
     try:
         out = _bloom_pruned_plan(spark, sf_dir)

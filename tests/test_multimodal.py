@@ -95,6 +95,30 @@ def test_png_codec_roundtrip_all_filters_and_corruption():
     assert mm.decode_png(bytes(corrupt)) is None
 
 
+def test_phash_malformed_payloads_drop_per_row(spark):
+    """The 'malformed payloads drop per-row' contract must hold for
+    junk-TRAILED payloads too: the body offset comes from the parsed
+    header end, so trailing bytes make the length check fail and the row
+    drops — it is never silently hashed from the wrong byte range."""
+    from spark_streaming_twitter_spark.multimodal import phash as ph
+
+    w = h = 8
+    body = bytes((7 * i) % 256 for i in range(w * h * 3))
+    good = f"P6\n{w} {h}\n255\n".encode("ascii") + body
+    rows = [
+        (1, good),
+        (2, good + b"JUNK"),          # trailing junk -> drop
+        (3, good[:-5]),               # truncated body -> drop
+        (4, b"P6\n8 8\n255"),         # header only, no body ws -> drop
+        (5, b"BM" + bytes(60)),       # not PPM -> drop
+        (6, f"P6\n# c\n{w}\n# c\n{h}\n255\n".encode("ascii") + body),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r.dhash for r in ph.perceptual_hashes(df).collect()}
+    assert set(got) == {1, 6}
+    assert got[1] == got[6]  # comments in the header don't shift the body
+
+
 def test_phash_codes_match_independent_python_replay(spark):
     """dHash/aHash from the DECODED payload must equal an independent
     pure-Python computation from the generator formula — pinning both the
@@ -223,11 +247,12 @@ def test_audio_fingerprints_match_independent_python_replay(spark):
 
 def test_video_dup_pairs_shared_frames_match_construction(spark):
     """Exact brute-force replay: per-frame signatures recomputed in pure
-    Python from the generator, pair counts via the same occurrence-pair
-    join arithmetic (sum over sig of cnt_a * cnt_b, df-capped), and the
-    qualitative floor — variants share their >= 16 - max(va, vb)
-    unmodified frames, so every within-group pair with that floor over
-    the threshold must appear."""
+    Python from the generator, n_shared as the DISTINCT shared-signature
+    set size ((media_id, frame_sig) deduped before the join, clips-per-
+    signature df-cap), and the qualitative floor — variants share their
+    16 - max(va, vb) unmodified frames, so every within-group pair whose
+    surviving distinct unmodified signatures clear the threshold must
+    appear."""
     from collections import Counter, defaultdict
 
     from spark_streaming_twitter_spark.multimodal import phash as ph
@@ -256,9 +281,10 @@ def test_video_dup_pairs_shared_frames_match_construction(spark):
         return out
 
     sigs = {d: sigs_of(d) for d in ids}
-    occ = Counter(s for d in ids for s in sigs[d])
+    dsigs = {d: set(s) for d, s in sigs.items()}
+    occ = Counter(s for d in ids for s in dsigs[d])  # clips per signature
     kept = {
-        d: Counter(s for s in sigs[d] if occ[s] <= ph.VIDEO_SIG_MAX_OCC)
+        d: {s for s in dsigs[d] if occ[s] <= ph.VIDEO_SIG_MAX_OCC}
         for d in ids
     }
     inv = defaultdict(list)
@@ -269,16 +295,24 @@ def test_video_dup_pairs_shared_frames_match_construction(spark):
 
     want: dict[tuple[int, int], int] = defaultdict(int)
     for s, docs in inv.items():
-        for a, b in itertools.combinations(sorted(set(docs)), 2):
-            want[(a, b)] += kept[a][s] * kept[b][s]
+        for a, b in itertools.combinations(sorted(docs), 2):
+            want[(a, b)] += 1
     want = {
         k: v for k, v in want.items() if v >= ph.VIDEO_MIN_SHARED
     }
     assert got == want
-    # qualitative floor: unmodified frames always match within a group
+    # qualitative floor: unmodified frames (f >= max(va, vb)) have
+    # v-independent signatures, so their surviving distinct set is shared
     for a, b in itertools.combinations(ids, 2):
         if a // 24 == b // 24:
-            floor = ph.VIDEO_FRAMES - max((a % 24) // 3, (b % 24) // 3)
+            vmax = max((a % 24) // 3, (b % 24) // 3)
+            floor = len(
+                {
+                    sigs[a][f]
+                    for f in range(vmax, ph.VIDEO_FRAMES)
+                    if sigs[a][f] in kept[a]
+                }
+            )
             if floor >= ph.VIDEO_MIN_SHARED:
                 assert got.get((a, b), 0) >= floor, (a, b, floor)
 

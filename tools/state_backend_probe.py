@@ -53,7 +53,13 @@ def run_child(backend: str, sf_dir: str) -> None:
 
 
 def main() -> None:
-    if len(sys.argv) >= 3 and sys.argv[1] == "--run":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--run":
+        if len(sys.argv) < 4:
+            print(
+                "usage: state_backend_probe.py --run {heap|rocksdb} SF_DIR",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
         run_child(sys.argv[2], sys.argv[3])
         return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_scale_sf10x"
