@@ -342,6 +342,142 @@ def dedup_minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def minhash_band_structs(sh_arr):
+    """Row-wise array<struct<band,band_key>> from a shingle ARRAY column.
+
+    The STATELESS twin of :func:`minhash_buckets` for streaming plans: the
+    k=16 signature slots fold over the hashed shingle array with a single
+    ``F.aggregate`` (JVM-side, one md5 per shingle via the pre-hashing
+    ``transform``, then 16 affine mins per element), so a document's LSH
+    band keys come out of a plain projection — no groupBy, no shuffle, no
+    state store — which is what lets a streaming micro-batch band-key its
+    rows at per-batch cost independent of stream history. Produces
+    bit-identical band keys to the batch path (same base hash, same
+    affine family, same md5-of-joined-mins key)."""
+    k = MINHASH_BANDS * MINHASH_ROWS
+    hashed = F.transform(sh_arr, lambda s: portable_hash(s) % MINHASH_P)
+    init = F.struct(
+        *[F.lit(MINHASH_P).cast("bigint").alias(f"m{i}") for i in range(k)]
+    )
+    sig = F.aggregate(
+        hashed,
+        init,
+        lambda acc, h: F.struct(
+            *[
+                F.least(
+                    acc[f"m{i}"],
+                    (h * _MINHASH_A[i] + _MINHASH_B[i]) % MINHASH_P,
+                ).alias(f"m{i}")
+                for i in range(k)
+            ]
+        ),
+    )
+    return F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            sig[f"m{band * MINHASH_ROWS + r}"].cast("string")
+                            for r in range(MINHASH_ROWS)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for band in range(MINHASH_BANDS)
+        ]
+    )
+
+
+@query(
+    "stream_text_minhash_ingest_dedup",
+    oracle=f"""
+WITH {_MINHASH_BUCKETS_SQL},
+refs AS (
+  SELECT doc_id AS ref_id, band, band_key FROM buckets WHERE doc_id % 10 = 0
+)
+SELECT s.doc_id, r.ref_id,
+       CAST(count(DISTINCT s.band) AS BIGINT) AS n_bands
+FROM buckets s
+JOIN refs r ON s.band = r.band AND s.band_key = r.band_key
+           AND s.doc_id <> r.ref_id
+GROUP BY 1, 2
+""",
+    doc="TEXT near-dup detection AT INGEST — the single most-used "
+    "streaming dedup in a training-data pipeline, and the mirror of "
+    "stream_media_phash_ingest_dedup for the reference's Kafka-ingest "
+    "topology (TwitterDatasetTrendingHashtag.java:64-75 is exactly "
+    "where it runs): incoming documents arrive as an unbounded file "
+    "stream (4 micro-batches via maxFilesPerTrigger=1, the Kafka-swap "
+    "shape), each row's MinHash BAND KEYS are computed INSIDE the "
+    "streaming plan by minhash_band_structs (a row-wise F.aggregate "
+    "fold over the shingle array — no groupBy, so no state store and "
+    "no watermark), and each micro-batch probes a BROADCAST static "
+    "band index (the doc_id % 10 = 0 canonical corpus, banded by the "
+    "BATCH minhash_buckets path — the two paths must agree "
+    "bit-for-bit, which the oracle checks by replaying banding over "
+    "the whole corpus in SQL), emitting (doc_id, ref_id, band) hits "
+    "in append mode. Completely STATELESS: per-batch cost is "
+    "O(batch x bands), independent of stream history — the shape that "
+    "scales to unbounded ingest. The memory-sink read-back aggregates "
+    "hits to (doc_id, ref_id, n_bands) batch-side.",
+)
+def stream_text_minhash_ingest_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_to_memory,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="minhash_stream_")
+    data_dir = os.path.join(tmp, "docs")
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.repartition(4).write.parquet(data_dir)
+
+        ref_bands = minhash_buckets(
+            doc_shingles(docs.where(F.col("doc_id") % 10 == 0))
+        ).select(F.col("doc_id").alias("ref_id"), "band", "band_key")
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data_dir)
+        )
+        bands = stream.select(
+            "doc_id",
+            F.explode(
+                minhash_band_structs(
+                    shingles(tokens(F.lower(F.col("text"))), SHINGLE_N)
+                )
+            ).alias("bk"),
+        ).select(
+            "doc_id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+        matches = (
+            bands.join(F.broadcast(ref_bands), ["band", "band_key"])
+            .where(F.col("doc_id") != F.col("ref_id"))
+            .select("doc_id", "ref_id", "band")
+        )
+        sink = run_to_memory(matches, output_mode="append")
+        agg = sink.groupBy("doc_id", "ref_id").agg(
+            F.count_distinct("band").alias("n_bands")
+        )
+        rows = agg.collect()
+        out = spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 @query(
     "dedup_edit_distance_verify",
     oracle=f"""

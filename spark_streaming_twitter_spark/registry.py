@@ -132,6 +132,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dedup_prefix_filter_pairs",
     "similarity_filtered_topk",
     "similarity_postfilter_loss",
+    # round-9 additions (tie-break order; the dynamic sort fronts them
+    # while they lack a green driver row)
+    "stream_text_minhash_ingest_dedup",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

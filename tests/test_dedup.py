@@ -48,6 +48,42 @@ def test_minhash_lsh_finds_planted_near_dups(near_dup_docs):
     assert not any(3 in p for p in got), "unrelated doc must not pair"
 
 
+def test_rowwise_band_structs_match_batch_buckets(near_dup_docs):
+    """The streaming ingest path's ROW-WISE band keys (F.aggregate fold,
+    no shuffle) must equal the batch minhash_buckets path bit-for-bit —
+    the contract stream_text_minhash_ingest_dedup's broadcast probe
+    relies on (a stream doc and its static twin must land in the same
+    buckets). Includes an empty-text row (single '' shingle edge)."""
+    from spark_streaming_twitter_spark.dedup.dedup import (
+        SHINGLE_N,
+        minhash_band_structs,
+        shingles,
+        tokens,
+    )
+
+    docs = near_dup_docs.union(
+        near_dup_docs.sparkSession.createDataFrame(
+            [(5, ""), (6, "one two")], ["doc_id", "text"]
+        )
+    )
+    batch = {
+        (r.doc_id, r.band, r.band_key)
+        for r in minhash_buckets(doc_shingles(docs)).collect()
+    }
+    rowwise = {
+        (r.doc_id, r.bk.band, r.bk.band_key)
+        for r in docs.select(
+            "doc_id",
+            F.explode(
+                minhash_band_structs(
+                    shingles(tokens(F.lower(F.col("text"))), SHINGLE_N)
+                )
+            ).alias("bk"),
+        ).collect()
+    }
+    assert rowwise == batch
+
+
 def test_exact_dup_matches_all_bands(near_dup_docs):
     pairs = lsh_candidate_pairs(minhash_buckets(doc_shingles(near_dup_docs)))
     row = pairs.where((F.col("doc_a") == 0) & (F.col("doc_b") == 4)).collect()
