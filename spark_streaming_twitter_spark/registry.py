@@ -135,6 +135,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # round-9 additions (tie-break order; the dynamic sort fronts them
     # while they lack a green driver row)
     "stream_text_minhash_ingest_dedup",
+    "similarity_filtered_ivf_topk",
+    "similarity_filtered_ivf_recall",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

@@ -926,7 +926,14 @@ routed AS (
 )"""
 
 
-def _ivf_ranked_ctes(nprobe: int, suffix: str = "") -> str:
+def _ivf_ranked_ctes(
+    nprobe: int, suffix: str = "", neighbor_mod: int | None = None
+) -> str:
+    pred = (
+        f" AND n.vec_id % {neighbor_mod} = 1"
+        if neighbor_mod is not None
+        else ""
+    )
     return f""",
 cells{suffix} AS (SELECT query_id, label FROM routed WHERE rn <= {nprobe}),
 scored{suffix} AS (
@@ -936,7 +943,7 @@ scored{suffix} AS (
            AS cosine
   FROM cells{suffix}
   JOIN quantized qn ON qn.label = cells{suffix}.label
-  JOIN corpus n ON n.vec_id = qn.vec_id AND n.vec_id <> cells{suffix}.query_id
+  JOIN corpus n ON n.vec_id = qn.vec_id AND n.vec_id <> cells{suffix}.query_id{pred}
   JOIN corpus q ON q.vec_id = cells{suffix}.query_id
 ),
 ranked{suffix} AS (
@@ -947,8 +954,19 @@ ranked{suffix} AS (
 )"""
 
 
-def _ivf_probe_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
-    """Query side of IVF with a configurable probe depth (exact re-rank)."""
+def _ivf_probe_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int,
+    neighbor_mod: int | None = None,
+) -> DataFrame:
+    """Query side of IVF with a configurable probe depth (exact re-rank).
+
+    ``neighbor_mod``: optional metadata predicate (``vec_id % mod = 1``)
+    applied to the CANDIDATES of the probed cells BEFORE ranking — the
+    pre-filtered-ANN composition; the filter lands on the corpus scan, so
+    ineligible vectors never enter the candidate join.
+    """
     emb = widen(
         table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"),
         spark,
@@ -998,6 +1016,10 @@ def _ivf_probe_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         F.col("embedding").alias("n_emb"),
         F.col("n2").alias("n_n2"),
     )
+    if neighbor_mod is not None:
+        neighbors = neighbors.where(
+            F.col("neighbor_id") % neighbor_mod == 1
+        )
     cosine = scaled_dot(F.col("q_emb"), F.col("n_emb")).cast("double") / (
         F.sqrt(F.col("q_n2").cast("double")) * F.sqrt(F.col("n_n2").cast("double"))
     )
@@ -1692,3 +1714,169 @@ def similarity_postfilter_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# FILTERED + ANN composed: the predicate applied to IVF candidates BEFORE
+# ranking (similarity_filtered_topk pre-filters the exact scorer only; this
+# proves the composition the approximate index needs at 100 TB), plus the
+# filtered-recall metric vs the exact filtered page at two selectivities.
+# ---------------------------------------------------------------------------
+
+FILTERED_IVF_MOD = 4  # headline predicate: vec_id % 4 = 1 (25% eligible)
+FILTERED_IVF_MODS = (4, 16)  # recall reported at 25% and 6.25% selectivity
+
+
+def _exact_mod_topk(
+    spark: SparkSession, sf_dir: str, mod: int
+) -> DataFrame:
+    """Exact filtered page for the ``vec_id % mod = 1`` predicate: the
+    brute-force scorer over eligible vectors only — ground truth for the
+    filtered-IVF recall metric."""
+    corpus = _corpus_with_norms(spark, sf_dir)
+    queries = corpus.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    pairs = (
+        corpus.where(F.col("vec_id") % mod == 1)
+        .join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+    )
+    cosine = scaled_dot(F.col("q_emb"), F.col("embedding")).cast(
+        "double"
+    ) / (
+        F.sqrt(F.col("q_n2").cast("double"))
+        * F.sqrt(F.col("n2").cast("double"))
+    )
+    return _topk_filter(
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine.alias("cosine"),
+        )
+    )
+
+
+def _exact_mod_page_sql(mod: int) -> str:
+    """Oracle CTE for :func:`_exact_mod_topk` (name ``fex{mod}``)."""
+    return f"""
+fex{mod} AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY CAST({scaled_dot_sql("q.q_emb", "c.embedding")} AS DOUBLE)
+                        / (sqrt(CAST(q.q_n2 AS DOUBLE))
+                           * sqrt(CAST(c.n2 AS DOUBLE))) DESC,
+                      c.vec_id ASC) AS rank
+    FROM queries q
+    JOIN corpus c ON q.query_id <> c.vec_id AND c.vec_id % {mod} = 1
+  ) WHERE rank <= {TOP_K}
+)"""
+
+
+@query(
+    "similarity_filtered_ivf_topk",
+    oracle=f"""
+{_ORACLE_PRELUDE},
+{_IVF_PREFIX_CTES}{_ivf_ranked_ctes(IVF_NPROBE, neighbor_mod=FILTERED_IVF_MOD)}
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc=f"FILTERED vector search through the APPROXIMATE index — the "
+    "composition similarity_filtered_topk (exact scorer) leaves "
+    "unproven: the metadata predicate (vec_id % 4 = 1, a 25%-selective "
+    "tenant/shard constraint orthogonal to the cell structure) is "
+    f"applied to the IVF candidates of the nprobe={IVF_NPROBE} probed "
+    "cells BEFORE ranking, so ineligible vectors never enter the "
+    "candidate join — the filter lands on the corpus scan next to the "
+    "cell-membership filter, exactly how a production vector store "
+    "pushes predicates into candidate generation. The page is the true "
+    "top-k among eligible PROBED-cell members; recall vs the exact "
+    "filtered page is measured by similarity_filtered_ivf_recall. "
+    "Shuffle shape identical to similarity_ivf_nprobe_topk (routing "
+    "window + broadcast cells join); the predicate only shrinks it.",
+)
+def similarity_filtered_ivf_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _ivf_probe_topk(
+        spark, sf_dir, IVF_NPROBE, neighbor_mod=FILTERED_IVF_MOD
+    )
+
+
+def _filtered_ivf_recall_oracle() -> str:
+    arms = []
+    for mod in FILTERED_IVF_MODS:
+        arms.append(
+            f"""
+SELECT CAST({mod} AS BIGINT) AS selectivity_mod, e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(a.neighbor_id) AS DOUBLE) / count(*) AS recall
+FROM fex{mod} e
+LEFT JOIN (SELECT query_id, neighbor_id FROM ranked_f{mod}
+           WHERE rank <= {TOP_K}) a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY 2"""
+        )
+    ranked = "".join(
+        _ivf_ranked_ctes(IVF_NPROBE, suffix=f"_f{mod}", neighbor_mod=mod)
+        for mod in FILTERED_IVF_MODS
+    )
+    pages = ",".join(_exact_mod_page_sql(mod) for mod in FILTERED_IVF_MODS)
+    return f"""
+{_ORACLE_PRELUDE},
+{_IVF_PREFIX_CTES}{ranked},
+{pages}
+{" UNION ALL ".join(arms)}
+"""
+
+
+@query(
+    "similarity_filtered_ivf_recall",
+    oracle=_filtered_ivf_recall_oracle(),
+    doc="The filtered-ANN recall metric — sibling of similarity_ann_recall "
+    "for the PRE-FILTERED approximate path: per query and per predicate "
+    "selectivity (vec_id % 4 = 1 -> 25% eligible, % 16 -> 6.25%), "
+    "recall@k of the filtered IVF page (predicate composed into "
+    "candidate generation, similarity_filtered_ivf_topk's plan) against "
+    "the exact filtered page (brute force over eligible vectors). "
+    "Selectivity is the axis that breaks post-filtering (measured by "
+    "similarity_postfilter_loss); this query shows pre-filtered IVF "
+    "degrades only by CELL-BOUNDARY loss — the probed cells may miss "
+    "eligible true neighbors — which is the nprobe knob's job, not the "
+    "predicate's. Both pages share the deterministic tie-break, so the "
+    "metric is bitwise-stable.",
+)
+def similarity_filtered_ivf_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    out = None
+    for mod in FILTERED_IVF_MODS:
+        exact = _exact_mod_topk(spark, sf_dir, mod).select(
+            "query_id", "neighbor_id"
+        )
+        approx = _ivf_probe_topk(
+            spark, sf_dir, IVF_NPROBE, neighbor_mod=mod
+        ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        arm = (
+            exact.join(approx, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.count("hit").alias("n_hits"),
+                (F.count("hit").cast("double") / F.count(F.lit(1))).alias(
+                    "recall"
+                ),
+            )
+            .select(
+                F.lit(mod).cast("bigint").alias("selectivity_mod"),
+                "query_id",
+                "n_exact",
+                "n_hits",
+                "recall",
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out
