@@ -1009,6 +1009,12 @@ SELECT 'video',
        (SELECT count(*) FROM documents WHERE doc_id % 3 = 2),
        (SELECT count(*) FROM vpairs),
        (SELECT count(DISTINCT media_b) FROM vpairs)
+UNION ALL
+SELECT 'caption',
+       (SELECT count(*) FROM documents WHERE doc_id % 3 = 0),
+       (SELECT count(DISTINCT group_id) FROM ikeeper),
+       (SELECT count(*) FROM ikeeper k
+        JOIN documents d ON d.doc_id = k.drop_media_id)
 """
 
 
@@ -1018,7 +1024,10 @@ SELECT 'video',
     doc="The media-dedup capstone — one run-report row per modality: "
     "corpus size, near-dup pairs surfaced, and items the keeper rule "
     "drops (images: the detail-keeping group keeper; audio/video: the "
-    "min-id rule — any item pairing with a smaller id goes). All four "
+    "min-id rule — any item pairing with a smaller id goes), plus the "
+    "CROSS-MODALITY 'caption' row: captions whose image is a keeper's "
+    "drop are dropped too (the media_caption_drop_propagation join "
+    "counted — n_dup_pairs holds the duplicate-group count there). All "
     "stage oracles are embedded verbatim at decoration time, so the "
     "ledger can never drift from the registered detectors — one wrong "
     "pair anywhere flips a count. This is the observability row a "
@@ -1037,13 +1046,82 @@ def media_curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     ipairs = media_phash_dup_pairs(spark, sf_dir)
     apairs = media_audio_dup_pairs(spark, sf_dir)
     vpairs = media_video_dup_pairs(spark, sf_dir)
+    ikeeper = media_phash_group_keeper(spark, sf_dir)
     rows = [
-        kind_row(
-            "image", 0, ipairs, media_phash_group_keeper(spark, sf_dir)
-        ),
+        kind_row("image", 0, ipairs, ikeeper),
         kind_row("audio", 1, apairs, apairs.select("media_b").distinct()),
         kind_row("video", 2, vpairs, vpairs.select("media_b").distinct()),
+        (
+            "caption",
+            docs.where(F.col("doc_id") % 3 == 0).count(),
+            ikeeper.select("group_id").distinct().count(),
+            docs.join(
+                F.broadcast(ikeeper),
+                F.col("doc_id") == F.col("drop_media_id"),
+            ).count(),
+        ),
     ]
     return spark.createDataFrame(
         rows, "kind string, n_media bigint, n_dup_pairs bigint, n_dropped bigint"
+    )
+
+
+def _caption_drop_oracle() -> str:
+    """Compose the caption-propagation oracle from the REGISTERED keeper
+    oracle verbatim (the capstone convention — the drop list can never
+    drift from the image keeper it propagates)."""
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    ik = QUERIES["media_phash_group_keeper"].oracle
+    return f"""
+WITH keeper AS ({ik})
+SELECT k.drop_media_id AS doc_id, k.group_id, k.kept_media_id,
+       CAST(length(d.text) AS BIGINT) AS caption_len,
+       CAST(length(kd.text) AS BIGINT) AS kept_caption_len
+FROM keeper k
+JOIN documents d ON d.doc_id = k.drop_media_id
+JOIN documents kd ON kd.doc_id = k.kept_media_id
+"""
+
+
+@query(
+    "media_caption_drop_propagation",
+    oracle=_caption_drop_oracle(),
+    doc="CROSS-MODALITY curation propagation — the join a per-modality "
+    "ledger misses: when the image keeper drops a near-dup image, its "
+    "CAPTION document must go too (keeping the caption of a dropped "
+    "image leaks the duplicate's text into the training mix). The "
+    "fixture's linkage is identity — image media_id IS the doc_id of "
+    "its caption (doc_id % 3 = 0 rows, FIXTURES.md) — so the drop list "
+    "joins media_phash_group_keeper's drops against documents twice "
+    "(dropped caption + the keeper's surviving caption), emitting one "
+    "row per propagated drop with both caption lengths as join "
+    "witnesses. The keeper oracle is embedded verbatim at decoration "
+    "time. Scale: the drop list is tiny next to the corpus, so both "
+    "document joins broadcast the drop side and the corpus scan never "
+    "shuffles — the propagation costs O(drops), not O(corpus).",
+)
+def media_caption_drop_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    drops = media_phash_group_keeper(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dropped_caps = docs.join(
+        F.broadcast(drops), F.col("doc_id") == F.col("drop_media_id")
+    ).select(
+        "drop_media_id",
+        "group_id",
+        "kept_media_id",
+        F.length("text").cast("bigint").alias("caption_len"),
+    )
+    kept_caps = docs.select(
+        F.col("doc_id").alias("kept_media_id"),
+        F.length("text").cast("bigint").alias("kept_caption_len"),
+    )
+    return kept_caps.join(F.broadcast(dropped_caps), "kept_media_id").select(
+        F.col("drop_media_id").alias("doc_id"),
+        "group_id",
+        "kept_media_id",
+        "caption_len",
+        "kept_caption_len",
     )
