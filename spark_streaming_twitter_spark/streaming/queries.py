@@ -453,13 +453,16 @@ def user_event_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's mapGroupsWithState semantics
     (TwitterDatasetTrendingHashtag.java:458-492).
 
-    Registered in the query registry ONLY when ``google.protobuf`` imports
-    (capability probe below): the Python state client speaks protobuf to
-    the JVM, so on hosts without it the plan constructs but execution
-    raises in the Python worker. On capable hosts the query gets a driver
-    CORRECTNESS row automatically; here the dependency gate is pinned by
-    tests/test_streaming.py (test_transform_with_state_*), which runs the
-    full oracle comparison when protobuf is importable and asserts the
+    Registered in the query registry ONLY when a ``google.protobuf``
+    runtime imports (capability probe below — native install OR the
+    pure-Python runtime the host's public Google Cloud SDK vendors, which
+    the probe puts on sys.path and this function forwards to the Python
+    workers via ``sc.environment``): the Python state client speaks
+    protobuf to the JVM, so on hosts with neither the plan constructs but
+    execution raises in the Python worker. On capable hosts the query gets
+    a driver CORRECTNESS row automatically; the dependency gate is pinned
+    by tests/test_streaming.py (test_transform_with_state_*), which runs
+    the full oracle comparison when protobuf is importable and asserts the
     documented failure mode when it is not.
     """
     import pandas as pd
@@ -467,6 +470,8 @@ def user_event_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         StatefulProcessor,
         StatefulProcessorHandle,
     )
+
+    _forward_vendored_protobuf_to_workers(spark)
 
     class RunningCount(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -512,19 +517,83 @@ def user_event_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mat.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
+# Set when the probe found google.protobuf only via a vendored pure-Python
+# runtime: the path must then also reach the PYTHON WORKERS (the tws state
+# client runs there), which user_event_counts_tws does via sc.environment.
+_PROTOBUF_VENDOR_PATH: str | None = None
+
+# The (public) Google Cloud SDK ships a plain `google/protobuf` pure-Python
+# runtime under its appengine platform dir; pip-less hosts that have the SDK
+# can run the tws state client with it.
+_PROTOBUF_VENDOR_CANDIDATES = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
 def _protobuf_available() -> bool:
+    """True when a google.protobuf runtime usable by the tws state client
+    imports — natively, or via a vendored pure-Python runtime this probe
+    puts on sys.path (recording it in ``_PROTOBUF_VENDOR_PATH`` so the
+    query can forward it to the Python workers). The vendored runtime may
+    trail pyspark's gencode by a minor version (6.32 vs 6.33 here); the
+    wire format is stable within a major, and protobuf documents the
+    TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK escape hatch for exactly
+    this gap — end-to-end oracle equality is what actually validates it
+    (tests/test_streaming.py + the driver row)."""
+    global _PROTOBUF_VENDOR_PATH
+    import os
+    import sys
+
     try:
         from google.protobuf import descriptor  # noqa: F401
 
         return True
     except ImportError:
-        return False
+        pass
+    for vendor in _PROTOBUF_VENDOR_CANDIDATES:
+        if not os.path.isdir(os.path.join(vendor, "google", "protobuf")):
+            continue
+        sys.path.insert(0, vendor)
+        os.environ.setdefault(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        )
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+            import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+        except Exception:  # noqa: BLE001 — any breakage: not usable
+            sys.path.remove(vendor)
+            continue
+        _PROTOBUF_VENDOR_PATH = vendor
+        return True
+    return False
+
+
+def _forward_vendored_protobuf_to_workers(spark: SparkSession) -> None:
+    """Make the vendored protobuf runtime visible to Python WORKERS.
+
+    ``sc.environment`` is captured into every Python function created
+    after this call (PYTHONPATH is MERGED with Spark's own worker path,
+    never replaced), so the tws state client — which imports
+    google.protobuf inside the worker — finds the same runtime the driver
+    probe found. No-op when protobuf imported natively."""
+    import os
+
+    if _PROTOBUF_VENDOR_PATH is None:
+        return
+    env = spark.sparkContext.environment
+    prev = env.get("PYTHONPATH", "")
+    if _PROTOBUF_VENDOR_PATH not in prev.split(os.pathsep):
+        env["PYTHONPATH"] = _PROTOBUF_VENDOR_PATH + (
+            os.pathsep + prev if prev else ""
+        )
+    env["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
 
 
 if _protobuf_available():
-    # Capability-probe registration (VERDICT r5 #4): the Spark-4 stateful
-    # twin joins the registry — and gets a driver row — the moment the
-    # environment provides protobuf, with zero code change.
+    # Capability-probe registration (VERDICT r5 #4, vendored-runtime
+    # fallback r9): the Spark-4 stateful twin joins the registry — and
+    # gets a driver row — the moment the environment provides ANY usable
+    # protobuf runtime, with zero code change.
     query(
         "stream_user_event_counts_tws",
         oracle="SELECT user_id, count(*) AS n_events FROM events GROUP BY 1",
