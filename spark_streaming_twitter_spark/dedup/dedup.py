@@ -2779,9 +2779,14 @@ SELECT doc_a, doc_b, n_common, jaccard FROM jac WHERE jaccard >= 0.5
     "the candidate join runs over prefixes only — further banded by the "
     "AllPairs LENGTH filter (Bayardo et al. WWW'07 §3: J >= 0.5 forces "
     "max(na,nb) <= 2*min(na,nb), exact, carried free on the prefix "
-    "relation) — and the verify step fetches each candidate pair's two "
-    "shingle ARRAYS and intersects them row-locally — candidate-bound "
-    "work, no second inverted-index pass. The oracle is "
+    "relation) and pruned by the POSITIONAL filter (Xiao et al. WWW'08 "
+    "§3.2: both lists share one global rarity order, so the first "
+    "shared prefix shingle at ranks (ia, jb) bounds the overlap, "
+    "I <= 1 + min(na-ia, nb-jb), and J >= 0.5 needs 3I >= na+nb — "
+    "exact, soundness property-tested) — and the verify step fetches "
+    "each candidate pair's two shingle ARRAYS and intersects them "
+    "row-locally — candidate-bound work, no second inverted-index "
+    "pass. The oracle is "
     "dedup_ngram_jaccard_pairs' SQL VERBATIM: the algorithm is exact, "
     "so the answers must match the naive full inverted-index join "
     "bit-for-bit — a stronger check than any replayed approximation. "
@@ -2790,7 +2795,9 @@ SELECT doc_a, doc_b, n_common, jaccard FROM jac WHERE jaccard >= 0.5
     "boilerplate shingles land in nobody's prefix — the df-cap's "
     "recall-free cousin (measured at sf0.01: 13,985 full-inverted-"
     "index join rows -> 1,613 prefix join rows -> 1,407 after the "
-    "length band; 977 -> 772 distinct candidate pairs to verify). "
+    "length band; 977 -> 772 candidate pairs after the length band "
+    "-> 27 after the positional filter, vs 25 true pairs — the "
+    "array-fetch verify stage all but vanishes). "
     "The df<=64 cap composes on the prefix relation as the "
     "ADVERSARIAL-prefix guard (a shingle rare enough to be indexed "
     "yet shared by millions pays df^2); it does not bite on this "
@@ -2818,9 +2825,14 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.expr("rn <= n DIV 2 + 1"))
         .where(F.col("df") <= PAIR_DF_CAP)
-        .select("doc_id", "n", "sh")
+        .select("doc_id", "n", "sh", "rn")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # Positional filter (PPJoin, Xiao et al. WWW'08 §3.2), exact: both
+    # shingle lists are ranked by the SAME global (df, sh) order, so the
+    # FIRST shared prefix shingle (min rn on either side — consistent
+    # order means both mins land on the same shingle) bounds the overlap:
+    # I <= 1 + min(na - rn_a, nb - rn_b). J >= 0.5 needs 3*I >= na + nb.
     cand = (
         a.join(
             b,
@@ -2831,11 +2843,27 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("b.n") <= 2 * F.col("a.n"))
             & (F.col("a.n") <= 2 * F.col("b.n")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .distinct()
+        .agg(
+            F.min(F.col("a.n")).alias("pna"),
+            F.min(F.col("b.n")).alias("pnb"),
+            F.min(F.col("a.rn")).alias("ia"),
+            F.min(F.col("b.rn")).alias("jb"),
+        )
+        .where(
+            3
+            * (
+                1
+                + F.least(
+                    F.col("pna") - F.col("ia"), F.col("pnb") - F.col("jb")
+                )
+            )
+            >= F.col("pna") + F.col("pnb")
+        )
+        .select("doc_a", "doc_b")
     )
     sa = sets.select(
         F.col("doc_id").alias("doc_a"),

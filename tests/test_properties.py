@@ -1111,3 +1111,64 @@ def test_prefix_filter_completeness_at_half_jaccard(data):
         inter = len(docs[i] & docs[j])
         if inter / len(docs[i] | docs[j]) >= t:
             assert prefixes[i] & prefixes[j], (docs[i], docs[j])
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_positional_and_length_filters_sound_at_half_jaccard(data):
+    """The two extra PPJoin/AllPairs prunes composed into
+    dedup_prefix_filter_pairs must never kill a true pair (soundness —
+    completeness of the prefix theorem is the test above):
+    - LENGTH filter: J >= 0.5 forces max(na, nb) <= 2 * min(na, nb);
+    - POSITIONAL filter (Xiao et al. WWW'08 §3.2): with both element
+      lists ranked by one GLOBAL order, the FIRST shared prefix element
+      at 1-based ranks (ia, jb) bounds the overlap,
+      I <= 1 + min(na - ia, nb - jb), and J >= 0.5 needs 3*I >= na + nb
+      — so every true pair must satisfy
+      3 * (1 + min(na - ia, nb - jb)) >= na + nb."""
+    import itertools
+    import math
+
+    n_docs = data.draw(st.integers(2, 25))
+    uni = data.draw(st.integers(5, 40))
+    docs = [
+        data.draw(
+            st.sets(st.integers(0, uni - 1), min_size=1, max_size=15)
+        )
+        for _ in range(n_docs)
+    ]
+    freq: dict[int, int] = {}
+    for s in docs:
+        for x in s:
+            freq[x] = freq.get(x, 0) + 1
+    rank = {
+        x: i
+        for i, x in enumerate(
+            sorted(freq, key=lambda x: (freq[x], x))
+        )
+    }
+    t = 0.5
+    ordered = [sorted(s, key=lambda x: rank[x]) for s in docs]
+    plens = [len(s) - math.ceil(t * len(s)) + 1 for s in docs]
+    for i, j in itertools.combinations(range(n_docs), 2):
+        inter = len(docs[i] & docs[j])
+        if inter / len(docs[i] | docs[j]) < t:
+            continue
+        na, nb = len(docs[i]), len(docs[j])
+        assert max(na, nb) <= 2 * min(na, nb), (docs[i], docs[j])
+        shared_first = [
+            (ordered[i].index(x) + 1, ordered[j].index(x) + 1)
+            for x in docs[i] & docs[j]
+            if ordered[i].index(x) < plens[i]
+            and ordered[j].index(x) < plens[j]
+        ]
+        assert shared_first, (docs[i], docs[j])  # prefix theorem again
+        ia = min(p for p, _ in shared_first)
+        jb = min(q for _, q in shared_first)
+        # consistent global order: both mins come from the same element
+        assert (ia, jb) in shared_first, (docs[i], docs[j])
+        assert 3 * (1 + min(na - ia, nb - jb)) >= na + nb, (
+            docs[i],
+            docs[j],
+            (ia, jb),
+        )
