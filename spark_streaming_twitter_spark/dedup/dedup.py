@@ -342,24 +342,27 @@ def dedup_minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-def minhash_band_structs(sh_arr):
-    """Row-wise array<struct<band,band_key>> from a shingle ARRAY column.
+def minhash_signature_struct(sh_arr):
+    """Row-wise struct<m0..m15> MinHash signature from a shingle ARRAY.
 
     The STATELESS twin of :func:`minhash_buckets` for streaming plans: the
     k=16 signature slots fold over the hashed shingle array with a single
     ``F.aggregate`` (JVM-side, one md5 per shingle via the pre-hashing
     ``transform``, then 16 affine mins per element), so a document's LSH
-    band keys come out of a plain projection — no groupBy, no shuffle, no
-    state store — which is what lets a streaming micro-batch band-key its
-    rows at per-batch cost independent of stream history. Produces
-    bit-identical band keys to the batch path (same base hash, same
-    affine family, same md5-of-joined-mins key)."""
+    signature comes out of a plain projection — no groupBy, no shuffle,
+    no state store. IMPORTANT: materialize this as its OWN column
+    (``withColumn("sig", ...)``) before deriving band keys —
+    CollapseProject will NOT inline a multiply-referenced non-cheap
+    expression, but referencing this aggregate 16 times inside one
+    projection re-evaluates the whole fold 16x per row (measured 4x
+    slower at sf0.1). Produces bit-identical signatures to the batch
+    path (same base hash, same affine family)."""
     k = MINHASH_BANDS * MINHASH_ROWS
     hashed = F.transform(sh_arr, lambda s: portable_hash(s) % MINHASH_P)
     init = F.struct(
         *[F.lit(MINHASH_P).cast("bigint").alias(f"m{i}") for i in range(k)]
     )
-    sig = F.aggregate(
+    return F.aggregate(
         hashed,
         init,
         lambda acc, h: F.struct(
@@ -372,6 +375,12 @@ def minhash_band_structs(sh_arr):
             ]
         ),
     )
+
+
+def minhash_band_structs_from_sig(sig):
+    """array<struct<band,band_key>> from a materialized signature struct
+    column — the banding half of the row-wise path (same
+    md5-of-joined-mins key as the batch ``minhash_buckets``)."""
     return F.array(
         *[
             F.struct(
@@ -412,7 +421,7 @@ GROUP BY 1, 2
     "where it runs): incoming documents arrive as an unbounded file "
     "stream (4 micro-batches via maxFilesPerTrigger=1, the Kafka-swap "
     "shape), each row's MinHash BAND KEYS are computed INSIDE the "
-    "streaming plan by minhash_band_structs (a row-wise F.aggregate "
+    "streaming plan by minhash_signature_struct (a row-wise F.aggregate "
     "fold over the shingle array — no groupBy, so no state store and "
     "no watermark), and each micro-batch probes a BROADCAST static "
     "band index (the doc_id % 10 = 0 canonical corpus, banded by the "
@@ -423,6 +432,7 @@ GROUP BY 1, 2
     "O(batch x bands), independent of stream history — the shape that "
     "scales to unbounded ingest. The memory-sink read-back aggregates "
     "hits to (doc_id, ref_id, n_bands) batch-side.",
+    bench=True,
 )
 def stream_text_minhash_ingest_dedup(
     spark: SparkSession, sf_dir: str
@@ -437,30 +447,54 @@ def stream_text_minhash_ingest_dedup(
 
     tmp = tempfile.mkdtemp(prefix="minhash_stream_")
     data_dir = os.path.join(tmp, "docs")
+    ref_bands = None
     try:
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
         docs.repartition(4).write.parquet(data_dir)
 
-        ref_bands = minhash_buckets(
-            doc_shingles(docs.where(F.col("doc_id") % 10 == 0))
-        ).select(F.col("doc_id").alias("ref_id"), "band", "band_key")
+        # The static side of a stream-static join is RE-EVALUATED every
+        # micro-batch; persist it so the reference corpus is banded once,
+        # not once per trigger.
+        ref_bands = (
+            minhash_buckets(
+                doc_shingles(
+                    widen(docs.where(F.col("doc_id") % 10 == 0), spark)
+                )
+            )
+            .select(F.col("doc_id").alias("ref_id"), "band", "band_key")
+            .persist()
+        )
+        ref_bands.count()
 
+        par = spark.sparkContext.defaultParallelism
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
             .parquet(data_dir)
         )
-        bands = stream.select(
-            "doc_id",
-            F.explode(
-                minhash_band_structs(
+        # One file per trigger = ONE input partition per micro-batch; the
+        # md5-per-shingle banding is the hot loop, so spread the batch
+        # across cores before the projection (at cluster scale a Kafka
+        # topic's partition count does this at the source).
+        bands = (
+            stream.repartition(par)
+            .withColumn(
+                "sig",
+                minhash_signature_struct(
                     shingles(tokens(F.lower(F.col("text"))), SHINGLE_N)
-                )
-            ).alias("bk"),
-        ).select(
-            "doc_id",
-            F.col("bk.band").alias("band"),
-            F.col("bk.band_key").alias("band_key"),
+                ),
+            )
+            .select(
+                "doc_id",
+                F.explode(
+                    minhash_band_structs_from_sig(F.col("sig"))
+                ).alias("bk"),
+            )
+            .select(
+                "doc_id",
+                F.col("bk.band").alias("band"),
+                F.col("bk.band_key").alias("band_key"),
+            )
         )
         matches = (
             bands.join(F.broadcast(ref_bands), ["band", "band_key"])
@@ -474,6 +508,8 @@ def stream_text_minhash_ingest_dedup(
         rows = agg.collect()
         out = spark.createDataFrame(rows, agg.schema)
     finally:
+        if ref_bands is not None:
+            ref_bands.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
     return out
 

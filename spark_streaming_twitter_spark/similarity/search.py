@@ -1796,6 +1796,7 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOP_K}
     "filtered page is measured by similarity_filtered_ivf_recall. "
     "Shuffle shape identical to similarity_ivf_nprobe_topk (routing "
     "window + broadcast cells join); the predicate only shrinks it.",
+    bench=True,
 )
 def similarity_filtered_ivf_topk(
     spark: SparkSession, sf_dir: str

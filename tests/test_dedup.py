@@ -56,7 +56,8 @@ def test_rowwise_band_structs_match_batch_buckets(near_dup_docs):
     buckets). Includes an empty-text row (single '' shingle edge)."""
     from spark_streaming_twitter_spark.dedup.dedup import (
         SHINGLE_N,
-        minhash_band_structs,
+        minhash_band_structs_from_sig,
+        minhash_signature_struct,
         shingles,
         tokens,
     )
@@ -72,14 +73,19 @@ def test_rowwise_band_structs_match_batch_buckets(near_dup_docs):
     }
     rowwise = {
         (r.doc_id, r.bk.band, r.bk.band_key)
-        for r in docs.select(
+        for r in docs.withColumn(
+            "sig",
+            minhash_signature_struct(
+                shingles(tokens(F.lower(F.col("text"))), SHINGLE_N)
+            ),
+        )
+        .select(
             "doc_id",
-            F.explode(
-                minhash_band_structs(
-                    shingles(tokens(F.lower(F.col("text"))), SHINGLE_N)
-                )
-            ).alias("bk"),
-        ).collect()
+            F.explode(minhash_band_structs_from_sig(F.col("sig"))).alias(
+                "bk"
+            ),
+        )
+        .collect()
     }
     assert rowwise == batch
 
