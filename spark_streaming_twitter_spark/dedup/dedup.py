@@ -2838,30 +2838,41 @@ SELECT doc_a, doc_b, n_common, jaccard FROM jac WHERE jaccard >= 0.5
     "ADVERSARIAL-prefix guard (a shingle rare enough to be indexed "
     "yet shared by millions pays df^2); it does not bite on this "
     "corpus — the max prefix-posting df here is 4, so the output "
-    "stays bit-identical to the uncapped exact join. Shuffles: df count + "
-    "rank window on sh/doc_id, prefix self-join on sh, one (pair) "
-    "aggregation.",
+    "stays bit-identical to the uncapped exact join. Shuffles: ONE "
+    "count-window on sh (replacing the groupBy + join-back pair), rank "
+    "window on doc_id, prefix self-join on sh, one (pair) aggregation; "
+    "the shingle arrays are cached once and the tiny candidate list "
+    "broadcasts into the verify fetches.",
     bench=True,
 )
 def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(
         table(spark, sf_dir, "documents").select("doc_id", "text"), spark
     )
-    sets = docs.select(
+    # The shingle transform is the hot loop and is a higher-order function
+    # (no codegen subexpression elimination), so cache the arrays ONCE —
+    # they are read by the explode, the size, and the two verify fetches.
+    # At 100 TB this cache is the staged-artifact write the pipeline does
+    # anyway (cf. staged_dedup_artifacts).
+    sets0 = docs.select(
         "doc_id",
         shingles(tokens(F.lower(F.col("text"))), SHINGLE_N).alias("arr"),
-    ).select("doc_id", "arr", F.size("arr").alias("n"))
+    ).persist()
+    sets = sets0.select("doc_id", "arr", F.size("arr").alias("n"))
     sh = sets.select("doc_id", "n", F.explode("arr").alias("sh"))
-    df_tbl = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # df as a count-window over sh: ONE shuffle on sh instead of the
+    # groupBy + join-back pair (both also keyed on sh).
+    w_df = Window.partitionBy("sh")
     w = Window.partitionBy("doc_id").orderBy(
         F.col("df").asc(), F.col("sh").asc()
     )
     prefix = (
-        sh.join(df_tbl, "sh")
+        sh.withColumn("df", F.count(F.lit(1)).over(w_df))
         .withColumn("rn", F.row_number().over(w))
         .where(F.expr("rn <= n DIV 2 + 1"))
         .where(F.col("df") <= PAIR_DF_CAP)
         .select("doc_id", "n", "sh", "rn")
+        .persist()
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     # Positional filter (PPJoin, Xiao et al. WWW'08 §3.2), exact: both
@@ -2912,8 +2923,8 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("nb"),
     )
     inter = F.size(F.array_intersect("arr_a", "arr_b"))
-    return (
-        cand.join(sa, "doc_a")
+    out = (
+        sa.join(F.broadcast(cand), "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
@@ -2926,3 +2937,13 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= 0.5)
     )
+    # Materialize before unpersisting the two caches — returning a lazy
+    # plan over unpersisted intermediates would recompute everything at
+    # the driver's later collect.
+    try:
+        rows = out.collect()
+        result = spark.createDataFrame(rows, out.schema)
+    finally:
+        prefix.unpersist()
+        sets0.unpersist()
+    return result
