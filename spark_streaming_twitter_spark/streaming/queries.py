@@ -494,27 +494,100 @@ def user_event_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    # transformWithState requires the RocksDB provider; scope it to this run.
+    mat = _run_tws_update(spark, counts)
+    # A key re-emits every micro-batch it appears in; counts are monotone,
+    # so the final state is the max — one tiny agg over #users rows.
+    return mat.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+def _run_tws_update(spark: SparkSession, sdf: DataFrame) -> DataFrame:
+    """Drive a transformWithStateInPandas plan to a memory sink with the
+    RocksDB state store provider it requires, scoping the conf to the run
+    (unset-vs-explicit preserved via the None sentinel)."""
     key = "spark.sql.streaming.stateStore.providerClass"
-    try:
-        prev = spark.conf.get(key)
-    except Exception:
-        prev = None
+    prev = spark.conf.get(key, None)
     spark.conf.set(
         key,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
     try:
-        mat = run_to_memory(counts, output_mode="update")
+        return run_to_memory(sdf, output_mode="update")
     finally:
         if prev is None:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
-    # A key re-emits every micro-batch it appears in; counts are monotone,
-    # so the final state is the max — one tiny agg over #users rows.
-    return mat.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+def user_event_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas with MAP state — the state type the
+    ValueState twin can't exercise: one MapState per user keyed by
+    event_type holding a running count (the tws-native form of the
+    reference's per-key HashMap aggregation buffer,
+    TwitterDatasetTrendingHashtag.java:458-492 — there the map lived in a
+    UDAF buffer; here it lives in the state store, per key, with
+    point-lookup/update semantics instead of whole-buffer rewrites). Each
+    micro-batch updates only the touched map entries and re-emits the
+    key's full map; counts per (user, event_type) are monotone, so the
+    read-back max is the final state, which must equal the batch
+    group-by. Same capability gate as user_event_counts_tws (see its
+    docstring): registered only when a google.protobuf runtime imports —
+    native or the vendored pure-Python one. Scale: MapState's per-entry
+    reads/writes are exactly what keeps wide per-key maps cheap under
+    RocksDB — a 1000-type user costs one point-update per touched type
+    per batch, not a full map serialization like the UDAF buffer."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    _forward_vendored_protobuf_to_workers(spark)
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._m = handle.getMapState(
+                "type_counts", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            from collections import Counter
+
+            add = Counter()
+            for pdf in rows:
+                add.update(pdf["event_type"].value_counts().to_dict())
+            for et, inc in add.items():
+                cur = (
+                    self._m.getValue((et,))[0]
+                    if self._m.containsKey((et,))
+                    else 0
+                )
+                self._m.updateValue((et,), (cur + int(inc),))
+            types, ns = [], []
+            for k_, v_ in self._m.iterator():
+                types.append(k_[0])
+                ns.append(v_[0])
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(types),
+                    "event_type": types,
+                    "n": ns,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = stream_events(spark, sf_dir).select("user_id", "event_type")
+    counts = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeCounts(),
+        outputStructType="user_id bigint, event_type string, n bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+    mat = _run_tws_update(spark, counts)
+    return mat.groupBy("user_id", "event_type").agg(F.max("n").alias("n"))
 
 
 # Set when the probe found google.protobuf only via a vendored pure-Python
@@ -600,6 +673,13 @@ if _protobuf_available():
         doc="transformWithStateInPandas running-count twin of "
         "stream_user_event_counts_stateful (see user_event_counts_tws).",
     )(user_event_counts_tws)
+    query(
+        "stream_user_event_type_counts_tws",
+        oracle="SELECT user_id, event_type, count(*) AS n "
+        "FROM events GROUP BY 1, 2",
+        doc="transformWithStateInPandas MAP-state per-user event-type "
+        "counts (see user_event_type_counts_tws).",
+    )(user_event_type_counts_tws)
 
 
 @query(

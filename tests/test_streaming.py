@@ -278,13 +278,44 @@ def test_transform_with_state_counts_or_documented_gate(spark):
 
 
 def test_tws_registry_registration_matches_capability():
-    """The TWS twin is registry-visible exactly when protobuf imports, so
-    it earns a driver CORRECTNESS row the moment the environment allows."""
+    """The TWS twins are registry-visible exactly when protobuf imports,
+    so they earn driver CORRECTNESS rows the moment the environment
+    allows (since round 9 the probe also finds the vendored pure-Python
+    runtime, so on this host both register AND the helper records the
+    vendor path for worker forwarding)."""
     from spark_streaming_twitter_spark.registry import load_all
 
-    assert (
-        "stream_user_event_counts_tws" in load_all()
-    ) == _has_protobuf()
+    names = load_all()
+    has = _has_protobuf()
+    assert ("stream_user_event_counts_tws" in names) == has
+    assert ("stream_user_event_type_counts_tws" in names) == has
+
+
+def test_tws_mapstate_counts_match_batch(spark):
+    """MapState tws: per-(user, event_type) final state must equal the
+    batch group-by — point-updates accumulated across micro-batches."""
+    import pytest as _pytest
+
+    if not _has_protobuf():
+        _pytest.skip("no protobuf runtime")
+    from spark_streaming_twitter_spark.catalog import table
+    from spark_streaming_twitter_spark.streaming.queries import (
+        user_event_type_counts_tws,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r.user_id, r.event_type): r.n
+        for r in user_event_type_counts_tws(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.event_type): r.n
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
 
 
 def test_available_now_drains_backlog_in_bounded_batches(spark, stream_dir):
