@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_streaming_twitter_spark.registry import query
+from spark_streaming_twitter_spark.registry import QUERIES, query
 from spark_streaming_twitter_spark.streaming.harness import (
     run_available_now,
     run_to_memory,
@@ -590,6 +590,109 @@ def user_event_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mat.groupBy("user_id", "event_type").agg(F.max("n").alias("n"))
 
 
+def session_windows_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas with EVENT-TIME TIMERS — the tws half
+    stream_session_timeout_stateful's GroupStateTimeout covers in the
+    legacy API: per-user 30-min-gap sessionization where in-batch session
+    breaks emit immediately and each user's trailing session is evicted
+    by an explicit timer (``registerTimer`` at last + 30 min; the old
+    timer is ``deleteTimer``'d when new events extend the session —
+    unlike setTimeoutTimestamp, tws timers don't replace implicitly) and
+    emitted from ``handleExpiredTimer`` when the watermark passes it.
+    Fires on timer < watermark (strict, same as the legacy exec), so the
+    oracle is stream_session_timeout_stateful's VERBATIM — the two
+    stateful APIs must produce the identical session table. Same
+    capability gate as user_event_counts_tws. Scale: state is one
+    (start, last, n) triple per ACTIVE user and the timer is the drain
+    guarantee; timers live in the state store alongside the value state,
+    RocksDB-backed like everything else."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    _forward_vendored_protobuf_to_workers(spark)
+
+    GAP_US = 1800 * 1_000_000
+    GAP_MS = 1800 * 1000
+
+    class Sessionize(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._s = handle.getValueState(
+                "sess", "start_us long, last_us long, n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            ts_us: list[int] = []
+            for pdf in rows:
+                ts_us.extend(
+                    (
+                        pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+                    ).tolist()
+                )
+            ts_us.sort()
+            if self._s.exists():
+                start_us, last_us, n = self._s.get()
+                for t in list(self._h.listTimers()):
+                    self._h.deleteTimer(t)
+            else:
+                start_us, last_us, n = None, None, 0
+            closed = []
+            for t in ts_us:
+                if start_us is None:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us > GAP_US:
+                    closed.append((start_us, last_us, n))
+                    start_us, last_us, n = t, t, 1
+                else:
+                    last_us, n = t, n + 1
+            self._s.update((start_us, last_us, n))
+            self._h.registerTimer(last_us // 1000 + GAP_MS)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [s // 1_000_000 for s, _, _ in closed],
+                    "session_end": [e // 1_000_000 for _, e, _ in closed],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._s.exists():
+                return
+            start_us, last_us, n = self._s.get()
+            self._s.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [start_us // 1_000_000],
+                    "session_end": [last_us // 1_000_000],
+                    "n_events": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = (
+        stream_events(spark, sf_dir)
+        .select("user_id", "ts")
+        .withWatermark("ts", WATERMARK)
+    )
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Sessionize(),
+        outputStructType=(
+            "user_id long, session_start long, session_end long, "
+            "n_events long"
+        ),
+        outputMode="Update",
+        timeMode="EventTime",
+    )
+    return _run_tws_update(spark, out)
+
+
 # Set when the probe found google.protobuf only via a vendored pure-Python
 # runtime: the path must then also reach the PYTHON WORKERS (the tws state
 # client runs there), which user_event_counts_tws does via sc.environment.
@@ -680,6 +783,14 @@ if _protobuf_available():
         doc="transformWithStateInPandas MAP-state per-user event-type "
         "counts (see user_event_type_counts_tws).",
     )(user_event_type_counts_tws)
+    query(
+        "stream_session_windows_tws",
+        oracle=QUERIES["stream_session_timeout_stateful"].oracle,
+        doc="transformWithStateInPandas EVENT-TIME-TIMER sessionization "
+        "(see session_windows_tws; oracle is the legacy timeout twin's "
+        "verbatim — both stateful APIs must emit the identical session "
+        "table).",
+    )(session_windows_tws)
 
 
 @query(

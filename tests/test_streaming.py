@@ -289,6 +289,7 @@ def test_tws_registry_registration_matches_capability():
     has = _has_protobuf()
     assert ("stream_user_event_counts_tws" in names) == has
     assert ("stream_user_event_type_counts_tws" in names) == has
+    assert ("stream_session_windows_tws" in names) == has
 
 
 def test_tws_mapstate_counts_match_batch(spark):
