@@ -693,6 +693,136 @@ def session_windows_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_tws_update(spark, out)
 
 
+def user_recent_events_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas with LIST state — the append-optimized
+    primitive (appendList is an append, not a read-modify-write of the
+    whole buffer): per-user event log of (ts_us, event_id) rows, each
+    batch APPENDING its rows and emitting the user's total plus the 3
+    most recent event_ids (ts desc, event_id desc — the
+    last-N-user-actions feature every recommender/feature-store
+    materializes). The read-back keeps each user's emission with the
+    max n_total (counts grow monotonically). Same capability gate as
+    user_event_counts_tws. Scale: ListState's append-only writes are
+    what keep an ever-growing per-key log cheap under RocksDB — each
+    batch writes only its delta; the top-3 scan is the part a real
+    pipeline would bound with a timer-driven trim."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    _forward_vendored_protobuf_to_workers(spark)
+
+    class RecentEvents(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._l = handle.getListState(
+                "event_log", "ts_us long, event_id long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            new = []
+            for pdf in rows:
+                ts_us = (
+                    pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+                ).tolist()
+                new.extend(
+                    zip(ts_us, pdf["event_id"].astype("int64").tolist())
+                )
+            if new:
+                self._l.appendList(new)
+            log = [tuple(r) for r in self._l.get()]
+            log.sort(key=lambda r: (-r[0], -r[1]))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_total": [len(log)],
+                    "last3": [",".join(str(e) for _, e in log[:3])],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = stream_events(spark, sf_dir).select("user_id", "ts", "event_id")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RecentEvents(),
+        outputStructType="user_id bigint, n_total bigint, last3 string",
+        outputMode="Update",
+        timeMode="None",
+    )
+    mat = _run_tws_update(spark, out)
+    return mat.groupBy("user_id").agg(
+        F.max("n_total").alias("n_total"),
+        F.max_by("last3", "n_total").alias("last3"),
+    )
+
+
+def running_total_tws_bootstrap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """transformWithStateInPandas with INITIAL STATE — the snapshot
+    bootstrap every batch-to-streaming migration needs (the lambda-
+    architecture handoff): per-user counts are SEEDED from a batch
+    snapshot (events with event_id % 4 = 0, standing in for the
+    historical table) via ``handleInitialState``, and the stream carries
+    only the remainder (event_id % 4 <> 0); the final per-user count
+    must equal the full batch group-by over ALL events — the proof that
+    the seed and the increments compose exactly once. Keys that never
+    appear on the stream emit nothing (handleInitialState cannot emit),
+    so the oracle keeps only users with at least one stream event. Same
+    capability gate as user_event_counts_tws. Scale: the snapshot side
+    is one distributed aggregation co-partitioned with the state store
+    by the grouping key — no driver-side loading of historical state."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from spark_streaming_twitter_spark.catalog import table as _table
+
+    _forward_vendored_protobuf_to_workers(spark)
+
+    class SeededCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n bigint")
+
+        def handleInitialState(self, key, initialState, timerValues):
+            self._n.update((int(initialState["n"].iloc[0]),))
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    snapshot = (
+        _table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 4 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ev = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_id") % 4 != 0)
+        .select("user_id")
+    )
+    counts = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SeededCount(),
+        outputStructType="user_id bigint, n_events bigint",
+        outputMode="Update",
+        timeMode="None",
+        initialState=snapshot.groupBy("user_id"),
+    )
+    mat = _run_tws_update(spark, counts)
+    return mat.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
 # Set when the probe found google.protobuf only via a vendored pure-Python
 # runtime: the path must then also reach the PYTHON WORKERS (the tws state
 # client runs there), which user_event_counts_tws does via sc.environment.
@@ -791,6 +921,39 @@ if _protobuf_available():
         "verbatim — both stateful APIs must emit the identical session "
         "table).",
     )(session_windows_tws)
+    query(
+        "stream_user_recent_events_tws",
+        oracle="""
+WITH ranked AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+tot AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_total
+  FROM events GROUP BY 1
+),
+l3 AS (
+  SELECT user_id,
+         string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS last3
+  FROM ranked WHERE rn <= 3 GROUP BY user_id
+)
+SELECT t.user_id, t.n_total, l.last3 FROM tot t JOIN l3 l USING (user_id)
+""",
+        doc="transformWithStateInPandas LIST-state per-user event log "
+        "with last-3-events feature (see user_recent_events_tws).",
+    )(user_recent_events_tws)
+    query(
+        "stream_running_total_tws_bootstrap",
+        oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+HAVING count(CASE WHEN event_id % 4 <> 0 THEN 1 END) > 0
+""",
+        doc="transformWithStateInPandas INITIAL-STATE snapshot bootstrap "
+        "(see running_total_tws_bootstrap).",
+    )(running_total_tws_bootstrap)
 
 
 @query(

@@ -287,9 +287,14 @@ def test_tws_registry_registration_matches_capability():
 
     names = load_all()
     has = _has_protobuf()
-    assert ("stream_user_event_counts_tws" in names) == has
-    assert ("stream_user_event_type_counts_tws" in names) == has
-    assert ("stream_session_windows_tws" in names) == has
+    for name in (
+        "stream_user_event_counts_tws",
+        "stream_user_event_type_counts_tws",
+        "stream_session_windows_tws",
+        "stream_user_recent_events_tws",
+        "stream_running_total_tws_bootstrap",
+    ):
+        assert (name in names) == has, name
 
 
 def test_tws_mapstate_counts_match_batch(spark):
