@@ -2838,7 +2838,11 @@ SELECT doc_a, doc_b, n_common, jaccard FROM jac WHERE jaccard >= 0.5
     "ADVERSARIAL-prefix guard (a shingle rare enough to be indexed "
     "yet shared by millions pays df^2); it does not bite on this "
     "corpus — the max prefix-posting df here is 4, so the output "
-    "stays bit-identical to the uncapped exact join. Shuffles: ONE "
+    "stays bit-identical to the uncapped exact join. (The positional "
+    "bound's no-shared-shingle-before-the-first-match proof assumes "
+    "uncapped prefixes; when the adversarial cap DOES bite, both the "
+    "cap and the positional prune are part of the same documented "
+    "conservative trade.) Shuffles: ONE "
     "count-window on sh (replacing the groupBy + join-back pair), rank "
     "window on doc_id, prefix self-join on sh, one (pair) aggregation; "
     "the shingle arrays are cached once and the tiny candidate list "
