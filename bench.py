@@ -11,7 +11,10 @@ Prints exactly one JSON line:
 Runs are clamped to >=3 (even via $SPARK_GRAFT_BENCH_RUNS) so the
 reported p50 is always a true median, never a mean-of-two; a query whose
 median lands >25% above its min is re-sampled with 2 extra runs so
-2-of-3 host-noise draws can't fabricate a slow median (VERDICT r6 #3).
+2-of-3 host-noise draws can't fabricate a slow median (VERDICT r6 #3),
+and once more if the 5-run median still disagrees (4-of-7; the third
+pass added per VERDICT r8 #8 after two rounds of driver-vs-artifact
+p50 disagreement under sustained host load).
 The session-scoped staged-dedup artifact build (exact-copy map + verified
 pairs, read by all dedup consumers) is timed as its own explicit entry
 so the cache can't hide real work from the headline.
@@ -97,12 +100,18 @@ def main() -> None:
             df = spec.fn(spark, sf_dir)
             n = len(df.collect())
             times.append(time.perf_counter() - t0)
-        # Noise escalation (VERDICT r6 #3): with exactly 3 runs, two
-        # host-noise spikes make the MEDIAN slow even though the plan is
-        # unchanged (similarity_topk_cosine r6: p50 1.38s vs min 0.54s).
-        # When p50 disagrees with min by >25%, take 2 more samples so a
-        # 2-of-3 unlucky draw needs to become 3-of-5 to move the median.
-        if statistics.median(times) > 1.25 * min(times):
+        # Noise escalation (VERDICT r6 #3, third pass added per r8 #8):
+        # with exactly 3 runs, two host-noise spikes make the MEDIAN slow
+        # even though the plan is unchanged (similarity_topk_cosine r6:
+        # p50 1.38s vs min 0.54s). When p50 disagrees with min by >25%,
+        # take 2 more samples so a 2-of-3 unlucky draw needs to become
+        # 3-of-5 to move the median; if the 5-run median STILL disagrees
+        # (sustained host load, the r8/r9 driver-vs-artifact signature),
+        # one more 2-sample pass makes it 4-of-7 — beyond that the load is
+        # real and the p50 should report it.
+        for _ in range(2):
+            if statistics.median(times) <= 1.25 * min(times):
+                break
             for _ in range(2):
                 t0 = time.perf_counter()
                 df = spec.fn(spark, sf_dir)
