@@ -137,6 +137,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_text_minhash_ingest_dedup",
     "similarity_filtered_ivf_topk",
     "similarity_filtered_ivf_recall",
+    "similarity_filtered_lsh_topk",
     "media_caption_drop_propagation",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",

@@ -209,7 +209,9 @@ buckets AS (
 _PROBE_FLIPS = [0] + [1 << b for b in range(LSH_BITS)]
 
 
-def _ann_cand_ranked_ctes(multiprobe: bool, suffix: str = "") -> str:
+def _ann_cand_ranked_ctes(
+    multiprobe: bool, suffix: str = "", neighbor_mod: int | None = None
+) -> str:
     if multiprobe:
         flips = ", ".join(str(x) for x in _PROBE_FLIPS)
         probe_src = f"""(
@@ -222,12 +224,17 @@ def _ann_cand_ranked_ctes(multiprobe: bool, suffix: str = "") -> str:
     else:
         probe_src = "buckets qb"
         qfilter = f"WHERE qb.vec_id % {QUERY_STRIDE} = 0"
+    pred = (
+        f" AND cb.vec_id % {neighbor_mod} = 1"
+        if neighbor_mod is not None
+        else ""
+    )
     return f""",
 cand{suffix} AS (
   SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
   FROM {probe_src}
   JOIN buckets cb ON qb.band = cb.band AND qb.sig = cb.sig
-                 AND qb.vec_id <> cb.vec_id
+                 AND qb.vec_id <> cb.vec_id{pred}
   {qfilter}
 ),
 scored{suffix} AS (
@@ -269,7 +276,9 @@ def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_rerank_topk(corpus, _lsh_candidates(corpus, multiprobe=False))
 
 
-def _lsh_candidates(corpus: DataFrame, multiprobe: bool) -> DataFrame:
+def _lsh_candidates(
+    corpus: DataFrame, multiprobe: bool, neighbor_mod: int | None = None
+) -> DataFrame:
     """(query_id, neighbor_id) LSH candidate pairs; corpus bucketed ONCE.
 
     ``multiprobe=True`` additionally probes, per band, every signature at
@@ -278,6 +287,9 @@ def _lsh_candidates(corpus: DataFrame, multiprobe: bool) -> DataFrame:
     untouched, which is the multi-probe trade: more probe lookups against
     the same index buys recall without any extra index space or build
     cost (Lv et al., VLDB'07 — the composition-of-equi-joins shape holds).
+    ``neighbor_mod``: optional metadata predicate (``vec_id % mod = 1``)
+    applied to the INDEX side of the bucket probe before ranking — the
+    pre-filtered-ANN composition, same as the IVF variant.
     """
     quantized = corpus.withColumn("q_embedding", _quantized(F.col("embedding")))
     # One explode, not a 4-way union: a union of N projections of the same
@@ -312,11 +324,13 @@ def _lsh_candidates(corpus: DataFrame, multiprobe: bool) -> DataFrame:
             "band",
             F.col("sig").bitwiseXOR(F.col("flip")).alias("sig"),
         )
+    index = buckets.select(
+        F.col("vec_id").alias("neighbor_id"), "band", "sig"
+    )
+    if neighbor_mod is not None:
+        index = index.where(F.col("neighbor_id") % neighbor_mod == 1)
     return (
-        qb.join(
-            buckets.select(F.col("vec_id").alias("neighbor_id"), "band", "sig"),
-            ["band", "sig"],
-        )
+        qb.join(index, ["band", "sig"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
@@ -1803,6 +1817,37 @@ def similarity_filtered_ivf_topk(
 ) -> DataFrame:
     return _ivf_probe_topk(
         spark, sf_dir, IVF_NPROBE, neighbor_mod=FILTERED_IVF_MOD
+    )
+
+
+@query(
+    "similarity_filtered_lsh_topk",
+    oracle=f"""
+{_ORACLE_PRELUDE},
+{_ANN_BUCKETS_CTES}{_ann_cand_ranked_ctes(False, neighbor_mod=FILTERED_IVF_MOD)}
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc="FILTERED vector search through the LSH index — the sibling of "
+    "similarity_filtered_ivf_topk completing the claim that BOTH ANN "
+    "families compose with pre-filtering: the vec_id % 4 = 1 predicate "
+    "lands on the INDEX side of the (band, sig) bucket probe, so "
+    "ineligible vectors never become candidates and the exact re-rank "
+    "sees only eligible ones. Plan shape identical to "
+    "similarity_ann_lsh_topk (one corpus bucketing, equi-join probe); "
+    "the predicate only shrinks the index side. At high predicate "
+    "selectivity this is strictly better than filtering after the "
+    "probe: bucket collision lists shrink by the selectivity before "
+    "the join ever shuffles.",
+)
+def similarity_filtered_lsh_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    corpus = _corpus_with_norms(spark, sf_dir)
+    return _exact_rerank_topk(
+        corpus,
+        _lsh_candidates(
+            corpus, multiprobe=False, neighbor_mod=FILTERED_IVF_MOD
+        ),
     )
 
 
