@@ -139,6 +139,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "similarity_filtered_ivf_recall",
     "similarity_filtered_lsh_topk",
     "media_caption_drop_propagation",
+    "corpus_curation_pipeline_v8",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",
