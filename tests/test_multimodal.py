@@ -343,3 +343,21 @@ def test_phash_group_keeper_keeps_highest_detail_variant(spark):
             key=lambda m: (bin(codes[m]).count("1"), -m),
         )
         assert keeper == best, (gid, keeper, best)
+
+
+def test_caption_drops_are_image_linked_and_never_the_keeper(spark):
+    """Cross-modality propagation invariants: every propagated caption
+    drop is an image-linked doc (doc_id % 3 == 0 on this fixture), its
+    keeper is in the same dedup group, and no keeper's own caption is
+    ever dropped."""
+    from spark_streaming_twitter_spark.multimodal import phash as ph
+
+    rows = ph.media_caption_drop_propagation(spark, SF).collect()
+    assert rows
+    keepers = {r.kept_media_id for r in rows}
+    dropped = {r.doc_id for r in rows}
+    assert not keepers & dropped
+    for r in rows:
+        assert r.doc_id % 3 == 0, r
+        assert r.kept_media_id % 3 == 0, r
+        assert r.caption_len > 0 and r.kept_caption_len > 0, r

@@ -77,3 +77,40 @@ def test_sq8_codes_are_byte_range(spark):
         .collect()[0]
     )
     assert row[0] >= 0 and row[1] <= 255, row
+
+
+def test_filtered_ann_pages_contain_only_eligible_neighbors(spark):
+    """Pre-filtered ANN invariant (both families): every returned
+    neighbor satisfies the predicate — the point of composing the
+    predicate INTO candidate generation is that an ineligible vector can
+    never reach the page. Also: the filtered-IVF page is a subset of the
+    eligible corpus ranked exactly (oracle pins the full equality; this
+    pins the invariant in isolation)."""
+    from spark_streaming_twitter_spark.similarity.search import (
+        FILTERED_IVF_MOD,
+        similarity_filtered_ivf_topk,
+        similarity_filtered_lsh_topk,
+    )
+
+    for fn in (similarity_filtered_ivf_topk, similarity_filtered_lsh_topk):
+        rows = fn(spark, SF).collect()
+        assert rows, fn.__name__
+        bad = [
+            r for r in rows if r.neighbor_id % FILTERED_IVF_MOD != 1
+        ]
+        assert not bad, (fn.__name__, bad[:3])
+
+
+def test_filtered_ivf_recall_bounds(spark):
+    """Recall is a true fraction with the documented denominator: n_exact
+    == TOP_K eligible truths per query (the corpus has ample eligible
+    vectors at both selectivities), n_hits <= n_exact, recall in [0,1]."""
+    from spark_streaming_twitter_spark.similarity.search import (
+        TOP_K,
+        similarity_filtered_ivf_recall,
+    )
+
+    for r in similarity_filtered_ivf_recall(spark, SF).collect():
+        assert r.n_exact == TOP_K, r
+        assert 0 <= r.n_hits <= r.n_exact, r
+        assert 0.0 <= r.recall <= 1.0, r
