@@ -140,6 +140,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "similarity_filtered_lsh_topk",
     "media_caption_drop_propagation",
     "corpus_curation_pipeline_v8",
+    "semantic_decontaminate",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

@@ -1926,3 +1926,106 @@ def similarity_filtered_ivf_recall(
         )
         out = arm if out is None else out.unionByName(arm)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination: benchmark contamination in EMBEDDING space —
+# the vector-space sibling of dedup.dedup_decontaminate's shingle overlap.
+# ---------------------------------------------------------------------------
+
+SEMDECON_THRESHOLD = 0.3  # flags 48 of 490 corpus vectors at sf0.01
+
+
+@query(
+    "semantic_decontaminate",
+    oracle=f"""
+WITH norms AS (
+  SELECT vec_id, embedding,
+         {scaled_dot_sql("embedding", "embedding")} AS n2
+  FROM embeddings
+),
+bench AS (
+  SELECT vec_id AS b_id, embedding AS b_emb, n2 AS b_n2
+  FROM norms WHERE vec_id % 50 = 0
+),
+corpus AS (SELECT * FROM norms WHERE vec_id % 50 <> 0),
+hits AS (
+  SELECT c.vec_id, b.b_id,
+         CAST({scaled_dot_sql("c.embedding", "b.b_emb")} AS DOUBLE)
+           / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(b.b_n2 AS DOUBLE)))
+           AS cosine
+  FROM corpus c CROSS JOIN bench b
+  WHERE CAST({scaled_dot_sql("c.embedding", "b.b_emb")} AS DOUBLE)
+          / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(b.b_n2 AS DOUBLE)))
+        >= {SEMDECON_THRESHOLD}
+),
+agg AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_close,
+         max(cosine) AS max_cosine
+  FROM hits GROUP BY 1
+),
+nearest AS (
+  SELECT vec_id, b_id AS nearest_bench_id FROM (
+    SELECT vec_id, b_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, b_id ASC) AS rn
+    FROM hits
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, a.n_bench_close, n.nearest_bench_id, a.max_cosine
+FROM agg a JOIN nearest n USING (vec_id)
+""",
+    doc="SEMANTIC decontamination — benchmark contamination caught in "
+    "embedding space, the vector sibling of dedup_decontaminate's "
+    "shingle-overlap check (paraphrased or reformatted eval items share "
+    "no 3-gram but sit next to the benchmark in embedding space; "
+    "training on them inflates evals exactly like verbatim copies): "
+    "every corpus vector scoring cosine >= 0.3 against ANY benchmark "
+    "vector (the vec_id % 50 = 0 held-out set) is flagged with its "
+    "closest benchmark item (min-id tie-break), the number of "
+    "benchmark items it is close to, and the max cosine — the drop "
+    "list is the flagged vec_ids, the columns are the audit trail. "
+    "Scale: the benchmark set BROADCASTS (eval suites are thousands of "
+    "rows vs a 100 TB corpus), the corpus streams in place with "
+    "integer-scaled dots, and the only shuffle is the per-vector "
+    "window over threshold SURVIVORS — contamination-bounded, not "
+    "corpus-bounded. For a corpus too big even for that scan, the IVF "
+    "cell routing composes exactly as in similarity_filtered_ivf_topk.",
+)
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norms = _corpus_with_norms(spark, sf_dir)
+    bench = norms.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("n2").alias("b_n2"),
+    )
+    corpus = norms.where(F.col("vec_id") % 50 != 0)
+    cosine = scaled_dot(F.col("embedding"), F.col("b_emb")).cast(
+        "double"
+    ) / (
+        F.sqrt(F.col("n2").cast("double"))
+        * F.sqrt(F.col("b_n2").cast("double"))
+    )
+    hits = (
+        corpus.crossJoin(F.broadcast(bench))
+        .select("vec_id", "b_id", cosine.alias("cosine"))
+        .where(F.col("cosine") >= SEMDECON_THRESHOLD)
+    )
+    w_rank = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("b_id").asc()
+    )
+    w_all = Window.partitionBy("vec_id")
+    return (
+        hits.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn(
+            "n_bench_close", F.count(F.lit(1)).over(w_all).cast("bigint")
+        )
+        .withColumn("max_cosine", F.max("cosine").over(w_all))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "n_bench_close",
+            F.col("b_id").alias("nearest_bench_id"),
+            "max_cosine",
+        )
+    )
