@@ -127,6 +127,10 @@ def main() -> None:
 
     from spark_streaming_twitter_spark.catalog import _fixture_fingerprint
 
+    load_indicator = None
+    if os.environ.get("SPARK_GRAFT_LOAD_PROBE", "1") != "0":
+        load_indicator = _load_indicator(spark, specs)
+
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
@@ -139,9 +143,74 @@ def main() -> None:
         # a later round tell fixture regeneration from a real perf change
         # (VERDICT r4: the r3->r4 "regression" was regenerated fixtures).
         "fixture_fingerprint": _fixture_fingerprint(sf_dir),
+        # co-timed host-load indicator (VERDICT r9 #5): pinned 10-entry
+        # reference subset re-timed back-to-back with this run, ratio vs a
+        # committed anchor. >~1.2 geomean means regressions in THIS artifact
+        # should be read as host load, not plan changes (round 9 measured a
+        # sustained 1.02->1.14 intra-session ramp on identical code).
+        "load_indicator": load_indicator,
     }
     sys.stderr.flush()
     print(json.dumps(out), flush=True)
+
+
+def _load_indicator(spark, specs) -> "dict | None":
+    """Re-time a pinned 10-entry reference subset against its committed
+    anchor (bench_artifacts/load_reference.json, written from the cleanest
+    co-timed sample). Always runs on the FIXED sf0.1 fixture dir regardless
+    of $SPARK_GRAFT_SF_DIR so the probe workload is identical across every
+    artifact that carries it. Returns per-query ratios and their geomean;
+    None when the anchor file or fixture is unavailable or stale."""
+    import math
+
+    from spark_streaming_twitter_spark.catalog import _fixture_fingerprint
+
+    anchor_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "bench_artifacts",
+        "load_reference.json",
+    )
+    try:
+        with open(anchor_path) as fh:
+            anchor = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    ref_dir = anchor.get("sf_dir", "/root/testdata/sf0.1")
+    if not os.path.isdir(ref_dir):
+        return None
+    fingerprint_ok = _fixture_fingerprint(ref_dir) == anchor.get(
+        "fixture_fingerprint"
+    )
+    ratios: dict[str, float] = {}
+    probe_p50: dict[str, float] = {}
+    for name, ref_s in anchor.get("p50", {}).items():
+        spec = specs.get(name)
+        if spec is None or not ref_s:
+            continue
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spec.fn(spark, ref_dir).collect()
+            times.append(time.perf_counter() - t0)
+        p50 = statistics.median(times)
+        probe_p50[name] = round(p50, 3)
+        ratios[name] = round(p50 / ref_s, 3)
+    if not ratios:
+        return None
+    geomean = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
+    out = {
+        "anchor": anchor.get("source"),
+        "fixture_match": fingerprint_ok,
+        "geomean_ratio": round(geomean, 3),
+        "per_query_ratio": ratios,
+        "probe_p50": probe_p50,
+    }
+    print(
+        f"# load_indicator: geomean {out['geomean_ratio']}x vs "
+        f"{out['anchor']} (fixture_match={fingerprint_ok})",
+        file=sys.stderr,
+    )
+    return out
 
 
 if __name__ == "__main__":

@@ -339,18 +339,21 @@ _GATE_PRIORITY: tuple[str, ...] = (
 )
 
 
-def _driver_green_names() -> frozenset[str]:
-    """Names with at least one green row in any committed CORRECTNESS_r*.json.
+def _driver_green_rounds() -> "dict[str, int]":
+    """Map each driver-proven query name to its NEWEST green round number.
 
     A row is green when every check it carries passed (rows/schema/hash true
     where present, err null). Failing rows do NOT count — a query whose last
     driver row failed sorts with the never-tested debt so the gate retries it.
+    The round number is parsed from the ``CORRECTNESS_r{N}.json`` filename;
+    unparsable filenames count as round 0 (stalest possible evidence).
     """
     import json
+    import re
     from pathlib import Path
 
     root = Path(__file__).resolve().parent.parent
-    green: set[str] = set()
+    newest: dict[str, int] = {}
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             rows = json.loads(path.read_text())
@@ -358,6 +361,8 @@ def _driver_green_names() -> frozenset[str]:
             continue
         if not isinstance(rows, dict):
             continue
+        m = re.search(r"CORRECTNESS_r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
@@ -367,27 +372,35 @@ def _driver_green_names() -> frozenset[str]:
                 if k in row
             ]
             if checks and all(v is True for v in checks) and row.get("err") is None:
-                green.add(name)
-    return frozenset(green)
+                newest[name] = max(rnd, newest.get(name, 0))
+    return newest
+
+
+def _driver_green_names() -> frozenset[str]:
+    """Names with at least one green row in any committed CORRECTNESS_r*.json."""
+    return frozenset(_driver_green_rounds())
 
 
 def gate_order(names: "set[str] | frozenset[str]") -> list[str]:
     """Order query names for the driver's ~50-slot correctness gate.
 
     Driver-unproven queries (no green row in any committed CORRECTNESS file)
-    come first, so the gate always reaches new debt without a manual
-    rotation commit; the static ``_GATE_PRIORITY`` tuple is only a
-    tie-break within each bucket, and names absent from the tuple (just
-    registered this round) sort after tuple-listed peers in their bucket.
+    come first, so the gate always reaches new debt without a manual rotation
+    commit. Proven queries follow ordered OLDEST evidence first (lowest
+    newest-green round), so once debt hits zero the gate becomes a staleness
+    re-verification rotation (VERDICT r9 ask #1). The static
+    ``_GATE_PRIORITY`` tuple is only a tie-break within each freshness tier,
+    and names absent from the tuple (just registered this round) sort after
+    tuple-listed peers in their tier.
     """
-    green = _driver_green_names()
+    green = _driver_green_rounds()
     static_rank = {n: i for i, n in enumerate(_GATE_PRIORITY)}
     fallback = len(_GATE_PRIORITY)
     reg_rank = {n: i for i, n in enumerate(QUERIES)}
     return sorted(
         names,
         key=lambda n: (
-            n in green,
+            green.get(n, -1),  # unproven (-1) first, then oldest evidence
             static_rank.get(n, fallback),
             reg_rank.get(n, 0),
         ),

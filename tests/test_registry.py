@@ -35,26 +35,64 @@ def test_coverage_doc_headline_count_matches_registry():
 
 
 def test_gate_order_fronts_driver_unproven_queries():
-    """The gate queue must self-rotate (VERDICT r8 ask #1): a query named
-    green in any committed CORRECTNESS_r*.json sorts after every query that
-    is not, so the driver's ~50-slot gate always reaches new debt without a
-    manual rotation commit."""
+    """The gate queue must self-rotate (VERDICT r8 ask #1, refined r9 #1):
+    a query named green in any committed CORRECTNESS_r*.json sorts after
+    every query that is not, so the driver's ~50-slot gate always reaches
+    new debt without a manual rotation commit. Within the proven bucket,
+    OLDEST evidence sorts first (staleness re-verification rotation) — so
+    the test has a non-vacuous assertion even in the zero-debt goal state
+    round 9 reached, instead of hard-failing on `assert unproven`."""
     from spark_streaming_twitter_spark.registry import (
-        _driver_green_names,
+        _driver_green_rounds,
         load_all,
     )
 
-    green = _driver_green_names()
-    assert green, "no committed CORRECTNESS_r*.json rows parsed"
+    rounds = _driver_green_rounds()
+    assert rounds, "no committed CORRECTNESS_r*.json rows parsed"
     order = list(load_all())
-    unproven = [n for n in order if n not in green]
-    assert unproven, "every query already has a green driver row"
-    last_unproven = max(order.index(n) for n in unproven)
-    first_proven = min(order.index(n) for n in order if n in green)
-    assert last_unproven < first_proven, (
-        f"proven query {order[first_proven]!r} sorts before unproven "
-        f"{order[last_unproven]!r}"
+    unproven = [n for n in order if n not in rounds]
+    if unproven:
+        last_unproven = max(order.index(n) for n in unproven)
+        first_proven = min(order.index(n) for n in order if n in rounds)
+        assert last_unproven < first_proven, (
+            f"proven query {order[first_proven]!r} sorts before unproven "
+            f"{order[last_unproven]!r}"
+        )
+    # freshness rotation: proven queries are non-decreasing in their
+    # newest-green round, so the stalest evidence is re-verified first
+    proven_rounds = [rounds[n] for n in order if n in rounds]
+    assert proven_rounds == sorted(proven_rounds), (
+        "proven bucket is not ordered oldest-evidence-first"
     )
+
+
+def test_gate_order_rotates_stalest_evidence_first(tmp_path, monkeypatch):
+    """Synthetic zero-debt state: every query green somewhere, the gate
+    fronts the one whose newest green row is oldest."""
+    import json
+
+    import spark_streaming_twitter_spark.registry as reg
+
+    root = tmp_path / "repo"
+    pkg = root / "pkg"
+    pkg.mkdir(parents=True)
+    green_row = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "err": None,
+    }
+    (root / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"old_a": green_row, "old_b": green_row})
+    )
+    (root / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"old_b": green_row, "fresh": green_row})
+    )
+    monkeypatch.setattr(reg, "__file__", str(pkg / "registry.py"))
+    rounds = reg._driver_green_rounds()
+    assert rounds == {"old_a": 1, "old_b": 3, "fresh": 3}
+    order = reg.gate_order({"old_a", "old_b", "fresh"})
+    assert order[0] == "old_a", f"stalest row not fronted: {order}"
 
 
 def test_gate_order_ignores_failing_driver_rows(tmp_path, monkeypatch):
