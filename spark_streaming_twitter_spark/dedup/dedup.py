@@ -514,6 +514,182 @@ def stream_text_minhash_ingest_dedup(
     return out
 
 
+# Oracle for stream_text_minhash_self_dedup (registered in
+# streaming/queries.py inside the protobuf capability gate, like every tws
+# query): with arrival order == doc_id order (the spool writes doc_id-range
+# batches with strictly increasing mtimes), the owner of a band key at any
+# doc's arrival is the GLOBAL min doc_id holding that key, so the streamed
+# first-occurrence-wins emission set is replayable as a plain min-per-key
+# join over the batch banding CTE.
+_SELF_DEDUP_ORACLE = f"""
+WITH {_MINHASH_BUCKETS_SQL},
+owners AS (
+  SELECT band, band_key, min(doc_id) AS ref_id FROM buckets GROUP BY 1, 2
+)
+SELECT b.doc_id, o.ref_id,
+       CAST(count(DISTINCT b.band) AS BIGINT) AS n_bands
+FROM buckets b
+JOIN owners o ON b.band = o.band AND b.band_key = o.band_key
+             AND b.doc_id > o.ref_id
+GROUP BY 1, 2
+"""
+
+
+def stream_text_minhash_self_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SELF-REFERENTIAL streaming near-dup dedup — the production ingest
+    loop the static-index probe (stream_text_minhash_ingest_dedup above)
+    approximates, and the round-9 north star: there is NO pre-built
+    canonical index; the index IS the stream's own past. Each micro-batch
+    computes its documents' MinHash band keys row-wise inside the streaming
+    plan (same stateless minhash_signature_struct projection as the ingest
+    twin — bit-identical to the batch banding, which the oracle replays in
+    SQL), then probes them against a transformWithStateInPandas MapState
+    AND inserts the novel keys, so a duplicate arriving in batch 7 of a
+    document first seen in batch 2 is flagged with no static index —
+    first-occurrence-wins, within the stream itself.
+
+    State layout is the scale design: the tws grouping key is
+    (band, band_key-prefix) — 16 bands x 16 hex prefixes = 256 state
+    shards here; at cluster scale the prefix length is the dial that
+    matches shard count to executor width — and each shard holds ONE
+    MapState keyed by full band_key whose value is the owning (first-seen)
+    doc_id. A micro-batch therefore costs one point-probe/point-insert per
+    TOUCHED band key (RocksDB point lookups, the MapState advantage over a
+    whole-buffer ValueState rewrite), never a rescan of history; the
+    emission set per batch is bounded by the batch's own band-key hits.
+    Mirrors the batch LSH candidate generator (lsh_candidate_pairs)
+    restricted to earlier-arrival refs: every arrival registers ALL its
+    band keys (keeper policy — e.g. not indexing flagged dups — is a
+    downstream choice, exactly as dedup_drop_list is to the batch pairs).
+
+    Arrival order: the fixture spools 4 doc_id-range files with strictly
+    increasing mtimes + maxFilesPerTrigger=1 + latestFirst=false, so the
+    stream arrives in doc_id order and the oracle's min-per-key owner is
+    exact (the Kafka swap-in keys the topic by doc order the same way;
+    reference topology TwitterDatasetTrendingHashtag.java:64-75).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from spark_streaming_twitter_spark.streaming.queries import (
+        _forward_vendored_protobuf_to_workers,
+        _run_tws_update,
+    )
+
+    _forward_vendored_protobuf_to_workers(spark)
+
+    class BandOwners(StatefulProcessor):
+        """One MapState per (band, prefix) shard: band_key -> first doc."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._owners = handle.getMapState(
+                "owners", "band_key string", "ref_id bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            band = int(key[0])
+            pdf = pd.concat(list(rows), ignore_index=True)
+            out_doc: list[int] = []
+            out_ref: list[int] = []
+            for bk, grp in pdf.groupby("band_key", sort=True):
+                ids = sorted(int(d) for d in grp["doc_id"])
+                if self._owners.containsKey((bk,)):
+                    owner = int(self._owners.getValue((bk,))[0])
+                else:
+                    # first occurrence EVER of this band key: the batch's
+                    # earliest arrival claims it and emits nothing
+                    owner = ids.pop(0)
+                    self._owners.updateValue((bk,), (owner,))
+                out_doc.extend(ids)
+                out_ref.extend([owner] * len(ids))
+            if out_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": out_doc,
+                        "ref_id": out_ref,
+                        "band": [band] * len(out_doc),
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    tmp = tempfile.mkdtemp(prefix="minhash_self_stream_")
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+        cuts = [lo + (hi - lo + 1) * q // 4 for q in range(1, 4)]
+        bounds = [lo - 1, *cuts, hi]
+        for i in range(4):
+            stage = os.path.join(tmp, f"_stage_{i}")
+            docs.where(
+                (F.col("doc_id") > bounds[i]) & (F.col("doc_id") <= bounds[i + 1])
+            ).coalesce(1).write.parquet(stage)
+            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            dst = os.path.join(tmp, f"batch_{i}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            shutil.rmtree(stage)
+            # strictly increasing mtimes pin the FileStreamSource order
+            os.utime(dst, (1_000_000_000 + i * 3600,) * 2)
+
+        par = spark.sparkContext.defaultParallelism
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .option("pathGlobFilter", "batch_*.parquet")
+            .parquet(tmp)
+        )
+        # one file per trigger = one input partition; spread the md5-per-
+        # shingle banding across cores before the projection (a Kafka
+        # topic's partition count does this at the source at scale)
+        bands = (
+            stream.repartition(par)
+            .withColumn(
+                "sig",
+                minhash_signature_struct(
+                    shingles(tokens(F.lower(F.col("text"))), SHINGLE_N)
+                ),
+            )
+            .select(
+                "doc_id",
+                F.explode(
+                    minhash_band_structs_from_sig(F.col("sig"))
+                ).alias("bk"),
+            )
+            .select(
+                "doc_id",
+                F.col("bk.band").alias("band"),
+                F.col("bk.band_key").alias("band_key"),
+                F.substring("bk.band_key", 1, 1).alias("pfx"),
+            )
+        )
+        hits = bands.groupBy("band", "pfx").transformWithStateInPandas(
+            statefulProcessor=BandOwners(),
+            outputStructType="doc_id bigint, ref_id bigint, band int",
+            outputMode="Update",
+            timeMode="None",
+        )
+        sink = _run_tws_update(spark, hits)
+        agg = sink.groupBy("doc_id", "ref_id").agg(
+            F.count_distinct("band").alias("n_bands")
+        )
+        rows = agg.collect()
+        out = spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 @query(
     "dedup_edit_distance_verify",
     oracle=f"""

@@ -955,6 +955,21 @@ HAVING count(CASE WHEN event_id % 4 <> 0 THEN 1 END) > 0
         "(see running_total_tws_bootstrap).",
     )(running_total_tws_bootstrap)
 
+    from spark_streaming_twitter_spark.dedup.dedup import (
+        _SELF_DEDUP_ORACLE,
+        stream_text_minhash_self_dedup,
+    )
+
+    query(
+        "stream_text_minhash_self_dedup",
+        oracle=_SELF_DEDUP_ORACLE,
+        doc="Self-referential streaming MinHash dedup via tws MapState — "
+        "the index IS the stream's own past; probe + insert per "
+        "micro-batch, first-occurrence-wins (see "
+        "stream_text_minhash_self_dedup in dedup/dedup.py).",
+        bench=True,
+    )(stream_text_minhash_self_dedup)
+
 
 @query(
     "stream_sliding_counts",

@@ -293,8 +293,56 @@ def test_tws_registry_registration_matches_capability():
         "stream_session_windows_tws",
         "stream_user_recent_events_tws",
         "stream_running_total_tws_bootstrap",
+        "stream_text_minhash_self_dedup",
     ):
         assert (name in names) == has, name
+
+
+def test_tws_degrades_to_gate_on_bare_host():
+    """VERDICT r9 ask #7: the tws rows depend on the host's vendored
+    protobuf runtime — prove the registry floor. A subprocess whose import
+    machinery blocks google.protobuf entirely (simulating a host with
+    neither a native install nor the Google Cloud SDK vendor dir — the
+    block intercepts the probe's sys.path insertion too) must import the
+    full registry WITHOUT errors and simply not register the six tws
+    queries, i.e. the capability probe degrades, never raises."""
+    import subprocess
+    import sys
+
+    code = """
+import sys
+
+class _BlockGoogle:
+    def find_spec(self, name, path=None, target=None):
+        if name == "google" or name.startswith("google."):
+            raise ImportError("blocked: simulated bare host")
+        return None
+
+sys.meta_path.insert(0, _BlockGoogle())
+for mod in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
+    del sys.modules[mod]
+
+from spark_streaming_twitter_spark.registry import load_all
+
+names = set(load_all())
+tws = sorted(n for n in names if n.endswith("_tws")) + [
+    n for n in ("stream_text_minhash_self_dedup",) if n in names
+]
+assert not tws, f"tws queries registered on a bare host: {tws}"
+assert "stream_events_per_minute" in names, "registry floor missing"
+print("DEGRADED_OK", len(names))
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, (
+        f"bare-host registry import failed:\n{proc.stderr[-2000:]}"
+    )
+    assert "DEGRADED_OK" in proc.stdout, proc.stdout
 
 
 def test_tws_mapstate_counts_match_batch(spark):
