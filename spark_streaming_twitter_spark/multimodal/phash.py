@@ -981,6 +981,235 @@ def stream_media_phash_ingest_dedup(
     return out
 
 
+@query(
+    "stream_media_audio_ingest_dedup",
+    oracle=f"""
+WITH {_AFP_SIGS_SQL.lstrip()},
+refs AS (
+  SELECT media_id AS ref_id, fingerprint AS ref_fp FROM afps
+  WHERE media_id % 24 = 1
+),
+schunks AS (
+  SELECT media_id, fingerprint, c,
+         (fingerprint >> (c * 12)) & 4095 AS chunk_val
+  FROM afps
+  CROSS JOIN (SELECT unnest(generate_series(0, {AFP_CHUNKS - 1})) AS c)
+),
+rchunks AS (
+  SELECT ref_id, ref_fp, c, (ref_fp >> (c * 12)) & 4095 AS chunk_val
+  FROM refs
+  CROSS JOIN (SELECT unnest(generate_series(0, {AFP_CHUNKS - 1})) AS c)
+),
+hits AS (
+  SELECT DISTINCT s.media_id, r.ref_id, s.fingerprint, r.ref_fp
+  FROM schunks s
+  JOIN rchunks r ON s.c = r.c AND s.chunk_val = r.chunk_val
+               AND s.media_id <> r.ref_id
+)
+SELECT media_id, ref_id,
+       CAST(bit_count(xor(fingerprint, ref_fp)) AS INT) AS hamming
+FROM hits
+WHERE bit_count(xor(fingerprint, ref_fp)) <= {AFP_RADIUS}
+""",
+    doc="AUDIO near-dup detection AT INGEST — completes the modality "
+    "matrix (text and image have streaming ingest twins since r8/r9; "
+    "VERDICT r9 ask #3): incoming WAV payloads arrive as an unbounded "
+    "file stream (4 micro-batches via maxFilesPerTrigger=1, the "
+    "Kafka-swap shape), acoustic fingerprints are DECODED AND COMPUTED "
+    "inside the streaming plan (the same audio_fingerprints mapInPandas "
+    "the batch path uses — RIFF walk + 48 energy-envelope direction "
+    "bits), and each micro-batch probes a PERSISTED broadcast static "
+    "index of canonical fingerprints (the v=0 group representatives, "
+    "media_id % 24 = 1) via the same 4x12-bit chunk LSH, then verifies "
+    "bit_count(xor) <= 6 — stateless append, per-batch cost independent "
+    "of stream history. The ref index is banded ONCE and persisted (the "
+    "stream-static join re-evaluates its static side every trigger; the "
+    "text twin measured 16x on this). Memory-sink read-back dedups "
+    "pairs that surfaced through more than one chunk.",
+)
+def stream_media_audio_ingest_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_to_memory,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="afp_stream_")
+    data_dir = os.path.join(tmp, "payloads")
+    ref_chunks = None
+    try:
+        src = fp_audio_table(spark, sf_dir)
+        src.repartition(4).write.parquet(data_dir)
+
+        refs = (
+            audio_fingerprints(fp_audio_table(spark, sf_dir))
+            .where(F.col("media_id") % 24 == 1)
+            .select(
+                F.col("media_id").alias("ref_id"),
+                F.col("fingerprint").alias("ref_fp"),
+            )
+        )
+        ref_chunks = (
+            refs.select(
+                "ref_id",
+                "ref_fp",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(AFP_CHUNKS - 1))
+                ).alias("c"),
+            )
+            .withColumn(
+                "chunk_val",
+                F.expr("shiftright(ref_fp, c * 12)").bitwiseAND(F.lit(4095)),
+            )
+            .persist()
+        )
+        ref_chunks.count()
+
+        stream = (
+            spark.readStream.schema("media_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data_dir)
+        )
+        sfps = audio_fingerprints(stream)
+        schunks = sfps.select(
+            "media_id",
+            "fingerprint",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(AFP_CHUNKS - 1))
+            ).alias("c"),
+        ).withColumn(
+            "chunk_val",
+            F.expr("shiftright(fingerprint, c * 12)").bitwiseAND(F.lit(4095)),
+        )
+        hamming = F.bit_count(F.col("fingerprint").bitwiseXOR(F.col("ref_fp")))
+        matches = (
+            schunks.join(F.broadcast(ref_chunks), ["c", "chunk_val"])
+            .where(F.col("media_id") != F.col("ref_id"))
+            .where(hamming <= AFP_RADIUS)
+            .select(
+                "media_id", "ref_id", hamming.cast("int").alias("hamming")
+            )
+        )
+        sink = run_to_memory(matches, output_mode="append").distinct()
+        rows = sink.collect()
+        out = spark.createDataFrame(rows, sink.schema)
+    finally:
+        if ref_chunks is not None:
+            ref_chunks.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query(
+    "stream_media_video_ingest_dedup",
+    oracle=f"""
+WITH {_VIDEO_SIGS_SQL.lstrip()},
+dsigs AS (SELECT DISTINCT media_id, frame_sig FROM vsigs),
+refs AS (
+  SELECT media_id AS ref_id, frame_sig FROM dsigs WHERE media_id % 24 = 2
+),
+crefs AS (
+  SELECT ref_id, frame_sig FROM (
+    SELECT ref_id, frame_sig,
+           count(*) OVER (PARTITION BY frame_sig) AS occ
+    FROM refs
+  ) WHERE occ <= {VIDEO_SIG_MAX_OCC}
+),
+hits AS (
+  SELECT s.media_id, r.ref_id, s.frame_sig
+  FROM dsigs s
+  JOIN crefs r ON s.frame_sig = r.frame_sig AND s.media_id <> r.ref_id
+)
+SELECT media_id, ref_id,
+       CAST(count(DISTINCT frame_sig) AS BIGINT) AS n_shared
+FROM hits GROUP BY 1, 2
+HAVING count(DISTINCT frame_sig) >= {VIDEO_MIN_SHARED}
+""",
+    doc="VIDEO near-dup detection AT INGEST — the last cell of the "
+    "modality matrix (text/image/audio all have streaming twins): "
+    "incoming MP4 payloads arrive as an unbounded file stream, each "
+    "micro-batch walks the container and splits mdat into per-frame "
+    "signatures INSIDE the streaming plan (the batch "
+    "video_frame_signatures mapInPandas unchanged — frames are the "
+    "shingles of video), and probes them against a PERSISTED broadcast "
+    "static index of canonical clips' frame signatures (v=0 reps, "
+    "media_id % 24 = 2), df-capped at occ <= 64 per signature so a "
+    "title-card frame can't blow up the broadcast — emitting raw "
+    "(media_id, ref_id, frame_sig) hits in stateless append mode. The "
+    ">= 8-shared-DISTINCT-frames pair threshold is applied batch-side "
+    "on the memory-sink read-back (count DISTINCT collapses within-clip "
+    "signature repeats AND multi-chunk surfacing), so the streaming "
+    "plan itself needs no state store or watermark; per-batch cost is "
+    "O(batch frames x index hits), independent of stream history.",
+)
+def stream_media_video_ingest_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_to_memory,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="vfp_stream_")
+    data_dir = os.path.join(tmp, "payloads")
+    crefs = None
+    try:
+        src = fp_video_table(spark, sf_dir)
+        src.repartition(4).write.parquet(data_dir)
+
+        refs = (
+            video_frame_signatures(fp_video_table(spark, sf_dir))
+            .where(F.col("media_id") % 24 == 2)
+            .select(F.col("media_id").alias("ref_id"), "frame_sig")
+            .distinct()
+        )
+        crefs = (
+            refs.withColumn(
+                "occ", F.count(F.lit(1)).over(Window.partitionBy("frame_sig"))
+            )
+            .where(F.col("occ") <= VIDEO_SIG_MAX_OCC)
+            .select("ref_id", "frame_sig")
+            .persist()
+        )
+        crefs.count()
+
+        stream = (
+            spark.readStream.schema("media_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data_dir)
+        )
+        ssigs = video_frame_signatures(stream).select(
+            "media_id", "frame_sig"
+        )
+        matches = (
+            ssigs.join(F.broadcast(crefs), ["frame_sig"])
+            .where(F.col("media_id") != F.col("ref_id"))
+            .select("media_id", "ref_id", "frame_sig")
+        )
+        sink = run_to_memory(matches, output_mode="append")
+        agg = (
+            sink.groupBy("media_id", "ref_id")
+            .agg(F.count_distinct("frame_sig").alias("n_shared"))
+            .where(F.col("n_shared") >= VIDEO_MIN_SHARED)
+        )
+        rows = agg.collect()
+        out = spark.createDataFrame(rows, agg.schema)
+    finally:
+        if crefs is not None:
+            crefs.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def _media_ledger_oracle() -> str:
     """Assemble the ledger oracle from the REGISTERED media-dedup oracles
     verbatim — compose, don't copy (the capstone convention)."""

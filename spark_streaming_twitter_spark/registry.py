@@ -141,6 +141,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "media_caption_drop_propagation",
     "corpus_curation_pipeline_v8",
     "semantic_decontaminate",
+    # round-10 additions (tie-break order; protobuf-gated queries like
+    # stream_text_minhash_self_dedup stay OFF this tuple — load_all asserts
+    # every tuple name is registered, which would fail on a bare host)
+    "stream_media_audio_ingest_dedup",
+    "stream_media_video_ingest_dedup",
+    "semantic_decontaminate_ann",
+    "semantic_decontaminate_ann_recall",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

@@ -2029,3 +2029,280 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cosine",
         )
     )
+
+
+# ANN-routed decontamination CTE chain (suffix _a so the recall oracle can
+# hold it next to the exact chain): centroids are built over the CORPUS
+# side only (the benchmark is not part of the index), each benchmark
+# vector is routed to its top-nprobe corpus cells by the exact-integer
+# centroid dot (same floor-div centroid construction as _IVF_PREFIX_CTES),
+# and only corpus rows in a probed cell are scored. A corpus row has ONE
+# label, so each (corpus, bench) pair surfaces at most once — no DISTINCT.
+_SEMDECON_ANN_CTES = f"""
+qnorms AS (
+  SELECT e.vec_id, e.label, e.embedding,
+         {scaled_dot_sql("e.embedding", "e.embedding")} AS n2,
+         {_QUANT_SQL.format(vec="e.embedding")} AS qv
+  FROM embeddings e
+),
+bench_a AS (
+  SELECT vec_id AS b_id, embedding AS b_emb, n2 AS b_n2, qv AS b_qv
+  FROM qnorms WHERE vec_id % 50 = 0
+),
+corpus_a AS (
+  SELECT vec_id, label, embedding, n2 FROM qnorms WHERE vec_id % 50 <> 0
+),
+cdims_a AS (
+  SELECT label, qv, unnest(generate_series(1, {DIM})) AS d
+  FROM qnorms WHERE vec_id % 50 <> 0
+),
+centroid_dims_a AS (
+  SELECT label, d,
+         CAST((sum(qv[d]) - (((sum(qv[d]) % count(*)) + count(*)) % count(*)))
+              // count(*) AS BIGINT) AS c
+  FROM cdims_a GROUP BY label, d
+),
+centroids_a AS (
+  SELECT label, list(c ORDER BY d) AS cvec FROM centroid_dims_a GROUP BY label
+),
+routed_a AS (
+  SELECT b.b_id, c.label,
+         row_number() OVER (
+           PARTITION BY b.b_id
+           ORDER BY list_sum(list_transform(list_zip(b.b_qv, c.cvec),
+                                            p -> CAST(p[1] AS BIGINT) * p[2]))
+                    DESC, c.label ASC) AS rn
+  FROM bench_a b CROSS JOIN centroids_a c
+),
+bcells_a AS (SELECT b_id, label FROM routed_a WHERE rn <= {IVF_NPROBE}),
+hits_a AS (
+  SELECT c.vec_id, j.b_id,
+         CAST({scaled_dot_sql("c.embedding", "b.b_emb")} AS DOUBLE)
+           / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(b.b_n2 AS DOUBLE)))
+           AS cosine
+  FROM bcells_a j
+  JOIN bench_a b ON b.b_id = j.b_id
+  JOIN corpus_a c ON c.label = j.label
+  WHERE CAST({scaled_dot_sql("c.embedding", "b.b_emb")} AS DOUBLE)
+          / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(b.b_n2 AS DOUBLE)))
+        >= {SEMDECON_THRESHOLD}
+)"""
+
+
+def _semdecon_ann_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, b_id, cosine) threshold hits through the IVF routing —
+    the Spark twin of ``hits_a``. The benchmark side (|bench| x nprobe
+    cell assignments, with the bench embeddings in tow) BROADCASTS; the
+    corpus is probed by an equi-join on its OWN label column, so only
+    same-cell rows ever evaluate a dot product — per-corpus-row work is
+    |bench vectors routed to MY cell| dots, not |bench| dots."""
+    emb = widen(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        ),
+        spark,
+    )
+    norms = emb.withColumn("n2", scaled_norm2(F.col("embedding")))
+    corpus = norms.where(F.col("vec_id") % 50 != 0)
+    bench = norms.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("n2").alias("b_n2"),
+        _quantized(F.col("embedding")).alias("b_qv"),
+    )
+    dims = corpus.select(
+        "label", F.posexplode(_quantized(F.col("embedding"))).alias("d0", "v")
+    )
+    centroid_dims = (
+        dims.groupBy("label", "d0")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "label",
+            "d0",
+            F.expr("(s - pmod(s, cnt)) DIV cnt").cast("bigint").alias("c"),
+        )
+    )
+    centroids = centroid_dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d0", "c"))), lambda x: x["c"]
+        ).alias("cvec")
+    )
+    cdot = F.aggregate(
+        F.zip_with(F.col("b_qv"), F.col("cvec"), lambda x, w: x * w),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w_route = Window.partitionBy("b_id").orderBy(
+        F.col("cdot").desc(), F.col("label").asc()
+    )
+    bcells = (
+        bench.crossJoin(F.broadcast(centroids))
+        .withColumn("cdot", cdot)
+        .withColumn("rn", F.row_number().over(w_route))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select("b_id", "label", "b_emb", "b_n2")
+    )
+    cosine = scaled_dot(F.col("embedding"), F.col("b_emb")).cast("double") / (
+        F.sqrt(F.col("n2").cast("double"))
+        * F.sqrt(F.col("b_n2").cast("double"))
+    )
+    return (
+        corpus.join(F.broadcast(bcells), "label")
+        .select("vec_id", "b_id", cosine.alias("cosine"))
+        .where(F.col("cosine") >= SEMDECON_THRESHOLD)
+    )
+
+
+@query(
+    "semantic_decontaminate_ann",
+    oracle=f"""
+WITH {_SEMDECON_ANN_CTES.lstrip()},
+agg AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_close,
+         max(cosine) AS max_cosine
+  FROM hits_a GROUP BY 1
+),
+nearest AS (
+  SELECT vec_id, b_id AS nearest_bench_id FROM (
+    SELECT vec_id, b_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, b_id ASC) AS rn
+    FROM hits_a
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, a.n_bench_close, n.nearest_bench_id, a.max_cosine
+FROM agg a JOIN nearest n USING (vec_id)
+""",
+    doc="Semantic decontamination THROUGH THE ANN INDEX — the scale path "
+    "for semantic_decontaminate (VERDICT r9 ask #4): the exact version "
+    "pays |bench| dot products per corpus row; here each BENCHMARK "
+    f"vector is routed to its top-{IVF_NPROBE} IVF cells (corpus-only "
+    "centroids, exact-integer routing with deterministic tie-break — "
+    "the benchmark is not part of the index) and only corpus rows "
+    "whose OWN label is a probed cell are scored, so per-row work is "
+    "|bench routed to my cell| dots — at 100 TB x thousand-item eval "
+    "suites, the difference between a full-suite scan per row and a "
+    "handful. The (b_id, cell, embedding) routing table broadcasts "
+    "(|bench| x nprobe rows); the corpus probe is a broadcast equi-join "
+    "on the label column the corpus scan already carries — no repeated "
+    "shuffle, and only threshold survivors reach the per-vector window. "
+    "Output schema identical to semantic_decontaminate; what cell-"
+    "boundary loss costs is measured by semantic_decontaminate_ann_"
+    "recall. Oracle replays centroids, routing, and scoring in SQL.",
+    bench=True,
+)
+def semantic_decontaminate_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits = _semdecon_ann_hits(spark, sf_dir)
+    w_rank = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("b_id").asc()
+    )
+    w_all = Window.partitionBy("vec_id")
+    return (
+        hits.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn(
+            "n_bench_close", F.count(F.lit(1)).over(w_all).cast("bigint")
+        )
+        .withColumn("max_cosine", F.max("cosine").over(w_all))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "n_bench_close",
+            F.col("b_id").alias("nearest_bench_id"),
+            "max_cosine",
+        )
+    )
+
+
+@query(
+    "semantic_decontaminate_ann_recall",
+    oracle=f"""
+WITH enorms AS (
+  SELECT vec_id, embedding,
+         {scaled_dot_sql("embedding", "embedding")} AS n2
+  FROM embeddings
+),
+ebench AS (
+  SELECT vec_id AS b_id, embedding AS b_emb, n2 AS b_n2
+  FROM enorms WHERE vec_id % 50 = 0
+),
+ecorpus AS (SELECT * FROM enorms WHERE vec_id % 50 <> 0),
+ehits AS (
+  SELECT c.vec_id, b.b_id
+  FROM ecorpus c CROSS JOIN ebench b
+  WHERE CAST({scaled_dot_sql("c.embedding", "b.b_emb")} AS DOUBLE)
+          / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(b.b_n2 AS DOUBLE)))
+        >= {SEMDECON_THRESHOLD}
+),
+{_SEMDECON_ANN_CTES.lstrip()},
+ex AS (
+  SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_exact_flagged,
+         CAST(count(*) AS BIGINT) AS n_exact_pairs
+  FROM ehits
+),
+an AS (
+  SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_ann_flagged,
+         CAST(count(*) AS BIGINT) AS n_ann_pairs
+  FROM hits_a
+)
+SELECT ex.n_exact_flagged, an.n_ann_flagged,
+       CAST(an.n_ann_flagged AS DOUBLE)
+         / CAST(ex.n_exact_flagged AS DOUBLE) AS flag_recall,
+       ex.n_exact_pairs, an.n_ann_pairs,
+       CAST(an.n_ann_pairs AS DOUBLE)
+         / CAST(ex.n_exact_pairs AS DOUBLE) AS pair_recall
+FROM ex CROSS JOIN an
+""",
+    doc="Recall of the ANN-routed decontaminator against the EXACT flagged "
+    "set — the sibling of similarity_filtered_ivf_recall for the "
+    "decontamination pipeline: one summary row with the exact and ANN "
+    "flagged-vector counts plus (vec, bench) hit-pair counts, and the "
+    "two recall ratios. ANN hits are a subset of exact hits by "
+    "construction (same threshold, fewer pairs scored), so the ratios "
+    "are pure cell-boundary loss — the nprobe knob's cost, priced here "
+    "so a pipeline can choose exact vs routed per corpus size with "
+    "eyes open. Both sides share the exact-integer scoring, so the "
+    "metric is bitwise-stable; the division is the only float op.",
+)
+def semantic_decontaminate_ann_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    norms = _corpus_with_norms(spark, sf_dir)
+    bench = norms.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("n2").alias("b_n2"),
+    )
+    corpus = norms.where(F.col("vec_id") % 50 != 0)
+    cosine = scaled_dot(F.col("embedding"), F.col("b_emb")).cast(
+        "double"
+    ) / (
+        F.sqrt(F.col("n2").cast("double"))
+        * F.sqrt(F.col("b_n2").cast("double"))
+    )
+    exact_hits = (
+        corpus.crossJoin(F.broadcast(bench))
+        .select("vec_id", "b_id", cosine.alias("cosine"))
+        .where(F.col("cosine") >= SEMDECON_THRESHOLD)
+    )
+    ex = exact_hits.agg(
+        F.count_distinct("vec_id").alias("n_exact_flagged"),
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+    )
+    an = _semdecon_ann_hits(spark, sf_dir).agg(
+        F.count_distinct("vec_id").alias("n_ann_flagged"),
+        F.count(F.lit(1)).alias("n_ann_pairs"),
+    )
+    return ex.crossJoin(an).select(
+        "n_exact_flagged",
+        "n_ann_flagged",
+        (
+            F.col("n_ann_flagged").cast("double")
+            / F.col("n_exact_flagged").cast("double")
+        ).alias("flag_recall"),
+        "n_exact_pairs",
+        "n_ann_pairs",
+        (
+            F.col("n_ann_pairs").cast("double")
+            / F.col("n_exact_pairs").cast("double")
+        ).alias("pair_recall"),
+    )
