@@ -924,6 +924,7 @@ def stream_media_phash_ingest_dedup(
 
     tmp = tempfile.mkdtemp(prefix="phash_stream_")
     data_dir = os.path.join(tmp, "payloads")
+    ref_chunks = None
     try:
         src = phash_media_table(spark, sf_dir)
         src.repartition(4).write.parquet(data_dir)
@@ -933,16 +934,26 @@ def stream_media_phash_ingest_dedup(
             F.col("media_id").alias("ref_id"),
             F.col("dhash").alias("ref_dhash"),
         )
-        ref_chunks = refs.select(
-            "ref_id",
-            "ref_dhash",
-            F.explode(
-                F.sequence(F.lit(0), F.lit(PHASH_CHUNKS - 1))
-            ).alias("c"),
-        ).withColumn(
-            "chunk_val",
-            F.expr("shiftright(ref_dhash, c * 14)").bitwiseAND(F.lit(16383)),
+        # persist: the static side of a stream-static join re-evaluates
+        # every micro-batch — without this the ref payloads re-encode and
+        # re-hash once per trigger (the text twin measured 16x on this)
+        ref_chunks = (
+            refs.select(
+                "ref_id",
+                "ref_dhash",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(PHASH_CHUNKS - 1))
+                ).alias("c"),
+            )
+            .withColumn(
+                "chunk_val",
+                F.expr("shiftright(ref_dhash, c * 14)").bitwiseAND(
+                    F.lit(16383)
+                ),
+            )
+            .persist()
         )
+        ref_chunks.count()
 
         schema = "media_id long, payload binary"
         stream = (
@@ -974,6 +985,181 @@ def stream_media_phash_ingest_dedup(
             )
         )
         sink = run_to_memory(matches, output_mode="append").distinct()
+        rows = sink.collect()
+        out = spark.createDataFrame(rows, sink.schema)
+    finally:
+        if ref_chunks is not None:
+            ref_chunks.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# Oracle for stream_media_phash_self_dedup (registered in
+# streaming/queries.py inside the protobuf capability gate): with arrival
+# order == media_id order (doc_id-range spool, pinned mtimes), the owner
+# of a (chunk, chunk_val) bucket at any image's arrival is the GLOBAL min
+# media_id in that bucket, so the streamed first-occurrence-wins pair set
+# replays as a min-per-bucket join + the same bit_count verify.
+_PHASH_SELF_DEDUP_ORACLE = f"""
+WITH {_PHASH_SIGS_SQL.lstrip()},
+schunks AS (
+  SELECT media_id, dhash, c, (dhash >> (c * 14)) & 16383 AS chunk_val
+  FROM sigs
+  CROSS JOIN (SELECT unnest(generate_series(0, {PHASH_CHUNKS - 1})) AS c)
+),
+owners AS (
+  SELECT c, chunk_val, min(media_id) AS ref_id
+  FROM schunks GROUP BY 1, 2
+),
+odh AS (
+  SELECT o.c, o.chunk_val, o.ref_id, s.dhash AS ref_dhash
+  FROM owners o JOIN sigs s ON s.media_id = o.ref_id
+),
+hits AS (
+  SELECT DISTINCT ch.media_id, o.ref_id, ch.dhash, o.ref_dhash
+  FROM schunks ch
+  JOIN odh o ON ch.c = o.c AND ch.chunk_val = o.chunk_val
+            AND ch.media_id > o.ref_id
+)
+SELECT media_id, ref_id,
+       CAST(bit_count(xor(dhash, ref_dhash)) AS INT) AS hamming
+FROM hits
+WHERE bit_count(xor(dhash, ref_dhash)) <= {PHASH_RADIUS}
+"""
+
+
+def stream_media_phash_self_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SELF-REFERENTIAL streaming IMAGE dedup — the media twin of
+    stream_text_minhash_self_dedup (dedup/dedup.py), completing the
+    north-star pair: there is NO static index; incoming image payloads
+    are decoded and perceptually hashed INSIDE the streaming plan (the
+    batch perceptual_hashes mapInPandas unchanged), their 4x14-bit dHash
+    chunk keys probe a transformWithStateInPandas MapState AND insert
+    novel buckets, so a re-crop arriving in batch 7 of an image first
+    seen in batch 2 is flagged first-occurrence-wins with no pre-built
+    index.
+
+    State layout: tws grouping key (c, chunk_val % 16) = 64 shards (the
+    mod width is the cluster-width dial, as the band-key prefix is for
+    the text twin); each shard's MapState maps chunk_val -> (first-seen
+    media_id, its full dHash) — carrying the owner's dHash IN STATE is
+    what lets the Hamming verify (bit_count(xor) <= 8) run inside the
+    processor at probe time, so only VERIFIED near-dup pairs are ever
+    emitted, not raw candidates. A micro-batch costs one point-probe
+    (+point-insert when novel) per touched chunk bucket — bounded by
+    probes, never a history rescan (same measured-flat contract as
+    tools/self_dedup_cost_probe.py establishes for the text twin).
+    Read-back dedups pairs that surfaced through more than one chunk.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from spark_streaming_twitter_spark.streaming.queries import (
+        _forward_vendored_protobuf_to_workers,
+        _run_tws_update,
+    )
+
+    _forward_vendored_protobuf_to_workers(spark)
+
+    class ChunkOwners(StatefulProcessor):
+        """One MapState per (chunk, val-mod) shard: chunk_val ->
+        (owner media_id, owner dhash)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._owners = handle.getMapState(
+                "owners", "chunk_val bigint", "ref_id bigint, ref_dhash bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows), ignore_index=True)
+            out: dict[str, list] = {"media_id": [], "ref_id": [], "hamming": []}
+            for cv, grp in pdf.groupby("chunk_val", sort=True):
+                cv = int(cv)
+                pairs = sorted(
+                    (int(m), int(d))
+                    for m, d in zip(grp["media_id"], grp["dhash"])
+                )
+                if self._owners.containsKey((cv,)):
+                    owner, odh = (
+                        int(x) for x in self._owners.getValue((cv,))
+                    )
+                else:
+                    owner, odh = pairs.pop(0)
+                    self._owners.updateValue((cv,), (owner, odh))
+                for mid, dh in pairs:
+                    ham = (dh ^ odh).bit_count()
+                    if ham <= PHASH_RADIUS:
+                        out["media_id"].append(mid)
+                        out["ref_id"].append(owner)
+                        out["hamming"].append(ham)
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    tmp = tempfile.mkdtemp(prefix="phash_self_stream_")
+    try:
+        src = phash_media_table(spark, sf_dir)
+        lo, hi = src.agg(F.min("media_id"), F.max("media_id")).first()
+        cuts = [lo + (hi - lo + 1) * q // 4 for q in range(1, 4)]
+        bounds = [lo - 1, *cuts, hi]
+        for i in range(4):
+            stage = os.path.join(tmp, f"_stage_{i}")
+            src.where(
+                (F.col("media_id") > bounds[i])
+                & (F.col("media_id") <= bounds[i + 1])
+            ).coalesce(1).write.parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = os.path.join(tmp, f"batch_{i}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            shutil.rmtree(stage)
+            # strictly increasing mtimes pin the FileStreamSource order
+            os.utime(dst, (1_000_000_000 + i * 3600,) * 2)
+
+        par = spark.sparkContext.defaultParallelism
+        stream = (
+            spark.readStream.schema("media_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .option("pathGlobFilter", "batch_*.parquet")
+            .parquet(tmp)
+        )
+        chunks = (
+            perceptual_hashes(stream.repartition(par))
+            .select(
+                "media_id",
+                "dhash",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(PHASH_CHUNKS - 1))
+                ).alias("c"),
+            )
+            .withColumn(
+                "chunk_val",
+                F.expr("shiftright(dhash, c * 14)")
+                .bitwiseAND(F.lit(16383))
+                .cast("bigint"),
+            )
+            .withColumn("pfx", F.col("chunk_val") % 16)
+        )
+        hits = chunks.groupBy("c", "pfx").transformWithStateInPandas(
+            statefulProcessor=ChunkOwners(),
+            outputStructType="media_id bigint, ref_id bigint, hamming int",
+            outputMode="Update",
+            timeMode="None",
+        )
+        sink = _run_tws_update(spark, hits).distinct()
         rows = sink.collect()
         out = spark.createDataFrame(rows, sink.schema)
     finally:

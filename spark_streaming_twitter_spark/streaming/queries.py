@@ -970,6 +970,21 @@ HAVING count(CASE WHEN event_id % 4 <> 0 THEN 1 END) > 0
         bench=True,
     )(stream_text_minhash_self_dedup)
 
+    from spark_streaming_twitter_spark.multimodal.phash import (
+        _PHASH_SELF_DEDUP_ORACLE,
+        stream_media_phash_self_dedup,
+    )
+
+    query(
+        "stream_media_phash_self_dedup",
+        oracle=_PHASH_SELF_DEDUP_ORACLE,
+        doc="Self-referential streaming IMAGE dedup via tws MapState — "
+        "decode + perceptual-hash inside the plan, chunk-LSH buckets "
+        "probed AND inserted per micro-batch, Hamming-verified against "
+        "the owner dHash carried in state (see "
+        "stream_media_phash_self_dedup in multimodal/phash.py).",
+    )(stream_media_phash_self_dedup)
+
 
 @query(
     "stream_sliding_counts",
