@@ -60,7 +60,7 @@ from spark_streaming_twitter_spark.functions.hashing import (
     portable_hash_sql,
 )
 from spark_streaming_twitter_spark.functions import sampling
-from spark_streaming_twitter_spark.registry import query
+from spark_streaming_twitter_spark.registry import QUERIES, query
 from spark_streaming_twitter_spark.text.analysis import (
     _EMAIL_RE as _PII_EMAIL_RE,
     _PHONE_RE as _PII_PHONE_RE,
@@ -773,6 +773,14 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
     bench = sh.where(F.col("doc_id") % 50 == 0).select("sh").distinct()
     corpus = sh.where(F.col("doc_id") % 50 != 0)
+    return _decontaminate_report(corpus, bench)
+
+
+def _decontaminate_report(corpus: DataFrame, bench: DataFrame) -> DataFrame:
+    """(doc_id, n_shingles, n_contaminated, contaminated_frac,
+    is_contaminated) from a corpus shingle table and a distinct benchmark
+    shingle set — the aggregation half shared by the batch decontaminator
+    and the per-micro-batch step of the streaming ingest twin."""
     totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = (
         corpus.join(F.broadcast(bench), "sh")
@@ -792,6 +800,85 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_cont * 2 >= F.col("n_shingles")).alias("is_contaminated"),
         )
     )
+
+
+@query(
+    "stream_decontaminate_ingest",
+    oracle=QUERIES["dedup_decontaminate"].oracle,
+    doc="Benchmark decontamination AT INGEST — the contamination check "
+    "moved to where documents ENTER the corpus (the reference's Kafka "
+    "topology slot, like the four ingest-dedup twins), so a test-set "
+    "overlap is caught before a contaminated doc ever lands in training "
+    "data: corpus documents arrive as an unbounded file stream (4 "
+    "micro-batches), each row's distinct 3-token shingles explode INSIDE "
+    "the streaming plan, and every micro-batch joins them broadcast "
+    "against a PERSISTED static benchmark shingle set, aggregating the "
+    "per-doc contamination report IN foreachBatch — valid with zero "
+    "state because a document arrives whole in exactly one micro-batch "
+    "(row-atomic), so per-batch aggregation is per-doc-complete; the "
+    "production form writes each batch's report to the curation ledger. "
+    "Oracle is the batch decontaminator's VERBATIM: streaming the corpus "
+    "must change nothing about the report. Same 100 TB shape as "
+    "dedup_decontaminate — the benchmark side stays broadcast-tiny, the "
+    "doc stream never shuffles for the membership test, per-batch cost "
+    "is O(batch shingles), independent of stream history.",
+)
+def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_foreach_batch,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="decon_stream_")
+    data_dir = os.path.join(tmp, "docs")
+    bench = None
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.where(F.col("doc_id") % 50 != 0).repartition(4).write.parquet(
+            data_dir
+        )
+
+        # the static side of a stream-side join re-evaluates per batch:
+        # shingle the benchmark once, keep it pinned for every trigger
+        bench = (
+            doc_shingles(widen(docs.where(F.col("doc_id") % 50 == 0), spark))
+            .select("sh")
+            .distinct()
+            .persist()
+        )
+        bench.count()
+
+        par = spark.sparkContext.defaultParallelism
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data_dir)
+        )
+        corpus_sh = stream.repartition(par).select(
+            "doc_id",
+            F.explode(
+                shingles(tokens(F.lower(F.col("text"))), SHINGLE_N)
+            ).alias("sh"),
+        )
+
+        rows: list = []
+        schema = {}
+
+        def report_batch(bdf: DataFrame, _epoch_id: int) -> None:
+            rep = _decontaminate_report(bdf, bench)
+            schema["v"] = rep.schema
+            rows.extend(rep.collect())
+
+        run_foreach_batch(corpus_sh, report_batch, output_mode="append")
+        out = spark.createDataFrame(rows, schema["v"])
+    finally:
+        if bench is not None:
+            bench.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 _JACCARD_PAIRS_SQL = f"""

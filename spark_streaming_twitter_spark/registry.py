@@ -148,6 +148,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_media_video_ingest_dedup",
     "semantic_decontaminate_ann",
     "semantic_decontaminate_ann_recall",
+    "stream_decontaminate_ingest",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",
