@@ -535,6 +535,43 @@ GROUP BY 1, 2
 """
 
 
+def _self_dedup_stream_bands(spark: SparkSession, spool_dir: str) -> DataFrame:
+    """Streaming (doc_id, band, band_key) rows from an ordered doc spool —
+    the in-plan banding projection shared by both self-dedup variants
+    (tws MapState and persisted-index foreachBatch). One file per trigger
+    = one input partition; repartition spreads the md5-per-shingle hot
+    loop across cores before the projection (a Kafka topic's partition
+    count does this at the source at scale)."""
+    par = spark.sparkContext.defaultParallelism
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .option("pathGlobFilter", "batch_*.parquet")
+        .parquet(spool_dir)
+    )
+    return (
+        stream.repartition(par)
+        .withColumn(
+            "sig",
+            minhash_signature_struct(
+                shingles(tokens(F.lower(F.col("text"))), SHINGLE_N)
+            ),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                minhash_band_structs_from_sig(F.col("sig"))
+            ).alias("bk"),
+        )
+        .select(
+            "doc_id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+    )
+
+
 def stream_text_minhash_self_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -551,7 +588,7 @@ def stream_text_minhash_self_dedup(
     first-occurrence-wins, within the stream itself.
 
     State layout is the scale design: the tws grouping key is
-    (band, band_key-prefix) — 16 bands x 16 hex prefixes = 256 state
+    (band, band_key-prefix) — 4 bands x 16 hex prefixes = 64 state
     shards here; at cluster scale the prefix length is the dial that
     matches shard count to executor width — and each shard holds ONE
     MapState keyed by full band_key whose value is the owning (first-seen)
@@ -559,6 +596,11 @@ def stream_text_minhash_self_dedup(
     TOUCHED band key (RocksDB point lookups, the MapState advantage over a
     whole-buffer ValueState rewrite), never a rescan of history; the
     emission set per batch is bounded by the batch's own band-key hits.
+    The cost CONSTANT is the state client: each point op is one protobuf
+    round trip from the Python worker (~2 per touched key per batch —
+    measured ~250us each through the vendored pure-Python runtime), which
+    is what stream_text_minhash_self_dedup_batchidx below trades away by
+    keeping the same index in a persisted DataFrame instead of tws state.
     Mirrors the batch LSH candidate generator (lsh_candidate_pairs)
     restricted to earlier-arrival refs: every arrival registers ALL its
     band keys (keeper policy — e.g. not indexing flagged dups — is a
@@ -570,7 +612,6 @@ def stream_text_minhash_self_dedup(
     exact (the Kafka swap-in keys the topic by doc order the same way;
     reference topology TwitterDatasetTrendingHashtag.java:64-75).
     """
-    import os
     import shutil
     import tempfile
 
@@ -602,8 +643,12 @@ def stream_text_minhash_self_dedup(
             out_ref: list[int] = []
             for bk, grp in pdf.groupby("band_key", sort=True):
                 ids = sorted(int(d) for d in grp["doc_id"])
-                if self._owners.containsKey((bk,)):
-                    owner = int(self._owners.getValue((bk,))[0])
+                # one state roundtrip per touched key (getValue returns
+                # None when absent — containsKey would double the proto
+                # round trips, the dominant cost of this plan)
+                cur = self._owners.getValue((bk,))
+                if cur is not None:
+                    owner = int(cur[0])
                 else:
                     # first occurrence EVER of this band key: the batch's
                     # earliest arrival claims it and emits nothing
@@ -623,55 +668,16 @@ def stream_text_minhash_self_dedup(
         def close(self) -> None:
             pass
 
+    from spark_streaming_twitter_spark.streaming.harness import (
+        spool_ordered_batches,
+    )
+
     tmp = tempfile.mkdtemp(prefix="minhash_self_stream_")
     try:
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-        lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
-        cuts = [lo + (hi - lo + 1) * q // 4 for q in range(1, 4)]
-        bounds = [lo - 1, *cuts, hi]
-        for i in range(4):
-            stage = os.path.join(tmp, f"_stage_{i}")
-            docs.where(
-                (F.col("doc_id") > bounds[i]) & (F.col("doc_id") <= bounds[i + 1])
-            ).coalesce(1).write.parquet(stage)
-            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-            dst = os.path.join(tmp, f"batch_{i}.parquet")
-            shutil.move(os.path.join(stage, part), dst)
-            shutil.rmtree(stage)
-            # strictly increasing mtimes pin the FileStreamSource order
-            os.utime(dst, (1_000_000_000 + i * 3600,) * 2)
-
-        par = spark.sparkContext.defaultParallelism
-        stream = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .option("latestFirst", "false")
-            .option("pathGlobFilter", "batch_*.parquet")
-            .parquet(tmp)
-        )
-        # one file per trigger = one input partition; spread the md5-per-
-        # shingle banding across cores before the projection (a Kafka
-        # topic's partition count does this at the source at scale)
-        bands = (
-            stream.repartition(par)
-            .withColumn(
-                "sig",
-                minhash_signature_struct(
-                    shingles(tokens(F.lower(F.col("text"))), SHINGLE_N)
-                ),
-            )
-            .select(
-                "doc_id",
-                F.explode(
-                    minhash_band_structs_from_sig(F.col("sig"))
-                ).alias("bk"),
-            )
-            .select(
-                "doc_id",
-                F.col("bk.band").alias("band"),
-                F.col("bk.band_key").alias("band_key"),
-                F.substring("bk.band_key", 1, 1).alias("pfx"),
-            )
+        spool_ordered_batches(docs, "doc_id", tmp)
+        bands = _self_dedup_stream_bands(spark, tmp).withColumn(
+            "pfx", F.substring("band_key", 1, 1)
         )
         hits = bands.groupBy("band", "pfx").transformWithStateInPandas(
             statefulProcessor=BandOwners(),
@@ -688,6 +694,106 @@ def stream_text_minhash_self_dedup(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_text_minhash_self_dedup_batchidx",
+    oracle=_SELF_DEDUP_ORACLE,
+    doc="The PERSISTED-INDEX twin of stream_text_minhash_self_dedup: "
+    "identical self-referential first-occurrence-wins semantics (same "
+    "oracle VERBATIM), but the band-key -> owner index lives in a "
+    "persisted DataFrame maintained across micro-batches in foreachBatch "
+    "— probe by broadcast join, find novel keys by anti-join, append "
+    "them (min-doc-id owner) to the next index version — instead of tws "
+    "MapState. This is the 'index as a table' production architecture "
+    "(at 100 TB the index is a Delta/partitioned table and the append "
+    "is a MERGE; past broadcast size the probe becomes a shuffle join "
+    "on the same key): per batch it pays TWO joins + one aggregation, "
+    "all JVM-side, where the tws twin pays ~2 protobuf state round "
+    "trips per touched band key from the Python worker. The two are a "
+    "measured bench pair — the state-client constant vs the join-plan "
+    "constant — and the right choice flips with batch size: point "
+    "lookups win when batches touch few keys, the table join wins when "
+    "batches are wide (here: ~4,940 touched keys per 5,000-doc batch).",
+    bench=True,
+)
+def stream_text_minhash_self_dedup_batchidx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_foreach_batch,
+        spool_ordered_batches,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="minhash_selfidx_stream_")
+    idx_dir = os.path.join(tmp, "index")
+    state = {"has_index": False}
+    hit_rows: list = []
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        spool_ordered_batches(docs, "doc_id", tmp)
+        bands = _self_dedup_stream_bands(spark, tmp)
+
+        def probe_and_extend(bdf: DataFrame, _epoch_id: int) -> None:
+            # pin the batch: foreachBatch DataFrames re-execute per action,
+            # and the consumers below would re-run the signature fold (the
+            # hot loop) once each without this. Lazy persist — the probe
+            # collect below is the materializing action, no extra job.
+            bdf = bdf.persist()
+            # within-batch owners: the earliest arrival per band key
+            owners_here = bdf.groupBy("band", "band_key").agg(
+                F.min("doc_id").alias("new_ref")
+            )
+            if not state["has_index"]:
+                novel = owners_here.select(
+                    "band", "band_key", F.col("new_ref").alias("ref_id")
+                )
+                probed = bdf.join(F.broadcast(novel), ["band", "band_key"])
+            else:
+                # the index is a TABLE on storage, re-read flat each batch:
+                # no lineage growth, no plan recompilation, and the append
+                # below is exactly the production Delta-MERGE slot
+                idx = spark.read.parquet(idx_dir)
+                probed = (
+                    bdf.join(F.broadcast(idx), ["band", "band_key"], "left")
+                    .join(F.broadcast(owners_here), ["band", "band_key"])
+                    # an indexed key keeps its owner; a novel key's owner
+                    # is this batch's min arrival
+                    .withColumn("ref_id", F.coalesce("ref_id", "new_ref"))
+                )
+                novel = owners_here.join(
+                    idx.select("band", "band_key"),
+                    ["band", "band_key"],
+                    "left_anti",
+                ).select("band", "band_key", F.col("new_ref").alias("ref_id"))
+            hit_rows.extend(
+                probed.where(F.col("doc_id") > F.col("ref_id"))
+                .select("doc_id", "ref_id", "band")
+                .collect()
+            )
+            # append AFTER the probe collected: the lazily-read index must
+            # not see this batch's own keys
+            novel.write.mode("append").parquet(idx_dir)
+            state["has_index"] = True
+            bdf.unpersist()
+
+        run_foreach_batch(bands, probe_and_extend, output_mode="append")
+        out = (
+            spark.createDataFrame(
+                hit_rows, "doc_id bigint, ref_id bigint, band int"
+            )
+            .groupBy("doc_id", "ref_id")
+            .agg(F.count_distinct("band").alias("n_bands"))
+        )
+        rows = out.collect()
+        result = spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
 
 
 @query(

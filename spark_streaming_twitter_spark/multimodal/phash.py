@@ -1053,7 +1053,6 @@ def stream_media_phash_self_dedup(
     tools/self_dedup_cost_probe.py establishes for the text twin).
     Read-back dedups pairs that surfaced through more than one chunk.
     """
-    import os
     import shutil
     import tempfile
 
@@ -1088,10 +1087,11 @@ def stream_media_phash_self_dedup(
                     (int(m), int(d))
                     for m, d in zip(grp["media_id"], grp["dhash"])
                 )
-                if self._owners.containsKey((cv,)):
-                    owner, odh = (
-                        int(x) for x in self._owners.getValue((cv,))
-                    )
+                # one state roundtrip per touched bucket (getValue is
+                # None when absent; containsKey would double the calls)
+                cur = self._owners.getValue((cv,))
+                if cur is not None:
+                    owner, odh = int(cur[0]), int(cur[1])
                 else:
                     owner, odh = pairs.pop(0)
                     self._owners.updateValue((cv,), (owner, odh))
@@ -1107,26 +1107,14 @@ def stream_media_phash_self_dedup(
         def close(self) -> None:
             pass
 
+    from spark_streaming_twitter_spark.streaming.harness import (
+        spool_ordered_batches,
+    )
+
     tmp = tempfile.mkdtemp(prefix="phash_self_stream_")
     try:
         src = phash_media_table(spark, sf_dir)
-        lo, hi = src.agg(F.min("media_id"), F.max("media_id")).first()
-        cuts = [lo + (hi - lo + 1) * q // 4 for q in range(1, 4)]
-        bounds = [lo - 1, *cuts, hi]
-        for i in range(4):
-            stage = os.path.join(tmp, f"_stage_{i}")
-            src.where(
-                (F.col("media_id") > bounds[i])
-                & (F.col("media_id") <= bounds[i + 1])
-            ).coalesce(1).write.parquet(stage)
-            part = next(
-                f for f in os.listdir(stage) if f.endswith(".parquet")
-            )
-            dst = os.path.join(tmp, f"batch_{i}.parquet")
-            shutil.move(os.path.join(stage, part), dst)
-            shutil.rmtree(stage)
-            # strictly increasing mtimes pin the FileStreamSource order
-            os.utime(dst, (1_000_000_000 + i * 3600,) * 2)
+        spool_ordered_batches(src, "media_id", tmp)
 
         par = spark.sparkContext.defaultParallelism
         stream = (

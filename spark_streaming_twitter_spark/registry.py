@@ -149,6 +149,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "semantic_decontaminate_ann",
     "semantic_decontaminate_ann_recall",
     "stream_decontaminate_ingest",
+    "stream_text_minhash_self_dedup_batchidx",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

@@ -69,6 +69,42 @@ def stream_events(
     return raw
 
 
+def spool_ordered_batches(
+    df: DataFrame, id_col: str, spool_dir: str, n_batches: int = 4
+) -> None:
+    """Write ``df`` as ``n_batches`` id-range files with strictly
+    increasing mtimes under ``spool_dir`` (batch_0.parquet ...), so a
+    FileStreamSource with maxFilesPerTrigger=1 + latestFirst=false +
+    pathGlobFilter='batch_*.parquet' replays them as micro-batches in
+    id order — the deterministic-arrival harness every self-referential
+    (first-occurrence-wins) streaming query needs for its oracle to
+    replay ownership as min-id-per-key."""
+    import os
+    import shutil
+
+    lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
+    cuts = [lo + (hi - lo + 1) * q // n_batches for q in range(1, n_batches)]
+    # one scan + one tiny shuffle for ALL the range files (a per-range
+    # where().write() loop re-scans the source n_batches times — measured
+    # 3.4 s vs 0.8 s at sf0.1): bucket label -> partitionBy dirs, then
+    # rename each dir's single file into the flat batch_i.parquet layout
+    b = F.lit(0)
+    for cut in cuts:
+        b = b + (F.col(id_col) > cut).cast("int")
+    stage = os.path.join(spool_dir, "_stage")
+    df.withColumn("_b", b).repartition("_b").write.partitionBy(
+        "_b"
+    ).parquet(stage)
+    for i in range(n_batches):
+        bdir = os.path.join(stage, f"_b={i}")
+        part = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
+        dst = os.path.join(spool_dir, f"batch_{i}.parquet")
+        shutil.move(os.path.join(bdir, part), dst)
+        # strictly increasing mtimes pin the FileStreamSource order
+        os.utime(dst, (1_000_000_000 + i * 3600,) * 2)
+    shutil.rmtree(stage)
+
+
 @contextmanager
 def _scoped_shuffle_partitions(spark: SparkSession) -> Iterator[None]:
     """Pin shuffle partitions to cluster parallelism for a streaming run.

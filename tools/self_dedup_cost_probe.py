@@ -93,8 +93,9 @@ def main() -> None:
             out_ref: list[int] = []
             for bk, grp in pdf.groupby("band_key", sort=True):
                 ids = sorted(int(d) for d in grp["doc_id"])
-                if self._owners.containsKey((bk,)):
-                    owner = int(self._owners.getValue((bk,))[0])
+                cur = self._owners.getValue((bk,))
+                if cur is not None:
+                    owner = int(cur[0])
                 else:
                     owner = ids.pop(0)
                     self._owners.updateValue((bk,), (owner,))
