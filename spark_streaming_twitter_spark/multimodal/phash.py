@@ -1278,6 +1278,266 @@ def stream_media_audio_ingest_dedup(
     return out
 
 
+# Oracles for the audio/video SELF-referential streaming dedups
+# (registered in streaming/queries.py inside the protobuf gate, like the
+# text/image twins): ordered arrival makes ownership min-media-id-per-key.
+_AFP_SELF_DEDUP_ORACLE = f"""
+WITH {_AFP_SIGS_SQL.lstrip()},
+achunks AS (
+  SELECT media_id, fingerprint, c,
+         (fingerprint >> (c * 12)) & 4095 AS chunk_val
+  FROM afps
+  CROSS JOIN (SELECT unnest(generate_series(0, {AFP_CHUNKS - 1})) AS c)
+),
+owners AS (
+  SELECT c, chunk_val, min(media_id) AS ref_id
+  FROM achunks GROUP BY 1, 2
+),
+ofp AS (
+  SELECT o.c, o.chunk_val, o.ref_id, s.fingerprint AS ref_fp
+  FROM owners o JOIN afps s ON s.media_id = o.ref_id
+),
+hits AS (
+  SELECT DISTINCT a.media_id, o.ref_id, a.fingerprint, o.ref_fp
+  FROM achunks a
+  JOIN ofp o ON a.c = o.c AND a.chunk_val = o.chunk_val
+            AND a.media_id > o.ref_id
+)
+SELECT media_id, ref_id,
+       CAST(bit_count(xor(fingerprint, ref_fp)) AS INT) AS hamming
+FROM hits
+WHERE bit_count(xor(fingerprint, ref_fp)) <= {AFP_RADIUS}
+"""
+
+_VIDEO_SELF_DEDUP_ORACLE = f"""
+WITH {_VIDEO_SIGS_SQL.lstrip()},
+dsigs AS (SELECT DISTINCT media_id, frame_sig FROM vsigs),
+owners AS (
+  SELECT frame_sig, min(media_id) AS ref_id FROM dsigs GROUP BY 1
+),
+hits AS (
+  SELECT d.media_id, o.ref_id, d.frame_sig
+  FROM dsigs d
+  JOIN owners o ON d.frame_sig = o.frame_sig AND d.media_id > o.ref_id
+)
+SELECT media_id, ref_id,
+       CAST(count(DISTINCT frame_sig) AS BIGINT) AS n_shared
+FROM hits GROUP BY 1, 2
+HAVING count(DISTINCT frame_sig) >= {VIDEO_MIN_SHARED}
+"""
+
+
+def stream_media_audio_self_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SELF-REFERENTIAL streaming AUDIO dedup — third cell of the
+    self-dedup column (text/image above, video below; the static-index
+    INGEST twins fill the other column, so every modality now has both):
+    WAV payloads stream in, acoustic fingerprints are decoded and
+    computed inside the plan, and each clip's 4x12-bit fingerprint
+    chunks probe AND populate a tws MapState whose value carries the
+    owning clip's id and FULL fingerprint — the Hamming
+    bit_count(xor) <= 6 verify runs at probe time, emitting only
+    verified near-dup pairs, exactly the image twin's design with the
+    audio fingerprint family. Shard key (c, chunk_val % 16) = 64 shards;
+    one state roundtrip per touched chunk bucket per batch."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        spool_ordered_batches,
+    )
+    from spark_streaming_twitter_spark.streaming.queries import (
+        _forward_vendored_protobuf_to_workers,
+        _run_tws_update,
+    )
+
+    _forward_vendored_protobuf_to_workers(spark)
+
+    class ChunkOwners(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._owners = handle.getMapState(
+                "owners", "chunk_val bigint", "ref_id bigint, ref_fp bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows), ignore_index=True)
+            out: dict[str, list] = {"media_id": [], "ref_id": [], "hamming": []}
+            for cv, grp in pdf.groupby("chunk_val", sort=True):
+                cv = int(cv)
+                pairs = sorted(
+                    (int(m), int(f))
+                    for m, f in zip(grp["media_id"], grp["fingerprint"])
+                )
+                cur = self._owners.getValue((cv,))
+                if cur is not None:
+                    owner, ofp = int(cur[0]), int(cur[1])
+                else:
+                    owner, ofp = pairs.pop(0)
+                    self._owners.updateValue((cv,), (owner, ofp))
+                for mid, fp in pairs:
+                    ham = (fp ^ ofp).bit_count()
+                    if ham <= AFP_RADIUS:
+                        out["media_id"].append(mid)
+                        out["ref_id"].append(owner)
+                        out["hamming"].append(ham)
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    tmp = tempfile.mkdtemp(prefix="afp_self_stream_")
+    try:
+        src = fp_audio_table(spark, sf_dir)
+        spool_ordered_batches(src, "media_id", tmp)
+        par = spark.sparkContext.defaultParallelism
+        stream = (
+            spark.readStream.schema("media_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .option("pathGlobFilter", "batch_*.parquet")
+            .parquet(tmp)
+        )
+        chunks = (
+            audio_fingerprints(stream.repartition(par))
+            .select(
+                "media_id",
+                "fingerprint",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(AFP_CHUNKS - 1))
+                ).alias("c"),
+            )
+            .withColumn(
+                "chunk_val",
+                F.expr("shiftright(fingerprint, c * 12)")
+                .bitwiseAND(F.lit(4095))
+                .cast("bigint"),
+            )
+            .withColumn("pfx", F.col("chunk_val") % 16)
+        )
+        hits = chunks.groupBy("c", "pfx").transformWithStateInPandas(
+            statefulProcessor=ChunkOwners(),
+            outputStructType="media_id bigint, ref_id bigint, hamming int",
+            outputMode="Update",
+            timeMode="None",
+        )
+        sink = _run_tws_update(spark, hits).distinct()
+        rows = sink.collect()
+        out = spark.createDataFrame(rows, sink.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def stream_media_video_self_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SELF-REFERENTIAL streaming VIDEO dedup — the last cell: the
+    modality/architecture dedup matrix is complete (text, image, audio,
+    video x static-index ingest, self-referential state). MP4 payloads
+    stream in, the container walk + per-frame signatures run inside the
+    plan, and each DISTINCT frame signature probes/populates a tws
+    MapState mapping frame_sig -> first-seen clip. Hits emit raw
+    (media_id, ref_id, frame_sig) rows; the >= 8-shared-DISTINCT-frames
+    pair threshold runs batch-side on the read-back, exactly like the
+    video ingest twin — per-arrival emission is bounded by the clip's
+    own frame count (<= 16 rows), so there is no hot-bucket quadratic
+    term to cap: state ownership is one ref per signature by
+    construction."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        spool_ordered_batches,
+    )
+    from spark_streaming_twitter_spark.streaming.queries import (
+        _forward_vendored_protobuf_to_workers,
+        _run_tws_update,
+    )
+
+    _forward_vendored_protobuf_to_workers(spark)
+
+    class SigOwners(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._owners = handle.getMapState(
+                "owners", "frame_sig bigint", "ref_id bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows), ignore_index=True)
+            out: dict[str, list] = {
+                "media_id": [],
+                "ref_id": [],
+                "frame_sig": [],
+            }
+            for sig, grp in pdf.groupby("frame_sig", sort=True):
+                sig = int(sig)
+                ids = sorted({int(m) for m in grp["media_id"]})
+                cur = self._owners.getValue((sig,))
+                if cur is not None:
+                    owner = int(cur[0])
+                else:
+                    owner = ids.pop(0)
+                    self._owners.updateValue((sig,), (owner,))
+                for mid in ids:
+                    out["media_id"].append(mid)
+                    out["ref_id"].append(owner)
+                    out["frame_sig"].append(sig)
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    tmp = tempfile.mkdtemp(prefix="vfp_self_stream_")
+    try:
+        src = fp_video_table(spark, sf_dir)
+        spool_ordered_batches(src, "media_id", tmp)
+        par = spark.sparkContext.defaultParallelism
+        stream = (
+            spark.readStream.schema("media_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .option("pathGlobFilter", "batch_*.parquet")
+            .parquet(tmp)
+        )
+        sigs = (
+            video_frame_signatures(stream.repartition(par))
+            .select("media_id", "frame_sig")
+            .withColumn("pfx", F.pmod(F.col("frame_sig"), F.lit(64)))
+        )
+        hits = sigs.groupBy("pfx").transformWithStateInPandas(
+            statefulProcessor=SigOwners(),
+            outputStructType="media_id bigint, ref_id bigint, frame_sig bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+        sink = _run_tws_update(spark, hits)
+        agg = (
+            sink.groupBy("media_id", "ref_id")
+            .agg(F.count_distinct("frame_sig").alias("n_shared"))
+            .where(F.col("n_shared") >= VIDEO_MIN_SHARED)
+        )
+        rows = agg.collect()
+        out = spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 @query(
     "stream_media_video_ingest_dedup",
     oracle=f"""

@@ -971,8 +971,12 @@ HAVING count(CASE WHEN event_id % 4 <> 0 THEN 1 END) > 0
     )(stream_text_minhash_self_dedup)
 
     from spark_streaming_twitter_spark.multimodal.phash import (
+        _AFP_SELF_DEDUP_ORACLE,
         _PHASH_SELF_DEDUP_ORACLE,
+        _VIDEO_SELF_DEDUP_ORACLE,
+        stream_media_audio_self_dedup,
         stream_media_phash_self_dedup,
+        stream_media_video_self_dedup,
     )
 
     query(
@@ -984,6 +988,22 @@ HAVING count(CASE WHEN event_id % 4 <> 0 THEN 1 END) > 0
         "the owner dHash carried in state (see "
         "stream_media_phash_self_dedup in multimodal/phash.py).",
     )(stream_media_phash_self_dedup)
+    query(
+        "stream_media_audio_self_dedup",
+        oracle=_AFP_SELF_DEDUP_ORACLE,
+        doc="Self-referential streaming AUDIO dedup via tws MapState — "
+        "acoustic-fingerprint chunk buckets probed/inserted per batch, "
+        "Hamming-verified against the owner fingerprint in state (see "
+        "stream_media_audio_self_dedup in multimodal/phash.py).",
+    )(stream_media_audio_self_dedup)
+    query(
+        "stream_media_video_self_dedup",
+        oracle=_VIDEO_SELF_DEDUP_ORACLE,
+        doc="Self-referential streaming VIDEO dedup via tws MapState — "
+        "per-frame signatures own their first-seen clip in state; the "
+        ">= 8-shared-frames pair threshold runs on the read-back (see "
+        "stream_media_video_self_dedup in multimodal/phash.py).",
+    )(stream_media_video_self_dedup)
 
 
 @query(

@@ -294,6 +294,9 @@ def test_tws_registry_registration_matches_capability():
         "stream_user_recent_events_tws",
         "stream_running_total_tws_bootstrap",
         "stream_text_minhash_self_dedup",
+        "stream_media_phash_self_dedup",
+        "stream_media_audio_self_dedup",
+        "stream_media_video_self_dedup",
     ):
         assert (name in names) == has, name
 
@@ -325,8 +328,14 @@ for mod in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
 from spark_streaming_twitter_spark.registry import load_all
 
 names = set(load_all())
+gated = (
+    "stream_text_minhash_self_dedup",
+    "stream_media_phash_self_dedup",
+    "stream_media_audio_self_dedup",
+    "stream_media_video_self_dedup",
+)
 tws = sorted(n for n in names if n.endswith("_tws")) + [
-    n for n in ("stream_text_minhash_self_dedup",) if n in names
+    n for n in gated if n in names
 ]
 assert not tws, f"tws queries registered on a bare host: {tws}"
 assert "stream_events_per_minute" in names, "registry floor missing"
