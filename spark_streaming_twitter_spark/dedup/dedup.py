@@ -796,6 +796,161 @@ def stream_text_minhash_self_dedup_batchidx(
     return result
 
 
+# Keeper-aware online dedup oracle: 4 unrolled stages (the spool's batch
+# count is a constant), each probing the index of KEPT docs from prior
+# stages only. Batch ranges replicate spool_ordered_batches' arithmetic.
+def _keeper_dedup_oracle() -> str:
+    stages = []
+    prev_idx = "idx0"
+    for k in (1, 2, 3):
+        stages.append(f"""
+hits{k} AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT DISTINCT doc_id, band, band_key FROM bat WHERE b = {k}) s
+  JOIN {prev_idx} i ON s.band = i.band AND s.band_key = i.band_key
+  GROUP BY 1
+),
+h{k} AS (
+  SELECT d.doc_id, coalesce(n, CAST(0 AS BIGINT)) AS n_index_hits
+  FROM (SELECT DISTINCT doc_id FROM bat WHERE b = {k}) d
+  LEFT JOIN hits{k} USING (doc_id)
+),
+idx{k} AS (
+  SELECT band, band_key FROM {prev_idx}
+  UNION
+  SELECT DISTINCT s.band, s.band_key
+  FROM bat s JOIN h{k} USING (doc_id)
+  WHERE s.b = {k} AND h{k}.n_index_hits = 0
+)""")
+        prev_idx = f"idx{k}"
+    return f"""
+WITH {_MINHASH_BUCKETS_SQL.lstrip()},
+rng AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+bat AS (
+  SELECT bk.doc_id, bk.band, bk.band_key,
+         CASE WHEN bk.doc_id <= lo + (hi - lo + 1) * 1 // 4 THEN 0
+              WHEN bk.doc_id <= lo + (hi - lo + 1) * 2 // 4 THEN 1
+              WHEN bk.doc_id <= lo + (hi - lo + 1) * 3 // 4 THEN 2
+              ELSE 3 END AS b
+  FROM buckets bk CROSS JOIN rng
+),
+h0 AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS n_index_hits
+  FROM (SELECT DISTINCT doc_id FROM bat WHERE b = 0)
+),
+idx0 AS (SELECT DISTINCT band, band_key FROM bat WHERE b = 0),{",".join(stages)}
+SELECT doc_id, n_index_hits, n_index_hits = 0 AS kept
+FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1
+      UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+"""
+
+
+@query(
+    "stream_text_minhash_keeper_dedup",
+    oracle=_keeper_dedup_oracle(),
+    doc="KEEPER-AWARE online dedup — the strict FineWeb-style ingest "
+    "semantics both self-dedup variants above deliberately defer: a "
+    "document flagged as a duplicate is QUARANTINED — its band keys do "
+    "NOT join the index — so the index grows only with kept (unique) "
+    "documents and a chain A~B~C where B matches A never suppresses C "
+    "through the already-dropped B. Cross-key coordination (a doc's "
+    "keep/drop decision spans all 4 of its band keys) is exactly what "
+    "the table-index foreachBatch architecture makes trivial and "
+    "per-key-sharded tws state cannot see: per micro-batch, probe every "
+    "doc's keys against the kept-index (broadcast join + per-doc hit "
+    "count), decide keep = zero hits, append ONLY kept docs' novel keys. "
+    "Decision granularity is the micro-batch (docs in one trigger probe "
+    "the same index snapshot — what a per-trigger-committing Kafka "
+    "consumer does); the oracle unrolls the 4 index epochs as a CTE "
+    "chain, replicating the spool's range arithmetic in SQL. Output is "
+    "the full per-doc ledger: (doc_id, n_index_hits, kept). Index "
+    "stores keys only (no owner) — the drop decision needs membership, "
+    "not attribution; at 100 TB it is a bloom-filter-fronted Delta "
+    "table and the append is a MERGE.",
+    bench=True,
+)
+def stream_text_minhash_keeper_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_foreach_batch,
+        spool_ordered_batches,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="minhash_keeper_stream_")
+    idx_dir = os.path.join(tmp, "index")
+    state = {"has_index": False}
+    ledger: list = []
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        spool_ordered_batches(docs, "doc_id", tmp)
+        bands = _self_dedup_stream_bands(spark, tmp)
+
+        def probe_and_keep(bdf: DataFrame, _epoch_id: int) -> None:
+            bdf = bdf.persist()
+            doc_keys = bdf.select("doc_id", "band", "band_key").distinct()
+            if not state["has_index"]:
+                report = doc_keys.select("doc_id").distinct().select(
+                    "doc_id",
+                    F.lit(0).cast("bigint").alias("n_index_hits"),
+                )
+                novel = doc_keys.select("band", "band_key").distinct()
+            else:
+                idx = spark.read.parquet(idx_dir)
+                hits = (
+                    doc_keys.join(F.broadcast(idx), ["band", "band_key"])
+                    .groupBy("doc_id")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                )
+                report = (
+                    doc_keys.select("doc_id")
+                    .distinct()
+                    .join(hits, "doc_id", "left")
+                    .select(
+                        "doc_id",
+                        F.coalesce("n", F.lit(0).cast("bigint")).alias(
+                            "n_index_hits"
+                        ),
+                    )
+                )
+            rows = report.collect()
+            ledger.extend(rows)
+            if state["has_index"]:
+                kept = spark.createDataFrame(
+                    [(r["doc_id"],) for r in rows if r["n_index_hits"] == 0],
+                    "doc_id bigint",
+                )
+                novel = (
+                    doc_keys.join(F.broadcast(kept), "doc_id")
+                    .select("band", "band_key")
+                    .distinct()
+                    .join(
+                        spark.read.parquet(idx_dir),
+                        ["band", "band_key"],
+                        "left_anti",
+                    )
+                )
+            novel.write.mode("append").parquet(idx_dir)
+            state["has_index"] = True
+            bdf.unpersist()
+
+        run_foreach_batch(bands, probe_and_keep, output_mode="append")
+        out = spark.createDataFrame(
+            ledger, "doc_id bigint, n_index_hits bigint"
+        ).select(
+            "doc_id", "n_index_hits", (F.col("n_index_hits") == 0).alias("kept")
+        )
+        rows = out.collect()
+        result = spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
 @query(
     "dedup_edit_distance_verify",
     oracle=f"""

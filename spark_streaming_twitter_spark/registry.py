@@ -150,6 +150,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "semantic_decontaminate_ann_recall",
     "stream_decontaminate_ingest",
     "stream_text_minhash_self_dedup_batchidx",
+    "stream_text_minhash_keeper_dedup",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",
