@@ -1,0 +1,93 @@
+"""Cross-query invariants for the round-10 self-referential dedup family.
+
+The oracle parity suite already pins each query's exact output; these pin
+the RELATIONS between family members that the oracles cannot see — the
+properties a user composing the pipeline relies on.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_streaming_twitter_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def _specs():
+    return load_all()
+
+
+def _has(name: str) -> bool:
+    return name in _specs()
+
+
+@pytest.mark.skipif(
+    not _has("stream_text_minhash_self_dedup"),
+    reason="protobuf-gated tws queries unavailable on this host",
+)
+def test_tws_and_table_index_self_dedups_agree(spark):
+    """The two architectures implement ONE semantics: identical
+    (doc_id, ref_id, n_bands) sets, bit for bit."""
+    specs = _specs()
+    tws = {
+        (r.doc_id, r.ref_id, r.n_bands)
+        for r in specs["stream_text_minhash_self_dedup"].fn(spark, SF).collect()
+    }
+    idx = {
+        (r.doc_id, r.ref_id, r.n_bands)
+        for r in specs["stream_text_minhash_self_dedup_batchidx"]
+        .fn(spark, SF)
+        .collect()
+    }
+    assert tws == idx
+
+
+def test_keeper_drops_subset_of_self_dedup_flagged(spark):
+    """A doc the KEEPER drops hit the kept-docs index; the all-docs index
+    of the plain self-dedup contains every kept doc's keys, so the same
+    doc must surface there as a flagged (doc_id, ref) pair — quarantine
+    can only SHRINK the flag set, never add to it."""
+    specs = _specs()
+    keeper = specs["stream_text_minhash_keeper_dedup"].fn(spark, SF).collect()
+    dropped = {r.doc_id for r in keeper if not r.kept}
+    flagged = {
+        r.doc_id
+        for r in specs["stream_text_minhash_self_dedup_batchidx"]
+        .fn(spark, SF)
+        .collect()
+    }
+    assert dropped <= flagged, sorted(dropped - flagged)
+
+
+def test_keeper_ledger_covers_every_doc(spark):
+    """The keeper emits one decision row per streamed document."""
+    from spark_streaming_twitter_spark.catalog import table
+
+    specs = _specs()
+    ledger = specs["stream_text_minhash_keeper_dedup"].fn(spark, SF).collect()
+    n_docs = table(spark, SF, "documents").count()
+    assert len(ledger) == n_docs
+    assert len({r.doc_id for r in ledger}) == n_docs
+
+
+@pytest.mark.skipif(
+    not _has("stream_media_phash_self_dedup"),
+    reason="protobuf-gated tws queries unavailable on this host",
+)
+def test_image_self_dedup_pairs_are_batch_verified_pairs(spark):
+    """Every (ref, media) pair the streaming image self-dedup emits is a
+    pair the batch chunk-LSH + Hamming-verify pipeline also surfaces
+    (owner arrived first => owner id < media id, matching the batch
+    min/max orientation) — state-at-ingest finds a SUBSET of the batch
+    answer, never an unverified pair."""
+    specs = _specs()
+    stream_pairs = {
+        (r.ref_id, r.media_id)
+        for r in specs["stream_media_phash_self_dedup"].fn(spark, SF).collect()
+    }
+    batch_pairs = {
+        (r.media_a, r.media_b)
+        for r in specs["media_phash_dup_pairs"].fn(spark, SF).collect()
+    }
+    assert stream_pairs <= batch_pairs, sorted(stream_pairs - batch_pairs)
