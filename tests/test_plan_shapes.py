@@ -71,6 +71,18 @@ def test_similarity_broadcasts_query_side(spark):
     )
 
 
+def test_semantic_decontaminate_ann_broadcasts_routing(spark):
+    """The ANN decontaminator's corpus probe must be a BROADCAST hash
+    join on the label column (the routed bench-cell table is |bench| x
+    nprobe rows); the corpus side must never sort-merge or cartesian
+    against the benchmark."""
+    f = _features(spark, "semantic_decontaminate_ann")
+    assert "BroadcastHashJoin" in f.join_nodes, f.join_nodes
+    assert "CartesianProduct" not in f.raw, (
+        "corpus x bench must never plan a cartesian product"
+    )
+
+
 def test_scan_prunes_before_python_stage(spark):
     f = _features(spark, "media_frame_samples")
     # the kind filter must evaluate before mapInPandas (no payload for
