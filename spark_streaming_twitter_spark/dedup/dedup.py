@@ -796,6 +796,194 @@ def stream_text_minhash_self_dedup_batchidx(
     return result
 
 
+# Horizon-bounded (TTL) self-dedup oracle: docs carry synthetic event time
+# ts = BASE + doc_id seconds, so time distance == id distance and the
+# "duplicate of something seen within the horizon" flag is a plain
+# max-earlier-arrival join. The horizon is data-relative ((range+1) DIV 2,
+# same formula both sides) so the query is SF-invariant.
+_TTL_DEDUP_ORACLE = f"""
+WITH {_MINHASH_BUCKETS_SQL.lstrip()},
+rng AS (
+  SELECT (max(doc_id) - min(doc_id) + 1) // 2 AS horizon FROM documents
+),
+prev AS (
+  SELECT b.doc_id, b.band, max(e.doc_id) AS ref_id
+  FROM buckets b
+  JOIN buckets e ON e.band = b.band AND e.band_key = b.band_key
+                AND e.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_id, p.ref_id,
+       CAST(count(DISTINCT p.band) AS BIGINT) AS n_bands
+FROM prev p CROSS JOIN rng
+WHERE p.doc_id - p.ref_id <= horizon
+GROUP BY 1, 2
+"""
+
+_TTL_TS_BASE = 1_700_000_000  # synthetic event-time epoch for doc streams
+
+
+def stream_text_minhash_ttl_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HORIZON-BOUNDED streaming near-dup dedup — the bounded-state form
+    every production ingest pipeline eventually needs: an unbounded
+    stream cannot keep every band key forever, and the curation contract
+    is usually \"drop documents that duplicate something seen within the
+    last N days\", not since the beginning of time. This is
+    dropDuplicates-within-watermark generalized from exact keys to
+    MinHash near-dup band keys, and it exercises the tws combination the
+    five-primitive family leaves uncovered: MapState AND event-time
+    timers in one processor.
+
+    Semantics: a document is flagged against the LATEST earlier arrival
+    sharing a band key when their event-time distance is within the
+    horizon (ts = BASE + doc_id seconds, so the oracle replays the flag
+    as a max-earlier join on id distance). State per band key is the
+    last (doc_id, arrival) pair — every arrival refreshes it — and each
+    batch registers an event-time timer at batch-max + horizon whose
+    expiry sweeps the shard's map and removeKey()s entries idle past the
+    horizon, so STATE SIZE IS BOUNDED BY THE HORIZON, not by stream
+    history. Emission correctness never depends on sweep timing (the
+    probe re-checks the distance), which is what makes the TTL purely a
+    resource bound — the oracle is exact either way."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        spool_ordered_batches,
+    )
+    from spark_streaming_twitter_spark.streaming.queries import (
+        _forward_vendored_protobuf_to_workers,
+        _run_tws_update,
+    )
+
+    _forward_vendored_protobuf_to_workers(spark)
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    horizon = (hi - lo + 1) // 2
+
+    class LastSeen(StatefulProcessor):
+        """band_key -> (last doc_id, last arrival); timer-swept TTL."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._last = handle.getMapState(
+                "last_seen", "band_key string", "ref_id bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            band = int(key[0])
+            pdf = pd.concat(list(rows), ignore_index=True)
+            out_doc: list[int] = []
+            out_ref: list[int] = []
+            batch_max = int(pdf["doc_id"].max())
+            for bk, grp in pdf.groupby("band_key", sort=True):
+                ids = sorted(int(d) for d in grp["doc_id"])
+                cur = self._last.getValue((bk,))
+                last = int(cur[0]) if cur is not None else None
+                for d in ids:
+                    if last is not None and d - last <= horizon:
+                        out_doc.append(d)
+                        out_ref.append(last)
+                    last = d
+                self._last.updateValue((bk,), (last,))
+            # one TTL sweep timer per batch: fires once the watermark
+            # passes batch-max + horizon, when everything last refreshed
+            # in or before THIS batch is evictable
+            for t in list(self._h.listTimers()):
+                self._h.deleteTimer(t)
+            self._h.registerTimer(
+                (_TTL_TS_BASE + batch_max + horizon + 1) * 1000
+            )
+            if out_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": out_doc,
+                        "ref_id": out_ref,
+                        "band": [band] * len(out_doc),
+                    }
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # sweep: drop band keys idle past the horizon — the state
+            # bound. Correctness never depends on this running.
+            wm_ms = timerValues.getCurrentWatermarkInMs()
+            expired = [
+                k_[0]
+                for k_, v_ in self._last.iterator()
+                if (_TTL_TS_BASE + int(v_[0]) + horizon) * 1000 < wm_ms
+            ]
+            for bk in expired:
+                self._last.removeKey((bk,))
+            return iter(())
+
+        def close(self) -> None:
+            pass
+
+    tmp = tempfile.mkdtemp(prefix="minhash_ttl_stream_")
+    try:
+        spool_ordered_batches(docs, "doc_id", tmp)
+        par = spark.sparkContext.defaultParallelism
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .option("pathGlobFilter", "batch_*.parquet")
+            .parquet(tmp)
+        )
+        bands = (
+            stream.repartition(par)
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(F.lit(_TTL_TS_BASE) + F.col("doc_id")),
+            )
+            .withWatermark("ts", "0 seconds")
+            .withColumn(
+                "sig",
+                minhash_signature_struct(
+                    shingles(tokens(F.lower(F.col("text"))), SHINGLE_N)
+                ),
+            )
+            .select(
+                "doc_id",
+                "ts",
+                F.explode(
+                    minhash_band_structs_from_sig(F.col("sig"))
+                ).alias("bk"),
+            )
+            .select(
+                "doc_id",
+                "ts",
+                F.col("bk.band").alias("band"),
+                F.col("bk.band_key").alias("band_key"),
+                F.substring("bk.band_key", 1, 1).alias("pfx"),
+            )
+        )
+        hits = bands.groupBy("band", "pfx").transformWithStateInPandas(
+            statefulProcessor=LastSeen(),
+            outputStructType="doc_id bigint, ref_id bigint, band int",
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+        sink = _run_tws_update(spark, hits)
+        agg = sink.groupBy("doc_id", "ref_id").agg(
+            F.count_distinct("band").alias("n_bands")
+        )
+        rows = agg.collect()
+        out = spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # Keeper-aware online dedup oracle: 4 unrolled stages (the spool's batch
 # count is a constant), each probing the index of KEPT docs from prior
 # stages only. Batch ranges replicate spool_ordered_batches' arithmetic.

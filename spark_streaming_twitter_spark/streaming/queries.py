@@ -957,7 +957,9 @@ HAVING count(CASE WHEN event_id % 4 <> 0 THEN 1 END) > 0
 
     from spark_streaming_twitter_spark.dedup.dedup import (
         _SELF_DEDUP_ORACLE,
+        _TTL_DEDUP_ORACLE,
         stream_text_minhash_self_dedup,
+        stream_text_minhash_ttl_dedup,
     )
 
     query(
@@ -969,6 +971,14 @@ HAVING count(CASE WHEN event_id % 4 <> 0 THEN 1 END) > 0
         "stream_text_minhash_self_dedup in dedup/dedup.py).",
         bench=True,
     )(stream_text_minhash_self_dedup)
+    query(
+        "stream_text_minhash_ttl_dedup",
+        oracle=_TTL_DEDUP_ORACLE,
+        doc="Horizon-bounded streaming near-dup dedup — MapState + "
+        "event-time TTL sweep timers in one processor; state bounded by "
+        "the horizon, not stream history (see "
+        "stream_text_minhash_ttl_dedup in dedup/dedup.py).",
+    )(stream_text_minhash_ttl_dedup)
 
     from spark_streaming_twitter_spark.multimodal.phash import (
         _AFP_SELF_DEDUP_ORACLE,

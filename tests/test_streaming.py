@@ -294,6 +294,7 @@ def test_tws_registry_registration_matches_capability():
         "stream_user_recent_events_tws",
         "stream_running_total_tws_bootstrap",
         "stream_text_minhash_self_dedup",
+        "stream_text_minhash_ttl_dedup",
         "stream_media_phash_self_dedup",
         "stream_media_audio_self_dedup",
         "stream_media_video_self_dedup",
@@ -330,6 +331,7 @@ from spark_streaming_twitter_spark.registry import load_all
 names = set(load_all())
 gated = (
     "stream_text_minhash_self_dedup",
+    "stream_text_minhash_ttl_dedup",
     "stream_media_phash_self_dedup",
     "stream_media_audio_self_dedup",
     "stream_media_video_self_dedup",
