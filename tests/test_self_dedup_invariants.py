@@ -72,6 +72,29 @@ def test_keeper_ledger_covers_every_doc(spark):
 
 
 @pytest.mark.skipif(
+    not _has("stream_text_minhash_ttl_dedup"),
+    reason="protobuf-gated tws queries unavailable on this host",
+)
+def test_ttl_flagged_docs_subset_of_unbounded_flags(spark):
+    """A doc flagged within the horizon has an earlier same-key arrival,
+    so the unbounded self-dedup must flag it too — the TTL can only
+    SHRINK the flagged-doc set (refs differ by design: latest-arrival vs
+    first-owner)."""
+    specs = _specs()
+    ttl_docs = {
+        r.doc_id
+        for r in specs["stream_text_minhash_ttl_dedup"].fn(spark, SF).collect()
+    }
+    unbounded_docs = {
+        r.doc_id
+        for r in specs["stream_text_minhash_self_dedup_batchidx"]
+        .fn(spark, SF)
+        .collect()
+    }
+    assert ttl_docs <= unbounded_docs, sorted(ttl_docs - unbounded_docs)
+
+
+@pytest.mark.skipif(
     not _has("stream_media_phash_self_dedup"),
     reason="protobuf-gated tws queries unavailable on this host",
 )
