@@ -151,6 +151,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_decontaminate_ingest",
     "stream_text_minhash_self_dedup_batchidx",
     "stream_text_minhash_keeper_dedup",
+    "stream_quality_gate_ingest",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

@@ -28,7 +28,7 @@ from spark_streaming_twitter_spark.functions.hashing import (
     portable_hash,
     portable_hash_sql,
 )
-from spark_streaming_twitter_spark.registry import query
+from spark_streaming_twitter_spark.registry import QUERIES, query
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol —
 # the regex class GPT-2-style byte-pair encoders apply before merges.
@@ -126,6 +126,14 @@ FROM scored
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars"), spark)
+    return quality_projection(docs)
+
+
+def quality_projection(docs: DataFrame) -> DataFrame:
+    """The C4/Gopher-style heuristic score as a pure per-row projection
+    over (doc_id, text, n_chars) — shared verbatim by the batch query and
+    the streaming ingest gate (a projection has no state, no watermark,
+    no shuffle, so it runs identically on a streaming DataFrame)."""
     toks = tokens(F.col("text"))
     stop = F.array([F.lit(s) for s in ("the", "a", "of", "and", "to", "is", "in")])
     n_tokens = F.size(toks)
@@ -150,6 +158,52 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
     )
     return scored.withColumn("quality", quality)
+
+
+@query(
+    "stream_quality_gate_ingest",
+    oracle=QUERIES["doc_quality_scores"].oracle,
+    doc="Quality scoring AT INGEST — the third stage of the at-ingest "
+    "curation trilogy (near-dup dedup and benchmark decontamination "
+    "already have streaming twins), so the full batch curation pipeline "
+    "now runs where documents enter the corpus: the C4/Gopher heuristic "
+    "score is a pure per-row projection (quality_projection, shared "
+    "verbatim with doc_quality_scores), which is exactly why it streams "
+    "for free — no state, no watermark, append mode, per-batch cost "
+    "O(batch). Oracle is the batch scorer's VERBATIM: streaming the "
+    "corpus must not change a single score bit. At 100 TB this is the "
+    "cheapest curation stage and the first gate in the ingest topology "
+    "(score before you shingle: a doc dropped here never pays banding).",
+)
+def stream_quality_gate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_to_memory,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="quality_stream_")
+    data_dir = os.path.join(tmp, "docs")
+    try:
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "n_chars"
+        )
+        docs.repartition(4).write.parquet(data_dir)
+        par = spark.sparkContext.defaultParallelism
+        stream = (
+            spark.readStream.schema("doc_id long, text string, n_chars bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data_dir)
+        )
+        scored = quality_projection(stream.repartition(par))
+        sink = run_to_memory(scored, output_mode="append")
+        rows = sink.collect()
+        out = spark.createDataFrame(rows, sink.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def _lang_marker_rows() -> list[tuple[str, str]]:
