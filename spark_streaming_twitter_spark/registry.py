@@ -152,6 +152,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_text_minhash_self_dedup_batchidx",
     "stream_text_minhash_keeper_dedup",
     "stream_quality_gate_ingest",
+    "stream_embedding_index_ingest",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

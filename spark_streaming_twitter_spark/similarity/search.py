@@ -2154,6 +2154,162 @@ def _semdecon_ann_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_embedding_index_ingest",
+    oracle=f"""
+WITH inorms AS (
+  SELECT vec_id, label, embedding,
+         {_QUANT_SQL.format(vec="embedding")} AS qv
+  FROM embeddings
+),
+icdims AS (
+  SELECT label, qv, unnest(generate_series(1, {DIM})) AS d
+  FROM inorms WHERE vec_id % 2 = 0
+),
+icentroid_dims AS (
+  SELECT label, d,
+         CAST((sum(qv[d]) - (((sum(qv[d]) % count(*)) + count(*)) % count(*)))
+              // count(*) AS BIGINT) AS c
+  FROM icdims GROUP BY label, d
+),
+icentroids AS (
+  SELECT label, list(c ORDER BY d) AS cvec FROM icentroid_dims GROUP BY label
+),
+irouted AS (
+  SELECT q.vec_id, c.label,
+         list_sum(list_transform(list_zip(q.qv, c.cvec),
+                                 p -> CAST(p[1] AS BIGINT) * p[2]))
+           AS route_dot,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_sum(list_transform(list_zip(q.qv, c.cvec),
+                                            p -> CAST(p[1] AS BIGINT) * p[2]))
+                    DESC, c.label ASC) AS rn
+  FROM inorms q CROSS JOIN icentroids c
+  WHERE q.vec_id % 2 = 1
+)
+SELECT vec_id, CAST(label AS BIGINT) AS assigned_label,
+       CAST(route_dot AS BIGINT) AS route_dot
+FROM irouted WHERE rn = 1
+""",
+    doc="The WRITE path of a vector store — IVF index INGEST: new "
+    "vectors arrive as an unbounded stream (the odd-vec_id half; the "
+    "even half is the already-indexed corpus whose exact-integer "
+    "centroids are computed once) and each is routed to its top-1 cell "
+    "INSIDE the streaming plan by a row-wise argmax fold over the "
+    "centroid table embedded as a literal array — no join, no shuffle, "
+    "no state: cell assignment is a pure projection, which is what "
+    "makes index ingestion O(nlist x dim) per vector and embarrassingly "
+    "parallel at 100 TB (nlist ~ sqrt(N) centroids broadcast to every "
+    "task; the assignment output partitions the landing table by cell, "
+    "the physical layout similarity_ivf_topk's read path prunes on). "
+    "Deterministic tie-break (strictly-greater fold keeps the lowest "
+    "label, matching the oracle's cdot DESC, label ASC rank). "
+    "Completes the vector-index lifecycle: build (embedding_kmeans / "
+    "centroid construction), READ (ivf/filtered/pq search family), and "
+    "now streaming WRITE.",
+)
+def stream_embedding_index_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_to_memory,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ivf_ingest_stream_")
+    data_dir = os.path.join(tmp, "vecs")
+    try:
+        emb = table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
+        # centroids of the already-indexed corpus (even half), exact
+        # integer floor-div construction shared with the IVF read path
+        corpus = widen(emb.where(F.col("vec_id") % 2 == 0), spark)
+        dims = corpus.select(
+            "label",
+            F.posexplode(_quantized(F.col("embedding"))).alias("d0", "v"),
+        )
+        centroid_rows = (
+            dims.groupBy("label", "d0")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "label",
+                "d0",
+                F.expr("(s - pmod(s, cnt)) DIV cnt").cast("bigint").alias("c"),
+            )
+            .groupBy("label")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d0", "c"))),
+                    lambda x: x["c"],
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        # nlist ~ sqrt(N) centroids as a literal array: the routing fold
+        # below is a plain projection, so the streaming plan is stateless
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["label"])).cast("bigint").alias("label"),
+                    F.array(
+                        *[F.lit(int(c)).cast("bigint") for c in r["cvec"]]
+                    ).alias("cvec"),
+                )
+                for r in sorted(centroid_rows, key=lambda r: r["label"])
+            ]
+        )
+
+        emb.where(F.col("vec_id") % 2 == 1).select(
+            "vec_id", "embedding"
+        ).repartition(4).write.parquet(data_dir)
+        par = spark.sparkContext.defaultParallelism
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data_dir)
+        )
+
+        def cdot(s):
+            return F.aggregate(
+                F.zip_with(F.col("qv"), s["cvec"], lambda x, w: x * w),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+
+        best = F.aggregate(
+            cent_arr,
+            F.struct(
+                F.lit(-1).cast("bigint").alias("label"),
+                F.lit(None).cast("bigint").alias("dot"),
+            ),
+            lambda acc, s: F.when(
+                acc["dot"].isNull() | (cdot(s) > acc["dot"]),
+                F.struct(s["label"].alias("label"), cdot(s).alias("dot")),
+            ).otherwise(acc),
+        )
+        routed = (
+            stream.repartition(par)
+            .withColumn("qv", _quantized(F.col("embedding")))
+            .withColumn("best", best)
+            .select(
+                "vec_id",
+                F.col("best.label").alias("assigned_label"),
+                F.col("best.dot").alias("route_dot"),
+            )
+        )
+        sink = run_to_memory(routed, output_mode="append")
+        rows = sink.collect()
+        out = spark.createDataFrame(rows, sink.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query(
     "semantic_decontaminate_ann",
     oracle=f"""
 WITH {_SEMDECON_ANN_CTES.lstrip()},
