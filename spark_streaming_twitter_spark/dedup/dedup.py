@@ -1330,6 +1330,222 @@ def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _ingest_pipeline_oracle() -> str:
+    """Capstone oracle composed from the three stage oracles VERBATIM
+    (the capstone convention: stages cannot desynchronize from their
+    standalone queries): quality = doc_quality_scores' oracle as a
+    subquery restricted to the streamed corpus; contamination =
+    dedup_decontaminate's oracle verbatim; dup = first-occurrence banding
+    over the corpus-only buckets (banding a doc is independent of other
+    docs, so post-filtering the shared buckets CTE equals banding the
+    filtered corpus)."""
+    quality = QUERIES["doc_quality_scores"].oracle
+    decon = QUERIES["dedup_decontaminate"].oracle
+    return f"""
+WITH {_MINHASH_BUCKETS_SQL.lstrip()},
+cbuckets AS (SELECT * FROM buckets WHERE doc_id % 50 <> 0),
+cowners AS (
+  SELECT band, band_key, min(doc_id) AS ref FROM cbuckets GROUP BY 1, 2
+),
+dupdocs AS (
+  SELECT DISTINCT b.doc_id FROM cbuckets b
+  JOIN cowners o ON b.band = o.band AND b.band_key = o.band_key
+                AND b.doc_id > o.ref
+),
+q AS (
+  SELECT doc_id, quality FROM ({quality}) WHERE doc_id % 50 <> 0
+),
+dec AS (SELECT doc_id, is_contaminated FROM ({decon}))
+SELECT q.doc_id, q.quality, dec.is_contaminated,
+       (dup.doc_id IS NOT NULL) AS is_dup,
+       (q.quality >= CAST(0.6 AS DOUBLE) AND NOT dec.is_contaminated
+        AND dup.doc_id IS NULL) AS keep
+FROM q
+JOIN dec ON dec.doc_id = q.doc_id
+LEFT JOIN dupdocs dup ON dup.doc_id = q.doc_id
+"""
+
+
+@query(
+    "stream_corpus_ingest_pipeline",
+    oracle=_ingest_pipeline_oracle(),
+    doc="THE ROUND-10 CAPSTONE — the full curation pipeline AT INGEST, "
+    "one streaming pass: every micro-batch of arriving documents is "
+    "quality-scored (quality_projection, shared verbatim with "
+    "doc_quality_scores), decontaminated against the persisted "
+    "benchmark shingle set (the stream_decontaminate_ingest stage), and "
+    "near-dup-probed against the on-disk band-key index maintained "
+    "across batches (the table-index self-dedup stage), emitting one "
+    "per-doc ledger row (doc_id, quality, is_contaminated, is_dup, "
+    "keep) where keep = quality >= 0.6 AND clean AND first-occurrence. "
+    "The three stages derive from ONE pinned batch DataFrame — the doc "
+    "stream is read once per trigger; shingling is shared between the "
+    "decontamination join and the MinHash fold input. Oracle composes "
+    "the three stage oracles verbatim (capstone convention), so this "
+    "query cannot drift from its standalone stages. At 100 TB this IS "
+    "the ingest topology: quality (cheapest, per-row) gates first in a "
+    "real deployment; the flags here are computed independently so each "
+    "stage's ledger stays auditable, and the conjunction is the keep "
+    "policy a curation run reports.",
+)
+def stream_corpus_ingest_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_foreach_batch,
+        spool_ordered_batches,
+    )
+    from spark_streaming_twitter_spark.text.analysis import (
+        quality_projection,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ingest_pipeline_")
+    idx_dir = os.path.join(tmp, "index")
+    state = {"has_index": False}
+    ledger: list = []
+    bench = None
+    try:
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "n_chars"
+        )
+        corpus = docs.where(F.col("doc_id") % 50 != 0)
+        bench = (
+            doc_shingles(
+                widen(
+                    docs.where(F.col("doc_id") % 50 == 0).select(
+                        "doc_id", "text"
+                    ),
+                    spark,
+                )
+            )
+            .select("sh")
+            .distinct()
+            .persist()
+        )
+        bench.count()
+        spool_ordered_batches(corpus, "doc_id", tmp)
+
+        def curate_batch(bdf: DataFrame, _epoch_id: int) -> None:
+            bdf = bdf.persist()
+            # stage 1: quality (pure projection)
+            q = quality_projection(bdf).select("doc_id", "quality")
+            # stage 2: decontamination (broadcast membership join)
+            sh = bdf.select(
+                "doc_id",
+                F.explode(
+                    shingles(tokens(F.lower(F.col("text"))), SHINGLE_N)
+                ).alias("sh"),
+            )
+            dec = _decontaminate_report(sh, bench).select(
+                "doc_id", "is_contaminated"
+            )
+            # stage 3: near-dup against the cross-batch table index
+            bands = (
+                bdf.withColumn(
+                    "sig",
+                    minhash_signature_struct(
+                        shingles(tokens(F.lower(F.col("text"))), SHINGLE_N)
+                    ),
+                )
+                .select(
+                    "doc_id",
+                    F.explode(
+                        minhash_band_structs_from_sig(F.col("sig"))
+                    ).alias("bk"),
+                )
+                .select(
+                    "doc_id",
+                    F.col("bk.band").alias("band"),
+                    F.col("bk.band_key").alias("band_key"),
+                )
+                .persist()
+            )
+            owners_here = bands.groupBy("band", "band_key").agg(
+                F.min("doc_id").alias("new_ref")
+            )
+            if not state["has_index"]:
+                probed = bands.join(
+                    F.broadcast(
+                        owners_here.select(
+                            "band", "band_key",
+                            F.col("new_ref").alias("ref_id"),
+                        )
+                    ),
+                    ["band", "band_key"],
+                )
+                novel = owners_here.select(
+                    "band", "band_key", F.col("new_ref").alias("ref_id")
+                )
+            else:
+                idx = spark.read.parquet(idx_dir)
+                probed = (
+                    bands.join(F.broadcast(idx), ["band", "band_key"], "left")
+                    .join(F.broadcast(owners_here), ["band", "band_key"])
+                    .withColumn("ref_id", F.coalesce("ref_id", "new_ref"))
+                )
+                novel = owners_here.join(
+                    idx.select("band", "band_key"),
+                    ["band", "band_key"],
+                    "left_anti",
+                ).select("band", "band_key", F.col("new_ref").alias("ref_id"))
+            dup = (
+                probed.where(F.col("doc_id") > F.col("ref_id"))
+                .select("doc_id")
+                .distinct()
+                .withColumn("is_dup", F.lit(True))
+            )
+            keep = (
+                (F.col("quality") >= F.lit(0.6))
+                & ~F.col("is_contaminated")
+                & ~F.col("is_dup")
+            )
+            ledger.extend(
+                q.join(dec, "doc_id")
+                .join(dup, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "quality",
+                    "is_contaminated",
+                    F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+                )
+                .withColumn("keep", keep)
+                .collect()
+            )
+            novel.write.mode("append").parquet(idx_dir)
+            state["has_index"] = True
+            bands.unpersist()
+            bdf.unpersist()
+
+        par = spark.sparkContext.defaultParallelism
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, n_chars bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .option("pathGlobFilter", "batch_*.parquet")
+            .parquet(tmp)
+        ).repartition(par)
+        run_foreach_batch(stream, curate_batch, output_mode="append")
+        out = spark.createDataFrame(
+            ledger,
+            "doc_id bigint, quality double, is_contaminated boolean, "
+            "is_dup boolean, keep boolean",
+        )
+        rows = out.collect()
+        result = spark.createDataFrame(rows, out.schema)
+    finally:
+        if bench is not None:
+            bench.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+
 _JACCARD_PAIRS_SQL = f"""
 {_SHINGLES_SQL},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -153,6 +153,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_text_minhash_keeper_dedup",
     "stream_quality_gate_ingest",
     "stream_embedding_index_ingest",
+    "stream_corpus_ingest_pipeline",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",
