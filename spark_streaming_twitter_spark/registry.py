@@ -154,6 +154,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_quality_gate_ingest",
     "stream_embedding_index_ingest",
     "stream_corpus_ingest_pipeline",
+    "stream_centroid_maintenance",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

@@ -2309,6 +2309,228 @@ def stream_embedding_index_ingest(
     return out
 
 
+def _centroid_maintenance_oracle() -> str:
+    """Unrolled 4-epoch replay of the batch-granular centroid update:
+    epoch k assigns batch-k vectors to the epoch-(k-1) centroids (max
+    integer dot, lowest-label tie-break) and folds their quantized sums
+    into the per-(label, dim) running stats — all exact integers, so the
+    final centroids compare bitwise."""
+    stages = []
+    for k in range(4):
+        stages.append(f""",
+cents{k} AS (
+  SELECT label, d,
+         CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS c
+  FROM stats{k}
+),
+dots{k} AS (
+  SELECT v.vec_id, c.label,
+         CAST(sum(v.q * c.c) AS BIGINT) AS dot
+  FROM vdims v JOIN cents{k} c ON v.d = c.d
+  WHERE v.b = {k}
+  GROUP BY 1, 2
+),
+asg{k} AS (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, label ASC) AS rn
+    FROM dots{k}
+  ) WHERE rn = 1
+),
+badd{k} AS (
+  SELECT a.label, v.d,
+         CAST(sum(v.q) AS BIGINT) AS add_s,
+         CAST(count(*) AS BIGINT) AS add_n
+  FROM asg{k} a JOIN vdims v ON v.vec_id = a.vec_id
+  GROUP BY 1, 2
+),
+stats{k + 1} AS (
+  SELECT s.label, s.d,
+         s.s + coalesce(b.add_s, 0) AS s,
+         s.n + coalesce(b.add_n, 0) AS n
+  FROM stats{k} s
+  LEFT JOIN badd{k} b ON b.label = s.label AND b.d = s.d
+)""")
+    return f"""
+WITH mnorms AS (
+  SELECT vec_id, label, {_QUANT_SQL.format(vec="embedding")} AS qv
+  FROM embeddings
+),
+mdims AS (
+  SELECT vec_id, label, qv, unnest(generate_series(1, {DIM})) AS d
+  FROM mnorms
+),
+stats0 AS (
+  SELECT label, d, CAST(sum(qv[d]) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM mdims WHERE vec_id % 2 = 0 GROUP BY 1, 2
+),
+srng AS (
+  SELECT min(vec_id) AS lo, max(vec_id) AS hi
+  FROM embeddings WHERE vec_id % 2 = 1
+),
+vdims AS (
+  SELECT m.vec_id, m.d, m.qv[m.d] AS q,
+         CASE WHEN m.vec_id <= lo + (hi - lo + 1) * 1 // 4 THEN 0
+              WHEN m.vec_id <= lo + (hi - lo + 1) * 2 // 4 THEN 1
+              WHEN m.vec_id <= lo + (hi - lo + 1) * 3 // 4 THEN 2
+              ELSE 3 END AS b
+  FROM mdims m CROSS JOIN srng
+  WHERE m.vec_id % 2 = 1
+){"".join(stages)}
+SELECT label, max(n) AS n_members,
+       string_agg(
+         CAST(CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS VARCHAR),
+         ',' ORDER BY d) AS centroid
+FROM stats4 GROUP BY label
+"""
+
+
+@query(
+    "stream_centroid_maintenance",
+    oracle=_centroid_maintenance_oracle(),
+    doc="Streaming INDEX MAINTENANCE — the refresh path that completes "
+    "the vector-index lifecycle (build: embedding_kmeans; read: the "
+    "IVF/filtered/PQ family; write: stream_embedding_index_ingest; now "
+    "RETRAIN): as new vectors stream in, each micro-batch is assigned "
+    "to the CURRENT centroids (exact-integer max-dot, lowest-label "
+    "tie-break) and folded into per-(label, dim) running sum/count "
+    "stats, so the centroids drift toward the arriving distribution — "
+    "batch-granular mini-batch k-means, the update rule "
+    "c_k = (n*c + sum_batch)/(n + n_batch) made exact by keeping "
+    "integer SUMS in state and deriving the floor-div centroid on "
+    "demand. Centroid stats are index METADATA (nlist x dim integers, "
+    "nlist ~ sqrt(N)) — the one structure a coordinator legitimately "
+    "holds; per batch the only distributed work is one argmax "
+    "projection over the arriving vectors (the index-ingest fold with "
+    "per-epoch centroids) and one (label, dim) aggregation. The oracle "
+    "unrolls the four epochs as a CTE chain; every sum, assignment, "
+    "and final centroid compares bitwise. Output: final (label, "
+    "n_members, centroid) with the centroid comma-joined (canonical "
+    "row-sort needs scalar columns).",
+)
+def stream_centroid_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_foreach_batch,
+        spool_ordered_batches,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="centroid_maint_")
+    try:
+        emb = table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
+        # epoch-0 stats: integer sums/counts of the already-indexed half
+        base = (
+            widen(emb.where(F.col("vec_id") % 2 == 0), spark)
+            .select(
+                "label",
+                F.posexplode(_quantized(F.col("embedding"))).alias("d0", "v"),
+            )
+            .groupBy("label", "d0")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        labels = sorted({int(r["label"]) for r in base})
+        stats: dict[int, list[list[int]]] = {
+            lab: [[0, 0] for _ in range(DIM)] for lab in labels
+        }
+        for r in base:
+            stats[int(r["label"])][int(r["d0"])] = [int(r["s"]), int(r["cnt"])]
+
+        def centroid_literal():
+            # floor-div centroid from the CURRENT stats (pmod-corrected,
+            # exact for negative sums — the shared formula)
+            return F.array(
+                *[
+                    F.struct(
+                        F.lit(lab).cast("bigint").alias("label"),
+                        F.array(
+                            *[
+                                F.lit((s - (((s % n) + n) % n)) // n).cast(
+                                    "bigint"
+                                )
+                                for s, n in stats[lab]
+                            ]
+                        ).alias("cvec"),
+                    )
+                    for lab in labels
+                ]
+            )
+
+        def update_batch(bdf: DataFrame, _epoch_id: int) -> None:
+            cent_arr = centroid_literal()
+
+            def cdot(s):
+                return F.aggregate(
+                    F.zip_with(F.col("qv"), s["cvec"], lambda x, w: x * w),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                )
+
+            best = F.aggregate(
+                cent_arr,
+                F.struct(
+                    F.lit(-1).cast("bigint").alias("label"),
+                    F.lit(None).cast("bigint").alias("dot"),
+                ),
+                lambda acc, s: F.when(
+                    acc["dot"].isNull() | (cdot(s) > acc["dot"]),
+                    F.struct(s["label"].alias("label"), cdot(s).alias("dot")),
+                ).otherwise(acc),
+            )
+            adds = (
+                bdf.withColumn("qv", _quantized(F.col("embedding")))
+                .withColumn("lab", best["label"])
+                .select("lab", F.posexplode(F.col("qv")).alias("d0", "v"))
+                .groupBy("lab", "d0")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+            for r in adds:
+                cell = stats[int(r["lab"])][int(r["d0"])]
+                cell[0] += int(r["s"])
+                cell[1] += int(r["cnt"])
+
+        stream_src = emb.where(F.col("vec_id") % 2 == 1).select(
+            "vec_id", "embedding"
+        )
+        spool_ordered_batches(stream_src, "vec_id", tmp)
+        par = spark.sparkContext.defaultParallelism
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .option("pathGlobFilter", "batch_*.parquet")
+            .parquet(tmp)
+        ).repartition(par)
+        run_foreach_batch(stream, update_batch, output_mode="append")
+
+        rows = [
+            (
+                lab,
+                stats[lab][0][1],
+                ",".join(
+                    str((s - (((s % n) + n) % n)) // n) for s, n in stats[lab]
+                ),
+            )
+            for lab in labels
+        ]
+        out = spark.createDataFrame(
+            rows, "label int, n_members bigint, centroid string"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 @query(
     "semantic_decontaminate_ann",
     oracle=f"""
