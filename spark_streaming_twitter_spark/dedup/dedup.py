@@ -696,6 +696,139 @@ def stream_text_minhash_self_dedup(
     return out
 
 
+def stream_text_minhash_self_dedup_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DISORDER-TOLERANT self-referential streaming dedup — the ordered
+    twin (stream_text_minhash_self_dedup above) leans on the fixture's
+    doc_id-range spool for its first-occurrence-wins attribution; a real
+    Kafka topic (reference topology TwitterDatasetTrendingHashtag.java:
+    64-72) guarantees order only WITHIN a partition, so "first" must be
+    reconciled in state, not assumed from arrival. This variant runs the
+    identical banding plan over a ROUND-ROBIN spool (batch i = ids
+    congruent to i mod 4 — every batch spans the full id range, arrival
+    order disagrees with id order everywhere) and keeps the oracle
+    arrival-order-free (it already is: min-per-key owners).
+
+    Ownership is MIN-ID-RECONCILED in MapState with in-state demotion:
+    state per band key is the smallest doc_id seen SO FAR; when a smaller
+    id arrives it claims ownership and the DEMOTED previous owner is
+    re-emitted as a duplicate row. Emitted rows carry (band_key, current
+    owner) instead of a final attribution — owner-at-emission can be
+    stale the moment a smaller id lands in a later batch — and the
+    read-back reconciles attribution exactly: per band key the final
+    owner is min(owner) over that key's emissions (ownership only ever
+    decreases, and every demotion emits a row carrying the new owner, so
+    the global min is always witnessed), and the emitted doc set per key
+    is provably all-but-the-final-owner (a doc is emitted either at
+    arrival, when it isn't the min so far, or at demotion, when a
+    smaller id displaces it — only the never-demoted global min is never
+    emitted). That makes the reconciled set bit-identical to the ordered
+    twin's and to _SELF_DEDUP_ORACLE, for ANY arrival order.
+
+    Cost: state stays band_key -> owner (no duplicate lists — the
+    reconciliation agg runs on the emission read-back, bounded by hit
+    count); an unchanged-owner probe is ONE state round trip (the
+    ordered twin's shape), and only ownership changes pay the extra
+    updateValue. Same (band, key-prefix) sharding, same touched-keys-
+    bounded per-batch contract."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from spark_streaming_twitter_spark.streaming.queries import (
+        _forward_vendored_protobuf_to_workers,
+        _run_tws_update,
+    )
+
+    _forward_vendored_protobuf_to_workers(spark)
+
+    class MinIdOwners(StatefulProcessor):
+        """band_key -> min doc_id so far; demotion re-emits old owner."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._owners = handle.getMapState(
+                "owners", "band_key string", "ref_id bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            band = int(key[0])
+            pdf = pd.concat(list(rows), ignore_index=True)
+            out_doc: list[int] = []
+            out_key: list[str] = []
+            out_owner: list[int] = []
+            for bk, grp in pdf.groupby("band_key", sort=True):
+                ids = sorted(int(d) for d in grp["doc_id"])
+                cur = self._owners.getValue((bk,))
+                owner = int(cur[0]) if cur is not None else None
+                emit = ids
+                if owner is None or ids[0] < owner:
+                    demoted = owner
+                    owner = ids[0]
+                    self._owners.updateValue((bk,), (owner,))
+                    emit = ids[1:] + ([demoted] if demoted is not None else [])
+                out_doc.extend(emit)
+                out_key.extend([bk] * len(emit))
+                out_owner.extend([owner] * len(emit))
+            if out_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": out_doc,
+                        "band_key": out_key,
+                        "owner": out_owner,
+                        "band": [band] * len(out_doc),
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        spool_roundrobin_batches,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="minhash_self_unord_")
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        spool_roundrobin_batches(docs, "doc_id", tmp)
+        bands = _self_dedup_stream_bands(spark, tmp).withColumn(
+            "pfx", F.substring("band_key", 1, 1)
+        )
+        hits = bands.groupBy("band", "pfx").transformWithStateInPandas(
+            statefulProcessor=MinIdOwners(),
+            outputStructType=(
+                "doc_id bigint, band_key string, owner bigint, band int"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        sink = _run_tws_update(spark, hits)
+        # reconcile attribution in ONE aggregation (a sink self-join would
+        # conflict the memory plan's attributes): final owner per key =
+        # min emitted owner; the key's emitted docs ride along as a set
+        # (bounded by the key's duplicate count, never the corpus)
+        agg = (
+            sink.groupBy("band", "band_key")
+            .agg(
+                F.min("owner").alias("ref_id"),
+                F.collect_set("doc_id").alias("docs"),
+            )
+            .select("band", "ref_id", F.explode("docs").alias("doc_id"))
+            .groupBy("doc_id", "ref_id")
+            .agg(F.count_distinct("band").alias("n_bands"))
+        )
+        rows = agg.collect()
+        out = spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 @query(
     "stream_text_minhash_self_dedup_batchidx",
     oracle=_SELF_DEDUP_ORACLE,

@@ -155,6 +155,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_embedding_index_ingest",
     "stream_corpus_ingest_pipeline",
     "stream_centroid_maintenance",
+    # round-11 additions (tie-break order; protobuf-gated queries —
+    # stream_text_minhash_self_dedup_unordered, stream_media_phash_ttl_dedup
+    # — stay OFF this tuple, same bare-host rule as round 10)
+    "stream_media_phash_keeper_dedup",
+    "stream_caption_drop_propagation",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

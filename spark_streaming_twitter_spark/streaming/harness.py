@@ -69,6 +69,54 @@ def stream_events(
     return raw
 
 
+def _spool_bucketed(
+    df: DataFrame, bucket: "F.Column", spool_dir: str, n_batches: int
+) -> None:
+    """Write ``df`` as ``n_batches`` files (batch_0.parquet ...) under
+    ``spool_dir`` with strictly increasing mtimes, bucketed by the
+    int-valued ``bucket`` expression (values in [0, n_batches)). One scan
+    + one tiny shuffle for ALL the files (a per-bucket where().write()
+    loop re-scans the source n_batches times — measured 3.4 s vs 0.8 s
+    at sf0.1): bucket label -> partitionBy dirs, then rename each dir's
+    single file into the flat batch_i.parquet layout. A bucket with no
+    rows gets an EMPTY parquet placeholder (schema-only), so sparse id
+    spaces replay as zero-row micro-batches instead of crashing on a
+    missing _b=i dir."""
+    import os
+    import shutil
+
+    stage = os.path.join(spool_dir, "_stage")
+    df.withColumn("_b", bucket).repartition("_b").write.partitionBy(
+        "_b"
+    ).parquet(stage)
+    empty_src: str | None = None
+    for i in range(n_batches):
+        bdir = os.path.join(stage, f"_b={i}")
+        part = next(
+            (
+                f
+                for f in (os.listdir(bdir) if os.path.isdir(bdir) else ())
+                if f.endswith(".parquet")
+            ),
+            None,
+        )
+        dst = os.path.join(spool_dir, f"batch_{i}.parquet")
+        if part is not None:
+            shutil.move(os.path.join(bdir, part), dst)
+        else:
+            if empty_src is None:
+                edir = os.path.join(stage, "_empty")
+                df.limit(0).write.parquet(edir)
+                empty_src = os.path.join(
+                    edir,
+                    next(f for f in os.listdir(edir) if f.endswith(".parquet")),
+                )
+            shutil.copy(empty_src, dst)
+        # strictly increasing mtimes pin the FileStreamSource order
+        os.utime(dst, (1_000_000_000 + i * 3600,) * 2)
+    shutil.rmtree(stage)
+
+
 def spool_ordered_batches(
     df: DataFrame, id_col: str, spool_dir: str, n_batches: int = 4
 ) -> None:
@@ -79,30 +127,32 @@ def spool_ordered_batches(
     id order — the deterministic-arrival harness every self-referential
     (first-occurrence-wins) streaming query needs for its oracle to
     replay ownership as min-id-per-key."""
-    import os
-    import shutil
-
     lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
     cuts = [lo + (hi - lo + 1) * q // n_batches for q in range(1, n_batches)]
-    # one scan + one tiny shuffle for ALL the range files (a per-range
-    # where().write() loop re-scans the source n_batches times — measured
-    # 3.4 s vs 0.8 s at sf0.1): bucket label -> partitionBy dirs, then
-    # rename each dir's single file into the flat batch_i.parquet layout
     b = F.lit(0)
     for cut in cuts:
         b = b + (F.col(id_col) > cut).cast("int")
-    stage = os.path.join(spool_dir, "_stage")
-    df.withColumn("_b", b).repartition("_b").write.partitionBy(
-        "_b"
-    ).parquet(stage)
-    for i in range(n_batches):
-        bdir = os.path.join(stage, f"_b={i}")
-        part = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
-        dst = os.path.join(spool_dir, f"batch_{i}.parquet")
-        shutil.move(os.path.join(bdir, part), dst)
-        # strictly increasing mtimes pin the FileStreamSource order
-        os.utime(dst, (1_000_000_000 + i * 3600,) * 2)
-    shutil.rmtree(stage)
+    _spool_bucketed(df, b, spool_dir, n_batches)
+
+
+def spool_roundrobin_batches(
+    df: DataFrame, id_col: str, spool_dir: str, n_batches: int = 4
+) -> None:
+    """The DISORDERED twin of ``spool_ordered_batches``: batch i holds the
+    rows with ``id % n_batches == i``, so every micro-batch spans the full
+    id range and arrival order disagrees with id order everywhere (id 4
+    arrives in batch 0, id 3 three batches later). This is the offline
+    stand-in for Kafka CROSS-PARTITION disorder — the reference topic
+    (TwitterDatasetTrendingHashtag.java:64-72) guarantees order only
+    within a partition, and a consumer interleaves partitions exactly
+    like this round-robin — which is what the *_unordered self-dedup
+    variants must survive without an ordered-arrival assumption."""
+    _spool_bucketed(
+        df,
+        F.pmod(F.col(id_col), F.lit(n_batches)).cast("int"),
+        spool_dir,
+        n_batches,
+    )
 
 
 @contextmanager

@@ -959,6 +959,7 @@ HAVING count(CASE WHEN event_id % 4 <> 0 THEN 1 END) > 0
         _SELF_DEDUP_ORACLE,
         _TTL_DEDUP_ORACLE,
         stream_text_minhash_self_dedup,
+        stream_text_minhash_self_dedup_unordered,
         stream_text_minhash_ttl_dedup,
     )
 
@@ -972,6 +973,19 @@ HAVING count(CASE WHEN event_id % 4 <> 0 THEN 1 END) > 0
         bench=True,
     )(stream_text_minhash_self_dedup)
     query(
+        "stream_text_minhash_self_dedup_unordered",
+        oracle=_SELF_DEDUP_ORACLE,
+        doc="DISORDER-TOLERANT self-referential streaming dedup — the "
+        "Kafka cross-partition-disorder form: a round-robin spool makes "
+        "arrival order disagree with id order everywhere, ownership is "
+        "min-id-reconciled in MapState (a smaller arriving id DEMOTES "
+        "the stored owner and re-emits it as the duplicate), and the "
+        "read-back reconciles attribution to the global min per key — "
+        "bit-identical to the ordered twin and to the arrival-order-free "
+        "oracle (see stream_text_minhash_self_dedup_unordered in "
+        "dedup/dedup.py).",
+    )(stream_text_minhash_self_dedup_unordered)
+    query(
         "stream_text_minhash_ttl_dedup",
         oracle=_TTL_DEDUP_ORACLE,
         doc="Horizon-bounded streaming near-dup dedup — MapState + "
@@ -983,11 +997,24 @@ HAVING count(CASE WHEN event_id % 4 <> 0 THEN 1 END) > 0
     from spark_streaming_twitter_spark.multimodal.phash import (
         _AFP_SELF_DEDUP_ORACLE,
         _PHASH_SELF_DEDUP_ORACLE,
+        _PHASH_TTL_DEDUP_ORACLE,
         _VIDEO_SELF_DEDUP_ORACLE,
         stream_media_audio_self_dedup,
         stream_media_phash_self_dedup,
+        stream_media_phash_ttl_dedup,
         stream_media_video_self_dedup,
     )
+
+    query(
+        "stream_media_phash_ttl_dedup",
+        oracle=_PHASH_TTL_DEDUP_ORACLE,
+        doc="Horizon-bounded streaming IMAGE dedup — MapState carries the "
+        "LAST (media_id, dhash) per chunk bucket, event-time timers sweep "
+        "entries idle past the horizon; probes flag against the latest "
+        "earlier same-bucket arrival within the horizon, Hamming-verified "
+        "in the processor (see stream_media_phash_ttl_dedup in "
+        "multimodal/phash.py).",
+    )(stream_media_phash_ttl_dedup)
 
     query(
         "stream_media_phash_self_dedup",

@@ -114,3 +114,94 @@ def test_image_self_dedup_pairs_are_batch_verified_pairs(spark):
         for r in specs["media_phash_dup_pairs"].fn(spark, SF).collect()
     }
     assert stream_pairs <= batch_pairs, sorted(stream_pairs - batch_pairs)
+
+
+@pytest.mark.skipif(
+    not _has("stream_text_minhash_self_dedup_unordered"),
+    reason="protobuf-gated tws queries unavailable on this host",
+)
+def test_unordered_self_dedup_equals_ordered_twin(spark):
+    """Kafka-disorder tolerance: over a round-robin spool (arrival order
+    disagrees with id order everywhere) the min-id-reconciled processor
+    must emit the EXACT (doc_id, ref_id, n_bands) set the ordered twin
+    emits over the id-range spool — first-occurrence-wins semantics are
+    a property of the data, not the arrival order."""
+    specs = _specs()
+    unordered = {
+        (r.doc_id, r.ref_id, r.n_bands)
+        for r in specs["stream_text_minhash_self_dedup_unordered"]
+        .fn(spark, SF)
+        .collect()
+    }
+    ordered = {
+        (r.doc_id, r.ref_id, r.n_bands)
+        for r in specs["stream_text_minhash_self_dedup"].fn(spark, SF).collect()
+    }
+    assert unordered == ordered
+
+
+@pytest.mark.skipif(
+    not _has("stream_media_phash_ttl_dedup"),
+    reason="protobuf-gated tws queries unavailable on this host",
+)
+def test_media_ttl_pairs_are_batch_verified_pairs(spark):
+    """Every (ref, media) pair the TTL image dedup flags shares a chunk
+    bucket and passes the Hamming verify, so the batch chunk-LSH pair
+    detector must surface it too — the horizon can only SHRINK the pair
+    set (and re-attribute to the latest arrival, which is still a
+    verified batch pair)."""
+    specs = _specs()
+    ttl_pairs = {
+        (r.ref_id, r.media_id)
+        for r in specs["stream_media_phash_ttl_dedup"].fn(spark, SF).collect()
+    }
+    batch_pairs = {
+        (r.media_a, r.media_b)
+        for r in specs["media_phash_dup_pairs"].fn(spark, SF).collect()
+    }
+    assert ttl_pairs <= batch_pairs, sorted(ttl_pairs - batch_pairs)
+
+
+def test_media_keeper_drops_are_batch_flagged_media(spark):
+    """An image the keeper drops hit a KEPT index entry (an earlier
+    arrival) through a shared chunk bucket with the Hamming verify — so
+    it must appear as the larger side of a batch-verified dup pair.
+    Quarantine can only shrink the flag set, never invent one."""
+    specs = _specs()
+    keeper = specs["stream_media_phash_keeper_dedup"].fn(spark, SF).collect()
+    dropped = {r.media_id for r in keeper if not r.kept}
+    flagged = {
+        r.media_b
+        for r in specs["media_phash_dup_pairs"].fn(spark, SF).collect()
+    }
+    assert dropped <= flagged, sorted(dropped - flagged)
+
+
+def test_media_keeper_ledger_covers_every_decoded_image(spark):
+    """One decision row per decoded image in the stream."""
+    from spark_streaming_twitter_spark.multimodal.phash import (
+        perceptual_hashes,
+        phash_media_table,
+    )
+
+    specs = _specs()
+    ledger = specs["stream_media_phash_keeper_dedup"].fn(spark, SF).collect()
+    n_imgs = perceptual_hashes(phash_media_table(spark, SF)).count()
+    assert len(ledger) == n_imgs
+    assert len({r.media_id for r in ledger}) == n_imgs
+
+
+def test_caption_drops_match_keeper_drops(spark):
+    """The propagated caption flags are EXACTLY the keeper's dropped
+    images (identity linkage), with the verified hit count in tow."""
+    specs = _specs()
+    keeper = {
+        r.media_id: r.n_index_hits
+        for r in specs["stream_media_phash_keeper_dedup"].fn(spark, SF).collect()
+        if not r.kept
+    }
+    caps = {
+        r.doc_id: r.n_index_hits
+        for r in specs["stream_caption_drop_propagation"].fn(spark, SF).collect()
+    }
+    assert caps == keeper
