@@ -160,6 +160,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # — stay OFF this tuple, same bare-host rule as round 10)
     "stream_media_phash_keeper_dedup",
     "stream_caption_drop_propagation",
+    "stream_cell_split_maintenance",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

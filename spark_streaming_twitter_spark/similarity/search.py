@@ -2153,6 +2153,41 @@ def _semdecon_ann_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _argmax_centroid(cent_arr: Column) -> Column:
+    """Row-wise argmax-dot cell assignment over a literal centroid array
+    (struct<label, cvec> elements, label-ascending): returns
+    struct(label, dot) of the best cell for the row's ``qv`` column.
+
+    Two-stage on purpose: a ``transform`` first materializes each
+    centroid's dot ONCE (higher-order-function expressions don't CSE —
+    SCALE.md; referencing cdot in both the fold's condition and its kept
+    struct would evaluate every dot twice per row), then the fold
+    compares precomputed dots. Strictly-greater keeps the lowest label
+    on ties, matching the oracles' ``dot DESC, label ASC`` rank."""
+    scored = F.transform(
+        cent_arr,
+        lambda s: F.struct(
+            s["label"].alias("label"),
+            F.aggregate(
+                F.zip_with(F.col("qv"), s["cvec"], lambda x, w: x * w),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        ),
+    )
+    return F.aggregate(
+        scored,
+        F.struct(
+            F.lit(-1).cast("bigint").alias("label"),
+            F.lit(None).cast("bigint").alias("dot"),
+        ),
+        lambda acc, s: F.when(
+            acc["dot"].isNull() | (s["dot"] > acc["dot"]), s
+        ).otherwise(acc),
+    )
+
+
+
 @query(
     "stream_embedding_index_ingest",
     oracle=f"""
@@ -2273,24 +2308,7 @@ def stream_embedding_index_ingest(
             .parquet(data_dir)
         )
 
-        def cdot(s):
-            return F.aggregate(
-                F.zip_with(F.col("qv"), s["cvec"], lambda x, w: x * w),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            )
-
-        best = F.aggregate(
-            cent_arr,
-            F.struct(
-                F.lit(-1).cast("bigint").alias("label"),
-                F.lit(None).cast("bigint").alias("dot"),
-            ),
-            lambda acc, s: F.when(
-                acc["dot"].isNull() | (cdot(s) > acc["dot"]),
-                F.struct(s["label"].alias("label"), cdot(s).alias("dot")),
-            ).otherwise(acc),
-        )
+        best = _argmax_centroid(cent_arr)
         routed = (
             stream.repartition(par)
             .withColumn("qv", _quantized(F.col("embedding")))
@@ -2309,12 +2327,15 @@ def stream_embedding_index_ingest(
     return out
 
 
-def _centroid_maintenance_oracle() -> str:
-    """Unrolled 4-epoch replay of the batch-granular centroid update:
-    epoch k assigns batch-k vectors to the epoch-(k-1) centroids (max
-    integer dot, lowest-label tie-break) and folds their quantized sums
-    into the per-(label, dim) running stats — all exact integers, so the
-    final centroids compare bitwise."""
+def _centroid_maintenance_ctes() -> str:
+    """The WITH chain of the 4-epoch centroid-maintenance replay (epoch
+    stats, per-epoch assignments asg0..asg3, stats4) — shared verbatim
+    by the maintenance oracle and the cell-split oracle, which
+    additionally needs the asg tables to reconstruct the hot cell's
+    member set. Epoch k assigns batch-k vectors to the epoch-(k-1)
+    centroids (max integer dot, lowest-label tie-break) and folds their
+    quantized sums into the per-(label, dim) running stats — all exact
+    integers, so everything downstream compares bitwise."""
     stages = []
     for k in range(4):
         stages.append(f""",
@@ -2378,7 +2399,13 @@ vdims AS (
               ELSE 3 END AS b
   FROM mdims m CROSS JOIN srng
   WHERE m.vec_id % 2 = 1
-){"".join(stages)}
+){"".join(stages)}"""
+
+
+def _centroid_maintenance_oracle() -> str:
+    """Unrolled 4-epoch replay of the batch-granular centroid update;
+    final centroids compare bitwise (see _centroid_maintenance_ctes)."""
+    return _centroid_maintenance_ctes() + """
 SELECT label, max(n) AS n_members,
        string_agg(
          CAST(CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS VARCHAR),
@@ -2387,32 +2414,15 @@ FROM stats4 GROUP BY label
 """
 
 
-@query(
-    "stream_centroid_maintenance",
-    oracle=_centroid_maintenance_oracle(),
-    doc="Streaming INDEX MAINTENANCE — the refresh path that completes "
-    "the vector-index lifecycle (build: embedding_kmeans; read: the "
-    "IVF/filtered/PQ family; write: stream_embedding_index_ingest; now "
-    "RETRAIN): as new vectors stream in, each micro-batch is assigned "
-    "to the CURRENT centroids (exact-integer max-dot, lowest-label "
-    "tie-break) and folded into per-(label, dim) running sum/count "
-    "stats, so the centroids drift toward the arriving distribution — "
-    "batch-granular mini-batch k-means, the update rule "
-    "c_k = (n*c + sum_batch)/(n + n_batch) made exact by keeping "
-    "integer SUMS in state and deriving the floor-div centroid on "
-    "demand. Centroid stats are index METADATA (nlist x dim integers, "
-    "nlist ~ sqrt(N)) — the one structure a coordinator legitimately "
-    "holds; per batch the only distributed work is one argmax "
-    "projection over the arriving vectors (the index-ingest fold with "
-    "per-epoch centroids) and one (label, dim) aggregation. The oracle "
-    "unrolls the four epochs as a CTE chain; every sum, assignment, "
-    "and final centroid compares bitwise. Output: final (label, "
-    "n_members, centroid) with the centroid comma-joined (canonical "
-    "row-sort needs scalar columns).",
-)
-def stream_centroid_maintenance(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+def _run_centroid_maintenance(
+    spark: SparkSession, sf_dir: str, landing_dir: "str | None" = None
+) -> "tuple[list[int], dict[int, list[list[int]]]]":
+    """Drive the batch-granular centroid-maintenance stream (shared by
+    stream_centroid_maintenance and stream_cell_split_maintenance):
+    returns (labels, per-label [sum, count] stats per dim) after the
+    4-epoch ingest. When ``landing_dir`` is given, each micro-batch's
+    (vec_id, lab) cell assignments append there — the index landing
+    table a later SPLIT reads its cell members from."""
     import os
     import shutil
     import tempfile
@@ -2466,34 +2476,25 @@ def stream_centroid_maintenance(
             )
 
         def update_batch(bdf: DataFrame, _epoch_id: int) -> None:
-            cent_arr = centroid_literal()
-
-            def cdot(s):
-                return F.aggregate(
-                    F.zip_with(F.col("qv"), s["cvec"], lambda x, w: x * w),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, x: acc + x,
-                )
-
-            best = F.aggregate(
-                cent_arr,
-                F.struct(
-                    F.lit(-1).cast("bigint").alias("label"),
-                    F.lit(None).cast("bigint").alias("dot"),
-                ),
-                lambda acc, s: F.when(
-                    acc["dot"].isNull() | (cdot(s) > acc["dot"]),
-                    F.struct(s["label"].alias("label"), cdot(s).alias("dot")),
-                ).otherwise(acc),
-            )
+            best = _argmax_centroid(centroid_literal())
+            assigned = bdf.withColumn(
+                "qv", _quantized(F.col("embedding"))
+            ).withColumn("lab", best["label"])
+            if landing_dir is not None:
+                assigned = assigned.persist()
+                assigned.select("vec_id", "lab").write.mode(
+                    "append"
+                ).parquet(landing_dir)
             adds = (
-                bdf.withColumn("qv", _quantized(F.col("embedding")))
-                .withColumn("lab", best["label"])
-                .select("lab", F.posexplode(F.col("qv")).alias("d0", "v"))
+                assigned.select(
+                    "lab", F.posexplode(F.col("qv")).alias("d0", "v")
+                )
                 .groupBy("lab", "d0")
                 .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
                 .collect()
             )
+            if landing_dir is not None:
+                assigned.unpersist()
             for r in adds:
                 cell = stats[int(r["lab"])][int(r["d0"])]
                 cell[0] += int(r["s"])
@@ -2513,20 +2514,264 @@ def stream_centroid_maintenance(
         ).repartition(par)
         run_foreach_batch(stream, update_batch, output_mode="append")
 
-        rows = [
-            (
-                lab,
-                stats[lab][0][1],
-                ",".join(
-                    str((s - (((s % n) + n) % n)) // n) for s, n in stats[lab]
-                ),
+        result = (labels, stats)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+
+
+@query(
+    "stream_centroid_maintenance",
+    oracle=_centroid_maintenance_oracle(),
+    doc="Streaming INDEX MAINTENANCE — the refresh path that completes "
+    "the vector-index lifecycle (build: embedding_kmeans; read: the "
+    "IVF/filtered/PQ family; write: stream_embedding_index_ingest; now "
+    "RETRAIN): as new vectors stream in, each micro-batch is assigned "
+    "to the CURRENT centroids (exact-integer max-dot, lowest-label "
+    "tie-break) and folded into per-(label, dim) running sum/count "
+    "stats, so the centroids drift toward the arriving distribution — "
+    "batch-granular mini-batch k-means, the update rule "
+    "c_k = (n*c + sum_batch)/(n + n_batch) made exact by keeping "
+    "integer SUMS in state and deriving the floor-div centroid on "
+    "demand. Centroid stats are index METADATA (nlist x dim integers, "
+    "nlist ~ sqrt(N)) — the one structure a coordinator legitimately "
+    "holds; per batch the only distributed work is one argmax "
+    "projection over the arriving vectors (the index-ingest fold with "
+    "per-epoch centroids) and one (label, dim) aggregation. The oracle "
+    "unrolls the four epochs as a CTE chain; every sum, assignment, "
+    "and final centroid compares bitwise. Output: final (label, "
+    "n_members, centroid) with the centroid comma-joined (canonical "
+    "row-sort needs scalar columns).",
+)
+def stream_centroid_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    labels, stats = _run_centroid_maintenance(spark, sf_dir)
+    rows = [
+        (
+            lab,
+            stats[lab][0][1],
+            ",".join(
+                str((s - (((s % n) + n) % n)) // n) for s, n in stats[lab]
+            ),
+        )
+        for lab in labels
+    ]
+    return spark.createDataFrame(
+        rows, "label int, n_members bigint, centroid string"
+    )
+
+
+def _cell_split_oracle() -> str:
+    """Compose the maintenance CTE chain VERBATIM, then replay the split
+    of the hottest post-ingest cell: deterministic 2-means — seeds are
+    the cell's min-vec_id member and the member FARTHEST from it
+    (exact-integer squared distance, min-id tie-break), one assignment
+    pass (strictly-nearer joins seed1's side, ties stay with seed0),
+    floor-div centroids per side. Output is the routing table at BOTH
+    versions: version 0 = post-ingest (bitwise the maintenance rows),
+    version 1 = post-split (hot cell replaced by its two halves; the
+    new cell takes max(label)+1)."""
+    return _centroid_maintenance_ctes() + f"""
+, ver0 AS (
+  SELECT CAST(label AS BIGINT) AS label, max(n) AS n_members,
+         string_agg(
+           CAST(CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS VARCHAR),
+           ',' ORDER BY d) AS centroid
+  FROM stats4 GROUP BY label
+),
+big AS (
+  SELECT label FROM (
+    SELECT label,
+           row_number() OVER (ORDER BY n_members DESC, label ASC) AS rn
+    FROM ver0
+  ) WHERE rn = 1
+),
+members AS (
+  SELECT m.vec_id, m.qv
+  FROM mnorms m JOIN big b ON CAST(m.label AS BIGINT) = b.label
+  WHERE m.vec_id % 2 = 0
+  UNION ALL
+  SELECT m.vec_id, m.qv
+  FROM mnorms m
+  JOIN (SELECT vec_id, label FROM asg0
+        UNION ALL SELECT vec_id, label FROM asg1
+        UNION ALL SELECT vec_id, label FROM asg2
+        UNION ALL SELECT vec_id, label FROM asg3) a
+    ON a.vec_id = m.vec_id
+  JOIN big b ON CAST(a.label AS BIGINT) = b.label
+),
+mem_dims AS (
+  SELECT vec_id, d, qv[d] AS q
+  FROM (SELECT vec_id, qv, unnest(generate_series(1, {DIM})) AS d
+        FROM members)
+),
+seed0 AS (SELECT min(vec_id) AS v0 FROM members),
+s0d AS (SELECT d, q FROM mem_dims JOIN seed0 ON vec_id = v0),
+dist0 AS (
+  SELECT m.vec_id, CAST(sum((m.q - s.q) * (m.q - s.q)) AS BIGINT) AS dist
+  FROM mem_dims m JOIN s0d s USING (d) GROUP BY 1
+),
+seed1 AS (
+  SELECT vec_id AS v1 FROM dist0 ORDER BY dist DESC, vec_id ASC LIMIT 1
+),
+s1d AS (SELECT d, q FROM mem_dims JOIN seed1 ON vec_id = v1),
+dist1 AS (
+  SELECT m.vec_id, CAST(sum((m.q - s.q) * (m.q - s.q)) AS BIGINT) AS dist
+  FROM mem_dims m JOIN s1d s USING (d) GROUP BY 1
+),
+sides AS (
+  SELECT d0.vec_id, CASE WHEN d1.dist < d0.dist THEN 1 ELSE 0 END AS side
+  FROM dist0 d0 JOIN dist1 d1 ON d0.vec_id = d1.vec_id
+),
+newstats AS (
+  SELECT s.side, m.d,
+         CAST(sum(m.q) AS BIGINT) AS sm,
+         CAST(count(*) AS BIGINT) AS n
+  FROM mem_dims m JOIN sides s ON s.vec_id = m.vec_id
+  GROUP BY 1, 2
+),
+newcells AS (
+  SELECT CASE WHEN side = 0 THEN (SELECT label FROM big)
+              ELSE (SELECT max(label) + 1 FROM ver0) END AS label,
+         max(n) AS n_members,
+         string_agg(
+           CAST(CAST((sm - (((sm % n) + n) % n)) // n AS BIGINT) AS VARCHAR),
+           ',' ORDER BY d) AS centroid
+  FROM newstats GROUP BY side
+),
+ver1 AS (
+  SELECT v.label, v.n_members, v.centroid FROM ver0 v
+  WHERE v.label NOT IN (SELECT label FROM big)
+  UNION ALL
+  SELECT label, n_members, centroid FROM newcells
+)
+SELECT 0 AS version, label, n_members, centroid FROM ver0
+UNION ALL
+SELECT 1 AS version, label, n_members, centroid FROM ver1
+"""
+
+
+@query(
+    "stream_cell_split_maintenance",
+    oracle=_cell_split_oracle(),
+    doc="INDEX-LIFECYCLE COMPLETENESS — hot-cell SPLIT (the r10 verdict's "
+    "#7): centroid maintenance refreshes means but never re-partitions, "
+    "so at 100 TB a hot cell degrades IVF probe cost unboundedly (probe "
+    "work is O(|cell|)). This query runs the 4-epoch maintenance ingest "
+    "(landing each batch's cell assignments as the index table — the "
+    "ingest write path's layout) and then SPLITS the largest cell: "
+    "deterministic exact-integer 2-means — seeds = min-id member + the "
+    "member farthest from it (squared-distance argmax, min-id "
+    "tie-break), one strictly-nearer assignment pass, floor-div "
+    "centroids per side — emitting the routing table VERSIONED PER "
+    "EPOCH (version 0 = post-ingest, bitwise the maintenance rows; "
+    "version 1 = post-split, the hot cell replaced by its halves, the "
+    "new cell labeled max+1). Versioning is what lets concurrent "
+    "readers keep routing on v0 while the split commits — the routing "
+    "table is nlist x dim metadata, so a version is cheap to retain. "
+    "Scale shape: the split touches ONE cell's members (re-read from "
+    "the landing table by cell id — partition-pruned, never a corpus "
+    "scan); seed selection and assignment are row-wise folds over a "
+    "broadcast seed vector (two single-row collects, no shuffle), and "
+    "the side stats are one (side, dim) aggregation bounded by "
+    "|cell| x dim. Repeated greedily, max-cell splitting bounds the "
+    "hottest cell at ~2x the mean at O(log) splits per rebalance pass.",
+)
+def stream_cell_split_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    def cent_str(st: "list[list[int]]") -> str:
+        return ",".join(
+            str((s - (((s % n) + n) % n)) // n) for s, n in st
+        )
+
+    tmp = tempfile.mkdtemp(prefix="cell_split_")
+    landing = os.path.join(tmp, "landing")
+    members = None
+    try:
+        labels, stats = _run_centroid_maintenance(
+            spark, sf_dir, landing_dir=landing
+        )
+        ver0 = [
+            (lab, stats[lab][0][1], cent_str(stats[lab])) for lab in labels
+        ]
+        # hottest cell: max members, min label on ties
+        big_label = max(ver0, key=lambda r: (r[1], -r[0]))[0]
+
+        emb = table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
+        corpus_members = emb.where(
+            (F.col("vec_id") % 2 == 0)
+            & (F.col("label").cast("bigint") == big_label)
+        ).select("vec_id", "embedding")
+        landed = spark.read.parquet(landing).where(
+            F.col("lab").cast("bigint") == big_label
+        ).select("vec_id")
+        stream_members = emb.join(landed, "vec_id").select(
+            "vec_id", "embedding"
+        )
+        members = (
+            widen(corpus_members.unionByName(stream_members), spark)
+            .withColumn("qv", _quantized(F.col("embedding")))
+            .select("vec_id", "qv")
+            .persist()
+        )
+
+        def sqdist(seed: "list[int]") -> Column:
+            lit = F.array(*[F.lit(int(x)).cast("bigint") for x in seed])
+            return F.aggregate(
+                F.zip_with(F.col("qv"), lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
             )
-            for lab in labels
+
+        v0 = members.agg(F.min("vec_id")).first()[0]
+        s0 = members.where(F.col("vec_id") == v0).select("qv").first()[0]
+        d0 = members.withColumn("dist0", sqdist(s0))
+        v1 = (
+            d0.orderBy(F.col("dist0").desc(), F.col("vec_id").asc())
+            .select("vec_id")
+            .first()[0]
+        )
+        s1 = members.where(F.col("vec_id") == v1).select("qv").first()[0]
+        side_rows = (
+            d0.withColumn("dist1", sqdist(s1))
+            .withColumn(
+                "side",
+                F.when(F.col("dist1") < F.col("dist0"), 1).otherwise(0),
+            )
+            .select("side", F.posexplode("qv").alias("dpos", "v"))
+            .groupBy("side", "dpos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        side_stats = {sd: [[0, 0] for _ in range(DIM)] for sd in (0, 1)}
+        for r in side_rows:
+            side_stats[int(r["side"])][int(r["dpos"])] = [
+                int(r["s"]),
+                int(r["cnt"]),
+            ]
+        ver1 = [(lab, n, c) for lab, n, c in ver0 if lab != big_label]
+        for sd, newlab in ((0, big_label), (1, max(labels) + 1)):
+            st = side_stats[sd]
+            ver1.append((newlab, st[0][1], cent_str(st)))
+        out_rows = [(0, lab, n, c) for lab, n, c in ver0] + [
+            (1, lab, n, c) for lab, n, c in ver1
         ]
         out = spark.createDataFrame(
-            rows, "label int, n_members bigint, centroid string"
+            out_rows, "version int, label bigint, n_members bigint, centroid string"
         )
     finally:
+        if members is not None:
+            members.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
     return out
 
