@@ -601,6 +601,17 @@ def stream_text_minhash_self_dedup(
     measured ~250us each through the vendored pure-Python runtime), which
     is what stream_text_minhash_self_dedup_batchidx below trades away by
     keeping the same index in a persisted DataFrame instead of tws state.
+    Round-trip batching was TRIED and measured NEGATIVE (round 11): the
+    MapState API has no multi-get/multi-put — point ops only — and its
+    one batched read path, the paged iterator() full-map scan (multiple
+    entries per protobuf round trip), lost to per-key getValue at sf0.1
+    (11.39 vs 10.83 s p50, co-timed): the scan pays per-ENTRY pickle
+    deserialization over the WHOLE shard map, growing with state, while
+    point probes pay per-TOUCHED-key round trips, flat — and the write
+    side (one updateValue per novel key, the majority here) cannot batch
+    at all. Architecture guidance stands: wide batches that want batched
+    index ops should use the table-index twin below, where probe and
+    append are set-oriented JVM joins.
     Mirrors the batch LSH candidate generator (lsh_candidate_pairs)
     restricted to earlier-arrival refs: every arrival registers ALL its
     band keys (keeper policy — e.g. not indexing flagged dups — is a
