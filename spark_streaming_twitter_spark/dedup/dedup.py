@@ -875,8 +875,8 @@ def stream_text_minhash_self_dedup_batchidx(
 
     tmp = tempfile.mkdtemp(prefix="minhash_selfidx_stream_")
     idx_dir = os.path.join(tmp, "index")
+    hits_dir = os.path.join(tmp, "hits")
     state = {"has_index": False}
-    hit_rows: list = []
     try:
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
         spool_ordered_batches(docs, "doc_id", tmp)
@@ -914,22 +914,26 @@ def stream_text_minhash_self_dedup_batchidx(
                     ["band", "band_key"],
                     "left_anti",
                 ).select("band", "band_key", F.col("new_ref").alias("ref_id"))
-            hit_rows.extend(
-                probed.where(F.col("doc_id") > F.col("ref_id"))
-                .select("doc_id", "ref_id", "band")
-                .collect()
-            )
-            # append AFTER the probe collected: the lazily-read index must
-            # not see this batch's own keys
+            # per-batch hits land in an executor-written parquet ledger
+            # (the tempdir-sink pattern) — the driver never holds the
+            # hit rows, matching the 100 TB narrative where this is the
+            # run's audit table
+            # repartition (not coalesce: coalesce would narrow the
+            # upstream probe join and the cached banding to 4 tasks) so
+            # the tiny hit set lands as 4 files/batch, keeping the
+            # read-back's file count bounded
+            probed.where(F.col("doc_id") > F.col("ref_id")).select(
+                "doc_id", "ref_id", "band"
+            ).repartition(4).write.mode("append").parquet(hits_dir)
+            # append AFTER the probe materialized: the lazily-read index
+            # must not see this batch's own keys
             novel.write.mode("append").parquet(idx_dir)
             state["has_index"] = True
             bdf.unpersist()
 
         run_foreach_batch(bands, probe_and_extend, output_mode="append")
         out = (
-            spark.createDataFrame(
-                hit_rows, "doc_id bigint, ref_id bigint, band int"
-            )
+            spark.read.parquet(hits_dir)
             .groupBy("doc_id", "ref_id")
             .agg(F.count_distinct("band").alias("n_bands"))
         )
@@ -1215,8 +1219,8 @@ def stream_text_minhash_keeper_dedup(
 
     tmp = tempfile.mkdtemp(prefix="minhash_keeper_stream_")
     idx_dir = os.path.join(tmp, "index")
+    ledger_dir = os.path.join(tmp, "ledger")
     state = {"has_index": False}
-    ledger: list = []
     try:
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
         spool_ordered_batches(docs, "doc_id", tmp)
@@ -1225,12 +1229,12 @@ def stream_text_minhash_keeper_dedup(
         def probe_and_keep(bdf: DataFrame, _epoch_id: int) -> None:
             bdf = bdf.persist()
             doc_keys = bdf.select("doc_id", "band", "band_key").distinct()
+            media = doc_keys.select("doc_id").distinct()
             if not state["has_index"]:
-                report = doc_keys.select("doc_id").distinct().select(
+                report = media.select(
                     "doc_id",
                     F.lit(0).cast("bigint").alias("n_index_hits"),
                 )
-                novel = doc_keys.select("band", "band_key").distinct()
             else:
                 idx = spark.read.parquet(idx_dir)
                 hits = (
@@ -1238,42 +1242,38 @@ def stream_text_minhash_keeper_dedup(
                     .groupBy("doc_id")
                     .agg(F.count(F.lit(1)).alias("n"))
                 )
-                report = (
-                    doc_keys.select("doc_id")
-                    .distinct()
-                    .join(hits, "doc_id", "left")
-                    .select(
-                        "doc_id",
-                        F.coalesce("n", F.lit(0).cast("bigint")).alias(
-                            "n_index_hits"
-                        ),
-                    )
+                report = media.join(hits, "doc_id", "left").select(
+                    "doc_id",
+                    F.coalesce("n", F.lit(0).cast("bigint")).alias(
+                        "n_index_hits"
+                    ),
                 )
-            rows = report.collect()
-            ledger.extend(rows)
+            # executor-written parquet ledger (the run's audit table at
+            # 100 TB), not a driver list; the kept set re-derives from it
+            report.write.mode("append").parquet(ledger_dir)
+            kept = (
+                spark.read.parquet(ledger_dir)
+                .join(F.broadcast(media), "doc_id")
+                .where(F.col("n_index_hits") == 0)
+                .select("doc_id")
+            )
+            novel = (
+                doc_keys.join(F.broadcast(kept), "doc_id")
+                .select("band", "band_key")
+                .distinct()
+            )
             if state["has_index"]:
-                kept = spark.createDataFrame(
-                    [(r["doc_id"],) for r in rows if r["n_index_hits"] == 0],
-                    "doc_id bigint",
-                )
-                novel = (
-                    doc_keys.join(F.broadcast(kept), "doc_id")
-                    .select("band", "band_key")
-                    .distinct()
-                    .join(
-                        spark.read.parquet(idx_dir),
-                        ["band", "band_key"],
-                        "left_anti",
-                    )
+                novel = novel.join(
+                    spark.read.parquet(idx_dir),
+                    ["band", "band_key"],
+                    "left_anti",
                 )
             novel.write.mode("append").parquet(idx_dir)
             state["has_index"] = True
             bdf.unpersist()
 
         run_foreach_batch(bands, probe_and_keep, output_mode="append")
-        out = spark.createDataFrame(
-            ledger, "doc_id bigint, n_index_hits bigint"
-        ).select(
+        out = spark.read.parquet(ledger_dir).select(
             "doc_id", "n_index_hits", (F.col("n_index_hits") == 0).alias("kept")
         )
         rows = out.collect()
@@ -1457,16 +1457,18 @@ def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh"),
         )
 
-        rows: list = []
-        schema = {}
+        rep_dir = os.path.join(tmp, "reports")
 
         def report_batch(bdf: DataFrame, _epoch_id: int) -> None:
-            rep = _decontaminate_report(bdf, bench)
-            schema["v"] = rep.schema
-            rows.extend(rep.collect())
+            # executor-written parquet report ledger (tempdir-sink
+            # pattern), not a driver list
+            _decontaminate_report(bdf, bench).write.mode("append").parquet(
+                rep_dir
+            )
 
         run_foreach_batch(corpus_sh, report_batch, output_mode="append")
-        out = spark.createDataFrame(rows, schema["v"])
+        ledger = spark.read.parquet(rep_dir)
+        out = spark.createDataFrame(ledger.collect(), ledger.schema)
     finally:
         if bench is not None:
             bench.unpersist()
@@ -1549,8 +1551,8 @@ def stream_corpus_ingest_pipeline(
 
     tmp = tempfile.mkdtemp(prefix="ingest_pipeline_")
     idx_dir = os.path.join(tmp, "index")
+    ledger_dir = os.path.join(tmp, "ledger")
     state = {"has_index": False}
-    ledger: list = []
     bench = None
     try:
         docs = table(spark, sf_dir, "documents").select(
@@ -1647,17 +1649,15 @@ def stream_corpus_ingest_pipeline(
                 & ~F.col("is_contaminated")
                 & ~F.col("is_dup")
             )
-            ledger.extend(
-                q.join(dec, "doc_id")
-                .join(dup, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    "quality",
-                    "is_contaminated",
-                    F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
-                )
-                .withColumn("keep", keep)
-                .collect()
+            # executor-written parquet curation ledger (the run's audit
+            # table at 100 TB), not a driver list
+            q.join(dec, "doc_id").join(dup, "doc_id", "left").select(
+                "doc_id",
+                "quality",
+                "is_contaminated",
+                F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+            ).withColumn("keep", keep).write.mode("append").parquet(
+                ledger_dir
             )
             novel.write.mode("append").parquet(idx_dir)
             state["has_index"] = True
@@ -1675,10 +1675,8 @@ def stream_corpus_ingest_pipeline(
             .parquet(tmp)
         ).repartition(par)
         run_foreach_batch(stream, curate_batch, output_mode="append")
-        out = spark.createDataFrame(
-            ledger,
-            "doc_id bigint, quality double, is_contaminated boolean, "
-            "is_dup boolean, keep boolean",
+        out = spark.read.parquet(ledger_dir).select(
+            "doc_id", "quality", "is_contaminated", "is_dup", "keep"
         )
         rows = out.collect()
         result = spark.createDataFrame(rows, out.schema)
