@@ -1155,58 +1155,78 @@ def stream_media_phash_self_dedup(
     return out
 
 
-# Horizon-bounded (TTL) image self-dedup oracle: ts = BASE + media_id
-# seconds, so time distance == id distance; the flag is against the
-# LATEST earlier arrival sharing a chunk bucket (state refreshes on every
-# arrival), gated by the same Hamming verify, within the data-relative
+# Horizon-bounded (TTL) media self-dedup oracle, generic over the
+# chunk-LSH signature family: ts = BASE + media_id seconds, so time
+# distance == id distance; the flag is against the LATEST earlier
+# arrival sharing a chunk bucket (state refreshes on every arrival),
+# gated by the full-signature Hamming verify, within the data-relative
 # horizon ((range+1) DIV 2, same formula both sides).
-_PHASH_TTL_DEDUP_ORACLE = f"""
-WITH {_PHASH_SIGS_SQL.lstrip()},
-schunks AS (
-  SELECT media_id, dhash, c, (dhash >> (c * 14)) & 16383 AS chunk_val
-  FROM sigs
-  CROSS JOIN (SELECT unnest(generate_series(0, {PHASH_CHUNKS - 1})) AS c)
+def _chunk_ttl_oracle(
+    prelude: str,
+    sig_rel: str,
+    sig_col: str,
+    rng_rel: str,
+    n_chunks: int,
+    chunk_bits: int,
+    radius: int,
+) -> str:
+    mask = (1 << chunk_bits) - 1
+    return f"""
+WITH {prelude.lstrip()},
+tchunks AS (
+  SELECT media_id, {sig_col} AS sig, c,
+         ({sig_col} >> (c * {chunk_bits})) & {mask} AS chunk_val
+  FROM {sig_rel}
+  CROSS JOIN (SELECT unnest(generate_series(0, {n_chunks - 1})) AS c)
 ),
 rng AS (
-  SELECT (max(media_id) - min(media_id) + 1) // 2 AS horizon FROM imgs
+  SELECT (max(media_id) - min(media_id) + 1) // 2 AS horizon FROM {rng_rel}
 ),
 prev AS (
-  SELECT b.media_id, b.dhash, b.c, max(e.media_id) AS ref_id
-  FROM schunks b
-  JOIN schunks e ON e.c = b.c AND e.chunk_val = b.chunk_val
+  SELECT b.media_id, b.sig, b.c, max(e.media_id) AS ref_id
+  FROM tchunks b
+  JOIN tchunks e ON e.c = b.c AND e.chunk_val = b.chunk_val
                 AND e.media_id < b.media_id
   GROUP BY 1, 2, 3
 )
 SELECT DISTINCT p.media_id, p.ref_id,
-       CAST(bit_count(xor(p.dhash, s.dhash)) AS INT) AS hamming
+       CAST(bit_count(xor(p.sig, s.{sig_col})) AS INT) AS hamming
 FROM prev p
-JOIN sigs s ON s.media_id = p.ref_id
+JOIN {sig_rel} s ON s.media_id = p.ref_id
 CROSS JOIN rng
 WHERE p.media_id - p.ref_id <= horizon
-  AND bit_count(xor(p.dhash, s.dhash)) <= {PHASH_RADIUS}
+  AND bit_count(xor(p.sig, s.{sig_col})) <= {radius}
 """
+
+
+_PHASH_TTL_DEDUP_ORACLE = _chunk_ttl_oracle(
+    _PHASH_SIGS_SQL, "sigs", "dhash", "imgs", PHASH_CHUNKS, 14, PHASH_RADIUS
+)
 
 _MEDIA_TTL_TS_BASE = 1_700_000_000
 
 
-def stream_media_phash_ttl_dedup(
-    spark: SparkSession, sf_dir: str
+def _chunk_ttl_dedup_stream(
+    spark: SparkSession,
+    src: DataFrame,
+    sig_stream,
+    sig_col: str,
+    n_chunks: int,
+    chunk_bits: int,
+    radius: int,
 ) -> DataFrame:
-    """HORIZON-BOUNDED streaming IMAGE dedup — the media twin of
-    stream_text_minhash_ttl_dedup (dedup/dedup.py), completing the
-    semantics x modality matrix the round-10 verdict asked for: an
-    unbounded media stream cannot keep every chunk bucket forever, and
-    the curation contract is "drop re-crops of anything seen within the
-    horizon", not since stream birth. MapState per chunk bucket holds
-    the LAST (media_id, dhash) — refreshed on every arrival — and an
+    """HORIZON-BOUNDED streaming media dedup, generic over the chunk-LSH
+    signature family (image dHash, audio fingerprint) — the media twin
+    of stream_text_minhash_ttl_dedup: MapState per chunk bucket holds
+    the LAST (media_id, sig) — refreshed on every arrival — and an
     event-time timer sweeps entries idle past the horizon, so STATE IS
     BOUNDED BY THE HORIZON, not stream history. A probe flags against
     the latest earlier same-bucket arrival when (a) its event-time
-    distance is within the horizon and (b) the full-dHash Hamming verify
-    passes — the verify runs in the processor against the dHash carried
-    in state, so only verified pairs are emitted. Correctness never
-    depends on sweep timing (the probe re-checks the distance), making
-    the TTL purely a resource bound; the oracle is exact either way."""
+    distance is within the horizon and (b) the full-signature Hamming
+    verify passes — the verify runs in the processor against the
+    signature carried in state, so only verified pairs are emitted.
+    Correctness never depends on sweep timing (the probe re-checks the
+    distance), making the TTL purely a resource bound."""
     import shutil
     import tempfile
 
@@ -1226,19 +1246,19 @@ def stream_media_phash_ttl_dedup(
 
     _forward_vendored_protobuf_to_workers(spark)
 
-    src = phash_media_table(spark, sf_dir)
+    mask = (1 << chunk_bits) - 1
     lo, hi = src.agg(F.min("media_id"), F.max("media_id")).first()
     horizon = (hi - lo + 1) // 2
 
     class LastSeenChunk(StatefulProcessor):
-        """chunk_val -> (last media_id, last dhash); timer-swept TTL."""
+        """chunk_val -> (last media_id, last sig); timer-swept TTL."""
 
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._h = handle
             self._last = handle.getMapState(
                 "last_seen",
                 "chunk_val bigint",
-                "ref_id bigint, ref_dhash bigint",
+                "ref_id bigint, ref_sig bigint",
             )
 
         def handleInputRows(self, key, rows, timerValues):
@@ -1249,14 +1269,14 @@ def stream_media_phash_ttl_dedup(
                 cv = int(cv)
                 pairs = sorted(
                     (int(m), int(d))
-                    for m, d in zip(grp["media_id"], grp["dhash"])
+                    for m, d in zip(grp["media_id"], grp["sig"])
                 )
                 cur = self._last.getValue((cv,))
                 last = (int(cur[0]), int(cur[1])) if cur is not None else None
                 for mid, dh in pairs:
                     if last is not None and mid - last[0] <= horizon:
                         ham = (dh ^ last[1]).bit_count()
-                        if ham <= PHASH_RADIUS:
+                        if ham <= radius:
                             out["media_id"].append(mid)
                             out["ref_id"].append(last[0])
                             out["hamming"].append(ham)
@@ -1284,7 +1304,7 @@ def stream_media_phash_ttl_dedup(
         def close(self) -> None:
             pass
 
-    tmp = tempfile.mkdtemp(prefix="phash_ttl_stream_")
+    tmp = tempfile.mkdtemp(prefix="chunk_ttl_stream_")
     try:
         spool_ordered_batches(src, "media_id", tmp)
         par = spark.sparkContext.defaultParallelism
@@ -1296,7 +1316,7 @@ def stream_media_phash_ttl_dedup(
             .parquet(tmp)
         )
         chunks = (
-            perceptual_hashes(stream.repartition(par))
+            sig_stream(stream.repartition(par))
             .withColumn(
                 "ts",
                 F.timestamp_seconds(
@@ -1307,15 +1327,15 @@ def stream_media_phash_ttl_dedup(
             .select(
                 "media_id",
                 "ts",
-                "dhash",
+                F.col(sig_col).alias("sig"),
                 F.explode(
-                    F.sequence(F.lit(0), F.lit(PHASH_CHUNKS - 1))
+                    F.sequence(F.lit(0), F.lit(n_chunks - 1))
                 ).alias("c"),
             )
             .withColumn(
                 "chunk_val",
-                F.expr("shiftright(dhash, c * 14)")
-                .bitwiseAND(F.lit(16383))
+                F.expr(f"shiftright(sig, c * {chunk_bits})")
+                .bitwiseAND(F.lit(mask))
                 .cast("bigint"),
             )
             .withColumn("pfx", F.col("chunk_val") % 16)
@@ -1334,21 +1354,50 @@ def stream_media_phash_ttl_dedup(
     return out
 
 
-# Keeper-aware online image dedup oracle: 4 unrolled index epochs (the
-# spool's batch count is a constant), each probing the kept-image chunk
-# index of prior epochs only, with the full-dHash Hamming verify in the
-# hit join. Batch ranges replicate spool_ordered_batches' arithmetic.
-def _phash_keeper_oracle() -> str:
+def stream_media_phash_ttl_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HORIZON-BOUNDED streaming IMAGE dedup — see _chunk_ttl_dedup_stream
+    (the generic processor) and the registered oracle: flags against the
+    latest earlier same-chunk-bucket arrival within the horizon with the
+    full-dHash Hamming verify in state."""
+    return _chunk_ttl_dedup_stream(
+        spark,
+        phash_media_table(spark, sf_dir),
+        perceptual_hashes,
+        "dhash",
+        PHASH_CHUNKS,
+        14,
+        PHASH_RADIUS,
+    )
+
+
+# Keeper-aware online media dedup oracle: 4 unrolled index epochs (the
+# spool's batch count is a constant), each probing the kept-item chunk
+# index of prior epochs only, with the full-signature Hamming verify in
+# the hit join. Batch ranges replicate spool_ordered_batches' arithmetic.
+# Generic over the chunk-LSH family — one builder serves image dHash and
+# audio fingerprints (same banded design, different prelude/width/radius).
+def _chunk_keeper_oracle(
+    prelude: str,
+    sig_rel: str,
+    sig_col: str,
+    rng_rel: str,
+    n_chunks: int,
+    chunk_bits: int,
+    radius: int,
+) -> str:
+    mask = (1 << chunk_bits) - 1
     stages = []
     prev_idx = "idx0"
     for k in (1, 2, 3):
         stages.append(f"""
 hits{k} AS (
   SELECT s.media_id, CAST(count(*) AS BIGINT) AS n
-  FROM (SELECT DISTINCT media_id, c, chunk_val, dhash
+  FROM (SELECT DISTINCT media_id, c, chunk_val, sig
         FROM bat WHERE b = {k}) s
   JOIN {prev_idx} i ON s.c = i.c AND s.chunk_val = i.chunk_val
-       AND bit_count(xor(s.dhash, i.ref_dhash)) <= {PHASH_RADIUS}
+       AND bit_count(xor(s.sig, i.ref_sig)) <= {radius}
   GROUP BY 1
 ),
 h{k} AS (
@@ -1357,35 +1406,36 @@ h{k} AS (
   LEFT JOIN hits{k} USING (media_id)
 ),
 idx{k} AS (
-  SELECT c, chunk_val, ref_dhash FROM {prev_idx}
+  SELECT c, chunk_val, ref_sig FROM {prev_idx}
   UNION
-  SELECT DISTINCT s.c, s.chunk_val, s.dhash AS ref_dhash
+  SELECT DISTINCT s.c, s.chunk_val, s.sig AS ref_sig
   FROM bat s JOIN h{k} USING (media_id)
   WHERE s.b = {k} AND h{k}.n_index_hits = 0
 )""")
         prev_idx = f"idx{k}"
     return f"""
-WITH {_PHASH_SIGS_SQL.lstrip()},
-schunks AS (
-  SELECT media_id, dhash, c, (dhash >> (c * 14)) & 16383 AS chunk_val
-  FROM sigs
-  CROSS JOIN (SELECT unnest(generate_series(0, {PHASH_CHUNKS - 1})) AS c)
+WITH {prelude.lstrip()},
+kchunks AS (
+  SELECT media_id, {sig_col} AS sig, c,
+         ({sig_col} >> (c * {chunk_bits})) & {mask} AS chunk_val
+  FROM {sig_rel}
+  CROSS JOIN (SELECT unnest(generate_series(0, {n_chunks - 1})) AS c)
 ),
-rng AS (SELECT min(media_id) AS lo, max(media_id) AS hi FROM imgs),
+rng AS (SELECT min(media_id) AS lo, max(media_id) AS hi FROM {rng_rel}),
 bat AS (
-  SELECT s.media_id, s.dhash, s.c, s.chunk_val,
+  SELECT s.media_id, s.sig, s.c, s.chunk_val,
          CASE WHEN s.media_id <= lo + (hi - lo + 1) * 1 // 4 THEN 0
               WHEN s.media_id <= lo + (hi - lo + 1) * 2 // 4 THEN 1
               WHEN s.media_id <= lo + (hi - lo + 1) * 3 // 4 THEN 2
               ELSE 3 END AS b
-  FROM schunks s CROSS JOIN rng
+  FROM kchunks s CROSS JOIN rng
 ),
 h0 AS (
   SELECT media_id, CAST(0 AS BIGINT) AS n_index_hits
   FROM (SELECT DISTINCT media_id FROM bat WHERE b = 0)
 ),
 idx0 AS (
-  SELECT DISTINCT c, chunk_val, dhash AS ref_dhash FROM bat WHERE b = 0
+  SELECT DISTINCT c, chunk_val, sig AS ref_sig FROM bat WHERE b = 0
 ),{",".join(stages)}
 SELECT media_id, n_index_hits, n_index_hits = 0 AS kept
 FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1
@@ -1393,20 +1443,40 @@ FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1
 """
 
 
-def _phash_keeper_stream(
-    spark: SparkSession, sf_dir: str, caption_dir: "str | None" = None
-) -> DataFrame:
-    """Run the keeper-aware online IMAGE dedup stream; returns the per-image
-    decision ledger (media_id, n_index_hits, kept). When ``caption_dir`` is
-    given, each micro-batch ALSO joins its dropped images against the
-    caption documents (identity linkage: image media_id IS its caption's
-    doc_id, FIXTURES.md) and appends the propagated caption flags there —
-    the cross-modality propagation in the SAME ingest pass.
+def _phash_keeper_oracle() -> str:
+    return _chunk_keeper_oracle(
+        _PHASH_SIGS_SQL, "sigs", "dhash", "imgs",
+        PHASH_CHUNKS, 14, PHASH_RADIUS,
+    )
 
-    Per-batch reports land in a tempdir parquet LEDGER (not a driver-side
-    list — the executors write, the driver only coordinates; at 100 TB
-    the ledger is the run's Delta audit table), read back once after the
-    stream drains."""
+
+def _chunk_keeper_stream(
+    spark: SparkSession,
+    src: DataFrame,
+    sig_stream,
+    sig_col: str,
+    n_chunks: int,
+    chunk_bits: int,
+    radius: int,
+    caption_docs: "DataFrame | None" = None,
+    caption_dir: "str | None" = None,
+) -> DataFrame:
+    """Keeper-aware online chunk-LSH dedup stream, generic over the
+    signature family (image dHash, audio fingerprint): probe every
+    item's chunk buckets against the KEPT index (broadcast join +
+    full-signature Hamming verify + per-item verified-hit count), keep
+    = zero hits, append ONLY kept items' (c, chunk_val, sig) entries.
+    Returns the per-item decision ledger (media_id, n_index_hits,
+    kept). When ``caption_dir``/``caption_docs`` are given, each
+    micro-batch ALSO joins its dropped items against the caption
+    documents (identity linkage: media_id IS the caption doc_id) and
+    appends the propagated flags there — cross-modality propagation in
+    the SAME ingest pass.
+
+    Per-batch reports land in a tempdir parquet LEDGER (not a
+    driver-side list — the executors write, the driver only
+    coordinates; at 100 TB the ledger is the run's Delta audit table),
+    read back once after the stream drains."""
     import os
     import shutil
     import tempfile
@@ -1416,17 +1486,12 @@ def _phash_keeper_stream(
         spool_ordered_batches,
     )
 
-    tmp = tempfile.mkdtemp(prefix="phash_keeper_stream_")
+    mask = (1 << chunk_bits) - 1
+    tmp = tempfile.mkdtemp(prefix="chunk_keeper_stream_")
     idx_dir = os.path.join(tmp, "index")
     ledger_dir = os.path.join(tmp, "ledger")
     state = {"has_index": False}
-    docs = (
-        table(spark, sf_dir, "documents").select("doc_id", "text")
-        if caption_dir is not None
-        else None
-    )
     try:
-        src = phash_media_table(spark, sf_dir)
         spool_ordered_batches(src, "media_id", tmp)
         par = spark.sparkContext.defaultParallelism
         stream = (
@@ -1437,29 +1502,27 @@ def _phash_keeper_stream(
             .parquet(tmp)
         )
         chunks = (
-            perceptual_hashes(stream.repartition(par))
+            sig_stream(stream.repartition(par))
             .select(
                 "media_id",
-                "dhash",
+                F.col(sig_col).alias("sig"),
                 F.explode(
-                    F.sequence(F.lit(0), F.lit(PHASH_CHUNKS - 1))
+                    F.sequence(F.lit(0), F.lit(n_chunks - 1))
                 ).alias("c"),
             )
             .withColumn(
                 "chunk_val",
-                F.expr("shiftright(dhash, c * 14)")
-                .bitwiseAND(F.lit(16383))
+                F.expr(f"shiftright(sig, c * {chunk_bits})")
+                .bitwiseAND(F.lit(mask))
                 .cast("bigint"),
             )
         )
 
-        hamming = F.bit_count(
-            F.col("dhash").bitwiseXOR(F.col("ref_dhash"))
-        )
+        hamming = F.bit_count(F.col("sig").bitwiseXOR(F.col("ref_sig")))
 
         def probe_and_keep(bdf: DataFrame, _epoch_id: int) -> None:
             bdf = bdf.persist()
-            keys = bdf.select("media_id", "dhash", "c", "chunk_val").distinct()
+            keys = bdf.select("media_id", "sig", "c", "chunk_val").distinct()
             media = keys.select("media_id").distinct()
             if not state["has_index"]:
                 report = media.select(
@@ -1469,7 +1532,7 @@ def _phash_keeper_stream(
                 idx = spark.read.parquet(idx_dir)
                 nhits = (
                     keys.join(F.broadcast(idx), ["c", "chunk_val"])
-                    .where(hamming <= PHASH_RADIUS)
+                    .where(hamming <= radius)
                     .groupBy("media_id")
                     .agg(F.count(F.lit(1)).alias("n"))
                 )
@@ -1486,15 +1549,13 @@ def _phash_keeper_stream(
             ).where(F.col("n_index_hits") == 0).select("media_id")
             novel = (
                 keys.join(F.broadcast(kept), "media_id")
-                .select(
-                    "c", "chunk_val", F.col("dhash").alias("ref_dhash")
-                )
+                .select("c", "chunk_val", F.col("sig").alias("ref_sig"))
                 .distinct()
             )
             if state["has_index"]:
                 novel = novel.join(
                     spark.read.parquet(idx_dir),
-                    ["c", "chunk_val", "ref_dhash"],
+                    ["c", "chunk_val", "ref_sig"],
                     "left_anti",
                 )
             novel.write.mode("append").parquet(idx_dir)
@@ -1502,7 +1563,7 @@ def _phash_keeper_stream(
                 drops = spark.read.parquet(ledger_dir).join(
                     F.broadcast(media), "media_id"
                 ).where(F.col("n_index_hits") > 0)
-                docs.join(
+                caption_docs.join(
                     F.broadcast(drops),
                     F.col("doc_id") == F.col("media_id"),
                 ).select(
@@ -1524,6 +1585,27 @@ def _phash_keeper_stream(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def _phash_keeper_stream(
+    spark: SparkSession, sf_dir: str, caption_dir: "str | None" = None
+) -> DataFrame:
+    docs = (
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+        if caption_dir is not None
+        else None
+    )
+    return _chunk_keeper_stream(
+        spark,
+        phash_media_table(spark, sf_dir),
+        perceptual_hashes,
+        "dhash",
+        PHASH_CHUNKS,
+        14,
+        PHASH_RADIUS,
+        caption_docs=docs,
+        caption_dir=caption_dir,
+    )
 
 
 @query(
@@ -1879,6 +1961,380 @@ def stream_media_audio_self_dedup(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+_AFP_TTL_DEDUP_ORACLE = _chunk_ttl_oracle(
+    _AFP_SIGS_SQL, "afps", "fingerprint", "auds", AFP_CHUNKS, 12, AFP_RADIUS
+)
+
+
+# Video TTL oracle: the frame-signature model has no Hamming verify —
+# a pair needs >= VIDEO_MIN_SHARED frame signatures whose LATEST earlier
+# holder is the SAME clip, within the horizon (ts = BASE + media_id s).
+_VIDEO_TTL_DEDUP_ORACLE = f"""
+WITH {_VIDEO_SIGS_SQL.lstrip()},
+dsigs AS (SELECT DISTINCT media_id, frame_sig FROM vsigs),
+rng AS (
+  SELECT (max(media_id) - min(media_id) + 1) // 2 AS horizon FROM vids
+),
+prev AS (
+  SELECT b.media_id, b.frame_sig, max(e.media_id) AS ref_id
+  FROM dsigs b
+  JOIN dsigs e ON e.frame_sig = b.frame_sig AND e.media_id < b.media_id
+  GROUP BY 1, 2
+)
+SELECT media_id, ref_id,
+       CAST(count(DISTINCT frame_sig) AS BIGINT) AS n_shared
+FROM prev CROSS JOIN rng
+WHERE media_id - ref_id <= horizon
+GROUP BY 1, 2
+HAVING count(DISTINCT frame_sig) >= {VIDEO_MIN_SHARED}
+"""
+
+
+def stream_media_video_ttl_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HORIZON-BOUNDED streaming VIDEO dedup — the frame-signature
+    instance of the TTL family, completing the TTL column across all
+    four modalities (text/image/audio above): MapState per frame
+    signature holds the LAST clip that carried it (refreshed on every
+    arrival), an event-time timer sweeps signatures idle past the
+    horizon, and each arrival emits a raw (media, ref, frame_sig) hit
+    when the signature's latest earlier holder is within the horizon —
+    the >= {VIDEO_MIN_SHARED}-shared-DISTINCT-frames pair threshold
+    runs on the read-back, exactly like the self-dedup twin. State is
+    bounded by the horizon's frame-signature volume, not stream
+    history; sweep timing provably cannot affect output (the probe
+    re-checks the distance)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        spool_ordered_batches,
+    )
+    from spark_streaming_twitter_spark.streaming.queries import (
+        _forward_vendored_protobuf_to_workers,
+        _run_tws_update,
+    )
+
+    _forward_vendored_protobuf_to_workers(spark)
+
+    src = fp_video_table(spark, sf_dir)
+    lo, hi = src.agg(F.min("media_id"), F.max("media_id")).first()
+    horizon = (hi - lo + 1) // 2
+
+    class LastSeenSig(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._last = handle.getMapState(
+                "last_seen", "frame_sig bigint", "ref_id bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows), ignore_index=True)
+            out: dict[str, list] = {
+                "media_id": [],
+                "ref_id": [],
+                "frame_sig": [],
+            }
+            batch_max = int(pdf["media_id"].max())
+            for sig, grp in pdf.groupby("frame_sig", sort=True):
+                sig = int(sig)
+                ids = sorted({int(m) for m in grp["media_id"]})
+                cur = self._last.getValue((sig,))
+                last = int(cur[0]) if cur is not None else None
+                for mid in ids:
+                    if last is not None and mid - last <= horizon:
+                        out["media_id"].append(mid)
+                        out["ref_id"].append(last)
+                        out["frame_sig"].append(sig)
+                    last = mid
+                self._last.updateValue((sig,), (last,))
+            for t in list(self._h.listTimers()):
+                self._h.deleteTimer(t)
+            self._h.registerTimer(
+                (_MEDIA_TTL_TS_BASE + batch_max + horizon + 1) * 1000
+            )
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            wm_ms = timerValues.getCurrentWatermarkInMs()
+            expired = [
+                k_[0]
+                for k_, v_ in self._last.iterator()
+                if (_MEDIA_TTL_TS_BASE + int(v_[0]) + horizon) * 1000 < wm_ms
+            ]
+            for sig in expired:
+                self._last.removeKey((sig,))
+            return iter(())
+
+        def close(self) -> None:
+            pass
+
+    tmp = tempfile.mkdtemp(prefix="vfp_ttl_stream_")
+    try:
+        spool_ordered_batches(src, "media_id", tmp)
+        par = spark.sparkContext.defaultParallelism
+        stream = (
+            spark.readStream.schema("media_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .option("pathGlobFilter", "batch_*.parquet")
+            .parquet(tmp)
+        )
+        sigs = (
+            video_frame_signatures(stream.repartition(par))
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.lit(_MEDIA_TTL_TS_BASE) + F.col("media_id")
+                ),
+            )
+            .withWatermark("ts", "0 seconds")
+            .select("media_id", "ts", "frame_sig")
+            .withColumn("pfx", F.pmod(F.col("frame_sig"), F.lit(64)))
+        )
+        hits = sigs.groupBy("pfx").transformWithStateInPandas(
+            statefulProcessor=LastSeenSig(),
+            outputStructType=(
+                "media_id bigint, ref_id bigint, frame_sig bigint"
+            ),
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+        sink = _run_tws_update(spark, hits)
+        agg = (
+            sink.groupBy("media_id", "ref_id")
+            .agg(F.count_distinct("frame_sig").alias("n_shared"))
+            .where(F.col("n_shared") >= VIDEO_MIN_SHARED)
+        )
+        rows = agg.collect()
+        out = spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# Video keeper oracle: 4 unrolled epochs over the kept-clip frame index
+# (frame_sig, kept_id); a clip drops when it shares >= VIDEO_MIN_SHARED
+# distinct frames with ANY kept clip; n_index_hits counts those clips.
+def _video_keeper_oracle() -> str:
+    stages = []
+    prev_idx = "idx0"
+    for k in (1, 2, 3):
+        stages.append(f"""
+pairs{k} AS (
+  SELECT s.media_id, i.kept_id,
+         count(DISTINCT s.frame_sig) AS nsh
+  FROM bat s JOIN {prev_idx} i ON s.frame_sig = i.frame_sig
+  WHERE s.b = {k}
+  GROUP BY 1, 2
+),
+hits{k} AS (
+  SELECT media_id, CAST(count(*) AS BIGINT) AS n
+  FROM pairs{k} WHERE nsh >= {VIDEO_MIN_SHARED} GROUP BY 1
+),
+h{k} AS (
+  SELECT d.media_id, coalesce(n, CAST(0 AS BIGINT)) AS n_index_hits
+  FROM (SELECT DISTINCT media_id FROM bat WHERE b = {k}) d
+  LEFT JOIN hits{k} USING (media_id)
+),
+idx{k} AS (
+  SELECT frame_sig, kept_id FROM {prev_idx}
+  UNION ALL
+  SELECT DISTINCT s.frame_sig, s.media_id AS kept_id
+  FROM bat s JOIN h{k} USING (media_id)
+  WHERE s.b = {k} AND h{k}.n_index_hits = 0
+)""")
+        prev_idx = f"idx{k}"
+    return f"""
+WITH {_VIDEO_SIGS_SQL.lstrip()},
+dsigs AS (SELECT DISTINCT media_id, frame_sig FROM vsigs),
+rng AS (SELECT min(media_id) AS lo, max(media_id) AS hi FROM vids),
+bat AS (
+  SELECT s.media_id, s.frame_sig,
+         CASE WHEN s.media_id <= lo + (hi - lo + 1) * 1 // 4 THEN 0
+              WHEN s.media_id <= lo + (hi - lo + 1) * 2 // 4 THEN 1
+              WHEN s.media_id <= lo + (hi - lo + 1) * 3 // 4 THEN 2
+              ELSE 3 END AS b
+  FROM dsigs s CROSS JOIN rng
+),
+h0 AS (
+  SELECT media_id, CAST(0 AS BIGINT) AS n_index_hits
+  FROM (SELECT DISTINCT media_id FROM bat WHERE b = 0)
+),
+idx0 AS (
+  SELECT DISTINCT frame_sig, media_id AS kept_id FROM bat WHERE b = 0
+),{",".join(stages)}
+SELECT media_id, n_index_hits, n_index_hits = 0 AS kept
+FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1
+      UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+"""
+
+
+@query(
+    "stream_media_video_keeper_dedup",
+    oracle=_video_keeper_oracle(),
+    doc="KEEPER-AWARE online VIDEO dedup — the frame-signature instance "
+    "of the strict FineWeb quarantine, completing the keeper column "
+    "across all four modalities: per micro-batch every clip's DISTINCT "
+    "frame signatures probe the kept-clip frame index (frame_sig -> "
+    "kept clip id), a clip DROPS when it shares >= "
+    f"{VIDEO_MIN_SHARED} distinct frames with ANY kept clip "
+    "(n_index_hits counts such clips), and ONLY kept clips' frame "
+    "signatures join the index — a quarantined near-dup can never "
+    "suppress later re-edits of the keeper. The per-(clip, kept-clip) "
+    "shared-frame count is the same containment join as the batch "
+    "detector, restricted to the broadcast kept index; per-batch "
+    "decisions land in an executor-written parquet ledger. The oracle "
+    "unrolls the 4 index epochs with the threshold in the pairs CTE. "
+    "At 100 TB the index is a (frame_sig)-bucketed table and the "
+    "probe a co-located shuffle join; frame-sig posting lists are "
+    "bounded by re-edit family sizes, the df-cap pattern applies "
+    "unchanged past that.",
+)
+def stream_media_video_keeper_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_foreach_batch,
+        spool_ordered_batches,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="vfp_keeper_stream_")
+    idx_dir = os.path.join(tmp, "index")
+    ledger_dir = os.path.join(tmp, "ledger")
+    state = {"has_index": False}
+    try:
+        src = fp_video_table(spark, sf_dir)
+        spool_ordered_batches(src, "media_id", tmp)
+        par = spark.sparkContext.defaultParallelism
+        stream = (
+            spark.readStream.schema("media_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .option("pathGlobFilter", "batch_*.parquet")
+            .parquet(tmp)
+        )
+        sigs = video_frame_signatures(stream.repartition(par)).select(
+            "media_id", "frame_sig"
+        )
+
+        def probe_and_keep(bdf: DataFrame, _epoch_id: int) -> None:
+            bdf = bdf.persist()
+            dsig = bdf.select("media_id", "frame_sig").distinct()
+            media = dsig.select("media_id").distinct()
+            if not state["has_index"]:
+                report = media.select(
+                    "media_id", F.lit(0).cast("bigint").alias("n_index_hits")
+                )
+            else:
+                idx = spark.read.parquet(idx_dir)
+                nhits = (
+                    dsig.join(F.broadcast(idx), "frame_sig")
+                    .groupBy("media_id", "kept_id")
+                    .agg(F.count_distinct("frame_sig").alias("nsh"))
+                    .where(F.col("nsh") >= VIDEO_MIN_SHARED)
+                    .groupBy("media_id")
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+                )
+                report = media.join(nhits, "media_id", "left").select(
+                    "media_id",
+                    F.coalesce("n", F.lit(0).cast("bigint")).alias(
+                        "n_index_hits"
+                    ),
+                )
+            report.write.mode("append").parquet(ledger_dir)
+            kept = (
+                spark.read.parquet(ledger_dir)
+                .join(F.broadcast(media), "media_id")
+                .where(F.col("n_index_hits") == 0)
+                .select("media_id")
+            )
+            dsig.join(F.broadcast(kept), "media_id").select(
+                "frame_sig", F.col("media_id").alias("kept_id")
+            ).distinct().write.mode("append").parquet(idx_dir)
+            state["has_index"] = True
+            bdf.unpersist()
+
+        run_foreach_batch(sigs, probe_and_keep, output_mode="append")
+        ledger = spark.read.parquet(ledger_dir).select(
+            "media_id",
+            "n_index_hits",
+            (F.col("n_index_hits") == 0).alias("kept"),
+        )
+        rows = ledger.collect()
+        out = spark.createDataFrame(rows, ledger.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def stream_media_audio_ttl_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HORIZON-BOUNDED streaming AUDIO dedup — the acoustic-fingerprint
+    instance of _chunk_ttl_dedup_stream: MapState holds the LAST
+    (media_id, fingerprint) per 12-bit chunk bucket, event-time timers
+    sweep entries idle past the horizon, probes flag against the latest
+    earlier same-bucket arrival within the horizon with the 48-bit
+    Hamming verify (<= 6) in the processor. Completes the TTL column of
+    the semantics x modality matrix for audio."""
+    return _chunk_ttl_dedup_stream(
+        spark,
+        fp_audio_table(spark, sf_dir),
+        audio_fingerprints,
+        "fingerprint",
+        AFP_CHUNKS,
+        12,
+        AFP_RADIUS,
+    )
+
+
+@query(
+    "stream_media_audio_keeper_dedup",
+    oracle=_chunk_keeper_oracle(
+        _AFP_SIGS_SQL, "afps", "fingerprint", "auds",
+        AFP_CHUNKS, 12, AFP_RADIUS,
+    ),
+    doc="KEEPER-AWARE online AUDIO dedup — the acoustic-fingerprint "
+    "instance of the strict FineWeb quarantine (the image twin is "
+    "stream_media_phash_keeper_dedup, the text twin "
+    "stream_text_minhash_keeper_dedup): per micro-batch every clip's 4 "
+    "fingerprint chunk buckets probe the KEPT index — broadcast join + "
+    "48-bit Hamming verify <= 6 + per-clip verified-hit count — keep = "
+    "zero hits, and ONLY kept clips' (chunk, val, fingerprint) entries "
+    "join the index, so a quarantined dup can never suppress later "
+    "near-dups of the keeper. Per-batch decisions land in an "
+    "executor-written parquet ledger; the oracle unrolls the 4 index "
+    "epochs as a CTE chain with the verify in the hit join (shared "
+    "builder with the image keeper — one banded design, per-modality "
+    "signature/width/radius).",
+)
+def stream_media_audio_keeper_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _chunk_keeper_stream(
+        spark,
+        fp_audio_table(spark, sf_dir),
+        audio_fingerprints,
+        "fingerprint",
+        AFP_CHUNKS,
+        12,
+        AFP_RADIUS,
+    )
 
 
 def stream_media_video_self_dedup(

@@ -161,6 +161,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_media_phash_keeper_dedup",
     "stream_caption_drop_propagation",
     "stream_cell_split_maintenance",
+    "stream_media_audio_keeper_dedup",
+    "stream_media_video_keeper_dedup",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

@@ -996,14 +996,36 @@ HAVING count(CASE WHEN event_id % 4 <> 0 THEN 1 END) > 0
 
     from spark_streaming_twitter_spark.multimodal.phash import (
         _AFP_SELF_DEDUP_ORACLE,
+        _AFP_TTL_DEDUP_ORACLE,
         _PHASH_SELF_DEDUP_ORACLE,
         _PHASH_TTL_DEDUP_ORACLE,
         _VIDEO_SELF_DEDUP_ORACLE,
+        _VIDEO_TTL_DEDUP_ORACLE,
         stream_media_audio_self_dedup,
+        stream_media_audio_ttl_dedup,
         stream_media_phash_self_dedup,
         stream_media_phash_ttl_dedup,
         stream_media_video_self_dedup,
+        stream_media_video_ttl_dedup,
     )
+
+    query(
+        "stream_media_audio_ttl_dedup",
+        oracle=_AFP_TTL_DEDUP_ORACLE,
+        doc="Horizon-bounded streaming AUDIO dedup — MapState carries the "
+        "LAST (media_id, fingerprint) per chunk bucket, event-time timers "
+        "sweep entries idle past the horizon, Hamming verify in state "
+        "(see stream_media_audio_ttl_dedup in multimodal/phash.py).",
+    )(stream_media_audio_ttl_dedup)
+    query(
+        "stream_media_video_ttl_dedup",
+        oracle=_VIDEO_TTL_DEDUP_ORACLE,
+        doc="Horizon-bounded streaming VIDEO dedup — MapState carries the "
+        "LAST clip per frame signature, event-time timers sweep idle "
+        "signatures; the >= 8-shared-frames pair threshold runs on the "
+        "read-back (see stream_media_video_ttl_dedup in "
+        "multimodal/phash.py).",
+    )(stream_media_video_ttl_dedup)
 
     query(
         "stream_media_phash_ttl_dedup",

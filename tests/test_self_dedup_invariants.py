@@ -205,3 +205,66 @@ def test_caption_drops_match_keeper_drops(spark):
         for r in specs["stream_caption_drop_propagation"].fn(spark, SF).collect()
     }
     assert caps == keeper
+
+
+@pytest.mark.skipif(
+    not _has("stream_media_audio_ttl_dedup"),
+    reason="protobuf-gated tws queries unavailable on this host",
+)
+def test_audio_ttl_pairs_are_batch_verified_pairs(spark):
+    """Audio TTL flags share a fingerprint chunk and pass the Hamming
+    verify, so the batch audio pair detector must surface them too."""
+    specs = _specs()
+    ttl_pairs = {
+        (r.ref_id, r.media_id)
+        for r in specs["stream_media_audio_ttl_dedup"].fn(spark, SF).collect()
+    }
+    batch_pairs = {
+        (r.media_a, r.media_b)
+        for r in specs["media_audio_dup_pairs"].fn(spark, SF).collect()
+    }
+    assert ttl_pairs <= batch_pairs, sorted(ttl_pairs - batch_pairs)
+
+
+@pytest.mark.skipif(
+    not _has("stream_media_video_ttl_dedup"),
+    reason="protobuf-gated tws queries unavailable on this host",
+)
+def test_video_ttl_pairs_are_batch_verified_pairs(spark):
+    """Video TTL pairs share >= 8 distinct frames (each frame's latest
+    earlier holder is the ref), so the batch video pair detector must
+    surface them as (ref, media) too."""
+    specs = _specs()
+    ttl_pairs = {
+        (r.ref_id, r.media_id)
+        for r in specs["stream_media_video_ttl_dedup"].fn(spark, SF).collect()
+    }
+    batch_pairs = {
+        (r.media_a, r.media_b)
+        for r in specs["media_video_dup_pairs"].fn(spark, SF).collect()
+    }
+    assert ttl_pairs <= batch_pairs, sorted(ttl_pairs - batch_pairs)
+
+
+def test_audio_keeper_drops_are_batch_flagged_media(spark):
+    """Keeper quarantine can only shrink the audio flag set."""
+    specs = _specs()
+    keeper = specs["stream_media_audio_keeper_dedup"].fn(spark, SF).collect()
+    dropped = {r.media_id for r in keeper if not r.kept}
+    flagged = {
+        r.media_b
+        for r in specs["media_audio_dup_pairs"].fn(spark, SF).collect()
+    }
+    assert dropped <= flagged, sorted(dropped - flagged)
+
+
+def test_video_keeper_drops_are_batch_flagged_media(spark):
+    """Keeper quarantine can only shrink the video flag set."""
+    specs = _specs()
+    keeper = specs["stream_media_video_keeper_dedup"].fn(spark, SF).collect()
+    dropped = {r.media_id for r in keeper if not r.kept}
+    flagged = {
+        r.media_b
+        for r in specs["media_video_dup_pairs"].fn(spark, SF).collect()
+    }
+    assert dropped <= flagged, sorted(dropped - flagged)
