@@ -2786,3 +2786,95 @@ def corpus_curation_pipeline_v8(
         ("survivors", n_docs - n_all),
     ]
     return spark.createDataFrame(rows, "stage string, n_dropped bigint")
+
+
+def _stream_media_curation_oracle() -> str:
+    """Compose the three registered STREAMING keeper oracles verbatim
+    (capstone convention) into the per-modality ingest run report, plus
+    the cross-modality caption row."""
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    ik = QUERIES["stream_media_phash_keeper_dedup"].oracle
+    ak = QUERIES["stream_media_audio_keeper_dedup"].oracle
+    vk = QUERIES["stream_media_video_keeper_dedup"].oracle
+    return f"""
+WITH ikeeper AS ({ik}),
+akeeper AS ({ak}),
+vkeeper AS ({vk})
+SELECT 'image' AS kind,
+       (SELECT count(*) FROM ikeeper) AS n_streamed,
+       (SELECT count(*) FROM ikeeper WHERE NOT kept) AS n_dropped,
+       (SELECT CAST(coalesce(sum(n_index_hits), 0) AS BIGINT) FROM ikeeper) AS n_hits
+UNION ALL
+SELECT 'audio',
+       (SELECT count(*) FROM akeeper),
+       (SELECT count(*) FROM akeeper WHERE NOT kept),
+       (SELECT CAST(coalesce(sum(n_index_hits), 0) AS BIGINT) FROM akeeper)
+UNION ALL
+SELECT 'video',
+       (SELECT count(*) FROM vkeeper),
+       (SELECT count(*) FROM vkeeper WHERE NOT kept),
+       (SELECT CAST(coalesce(sum(n_index_hits), 0) AS BIGINT) FROM vkeeper)
+UNION ALL
+SELECT 'caption',
+       (SELECT count(*) FROM ikeeper),
+       (SELECT count(*) FROM ikeeper k
+        JOIN documents d ON d.doc_id = k.media_id WHERE NOT k.kept),
+       (SELECT CAST(coalesce(sum(k.n_index_hits), 0) AS BIGINT) FROM ikeeper k
+        JOIN documents d ON d.doc_id = k.media_id WHERE NOT k.kept)
+"""
+
+
+@query(
+    "stream_media_curation_report",
+    oracle=_stream_media_curation_oracle(),
+    doc="The AT-INGEST multimodal curation capstone — the streaming twin "
+    "of media_curation_ledger, extending the ingest-capstone family to "
+    "the multimodal ledger (the r10 verdict's last missing row): one "
+    "run-report row per modality from the ONLINE keeper streams — "
+    "items streamed, keeper drops, total verified index hits — plus "
+    "the cross-modality caption row (dropped images' captions, "
+    "identity linkage). All three streaming keeper oracles are "
+    "composed VERBATIM at decoration time, so the report can never "
+    "drift from the registered online detectors — one wrong keep/drop "
+    "decision in any modality's stream flips a count here. This is "
+    "the per-run observability table a 100 TB streaming ingest logs: "
+    "each count is an O(ledger) aggregate over the executor-written "
+    "parquet decision ledgers, and the three modality streams are "
+    "independent (parallel queries against one source at scale).",
+)
+def stream_media_curation_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    ik = stream_media_phash_keeper_dedup(spark, sf_dir)
+    ak = stream_media_audio_keeper_dedup(spark, sf_dir)
+    vk = stream_media_video_keeper_dedup(spark, sf_dir)
+
+    def kind_row(kind: str, ledger: DataFrame):
+        agg = ledger.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((~F.col("kept")).cast("bigint")).alias("nd"),
+            F.sum("n_index_hits").alias("nh"),
+        ).first()
+        return (kind, agg["n"], agg["nd"], int(agg["nh"] or 0))
+
+    idrops = ik.where(~F.col("kept"))
+    # broadcast the tiny DROP set against the caption scan — the corpus
+    # side never shuffles (same shape as the caption propagation query)
+    cap = docs.join(
+        F.broadcast(idrops), F.col("doc_id") == F.col("media_id")
+    ).agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("n_index_hits").alias("nh"),
+    ).first()
+    rows = [
+        kind_row("image", ik),
+        kind_row("audio", ak),
+        kind_row("video", vk),
+        ("caption", ik.count(), cap["nd"], int(cap["nh"] or 0)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "kind string, n_streamed bigint, n_dropped bigint, n_hits bigint",
+    )

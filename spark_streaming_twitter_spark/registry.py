@@ -163,6 +163,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_cell_split_maintenance",
     "stream_media_audio_keeper_dedup",
     "stream_media_video_keeper_dedup",
+    "stream_media_curation_report",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",
