@@ -2788,6 +2788,163 @@ def corpus_curation_pipeline_v8(
     return spark.createDataFrame(rows, "stage string, n_dropped bigint")
 
 
+def stream_media_phash_self_dedup_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DISORDER-TOLERANT self-referential streaming IMAGE dedup — the
+    media twin of stream_text_minhash_self_dedup_unordered: a
+    round-robin spool simulates Kafka cross-partition disorder (arrival
+    order disagrees with media_id order everywhere), so bucket ownership
+    is MIN-ID-RECONCILED in MapState — state per chunk bucket is the
+    smallest (media_id, dhash) seen SO FAR; a smaller arriving id claims
+    the bucket and the DEMOTED previous owner re-emits as a candidate.
+
+    The Hamming verify moves OUT of the processor and into the
+    read-back: verifying against the owner-at-emission would pin pairs
+    to an owner a later batch may demote, so emissions carry the raw
+    (bucket, media, dhash, owner-at-emission, owner dhash) and the
+    reconciliation (one aggregation, no self-join) recomputes per bucket
+    the FINAL owner = min emitted owner (ownership only decreases; every
+    demotion emits a row carrying the new owner, so the global min is
+    always witnessed) and verifies each emitted media against the FINAL
+    owner's dHash — bit-identical to the ordered twin and to the
+    arrival-order-free oracle. Per-batch cost contract unchanged: one
+    point probe per touched bucket, updateValue only on ownership
+    change."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        spool_roundrobin_batches,
+    )
+    from spark_streaming_twitter_spark.streaming.queries import (
+        _forward_vendored_protobuf_to_workers,
+        _run_tws_update,
+    )
+
+    _forward_vendored_protobuf_to_workers(spark)
+
+    class MinIdChunkOwners(StatefulProcessor):
+        """chunk_val -> min (media_id, dhash) so far; demotion re-emits."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._owners = handle.getMapState(
+                "owners",
+                "chunk_val bigint",
+                "ref_id bigint, ref_dhash bigint",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            c = int(key[0])
+            pdf = pd.concat(list(rows), ignore_index=True)
+            out: dict[str, list] = {
+                "c": [],
+                "chunk_val": [],
+                "media_id": [],
+                "dhash": [],
+                "owner": [],
+                "owner_dhash": [],
+            }
+            for cv, grp in pdf.groupby("chunk_val", sort=True):
+                cv = int(cv)
+                pairs = sorted(
+                    (int(m), int(d))
+                    for m, d in zip(grp["media_id"], grp["dhash"])
+                )
+                cur = self._owners.getValue((cv,))
+                owner = (int(cur[0]), int(cur[1])) if cur is not None else None
+                emit = pairs
+                if owner is None or pairs[0][0] < owner[0]:
+                    demoted = owner
+                    owner = pairs[0]
+                    self._owners.updateValue((cv,), owner)
+                    emit = pairs[1:] + ([demoted] if demoted else [])
+                for mid, dh in emit:
+                    out["c"].append(c)
+                    out["chunk_val"].append(cv)
+                    out["media_id"].append(mid)
+                    out["dhash"].append(dh)
+                    out["owner"].append(owner[0])
+                    out["owner_dhash"].append(owner[1])
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    tmp = tempfile.mkdtemp(prefix="phash_self_unord_")
+    try:
+        src = phash_media_table(spark, sf_dir)
+        spool_roundrobin_batches(src, "media_id", tmp)
+        par = spark.sparkContext.defaultParallelism
+        stream = (
+            spark.readStream.schema("media_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .option("pathGlobFilter", "batch_*.parquet")
+            .parquet(tmp)
+        )
+        chunks = (
+            perceptual_hashes(stream.repartition(par))
+            .select(
+                "media_id",
+                "dhash",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(PHASH_CHUNKS - 1))
+                ).alias("c"),
+            )
+            .withColumn(
+                "chunk_val",
+                F.expr("shiftright(dhash, c * 14)")
+                .bitwiseAND(F.lit(16383))
+                .cast("bigint"),
+            )
+            .withColumn("pfx", F.col("chunk_val") % 16)
+        )
+        hits = chunks.groupBy("c", "pfx").transformWithStateInPandas(
+            statefulProcessor=MinIdChunkOwners(),
+            outputStructType=(
+                "c int, chunk_val bigint, media_id bigint, dhash bigint, "
+                "owner bigint, owner_dhash bigint"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        sink = _run_tws_update(spark, hits)
+        # reconcile in ONE aggregation: final owner per bucket = min
+        # emitted (owner, owner_dhash); verify every emitted media
+        # against the FINAL owner's dHash
+        hamming = F.bit_count(
+            F.col("m.dhash").bitwiseXOR(F.col("o.owner_dhash"))
+        )
+        agg = (
+            sink.groupBy("c", "chunk_val")
+            .agg(
+                F.min(F.struct("owner", "owner_dhash")).alias("o"),
+                F.collect_set(F.struct("media_id", "dhash")).alias("ms"),
+            )
+            .select("o", F.explode("ms").alias("m"))
+            .where(hamming <= PHASH_RADIUS)
+            .select(
+                F.col("m.media_id").alias("media_id"),
+                F.col("o.owner").alias("ref_id"),
+                hamming.cast("int").alias("hamming"),
+            )
+            .distinct()
+        )
+        rows = agg.collect()
+        out = spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def _stream_media_curation_oracle() -> str:
     """Compose the three registered STREAMING keeper oracles verbatim
     (capstone convention) into the per-modality ingest run report, plus

@@ -1004,10 +1004,21 @@ HAVING count(CASE WHEN event_id % 4 <> 0 THEN 1 END) > 0
         stream_media_audio_self_dedup,
         stream_media_audio_ttl_dedup,
         stream_media_phash_self_dedup,
+        stream_media_phash_self_dedup_unordered,
         stream_media_phash_ttl_dedup,
         stream_media_video_self_dedup,
         stream_media_video_ttl_dedup,
     )
+
+    query(
+        "stream_media_phash_self_dedup_unordered",
+        oracle=_PHASH_SELF_DEDUP_ORACLE,
+        doc="DISORDER-TOLERANT self-referential streaming IMAGE dedup — "
+        "round-robin spool (Kafka cross-partition disorder), min-id "
+        "reconciled MapState ownership with demotion re-emission, and "
+        "the Hamming verify moved to the read-back against the FINAL "
+        "reconciled owner's dHash (see multimodal/phash.py).",
+    )(stream_media_phash_self_dedup_unordered)
 
     query(
         "stream_media_audio_ttl_dedup",

@@ -268,3 +268,25 @@ def test_video_keeper_drops_are_batch_flagged_media(spark):
         for r in specs["media_video_dup_pairs"].fn(spark, SF).collect()
     }
     assert dropped <= flagged, sorted(dropped - flagged)
+
+
+@pytest.mark.skipif(
+    not _has("stream_media_phash_self_dedup_unordered"),
+    reason="protobuf-gated tws queries unavailable on this host",
+)
+def test_unordered_image_self_dedup_equals_ordered_twin(spark):
+    """Disorder tolerance for the media column: the min-id-reconciled
+    processor over a round-robin spool emits the exact verified pair set
+    the ordered twin emits over the id-range spool."""
+    specs = _specs()
+    unordered = {
+        (r.media_id, r.ref_id, r.hamming)
+        for r in specs["stream_media_phash_self_dedup_unordered"]
+        .fn(spark, SF)
+        .collect()
+    }
+    ordered = {
+        (r.media_id, r.ref_id, r.hamming)
+        for r in specs["stream_media_phash_self_dedup"].fn(spark, SF).collect()
+    }
+    assert unordered == ordered
