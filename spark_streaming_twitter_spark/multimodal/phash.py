@@ -2788,26 +2788,33 @@ def corpus_curation_pipeline_v8(
     return spark.createDataFrame(rows, "stage string, n_dropped bigint")
 
 
-def stream_media_phash_self_dedup_unordered(
-    spark: SparkSession, sf_dir: str
+def _chunk_unordered_self_dedup_stream(
+    spark: SparkSession,
+    src: DataFrame,
+    sig_stream,
+    sig_col: str,
+    n_chunks: int,
+    chunk_bits: int,
+    radius: int,
 ) -> DataFrame:
-    """DISORDER-TOLERANT self-referential streaming IMAGE dedup — the
-    media twin of stream_text_minhash_self_dedup_unordered: a
-    round-robin spool simulates Kafka cross-partition disorder (arrival
-    order disagrees with media_id order everywhere), so bucket ownership
-    is MIN-ID-RECONCILED in MapState — state per chunk bucket is the
-    smallest (media_id, dhash) seen SO FAR; a smaller arriving id claims
+    """DISORDER-TOLERANT self-referential streaming media dedup, generic
+    over the chunk-LSH signature family — the media twin of
+    stream_text_minhash_self_dedup_unordered: a round-robin spool
+    simulates Kafka cross-partition disorder (arrival order disagrees
+    with media_id order everywhere), so bucket ownership is
+    MIN-ID-RECONCILED in MapState — state per chunk bucket is the
+    smallest (media_id, sig) seen SO FAR; a smaller arriving id claims
     the bucket and the DEMOTED previous owner re-emits as a candidate.
 
     The Hamming verify moves OUT of the processor and into the
     read-back: verifying against the owner-at-emission would pin pairs
     to an owner a later batch may demote, so emissions carry the raw
-    (bucket, media, dhash, owner-at-emission, owner dhash) and the
+    (bucket, media, sig, owner-at-emission, owner sig) and the
     reconciliation (one aggregation, no self-join) recomputes per bucket
     the FINAL owner = min emitted owner (ownership only decreases; every
     demotion emits a row carrying the new owner, so the global min is
     always witnessed) and verifies each emitted media against the FINAL
-    owner's dHash — bit-identical to the ordered twin and to the
+    owner's signature — bit-identical to the ordered twin and to the
     arrival-order-free oracle. Per-batch cost contract unchanged: one
     point probe per touched bucket, updateValue only on ownership
     change."""
@@ -2829,15 +2836,16 @@ def stream_media_phash_self_dedup_unordered(
     )
 
     _forward_vendored_protobuf_to_workers(spark)
+    mask = (1 << chunk_bits) - 1
 
     class MinIdChunkOwners(StatefulProcessor):
-        """chunk_val -> min (media_id, dhash) so far; demotion re-emits."""
+        """chunk_val -> min (media_id, sig) so far; demotion re-emits."""
 
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._owners = handle.getMapState(
                 "owners",
                 "chunk_val bigint",
-                "ref_id bigint, ref_dhash bigint",
+                "ref_id bigint, ref_sig bigint",
             )
 
         def handleInputRows(self, key, rows, timerValues):
@@ -2847,15 +2855,15 @@ def stream_media_phash_self_dedup_unordered(
                 "c": [],
                 "chunk_val": [],
                 "media_id": [],
-                "dhash": [],
+                "sig": [],
                 "owner": [],
-                "owner_dhash": [],
+                "owner_sig": [],
             }
             for cv, grp in pdf.groupby("chunk_val", sort=True):
                 cv = int(cv)
                 pairs = sorted(
                     (int(m), int(d))
-                    for m, d in zip(grp["media_id"], grp["dhash"])
+                    for m, d in zip(grp["media_id"], grp["sig"])
                 )
                 cur = self._owners.getValue((cv,))
                 owner = (int(cur[0]), int(cur[1])) if cur is not None else None
@@ -2869,18 +2877,17 @@ def stream_media_phash_self_dedup_unordered(
                     out["c"].append(c)
                     out["chunk_val"].append(cv)
                     out["media_id"].append(mid)
-                    out["dhash"].append(dh)
+                    out["sig"].append(dh)
                     out["owner"].append(owner[0])
-                    out["owner_dhash"].append(owner[1])
+                    out["owner_sig"].append(owner[1])
             if out["media_id"]:
                 yield pd.DataFrame(out)
 
         def close(self) -> None:
             pass
 
-    tmp = tempfile.mkdtemp(prefix="phash_self_unord_")
+    tmp = tempfile.mkdtemp(prefix="chunk_self_unord_")
     try:
-        src = phash_media_table(spark, sf_dir)
         spool_roundrobin_batches(src, "media_id", tmp)
         par = spark.sparkContext.defaultParallelism
         stream = (
@@ -2891,18 +2898,18 @@ def stream_media_phash_self_dedup_unordered(
             .parquet(tmp)
         )
         chunks = (
-            perceptual_hashes(stream.repartition(par))
+            sig_stream(stream.repartition(par))
             .select(
                 "media_id",
-                "dhash",
+                F.col(sig_col).alias("sig"),
                 F.explode(
-                    F.sequence(F.lit(0), F.lit(PHASH_CHUNKS - 1))
+                    F.sequence(F.lit(0), F.lit(n_chunks - 1))
                 ).alias("c"),
             )
             .withColumn(
                 "chunk_val",
-                F.expr("shiftright(dhash, c * 14)")
-                .bitwiseAND(F.lit(16383))
+                F.expr(f"shiftright(sig, c * {chunk_bits})")
+                .bitwiseAND(F.lit(mask))
                 .cast("bigint"),
             )
             .withColumn("pfx", F.col("chunk_val") % 16)
@@ -2910,33 +2917,173 @@ def stream_media_phash_self_dedup_unordered(
         hits = chunks.groupBy("c", "pfx").transformWithStateInPandas(
             statefulProcessor=MinIdChunkOwners(),
             outputStructType=(
-                "c int, chunk_val bigint, media_id bigint, dhash bigint, "
-                "owner bigint, owner_dhash bigint"
+                "c int, chunk_val bigint, media_id bigint, sig bigint, "
+                "owner bigint, owner_sig bigint"
             ),
             outputMode="Update",
             timeMode="None",
         )
         sink = _run_tws_update(spark, hits)
         # reconcile in ONE aggregation: final owner per bucket = min
-        # emitted (owner, owner_dhash); verify every emitted media
-        # against the FINAL owner's dHash
+        # emitted (owner, owner_sig); verify every emitted media
+        # against the FINAL owner's signature
         hamming = F.bit_count(
-            F.col("m.dhash").bitwiseXOR(F.col("o.owner_dhash"))
+            F.col("m.sig").bitwiseXOR(F.col("o.owner_sig"))
         )
         agg = (
             sink.groupBy("c", "chunk_val")
             .agg(
-                F.min(F.struct("owner", "owner_dhash")).alias("o"),
-                F.collect_set(F.struct("media_id", "dhash")).alias("ms"),
+                F.min(F.struct("owner", "owner_sig")).alias("o"),
+                F.collect_set(F.struct("media_id", "sig")).alias("ms"),
             )
             .select("o", F.explode("ms").alias("m"))
-            .where(hamming <= PHASH_RADIUS)
+            .where(hamming <= radius)
             .select(
                 F.col("m.media_id").alias("media_id"),
                 F.col("o.owner").alias("ref_id"),
                 hamming.cast("int").alias("hamming"),
             )
             .distinct()
+        )
+        rows = agg.collect()
+        out = spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def stream_media_phash_self_dedup_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Disorder-tolerant IMAGE self-dedup (see
+    _chunk_unordered_self_dedup_stream)."""
+    return _chunk_unordered_self_dedup_stream(
+        spark,
+        phash_media_table(spark, sf_dir),
+        perceptual_hashes,
+        "dhash",
+        PHASH_CHUNKS,
+        14,
+        PHASH_RADIUS,
+    )
+
+
+def stream_media_audio_self_dedup_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Disorder-tolerant AUDIO self-dedup (see
+    _chunk_unordered_self_dedup_stream)."""
+    return _chunk_unordered_self_dedup_stream(
+        spark,
+        fp_audio_table(spark, sf_dir),
+        audio_fingerprints,
+        "fingerprint",
+        AFP_CHUNKS,
+        12,
+        AFP_RADIUS,
+    )
+
+
+def stream_media_video_self_dedup_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DISORDER-TOLERANT self-referential streaming VIDEO dedup — the
+    frame-signature instance: min-id-reconciled ownership per frame
+    signature (an arriving smaller clip id demotes the stored owner,
+    which re-emits as a candidate frame hit); the read-back reconciles
+    each signature's FINAL owner = min emitted owner in one
+    aggregation, then applies the >= 8-shared-DISTINCT-frames pair
+    threshold — bit-identical to the ordered video twin under the same
+    arrival-order-free oracle."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        spool_roundrobin_batches,
+    )
+    from spark_streaming_twitter_spark.streaming.queries import (
+        _forward_vendored_protobuf_to_workers,
+        _run_tws_update,
+    )
+
+    _forward_vendored_protobuf_to_workers(spark)
+
+    class MinIdSigOwners(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._owners = handle.getMapState(
+                "owners", "frame_sig bigint", "ref_id bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows), ignore_index=True)
+            out: dict[str, list] = {
+                "media_id": [],
+                "owner": [],
+                "frame_sig": [],
+            }
+            for sig, grp in pdf.groupby("frame_sig", sort=True):
+                sig = int(sig)
+                ids = sorted({int(m) for m in grp["media_id"]})
+                cur = self._owners.getValue((sig,))
+                owner = int(cur[0]) if cur is not None else None
+                emit = ids
+                if owner is None or ids[0] < owner:
+                    demoted = owner
+                    owner = ids[0]
+                    self._owners.updateValue((sig,), (owner,))
+                    emit = ids[1:] + ([demoted] if demoted is not None else [])
+                for mid in emit:
+                    out["media_id"].append(mid)
+                    out["owner"].append(owner)
+                    out["frame_sig"].append(sig)
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    tmp = tempfile.mkdtemp(prefix="vfp_self_unord_")
+    try:
+        src = fp_video_table(spark, sf_dir)
+        spool_roundrobin_batches(src, "media_id", tmp)
+        par = spark.sparkContext.defaultParallelism
+        stream = (
+            spark.readStream.schema("media_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .option("pathGlobFilter", "batch_*.parquet")
+            .parquet(tmp)
+        )
+        sigs = (
+            video_frame_signatures(stream.repartition(par))
+            .select("media_id", "frame_sig")
+            .withColumn("pfx", F.pmod(F.col("frame_sig"), F.lit(64)))
+        )
+        hits = sigs.groupBy("pfx").transformWithStateInPandas(
+            statefulProcessor=MinIdSigOwners(),
+            outputStructType=(
+                "media_id bigint, owner bigint, frame_sig bigint"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        sink = _run_tws_update(spark, hits)
+        agg = (
+            sink.groupBy("frame_sig")
+            .agg(
+                F.min("owner").alias("ref_id"),
+                F.collect_set("media_id").alias("ms"),
+            )
+            .select("frame_sig", "ref_id", F.explode("ms").alias("media_id"))
+            .groupBy("media_id", "ref_id")
+            .agg(F.count_distinct("frame_sig").alias("n_shared"))
+            .where(F.col("n_shared") >= VIDEO_MIN_SHARED)
         )
         rows = agg.collect()
         out = spark.createDataFrame(rows, agg.schema)

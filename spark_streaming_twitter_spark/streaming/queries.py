@@ -1003,10 +1003,12 @@ HAVING count(CASE WHEN event_id % 4 <> 0 THEN 1 END) > 0
         _VIDEO_TTL_DEDUP_ORACLE,
         stream_media_audio_self_dedup,
         stream_media_audio_ttl_dedup,
+        stream_media_audio_self_dedup_unordered,
         stream_media_phash_self_dedup,
         stream_media_phash_self_dedup_unordered,
         stream_media_phash_ttl_dedup,
         stream_media_video_self_dedup,
+        stream_media_video_self_dedup_unordered,
         stream_media_video_ttl_dedup,
     )
 
@@ -1019,6 +1021,22 @@ HAVING count(CASE WHEN event_id % 4 <> 0 THEN 1 END) > 0
         "the Hamming verify moved to the read-back against the FINAL "
         "reconciled owner's dHash (see multimodal/phash.py).",
     )(stream_media_phash_self_dedup_unordered)
+    query(
+        "stream_media_audio_self_dedup_unordered",
+        oracle=_AFP_SELF_DEDUP_ORACLE,
+        doc="DISORDER-TOLERANT self-referential streaming AUDIO dedup — "
+        "the acoustic-fingerprint instance of the min-id-reconciled "
+        "chunk processor with read-back verify (see "
+        "multimodal/phash.py).",
+    )(stream_media_audio_self_dedup_unordered)
+    query(
+        "stream_media_video_self_dedup_unordered",
+        oracle=_VIDEO_SELF_DEDUP_ORACLE,
+        doc="DISORDER-TOLERANT self-referential streaming VIDEO dedup — "
+        "min-id reconciled frame-signature ownership with demotion "
+        "re-emission; the >= 8-shared-frames threshold runs on the "
+        "reconciled read-back (see multimodal/phash.py).",
+    )(stream_media_video_self_dedup_unordered)
 
     query(
         "stream_media_audio_ttl_dedup",

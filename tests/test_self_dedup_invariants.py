@@ -290,3 +290,41 @@ def test_unordered_image_self_dedup_equals_ordered_twin(spark):
         for r in specs["stream_media_phash_self_dedup"].fn(spark, SF).collect()
     }
     assert unordered == ordered
+
+
+@pytest.mark.skipif(
+    not _has("stream_media_audio_self_dedup_unordered"),
+    reason="protobuf-gated tws queries unavailable on this host",
+)
+def test_unordered_audio_self_dedup_equals_ordered_twin(spark):
+    specs = _specs()
+    unordered = {
+        (r.media_id, r.ref_id, r.hamming)
+        for r in specs["stream_media_audio_self_dedup_unordered"]
+        .fn(spark, SF)
+        .collect()
+    }
+    ordered = {
+        (r.media_id, r.ref_id, r.hamming)
+        for r in specs["stream_media_audio_self_dedup"].fn(spark, SF).collect()
+    }
+    assert unordered == ordered
+
+
+@pytest.mark.skipif(
+    not _has("stream_media_video_self_dedup_unordered"),
+    reason="protobuf-gated tws queries unavailable on this host",
+)
+def test_unordered_video_self_dedup_equals_ordered_twin(spark):
+    specs = _specs()
+    unordered = {
+        (r.media_id, r.ref_id, r.n_shared)
+        for r in specs["stream_media_video_self_dedup_unordered"]
+        .fn(spark, SF)
+        .collect()
+    }
+    ordered = {
+        (r.media_id, r.ref_id, r.n_shared)
+        for r in specs["stream_media_video_self_dedup"].fn(spark, SF).collect()
+    }
+    assert unordered == ordered
