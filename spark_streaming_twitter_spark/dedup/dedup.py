@@ -1135,7 +1135,12 @@ def stream_text_minhash_ttl_dedup(
 # Keeper-aware online dedup oracle: 4 unrolled stages (the spool's batch
 # count is a constant), each probing the index of KEPT docs from prior
 # stages only. Batch ranges replicate spool_ordered_batches' arithmetic.
-def _keeper_dedup_oracle() -> str:
+def _keeper_dedup_oracle(
+    batch_label: str = """CASE WHEN bk.doc_id <= lo + (hi - lo + 1) * 1 // 4 THEN 0
+              WHEN bk.doc_id <= lo + (hi - lo + 1) * 2 // 4 THEN 1
+              WHEN bk.doc_id <= lo + (hi - lo + 1) * 3 // 4 THEN 2
+              ELSE 3 END""",
+) -> str:
     stages = []
     prev_idx = "idx0"
     for k in (1, 2, 3):
@@ -1164,10 +1169,7 @@ WITH {_MINHASH_BUCKETS_SQL.lstrip()},
 rng AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
 bat AS (
   SELECT bk.doc_id, bk.band, bk.band_key,
-         CASE WHEN bk.doc_id <= lo + (hi - lo + 1) * 1 // 4 THEN 0
-              WHEN bk.doc_id <= lo + (hi - lo + 1) * 2 // 4 THEN 1
-              WHEN bk.doc_id <= lo + (hi - lo + 1) * 3 // 4 THEN 2
-              ELSE 3 END AS b
+         {batch_label} AS b
   FROM buckets bk CROSS JOIN rng
 ),
 h0 AS (
@@ -1208,6 +1210,12 @@ FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1
 def stream_text_minhash_keeper_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return _text_keeper_stream(spark, sf_dir, roundrobin=False)
+
+
+def _text_keeper_stream(
+    spark: SparkSession, sf_dir: str, roundrobin: bool
+) -> DataFrame:
     import os
     import shutil
     import tempfile
@@ -1215,6 +1223,7 @@ def stream_text_minhash_keeper_dedup(
     from spark_streaming_twitter_spark.streaming.harness import (
         run_foreach_batch,
         spool_ordered_batches,
+        spool_roundrobin_batches,
     )
 
     tmp = tempfile.mkdtemp(prefix="minhash_keeper_stream_")
@@ -1223,7 +1232,10 @@ def stream_text_minhash_keeper_dedup(
     state = {"has_index": False}
     try:
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-        spool_ordered_batches(docs, "doc_id", tmp)
+        spool = (
+            spool_roundrobin_batches if roundrobin else spool_ordered_batches
+        )
+        spool(docs, "doc_id", tmp)
         bands = _self_dedup_stream_bands(spark, tmp)
 
         def probe_and_keep(bdf: DataFrame, _epoch_id: int) -> None:
@@ -1281,6 +1293,30 @@ def stream_text_minhash_keeper_dedup(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@query(
+    "stream_text_minhash_keeper_dedup_unordered",
+    oracle=_keeper_dedup_oracle(batch_label="bk.doc_id % 4"),
+    doc="KEEPER-AWARE online dedup under Kafka CROSS-PARTITION DISORDER "
+    "— the same strict quarantine foreachBatch pipeline (verbatim code "
+    "path) over a round-robin spool where every micro-batch spans the "
+    "full id range: keeper semantics are arrival-DEPENDENT by design "
+    "(decision granularity is the micro-batch; whoever lands first in "
+    "batch order is the keeper), so disorder tolerance here means the "
+    "pipeline machinery assumes nothing about id order — the oracle "
+    "replays the SAME round-robin batching (b = doc_id % 4) through "
+    "the identical 4-epoch CTE chain and the ledger matches bitwise. "
+    "Together with the unordered self-dedup (order-independent OUTPUT) "
+    "this pins both halves of the disorder story: reconcilable "
+    "semantics are reconciled, arrival-defined semantics are replayed "
+    "exactly.",
+)
+def stream_text_minhash_keeper_dedup_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _text_keeper_stream(spark, sf_dir, roundrobin=True)
+
 
 
 @query(

@@ -164,6 +164,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_media_audio_keeper_dedup",
     "stream_media_video_keeper_dedup",
     "stream_media_curation_report",
+    "stream_text_minhash_keeper_dedup_unordered",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

@@ -328,3 +328,17 @@ def test_unordered_video_self_dedup_equals_ordered_twin(spark):
         for r in specs["stream_media_video_self_dedup"].fn(spark, SF).collect()
     }
     assert unordered == ordered
+
+
+def test_unordered_keeper_ledger_covers_every_doc(spark):
+    """Disorder keeper still emits exactly one decision row per doc, and
+    batch-0 docs (ids ≡ 0 mod 4) are all kept (empty index)."""
+    from spark_streaming_twitter_spark.catalog import table
+
+    specs = _specs()
+    ledger = specs["stream_text_minhash_keeper_dedup_unordered"].fn(
+        spark, SF
+    ).collect()
+    n_docs = table(spark, SF, "documents").count()
+    assert len(ledger) == n_docs
+    assert all(r.kept for r in ledger if r.doc_id % 4 == 0)
