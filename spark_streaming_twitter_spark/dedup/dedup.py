@@ -1132,6 +1132,120 @@ def stream_text_minhash_ttl_dedup(
     return out
 
 
+def stream_text_minhash_ttl_dedup_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HORIZON-BOUNDED dedup under Kafka CROSS-PARTITION DISORDER — the
+    last disorder x semantics cell: TTL semantics are order-FREE on the
+    event-time axis (flag doc d against the max earlier-event-time
+    same-key arrival within the horizon; ts = BASE + doc_id seconds, so
+    the oracle is the ordered twin's VERBATIM), but under disorder the
+    predecessor may ARRIVE after the doc it should flag. The processor
+    therefore keeps, per band key, the SORTED id window in one
+    array-valued MapState entry; each batch merges its ids in and emits
+    every ADJACENT pair (pred, doc) with at least one new endpoint and
+    doc - pred <= horizon. Gap-filling only moves a doc's immediate
+    predecessor UP, so the read-back reconciles each (doc, band)'s
+    final ref as max(emitted ref) — and since id distance to the
+    immediate predecessor only shrinks as gaps fill, the final
+    predecessor is emitted iff it is within the horizon. Bit-identical
+    to the ordered twin for any arrival order (invariant-tested).
+
+    State bound, honestly: the ordered twin's timer sweep works because
+    arrival order bounds how late a predecessor can land; under
+    UNBOUNDED disorder (this fixture's round-robin spans the full id
+    range every batch) no entry is provably dead, so this variant keeps
+    the full per-key window and runs timeMode=None. In production the
+    disorder is watermark-bounded (delay D), and the sweep rule is the
+    ordered twin's shifted by D: evict ids older than
+    watermark - horizon - D. The semantics and oracle are unchanged
+    either way — the sweep is purely a resource bound."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        spool_roundrobin_batches,
+    )
+    from spark_streaming_twitter_spark.streaming.queries import (
+        _forward_vendored_protobuf_to_workers,
+        _run_tws_update,
+    )
+
+    _forward_vendored_protobuf_to_workers(spark)
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    horizon = (hi - lo + 1) // 2
+
+    class SortedWindow(StatefulProcessor):
+        """band_key -> sorted id window (one array-valued entry)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._w = handle.getMapState(
+                "window", "band_key string", "ids array<bigint>"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            band = int(key[0])
+            pdf = pd.concat(list(rows), ignore_index=True)
+            out_doc: list[int] = []
+            out_ref: list[int] = []
+            for bk, grp in pdf.groupby("band_key", sort=True):
+                new = {int(d) for d in grp["doc_id"]}
+                cur = self._w.getValue((bk,))
+                merged = sorted(new.union(int(x) for x in cur[0])) if (
+                    cur is not None
+                ) else sorted(new)
+                for p, s in zip(merged, merged[1:]):
+                    if (p in new or s in new) and s - p <= horizon:
+                        out_doc.append(s)
+                        out_ref.append(p)
+                self._w.updateValue((bk,), (merged,))
+            if out_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": out_doc,
+                        "ref_id": out_ref,
+                        "band": [band] * len(out_doc),
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    tmp = tempfile.mkdtemp(prefix="minhash_ttl_unord_")
+    try:
+        spool_roundrobin_batches(docs, "doc_id", tmp)
+        bands = _self_dedup_stream_bands(spark, tmp).withColumn(
+            "pfx", F.substring("band_key", 1, 1)
+        )
+        hits = bands.groupBy("band", "pfx").transformWithStateInPandas(
+            statefulProcessor=SortedWindow(),
+            outputStructType="doc_id bigint, ref_id bigint, band int",
+            outputMode="Update",
+            timeMode="None",
+        )
+        sink = _run_tws_update(spark, hits)
+        # reconcile: final predecessor per (doc, band) = max emitted ref
+        agg = (
+            sink.groupBy("band", "doc_id")
+            .agg(F.max("ref_id").alias("ref_id"))
+            .groupBy("doc_id", "ref_id")
+            .agg(F.count_distinct("band").alias("n_bands"))
+        )
+        rows = agg.collect()
+        out = spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # Keeper-aware online dedup oracle: 4 unrolled stages (the spool's batch
 # count is a constant), each probing the index of KEPT docs from prior
 # stages only. Batch ranges replicate spool_ordered_batches' arithmetic.

@@ -961,7 +961,20 @@ HAVING count(CASE WHEN event_id % 4 <> 0 THEN 1 END) > 0
         stream_text_minhash_self_dedup,
         stream_text_minhash_self_dedup_unordered,
         stream_text_minhash_ttl_dedup,
+        stream_text_minhash_ttl_dedup_unordered,
     )
+
+    query(
+        "stream_text_minhash_ttl_dedup_unordered",
+        oracle=_TTL_DEDUP_ORACLE,
+        doc="Horizon-bounded dedup under Kafka cross-partition disorder — "
+        "sorted per-key id window in one array-valued MapState entry, "
+        "adjacent-pair emission on merge, max-ref reconciliation on the "
+        "read-back; order-free TTL semantics under the ordered twin's "
+        "oracle VERBATIM (see stream_text_minhash_ttl_dedup_unordered "
+        "in dedup/dedup.py, incl. the honest disorder-bounded sweep "
+        "rule).",
+    )(stream_text_minhash_ttl_dedup_unordered)
 
     query(
         "stream_text_minhash_self_dedup",

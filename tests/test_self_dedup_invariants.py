@@ -342,3 +342,25 @@ def test_unordered_keeper_ledger_covers_every_doc(spark):
     n_docs = table(spark, SF, "documents").count()
     assert len(ledger) == n_docs
     assert all(r.kept for r in ledger if r.doc_id % 4 == 0)
+
+
+@pytest.mark.skipif(
+    not _has("stream_text_minhash_ttl_dedup_unordered"),
+    reason="protobuf-gated tws queries unavailable on this host",
+)
+def test_unordered_ttl_dedup_equals_ordered_twin(spark):
+    """TTL semantics are order-free on the event-time axis: the sorted-
+    window processor over a round-robin spool must emit the exact
+    (doc_id, ref_id, n_bands) set the ordered twin emits."""
+    specs = _specs()
+    unordered = {
+        (r.doc_id, r.ref_id, r.n_bands)
+        for r in specs["stream_text_minhash_ttl_dedup_unordered"]
+        .fn(spark, SF)
+        .collect()
+    }
+    ordered = {
+        (r.doc_id, r.ref_id, r.n_bands)
+        for r in specs["stream_text_minhash_ttl_dedup"].fn(spark, SF).collect()
+    }
+    assert unordered == ordered
