@@ -1070,3 +1070,34 @@ def test_state_partition_count_pinned_by_checkpoint(spark, stream_dir, tmp_path)
     )
     rows = {r.user_id: r.n for r in spark.table("ckpt_pin_test").collect()}
     assert rows == {1: 2, 2: 1}, rows
+
+
+def test_spool_handles_empty_buckets(spark, tmp_path):
+    """A sparse id space (here: every id lands in round-robin bucket 0)
+    must still produce n_batches spool files — absent buckets get empty
+    parquet placeholders with the right schema — and the streamed
+    replay must deliver every row (ADVICE r10: a missing _b=i dir used
+    to crash the spool with FileNotFoundError)."""
+    import os
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        spool_roundrobin_batches,
+    )
+
+    df = spark.createDataFrame(
+        [(i * 4, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    spool_roundrobin_batches(df, "doc_id", spool, n_batches=4)
+    files = sorted(f for f in os.listdir(spool) if f.startswith("batch_"))
+    assert files == [f"batch_{i}.parquet" for i in range(4)]
+    back = spark.read.parquet(*[os.path.join(spool, f) for f in files])
+    assert back.count() == 10
+    # the empty placeholders carry the schema, not rows
+    empties = [
+        f
+        for f in files
+        if spark.read.parquet(os.path.join(spool, f)).count() == 0
+    ]
+    assert len(empties) == 3

@@ -40,6 +40,7 @@ sys.path.insert(
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    unordered = len(sys.argv) > 3 and sys.argv[3] == "unordered"
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -113,6 +114,46 @@ def main() -> None:
         def close(self) -> None:
             pass
 
+    class MinIdOwners(StatefulProcessor):
+        """The DISORDER-TOLERANT processor (min-id reconciliation with
+        demotion) under the probe's worst case: with decreasing batch
+        offsets every probe-hit key DEMOTES every batch (get + update =
+        2 round trips per touched key, the maximum state traffic)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._owners = handle.getMapState(
+                "owners", "band_key string", "ref_id bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            band = int(key[0])
+            pdf = pd.concat(list(rows), ignore_index=True)
+            out_doc: list[int] = []
+            out_ref: list[int] = []
+            for bk, grp in pdf.groupby("band_key", sort=True):
+                ids = sorted(int(d) for d in grp["doc_id"])
+                cur = self._owners.getValue((bk,))
+                owner = int(cur[0]) if cur is not None else None
+                emit = ids
+                if owner is None or ids[0] < owner:
+                    demoted = owner
+                    owner = ids[0]
+                    self._owners.updateValue((bk,), (owner,))
+                    emit = ids[1:] + ([demoted] if demoted is not None else [])
+                out_doc.extend(emit)
+                out_ref.extend([owner] * len(emit))
+            if out_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": out_doc,
+                        "ref_id": out_ref,
+                        "band": [band] * len(out_doc),
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     batch_rows = docs.count()
     tmp = tempfile.mkdtemp(prefix="self_dedup_probe_")
@@ -125,8 +166,11 @@ def main() -> None:
         os.makedirs(data_dir)
         for i in range(k):
             stage = os.path.join(tmp, f"_stage_{i}")
+            # unordered mode: offsets DECREASE, so every probe-hit key
+            # demotes its owner every batch — the worst-case state load
+            off = ((k - i) if unordered else i) * 10_000_000
             batch = docs.select(
-                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                (F.col("doc_id") + off).alias("doc_id"),
                 F.when(
                     F.col("doc_id") % 2 == 1,
                     F.concat(F.col("text"), F.lit(f" probebatch{i}")),
@@ -171,7 +215,7 @@ def main() -> None:
             )
         )
         hits = bands.groupBy("band", "pfx").transformWithStateInPandas(
-            statefulProcessor=BandOwners(),
+            statefulProcessor=MinIdOwners() if unordered else BandOwners(),
             outputStructType="doc_id bigint, ref_id bigint, band int",
             outputMode="Update",
             timeMode="None",
@@ -217,6 +261,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "self_dedup_per_batch_cost",
+                "mode": "unordered" if unordered else "ordered",
                 "sf_dir": sf_dir,
                 "batches": len(times),
                 "rows_per_batch": batch_rows,
