@@ -165,6 +165,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_media_video_keeper_dedup",
     "stream_media_curation_report",
     "stream_text_minhash_keeper_dedup_unordered",
+    "stream_pack_training_sequences",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

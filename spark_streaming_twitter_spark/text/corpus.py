@@ -132,6 +132,140 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_pack_oracle() -> str:
+    """The batch packer's oracle VERBATIM (capstone convention): with the
+    ordered spool, arrival order == doc_id order, so incremental offset
+    assignment must reproduce the global concat-and-slice layout."""
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    return QUERIES["pack_training_sequences"].oracle
+
+
+@query(
+    "stream_pack_training_sequences",
+    oracle=_stream_pack_oracle(),
+    doc="AT-INGEST sequence packing — extends the streaming story from "
+    "curation to TRAINING-EXAMPLE construction: documents arrive in "
+    "micro-batches and each is assigned its GLOBAL token offset (and "
+    "the 2048-token training sequences it lands in) incrementally, "
+    "without ever re-scanning history. Per trigger the work is the "
+    "batch packer's own sharded two-stage cumsum restricted to the "
+    "batch's rows (stage-1 windows per shard in parallel, stage-2 over "
+    "#shards rows); the ONLY cross-batch coordination is one scalar — "
+    "the running token total, carried in foreachBatch and added to "
+    "every within-batch offset — which is the monotone 'offset "
+    "allocator' a production ingest owns anyway (the Kafka-offset "
+    "shape: a coordinator hands out ranges, workers fill them). "
+    "Per-doc rows land in an executor-written parquet ledger. Oracle "
+    "is the batch packer's VERBATIM; output bitwise-identical to "
+    "pack_training_sequences (invariant-tested) because the ordered "
+    "spool makes arrival order == id order — the layout a real "
+    "pipeline gets by packing per partition and concatenating offset "
+    "ranges.",
+)
+def stream_pack_training_sequences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_foreach_batch,
+        spool_ordered_batches,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_pack_")
+    ledger_dir = os.path.join(tmp, "ledger")
+    carry = {"offset": 0}
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        spool_ordered_batches(docs, "doc_id", tmp)
+
+        def pack_batch(bdf: DataFrame, _epoch_id: int) -> None:
+            bdf = bdf.persist()
+            toks = bdf.select(
+                "doc_id",
+                F.expr(f"doc_id DIV {PACK_SHARD}").alias("shard"),
+                F.size(tokens(F.col("text"))).cast("bigint").alias(
+                    "n_tokens"
+                ),
+            )
+            w_in = (
+                Window.partitionBy("shard")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            with_cs = toks.withColumn(
+                "cs_in_shard", F.sum("n_tokens").over(w_in)
+            )
+            shard_tot = toks.groupBy("shard").agg(
+                F.sum("n_tokens").alias("tot")
+            )
+            w_sh = Window.orderBy("shard").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            shard_pre = shard_tot.select(
+                "shard",
+                F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias(
+                    "shard_prefix"
+                ),
+            )
+            packed = (
+                with_cs.join(shard_pre, "shard")
+                .select(
+                    "doc_id",
+                    "n_tokens",
+                    (
+                        F.lit(carry["offset"])
+                        + F.col("shard_prefix")
+                        + F.col("cs_in_shard")
+                        - F.col("n_tokens")
+                    ).alias("start_offset"),
+                )
+                .select(
+                    "doc_id",
+                    "n_tokens",
+                    "start_offset",
+                    F.expr(f"start_offset DIV {SEQ_LEN}").alias("first_seq"),
+                    F.expr(
+                        f"CASE WHEN n_tokens = 0 "
+                        f"THEN start_offset DIV {SEQ_LEN} "
+                        f"ELSE (start_offset + n_tokens - 1) DIV {SEQ_LEN} "
+                        f"END"
+                    ).alias("last_seq"),
+                )
+            )
+            packed.write.mode("append").parquet(ledger_dir)
+            total = toks.agg(F.sum("n_tokens")).first()[0]
+            carry["offset"] += int(total or 0)
+            bdf.unpersist()
+
+        run_foreach_batch(
+            _stream_docs_from_spool(spark, tmp), pack_batch,
+            output_mode="append",
+        )
+        out = spark.read.parquet(ledger_dir).select(
+            "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq"
+        )
+        rows = out.collect()
+        result = spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+def _stream_docs_from_spool(spark: SparkSession, spool_dir: str) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    return (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .option("pathGlobFilter", "batch_*.parquet")
+        .parquet(spool_dir)
+    ).repartition(par)
+
+
 @query(
     "doc_chunk_windows",
     oracle=rf"""

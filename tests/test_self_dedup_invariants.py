@@ -364,3 +364,18 @@ def test_unordered_ttl_dedup_equals_ordered_twin(spark):
         for r in specs["stream_text_minhash_ttl_dedup"].fn(spark, SF).collect()
     }
     assert unordered == ordered
+
+
+def test_stream_packer_equals_batch_packer(spark):
+    """Incremental offset assignment (one carried scalar) reproduces the
+    batch concat-and-slice layout bitwise."""
+    specs = _specs()
+    stream = {
+        tuple(r)
+        for r in specs["stream_pack_training_sequences"].fn(spark, SF).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in specs["pack_training_sequences"].fn(spark, SF).collect()
+    }
+    assert stream == batch
