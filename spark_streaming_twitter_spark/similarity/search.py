@@ -2762,6 +2762,11 @@ def stream_cell_split_maintenance(
         ver1 = [(lab, n, c) for lab, n, c in ver0 if lab != big_label]
         for sd, newlab in ((0, big_label), (1, max(labels) + 1)):
             st = side_stats[sd]
+            # degenerate split (one member / all-identical vectors):
+            # dist1 < dist0 never holds, side 1 is empty — skip it, the
+            # oracle's GROUP BY side omits the empty side identically
+            if st[0][1] == 0:
+                continue
             ver1.append((newlab, st[0][1], cent_str(st)))
         out_rows = [(0, lab, n, c) for lab, n, c in ver0] + [
             (1, lab, n, c) for lab, n, c in ver1

@@ -92,17 +92,22 @@ def _spool_bucketed(
     empty_src: str | None = None
     for i in range(n_batches):
         bdir = os.path.join(stage, f"_b={i}")
-        part = next(
-            (
-                f
-                for f in (os.listdir(bdir) if os.path.isdir(bdir) else ())
-                if f.endswith(".parquet")
-            ),
-            None,
-        )
+        parts = [
+            f
+            for f in (os.listdir(bdir) if os.path.isdir(bdir) else ())
+            if f.endswith(".parquet")
+        ]
+        # repartition("_b") guarantees one file per bucket; if that
+        # invariant ever breaks (a committed second file would silently
+        # drop rows from the spool), fail loudly instead of truncating
+        if len(parts) > 1:
+            raise AssertionError(
+                f"spool bucket _b={i} has {len(parts)} parquet files; "
+                "expected exactly 1 (repartition by bucket broken?)"
+            )
         dst = os.path.join(spool_dir, f"batch_{i}.parquet")
-        if part is not None:
-            shutil.move(os.path.join(bdir, part), dst)
+        if parts:
+            shutil.move(os.path.join(bdir, parts[0]), dst)
         else:
             if empty_src is None:
                 edir = os.path.join(stage, "_empty")

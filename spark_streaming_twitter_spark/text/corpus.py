@@ -184,9 +184,18 @@ def stream_pack_training_sequences(
 
         def pack_batch(bdf: DataFrame, _epoch_id: int) -> None:
             bdf = bdf.persist()
-            toks = bdf.select(
+            # the batch packer's DYNAMIC shard size (from this batch's max
+            # doc_id): offsets are shard-size invariant, but a hardcoded
+            # shard would leave the stage-2 window over shard totals
+            # unbounded for sparse/large id spaces — the same #shards cap
+            # must hold per batch
+            max_id = bdf.agg(F.max("doc_id").alias("max_doc_id"))
+            toks = bdf.crossJoin(F.broadcast(max_id)).select(
                 "doc_id",
-                F.expr(f"doc_id DIV {PACK_SHARD}").alias("shard"),
+                F.expr(
+                    f"doc_id DIV greatest({PACK_SHARD}L, "
+                    f"max_doc_id DIV {PACK_MAX_SHARDS} + 1)"
+                ).alias("shard"),
                 F.size(tokens(F.col("text"))).cast("bigint").alias(
                     "n_tokens"
                 ),
