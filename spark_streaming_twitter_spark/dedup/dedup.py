@@ -1246,6 +1246,156 @@ def stream_text_minhash_ttl_dedup_unordered(
     return out
 
 
+def stream_text_minhash_ttl_dedup_bounded_disorder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HORIZON-BOUNDED dedup under BOUNDED disorder with a WATERMARK-SWEPT
+    state bound — the production form of the unordered TTL above, and
+    the one component of the disorder family whose state previously had
+    no demonstrated bound. Real Kafka disorder is not unbounded: a
+    consumer group's cross-partition interleave delays a record by at
+    most the partition lag the watermark delay D already budgets for.
+    Under that contract every per-key sorted id window CAN be swept:
+
+      evict id  <=>  (BASE + id + horizon) * 1000 < watermark_ms
+
+    i.e. ids below watermark - horizon - D of the max event time, since
+    the watermark itself runs D behind. Why the sweep can never change
+    output: (a) as a REF — any future arrival s has ts >= watermark, so
+    s - id > horizon: the pair would fail the horizon check anyway;
+    (b) as a DOC — id's own pairs were emitted at insertion, and no
+    future arrival can slot BELOW an evicted id (a late p < id would
+    need ts_p >= watermark > BASE + id + horizon > ts_p — contradiction),
+    so no false adjacency ever forms across the evicted gap. Emission,
+    reconciliation (final ref = max emitted ref), and the oracle are the
+    unordered twin's VERBATIM; the fixture is a block-reversed spool
+    whose disorder bound D feeds both the watermark delay and the sweep.
+    State is bounded by horizon + D of event time per key — at 100 TB
+    the difference between a TTL dedup and a slow unbounded one
+    (tools/self_dedup_cost_probe.py ttl mode measures the bound)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        spool_block_reversed_batches,
+    )
+    from spark_streaming_twitter_spark.streaming.queries import (
+        _forward_vendored_protobuf_to_workers,
+        _run_tws_update,
+    )
+
+    _forward_vendored_protobuf_to_workers(spark)
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    horizon = (hi - lo + 1) // 2
+
+    tmp = tempfile.mkdtemp(prefix="minhash_ttl_bounded_")
+    try:
+        disorder_bound = spool_block_reversed_batches(docs, "doc_id", tmp)
+
+        class SweptWindow(StatefulProcessor):
+            """band_key -> sorted id window; watermark - horizon - D
+            sweep via event-time timers."""
+
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._h = handle
+                self._w = handle.getMapState(
+                    "window", "band_key string", "ids array<bigint>"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                band = int(key[0])
+                pdf = pd.concat(list(rows), ignore_index=True)
+                out_doc: list[int] = []
+                out_ref: list[int] = []
+                batch_max = int(pdf["doc_id"].max())
+                for bk, grp in pdf.groupby("band_key", sort=True):
+                    new = {int(d) for d in grp["doc_id"]}
+                    cur = self._w.getValue((bk,))
+                    merged = sorted(
+                        new.union(int(x) for x in cur[0])
+                    ) if cur is not None else sorted(new)
+                    for p, s in zip(merged, merged[1:]):
+                        if (p in new or s in new) and s - p <= horizon:
+                            out_doc.append(s)
+                            out_ref.append(p)
+                    self._w.updateValue((bk,), (merged,))
+                # one sweep timer per batch: fires once the watermark
+                # (which runs D behind max event time) passes batch-max
+                # + horizon, when everything inserted in or before THIS
+                # batch can start aging out
+                for t in list(self._h.listTimers()):
+                    self._h.deleteTimer(t)
+                self._h.registerTimer(
+                    (_TTL_TS_BASE + batch_max + horizon + 1) * 1000
+                )
+                if out_doc:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": out_doc,
+                            "ref_id": out_ref,
+                            "band": [band] * len(out_doc),
+                        }
+                    )
+
+            def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+                wm_ms = timerValues.getCurrentWatermarkInMs()
+                stale = []
+                for k_, v_ in self._w.iterator():
+                    ids = [int(x) for x in v_[0]]
+                    keep = [
+                        i
+                        for i in ids
+                        if (_TTL_TS_BASE + i + horizon) * 1000 >= wm_ms
+                    ]
+                    if len(keep) != len(ids):
+                        stale.append((k_[0], keep))
+                for bk, keep in stale:
+                    if keep:
+                        self._w.updateValue((bk,), (keep,))
+                    else:
+                        self._w.removeKey((bk,))
+                return iter(())
+
+            def close(self) -> None:
+                pass
+
+        bands = (
+            _self_dedup_stream_bands(spark, tmp)
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(F.lit(_TTL_TS_BASE) + F.col("doc_id")),
+            )
+            .withWatermark("ts", f"{disorder_bound} seconds")
+            .withColumn("pfx", F.substring("band_key", 1, 1))
+        )
+        hits = bands.groupBy("band", "pfx").transformWithStateInPandas(
+            statefulProcessor=SweptWindow(),
+            outputStructType="doc_id bigint, ref_id bigint, band int",
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+        sink = _run_tws_update(spark, hits)
+        agg = (
+            sink.groupBy("band", "doc_id")
+            .agg(F.max("ref_id").alias("ref_id"))
+            .groupBy("doc_id", "ref_id")
+            .agg(F.count_distinct("band").alias("n_bands"))
+        )
+        rows = agg.collect()
+        out = spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # Keeper-aware online dedup oracle: 4 unrolled stages (the spool's batch
 # count is a constant), each probing the index of KEPT docs from prior
 # stages only. Batch ranges replicate spool_ordered_batches' arithmetic.

@@ -1386,8 +1386,15 @@ def _chunk_keeper_oracle(
     n_chunks: int,
     chunk_bits: int,
     radius: int,
+    batch_label: str | None = None,
 ) -> str:
     mask = (1 << chunk_bits) - 1
+    batch_label = batch_label or (
+        """CASE WHEN s.media_id <= lo + (hi - lo + 1) * 1 // 4 THEN 0
+              WHEN s.media_id <= lo + (hi - lo + 1) * 2 // 4 THEN 1
+              WHEN s.media_id <= lo + (hi - lo + 1) * 3 // 4 THEN 2
+              ELSE 3 END"""
+    )
     stages = []
     prev_idx = "idx0"
     for k in (1, 2, 3):
@@ -1424,10 +1431,7 @@ kchunks AS (
 rng AS (SELECT min(media_id) AS lo, max(media_id) AS hi FROM {rng_rel}),
 bat AS (
   SELECT s.media_id, s.sig, s.c, s.chunk_val,
-         CASE WHEN s.media_id <= lo + (hi - lo + 1) * 1 // 4 THEN 0
-              WHEN s.media_id <= lo + (hi - lo + 1) * 2 // 4 THEN 1
-              WHEN s.media_id <= lo + (hi - lo + 1) * 3 // 4 THEN 2
-              ELSE 3 END AS b
+         {batch_label} AS b
   FROM kchunks s CROSS JOIN rng
 ),
 h0 AS (
@@ -1443,10 +1447,10 @@ FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1
 """
 
 
-def _phash_keeper_oracle() -> str:
+def _phash_keeper_oracle(batch_label: str | None = None) -> str:
     return _chunk_keeper_oracle(
         _PHASH_SIGS_SQL, "sigs", "dhash", "imgs",
-        PHASH_CHUNKS, 14, PHASH_RADIUS,
+        PHASH_CHUNKS, 14, PHASH_RADIUS, batch_label=batch_label,
     )
 
 
@@ -1460,6 +1464,7 @@ def _chunk_keeper_stream(
     radius: int,
     caption_docs: "DataFrame | None" = None,
     caption_dir: "str | None" = None,
+    roundrobin: bool = False,
 ) -> DataFrame:
     """Keeper-aware online chunk-LSH dedup stream, generic over the
     signature family (image dHash, audio fingerprint): probe every
@@ -1484,6 +1489,7 @@ def _chunk_keeper_stream(
     from spark_streaming_twitter_spark.streaming.harness import (
         run_foreach_batch,
         spool_ordered_batches,
+        spool_roundrobin_batches,
     )
 
     mask = (1 << chunk_bits) - 1
@@ -1492,7 +1498,10 @@ def _chunk_keeper_stream(
     ledger_dir = os.path.join(tmp, "ledger")
     state = {"has_index": False}
     try:
-        spool_ordered_batches(src, "media_id", tmp)
+        spool = (
+            spool_roundrobin_batches if roundrobin else spool_ordered_batches
+        )
+        spool(src, "media_id", tmp)
         par = spark.sparkContext.defaultParallelism
         stream = (
             spark.readStream.schema("media_id long, payload binary")
@@ -2126,7 +2135,13 @@ def stream_media_video_ttl_dedup(
 # Video keeper oracle: 4 unrolled epochs over the kept-clip frame index
 # (frame_sig, kept_id); a clip drops when it shares >= VIDEO_MIN_SHARED
 # distinct frames with ANY kept clip; n_index_hits counts those clips.
-def _video_keeper_oracle() -> str:
+def _video_keeper_oracle(batch_label: str | None = None) -> str:
+    batch_label = batch_label or (
+        """CASE WHEN s.media_id <= lo + (hi - lo + 1) * 1 // 4 THEN 0
+              WHEN s.media_id <= lo + (hi - lo + 1) * 2 // 4 THEN 1
+              WHEN s.media_id <= lo + (hi - lo + 1) * 3 // 4 THEN 2
+              ELSE 3 END"""
+    )
     stages = []
     prev_idx = "idx0"
     for k in (1, 2, 3):
@@ -2161,10 +2176,7 @@ dsigs AS (SELECT DISTINCT media_id, frame_sig FROM vsigs),
 rng AS (SELECT min(media_id) AS lo, max(media_id) AS hi FROM vids),
 bat AS (
   SELECT s.media_id, s.frame_sig,
-         CASE WHEN s.media_id <= lo + (hi - lo + 1) * 1 // 4 THEN 0
-              WHEN s.media_id <= lo + (hi - lo + 1) * 2 // 4 THEN 1
-              WHEN s.media_id <= lo + (hi - lo + 1) * 3 // 4 THEN 2
-              ELSE 3 END AS b
+         {batch_label} AS b
   FROM dsigs s CROSS JOIN rng
 ),
 h0 AS (
@@ -2204,6 +2216,12 @@ FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1
 def stream_media_video_keeper_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return _video_keeper_stream(spark, sf_dir, roundrobin=False)
+
+
+def _video_keeper_stream(
+    spark: SparkSession, sf_dir: str, roundrobin: bool
+) -> DataFrame:
     import os
     import shutil
     import tempfile
@@ -2211,6 +2229,7 @@ def stream_media_video_keeper_dedup(
     from spark_streaming_twitter_spark.streaming.harness import (
         run_foreach_batch,
         spool_ordered_batches,
+        spool_roundrobin_batches,
     )
 
     tmp = tempfile.mkdtemp(prefix="vfp_keeper_stream_")
@@ -2219,7 +2238,10 @@ def stream_media_video_keeper_dedup(
     state = {"has_index": False}
     try:
         src = fp_video_table(spark, sf_dir)
-        spool_ordered_batches(src, "media_id", tmp)
+        spool = (
+            spool_roundrobin_batches if roundrobin else spool_ordered_batches
+        )
+        spool(src, "media_id", tmp)
         par = spark.sparkContext.defaultParallelism
         stream = (
             spark.readStream.schema("media_id long, payload binary")
@@ -3090,6 +3112,377 @@ def stream_media_video_self_dedup_unordered(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def _chunk_ttl_unordered_stream(
+    spark: SparkSession,
+    src: DataFrame,
+    sig_stream,
+    sig_col: str,
+    n_chunks: int,
+    chunk_bits: int,
+    radius: int,
+) -> DataFrame:
+    """HORIZON-BOUNDED media dedup under Kafka CROSS-PARTITION DISORDER,
+    generic over the chunk-LSH signature family — the media twin of
+    stream_text_minhash_ttl_dedup_unordered: TTL semantics are
+    order-free on the event-time axis, but under disorder a bucket's
+    within-horizon predecessor may ARRIVE after the item it should
+    flag, so MapState keeps the SORTED (media_id, sig) window per chunk
+    bucket (two parallel arrays in one entry); each batch merges its
+    pairs in and emits every ADJACENT pair with a new endpoint and id
+    distance <= horizon, carrying BOTH signatures. The Hamming verify
+    moves to the READ-BACK against the FINAL immediate predecessor
+    (= max emitted ref per (bucket, media), since gap-filling only
+    moves a predecessor UP) — verifying in-processor would pin the
+    check to a predecessor a later batch may displace. Bit-identical
+    to the ordered twin for any arrival order. State bound as in the
+    text twin: unbounded under this fixture's unbounded disorder
+    (timeMode None); production sweep = the bounded-disorder variant's
+    watermark - horizon - D rule (dedup/dedup.py)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        spool_roundrobin_batches,
+    )
+    from spark_streaming_twitter_spark.streaming.queries import (
+        _forward_vendored_protobuf_to_workers,
+        _run_tws_update,
+    )
+
+    _forward_vendored_protobuf_to_workers(spark)
+    mask = (1 << chunk_bits) - 1
+    lo, hi = src.agg(F.min("media_id"), F.max("media_id")).first()
+    horizon = (hi - lo + 1) // 2
+
+    class SortedSigWindow(StatefulProcessor):
+        """chunk_val -> sorted (media_id, sig) window (parallel arrays)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._w = handle.getMapState(
+                "window",
+                "chunk_val bigint",
+                "ids array<bigint>, sigs array<bigint>",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            c = int(key[0])
+            pdf = pd.concat(list(rows), ignore_index=True)
+            out: dict[str, list] = {
+                "c": [],
+                "chunk_val": [],
+                "media_id": [],
+                "sig": [],
+                "ref_id": [],
+                "ref_sig": [],
+            }
+            for cv, grp in pdf.groupby("chunk_val", sort=True):
+                cv = int(cv)
+                new = {
+                    int(m): int(d)
+                    for m, d in zip(grp["media_id"], grp["sig"])
+                }
+                cur = self._w.getValue((cv,))
+                window = dict(new)
+                if cur is not None:
+                    window.update(
+                        {int(i): int(s) for i, s in zip(cur[0], cur[1])}
+                    )
+                merged = sorted(window)
+                for p, s in zip(merged, merged[1:]):
+                    if (p in new or s in new) and s - p <= horizon:
+                        out["c"].append(c)
+                        out["chunk_val"].append(cv)
+                        out["media_id"].append(s)
+                        out["sig"].append(window[s])
+                        out["ref_id"].append(p)
+                        out["ref_sig"].append(window[p])
+                self._w.updateValue(
+                    (cv,), (merged, [window[i] for i in merged])
+                )
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    tmp = tempfile.mkdtemp(prefix="chunk_ttl_unord_")
+    try:
+        spool_roundrobin_batches(src, "media_id", tmp)
+        par = spark.sparkContext.defaultParallelism
+        stream = (
+            spark.readStream.schema("media_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .option("pathGlobFilter", "batch_*.parquet")
+            .parquet(tmp)
+        )
+        chunks = (
+            sig_stream(stream.repartition(par))
+            .select(
+                "media_id",
+                F.col(sig_col).alias("sig"),
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(n_chunks - 1))
+                ).alias("c"),
+            )
+            .withColumn(
+                "chunk_val",
+                F.expr(f"shiftright(sig, c * {chunk_bits})")
+                .bitwiseAND(F.lit(mask))
+                .cast("bigint"),
+            )
+            .withColumn("pfx", F.col("chunk_val") % 16)
+        )
+        hits = chunks.groupBy("c", "pfx").transformWithStateInPandas(
+            statefulProcessor=SortedSigWindow(),
+            outputStructType=(
+                "c int, chunk_val bigint, media_id bigint, sig bigint, "
+                "ref_id bigint, ref_sig bigint"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        sink = _run_tws_update(spark, hits)
+        # reconcile: final immediate predecessor per (bucket, media) =
+        # max emitted (ref_id, ref_sig); Hamming verify on the read-back
+        agg = sink.groupBy("c", "chunk_val", "media_id", "sig").agg(
+            F.max(F.struct("ref_id", "ref_sig")).alias("r")
+        )
+        hamming = F.bit_count(F.col("sig").bitwiseXOR(F.col("r.ref_sig")))
+        res = (
+            agg.where(hamming <= radius)
+            .select(
+                "media_id",
+                F.col("r.ref_id").alias("ref_id"),
+                hamming.cast("int").alias("hamming"),
+            )
+            .distinct()
+        )
+        rows = res.collect()
+        out = spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def stream_media_phash_ttl_dedup_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Disorder-tolerant IMAGE TTL dedup (see
+    _chunk_ttl_unordered_stream)."""
+    return _chunk_ttl_unordered_stream(
+        spark,
+        phash_media_table(spark, sf_dir),
+        perceptual_hashes,
+        "dhash",
+        PHASH_CHUNKS,
+        14,
+        PHASH_RADIUS,
+    )
+
+
+def stream_media_audio_ttl_dedup_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Disorder-tolerant AUDIO TTL dedup (see
+    _chunk_ttl_unordered_stream)."""
+    return _chunk_ttl_unordered_stream(
+        spark,
+        fp_audio_table(spark, sf_dir),
+        audio_fingerprints,
+        "fingerprint",
+        AFP_CHUNKS,
+        12,
+        AFP_RADIUS,
+    )
+
+
+def stream_media_video_ttl_dedup_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HORIZON-BOUNDED VIDEO dedup under CROSS-PARTITION DISORDER — the
+    frame-signature instance of the sorted-window TTL: MapState keeps
+    the sorted clip-id window per frame signature, each batch emits
+    adjacent within-horizon (pred, clip) pairs with a new endpoint,
+    and the read-back reconciles each (signature, clip)'s final
+    predecessor as max emitted ref before applying the
+    >= 8-shared-DISTINCT-frames pair threshold — bit-identical to the
+    ordered video TTL twin under the same order-free oracle."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        spool_roundrobin_batches,
+    )
+    from spark_streaming_twitter_spark.streaming.queries import (
+        _forward_vendored_protobuf_to_workers,
+        _run_tws_update,
+    )
+
+    _forward_vendored_protobuf_to_workers(spark)
+
+    src = fp_video_table(spark, sf_dir)
+    lo, hi = src.agg(F.min("media_id"), F.max("media_id")).first()
+    horizon = (hi - lo + 1) // 2
+
+    class SortedIdWindow(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._w = handle.getMapState(
+                "window", "frame_sig bigint", "ids array<bigint>"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows), ignore_index=True)
+            out: dict[str, list] = {
+                "media_id": [],
+                "ref_id": [],
+                "frame_sig": [],
+            }
+            for sig, grp in pdf.groupby("frame_sig", sort=True):
+                sig = int(sig)
+                new = {int(m) for m in grp["media_id"]}
+                cur = self._w.getValue((sig,))
+                merged = sorted(
+                    new.union(int(x) for x in cur[0])
+                ) if cur is not None else sorted(new)
+                for p, s in zip(merged, merged[1:]):
+                    if (p in new or s in new) and s - p <= horizon:
+                        out["media_id"].append(s)
+                        out["ref_id"].append(p)
+                        out["frame_sig"].append(sig)
+                self._w.updateValue((sig,), (merged,))
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    tmp = tempfile.mkdtemp(prefix="vfp_ttl_unord_")
+    try:
+        spool_roundrobin_batches(src, "media_id", tmp)
+        par = spark.sparkContext.defaultParallelism
+        stream = (
+            spark.readStream.schema("media_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .option("pathGlobFilter", "batch_*.parquet")
+            .parquet(tmp)
+        )
+        sigs = (
+            video_frame_signatures(stream.repartition(par))
+            .select("media_id", "frame_sig")
+            .withColumn("pfx", F.pmod(F.col("frame_sig"), F.lit(64)))
+        )
+        hits = sigs.groupBy("pfx").transformWithStateInPandas(
+            statefulProcessor=SortedIdWindow(),
+            outputStructType=(
+                "media_id bigint, ref_id bigint, frame_sig bigint"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        sink = _run_tws_update(spark, hits)
+        agg = (
+            sink.groupBy("frame_sig", "media_id")
+            .agg(F.max("ref_id").alias("ref_id"))
+            .groupBy("media_id", "ref_id")
+            .agg(F.count_distinct("frame_sig").alias("n_shared"))
+            .where(F.col("n_shared") >= VIDEO_MIN_SHARED)
+        )
+        rows = agg.collect()
+        out = spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query(
+    "stream_media_phash_keeper_dedup_unordered",
+    oracle=_phash_keeper_oracle(batch_label="s.media_id % 4"),
+    doc="KEEPER-AWARE online IMAGE dedup under Kafka CROSS-PARTITION "
+    "DISORDER — the media twin of stream_text_minhash_keeper_dedup_"
+    "unordered: the same strict-quarantine foreachBatch pipeline "
+    "(verbatim code path) over a round-robin spool where every "
+    "micro-batch spans the full media_id range. Keeper semantics are "
+    "arrival-DEFINED (decision granularity is the micro-batch), so "
+    "disorder tolerance means the machinery assumes nothing about id "
+    "order; the oracle replays the SAME round-robin batching "
+    "(b = media_id % 4) through the identical 4-epoch CTE chain with "
+    "the Hamming verify in the hit join, and the ledger matches "
+    "bitwise.",
+)
+def stream_media_phash_keeper_dedup_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _chunk_keeper_stream(
+        spark,
+        phash_media_table(spark, sf_dir),
+        perceptual_hashes,
+        "dhash",
+        PHASH_CHUNKS,
+        14,
+        PHASH_RADIUS,
+        roundrobin=True,
+    )
+
+
+@query(
+    "stream_media_audio_keeper_dedup_unordered",
+    oracle=_chunk_keeper_oracle(
+        _AFP_SIGS_SQL, "afps", "fingerprint", "auds",
+        AFP_CHUNKS, 12, AFP_RADIUS, batch_label="s.media_id % 4",
+    ),
+    doc="KEEPER-AWARE online AUDIO dedup under CROSS-PARTITION DISORDER "
+    "— the acoustic-fingerprint instance of the round-robin keeper: "
+    "arrival-defined quarantine semantics replayed exactly by the "
+    "oracle's b = media_id % 4 epoch chain (48-bit Hamming verify "
+    "<= 6 in the hit join), machinery id-order-free.",
+)
+def stream_media_audio_keeper_dedup_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _chunk_keeper_stream(
+        spark,
+        fp_audio_table(spark, sf_dir),
+        audio_fingerprints,
+        "fingerprint",
+        AFP_CHUNKS,
+        12,
+        AFP_RADIUS,
+        roundrobin=True,
+    )
+
+
+@query(
+    "stream_media_video_keeper_dedup_unordered",
+    oracle=_video_keeper_oracle(batch_label="s.media_id % 4"),
+    doc="KEEPER-AWARE online VIDEO dedup under CROSS-PARTITION DISORDER "
+    "— the frame-signature instance of the round-robin keeper: per "
+    "micro-batch (b = media_id % 4, every batch spans the full id "
+    "range) each clip's distinct frame signatures probe the kept-clip "
+    "frame index, drop at >= 8 shared distinct frames with any kept "
+    "clip, only kept clips' signatures join the index; the oracle "
+    "replays the same batching through the 4-epoch chain and the "
+    "ledger matches bitwise.",
+)
+def stream_media_video_keeper_dedup_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _video_keeper_stream(spark, sf_dir, roundrobin=True)
 
 
 def _stream_media_curation_oracle() -> str:

@@ -160,6 +160,43 @@ def spool_roundrobin_batches(
     )
 
 
+def spool_block_reversed_batches(
+    df: DataFrame,
+    id_col: str,
+    spool_dir: str,
+    n_batches: int = 6,
+    block: int | None = None,
+) -> int:
+    """BOUNDED-disorder spool — the production middle ground between
+    ``spool_ordered_batches`` (no disorder) and
+    ``spool_roundrobin_batches`` (unbounded disorder): arrival order is
+    id order with each ``block``-sized id block REVERSED, then cut into
+    ``n_batches`` equal arrival-rank ranges. Blocks straddle batch
+    boundaries (block defaults to half a batch), so ids genuinely arrive
+    across batches out of order — but displacement is bounded: when id x
+    arrives, every earlier arrival is <= x + block - 1. Returns the
+    disorder bound D = block: with event time ts = BASE + id seconds, a
+    watermark delay of D seconds never drops a row (max lateness is
+    D - 1 s), which is exactly the bounded-delay contract a real Kafka
+    consumer group provides and the watermark-swept TTL dedup's state
+    bound relies on."""
+    lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
+    n = hi - lo + 1
+    if block is None:
+        block = max(2, n // (2 * n_batches))
+    idn = F.col(id_col) - F.lit(lo)
+    ak = (
+        idn
+        - F.pmod(idn, F.lit(block))
+        + (F.lit(block - 1) - F.pmod(idn, F.lit(block)))
+    )
+    b = F.lit(0)
+    for q in range(1, n_batches):
+        b = b + (ak >= F.lit(n * q // n_batches)).cast("int")
+    _spool_bucketed(df, b, spool_dir, n_batches)
+    return block
+
+
 @contextmanager
 def _scoped_shuffle_partitions(spark: SparkSession) -> Iterator[None]:
     """Pin shuffle partitions to cluster parallelism for a streaming run.

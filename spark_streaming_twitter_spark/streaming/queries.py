@@ -961,8 +961,26 @@ HAVING count(CASE WHEN event_id % 4 <> 0 THEN 1 END) > 0
         stream_text_minhash_self_dedup,
         stream_text_minhash_self_dedup_unordered,
         stream_text_minhash_ttl_dedup,
+        stream_text_minhash_ttl_dedup_bounded_disorder,
         stream_text_minhash_ttl_dedup_unordered,
     )
+
+    query(
+        "stream_text_minhash_ttl_dedup_bounded_disorder",
+        oracle=_TTL_DEDUP_ORACLE,
+        doc="Horizon-bounded dedup under BOUNDED disorder with the "
+        "watermark-swept state bound — the production completion of the "
+        "unordered TTL: a block-reversed spool provides the bounded-"
+        "delay contract a Kafka consumer group gives (disorder bound D "
+        "feeds the watermark delay), and event-time timers sweep each "
+        "per-key sorted id window below watermark - horizon (the "
+        "watermark already runs D behind), so state is bounded by "
+        "horizon + D of event time per key instead of stream history. "
+        "Sweep timing provably cannot change output; oracle is the "
+        "ordered twin's VERBATIM (see stream_text_minhash_ttl_dedup_"
+        "bounded_disorder in dedup/dedup.py for the eviction-safety "
+        "argument).",
+    )(stream_text_minhash_ttl_dedup_bounded_disorder)
 
     query(
         "stream_text_minhash_ttl_dedup_unordered",
@@ -1016,14 +1034,47 @@ HAVING count(CASE WHEN event_id % 4 <> 0 THEN 1 END) > 0
         _VIDEO_TTL_DEDUP_ORACLE,
         stream_media_audio_self_dedup,
         stream_media_audio_ttl_dedup,
+        stream_media_audio_ttl_dedup_unordered,
         stream_media_audio_self_dedup_unordered,
         stream_media_phash_self_dedup,
         stream_media_phash_self_dedup_unordered,
         stream_media_phash_ttl_dedup,
+        stream_media_phash_ttl_dedup_unordered,
         stream_media_video_self_dedup,
         stream_media_video_self_dedup_unordered,
         stream_media_video_ttl_dedup,
+        stream_media_video_ttl_dedup_unordered,
     )
+
+    query(
+        "stream_media_phash_ttl_dedup_unordered",
+        oracle=_PHASH_TTL_DEDUP_ORACLE,
+        doc="Horizon-bounded IMAGE dedup under Kafka cross-partition "
+        "disorder — sorted (media_id, dhash) window per chunk bucket in "
+        "one array-valued MapState entry, adjacent-pair emission on "
+        "merge, Hamming verify moved to the read-back against the "
+        "max-ref-reconciled final predecessor; order-free TTL semantics "
+        "under the ordered twin's oracle VERBATIM (see "
+        "_chunk_ttl_unordered_stream in multimodal/phash.py).",
+    )(stream_media_phash_ttl_dedup_unordered)
+    query(
+        "stream_media_audio_ttl_dedup_unordered",
+        oracle=_AFP_TTL_DEDUP_ORACLE,
+        doc="Horizon-bounded AUDIO dedup under cross-partition disorder "
+        "— the acoustic-fingerprint instance of the sorted-window TTL "
+        "with the 48-bit Hamming verify on the reconciled read-back "
+        "(see _chunk_ttl_unordered_stream in multimodal/phash.py).",
+    )(stream_media_audio_ttl_dedup_unordered)
+    query(
+        "stream_media_video_ttl_dedup_unordered",
+        oracle=_VIDEO_TTL_DEDUP_ORACLE,
+        doc="Horizon-bounded VIDEO dedup under cross-partition disorder "
+        "— sorted clip-id window per frame signature, adjacent-pair "
+        "emission, max-ref reconciliation per (signature, clip), then "
+        "the >= 8-shared-distinct-frames threshold on the read-back "
+        "(see stream_media_video_ttl_dedup_unordered in "
+        "multimodal/phash.py).",
+    )(stream_media_video_ttl_dedup_unordered)
 
     query(
         "stream_media_phash_self_dedup_unordered",
