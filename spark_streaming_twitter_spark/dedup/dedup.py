@@ -1043,13 +1043,16 @@ def stream_text_minhash_ttl_dedup(
                         out_ref.append(last)
                     last = d
                 self._last.updateValue((bk,), (last,))
-            # one TTL sweep timer per batch: fires once the watermark
-            # passes batch-max + horizon, when everything last refreshed
-            # in or before THIS batch is evictable
-            for t in list(self._h.listTimers()):
-                self._h.deleteTimer(t)
+            # one TTL sweep timer per batch at watermark + 1 ms,
+            # never deleted: a timer above the (one-batch-lagging)
+            # watermark is replaced before firing, and deletion in
+            # handleInputRows kills the expired-but-unprocessed timer in
+            # the same batch — so THIS registration is what makes the
+            # sweep actually run mid-stream (probe-verified); eviction
+            # re-checks the horizon against the watermark, so cadence
+            # cannot affect output
             self._h.registerTimer(
-                (_TTL_TS_BASE + batch_max + horizon + 1) * 1000
+                timerValues.getCurrentWatermarkInMs() + 1
             )
             if out_doc:
                 yield pd.DataFrame(
@@ -1327,14 +1330,17 @@ def stream_text_minhash_ttl_dedup_bounded_disorder(
                             out_doc.append(s)
                             out_ref.append(p)
                     self._w.updateValue((bk,), (merged,))
-                # one sweep timer per batch: fires once the watermark
-                # (which runs D behind max event time) passes batch-max
-                # + horizon, when everything inserted in or before THIS
-                # batch can start aging out
-                for t in list(self._h.listTimers()):
-                    self._h.deleteTimer(t)
+                # one sweep timer per batch at watermark + 1 ms,
+                # never deleted: a timer registered above the
+                # (one-batch-lagging) watermark gets replaced before it
+                # can fire, and deleting inside handleInputRows kills
+                # the expired-but-unprocessed timer within the same
+                # batch — both measured failure modes
+                # (tools/self_dedup_cost_probe.py ttl mode). Fired
+                # timers auto-remove; the eviction condition is
+                # watermark-based so cadence never affects output.
                 self._h.registerTimer(
-                    (_TTL_TS_BASE + batch_max + horizon + 1) * 1000
+                    timerValues.getCurrentWatermarkInMs() + 1
                 )
                 if out_doc:
                     yield pd.DataFrame(

@@ -1282,10 +1282,12 @@ def _chunk_ttl_dedup_stream(
                             out["hamming"].append(ham)
                     last = (mid, dh)
                 self._last.updateValue((cv,), last)
-            for t in list(self._h.listTimers()):
-                self._h.deleteTimer(t)
+            # watermark + 1 ms, never deleted — the registration
+            # that actually fires mid-stream (see the text TTL twin;
+            # probe-verified); eviction re-checks the horizon against
+            # the watermark, so sweep cadence cannot affect output
             self._h.registerTimer(
-                (_MEDIA_TTL_TS_BASE + batch_max + horizon + 1) * 1000
+                timerValues.getCurrentWatermarkInMs() + 1
             )
             if out["media_id"]:
                 yield pd.DataFrame(out)
@@ -2066,10 +2068,12 @@ def stream_media_video_ttl_dedup(
                         out["frame_sig"].append(sig)
                     last = mid
                 self._last.updateValue((sig,), (last,))
-            for t in list(self._h.listTimers()):
-                self._h.deleteTimer(t)
+            # watermark + 1 ms, never deleted — the registration
+            # that actually fires mid-stream (see the text TTL twin;
+            # probe-verified); eviction re-checks the horizon against
+            # the watermark, so sweep cadence cannot affect output
             self._h.registerTimer(
-                (_MEDIA_TTL_TS_BASE + batch_max + horizon + 1) * 1000
+                timerValues.getCurrentWatermarkInMs() + 1
             )
             if out["media_id"]:
                 yield pd.DataFrame(out)

@@ -166,6 +166,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_media_curation_report",
     "stream_text_minhash_keeper_dedup_unordered",
     "stream_pack_training_sequences",
+    # round-12 additions (tie-break order; protobuf-gated tws queries —
+    # the bounded-disorder TTL and the three media unordered TTLs —
+    # stay OFF this tuple, same bare-host rule as rounds 10/11)
+    "stream_media_phash_keeper_dedup_unordered",
+    "stream_media_audio_keeper_dedup_unordered",
+    "stream_media_video_keeper_dedup_unordered",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

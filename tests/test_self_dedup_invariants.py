@@ -379,3 +379,100 @@ def test_stream_packer_equals_batch_packer(spark):
         for r in specs["pack_training_sequences"].fn(spark, SF).collect()
     }
     assert stream == batch
+
+
+@pytest.mark.skipif(
+    not _has("stream_text_minhash_ttl_dedup_bounded_disorder"),
+    reason="protobuf-gated tws queries unavailable on this host",
+)
+def test_bounded_disorder_ttl_dedup_equals_ordered_twin(spark):
+    """The watermark-SWEPT sorted-window processor over a block-reversed
+    spool (bounded disorder D) must emit the exact ordered-twin set:
+    sweep timing provably cannot change output, and the bounded-delay
+    contract means no row is watermark-dropped."""
+    specs = _specs()
+    bounded = {
+        (r.doc_id, r.ref_id, r.n_bands)
+        for r in specs["stream_text_minhash_ttl_dedup_bounded_disorder"]
+        .fn(spark, SF)
+        .collect()
+    }
+    ordered = {
+        (r.doc_id, r.ref_id, r.n_bands)
+        for r in specs["stream_text_minhash_ttl_dedup"].fn(spark, SF).collect()
+    }
+    assert bounded == ordered
+
+
+@pytest.mark.skipif(
+    not _has("stream_media_phash_ttl_dedup_unordered"),
+    reason="protobuf-gated tws queries unavailable on this host",
+)
+@pytest.mark.parametrize(
+    "unordered_name,ordered_name",
+    [
+        ("stream_media_phash_ttl_dedup_unordered", "stream_media_phash_ttl_dedup"),
+        ("stream_media_audio_ttl_dedup_unordered", "stream_media_audio_ttl_dedup"),
+    ],
+)
+def test_unordered_media_ttl_dedup_equals_ordered_twin(
+    spark, unordered_name, ordered_name
+):
+    """Media TTL semantics are order-free: the sorted (id, sig) window
+    over a round-robin spool, with the Hamming verify moved to the
+    reconciled read-back, must emit the ordered twin's exact
+    (media_id, ref_id, hamming) set."""
+    specs = _specs()
+    unordered = {
+        (r.media_id, r.ref_id, r.hamming)
+        for r in specs[unordered_name].fn(spark, SF).collect()
+    }
+    ordered = {
+        (r.media_id, r.ref_id, r.hamming)
+        for r in specs[ordered_name].fn(spark, SF).collect()
+    }
+    assert unordered == ordered
+
+
+@pytest.mark.skipif(
+    not _has("stream_media_video_ttl_dedup_unordered"),
+    reason="protobuf-gated tws queries unavailable on this host",
+)
+def test_unordered_video_ttl_dedup_equals_ordered_twin(spark):
+    """Frame-signature TTL under disorder: max-ref reconciliation per
+    (signature, clip) then the shared-frames threshold must reproduce
+    the ordered twin's (media_id, ref_id, n_shared) set."""
+    specs = _specs()
+    unordered = {
+        (r.media_id, r.ref_id, r.n_shared)
+        for r in specs["stream_media_video_ttl_dedup_unordered"]
+        .fn(spark, SF)
+        .collect()
+    }
+    ordered = {
+        (r.media_id, r.ref_id, r.n_shared)
+        for r in specs["stream_media_video_ttl_dedup"].fn(spark, SF).collect()
+    }
+    assert unordered == ordered
+
+
+def test_unordered_media_keeper_ledgers_cover_every_item(spark):
+    """Disorder keepers (image/audio/video) still emit exactly one
+    decision row per item, and batch-0 items (ids ≡ 0 mod 4) are all
+    kept (they probe an empty index)."""
+    from spark_streaming_twitter_spark.multimodal.phash import (
+        fp_audio_table,
+        fp_video_table,
+        phash_media_table,
+    )
+
+    specs = _specs()
+    for qname, src_fn in [
+        ("stream_media_phash_keeper_dedup_unordered", phash_media_table),
+        ("stream_media_audio_keeper_dedup_unordered", fp_audio_table),
+        ("stream_media_video_keeper_dedup_unordered", fp_video_table),
+    ]:
+        ledger = specs[qname].fn(spark, SF).collect()
+        n_items = src_fn(spark, SF).count()
+        assert len(ledger) == n_items, qname
+        assert all(r.kept for r in ledger if r.media_id % 4 == 0), qname
