@@ -172,6 +172,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_media_phash_keeper_dedup_unordered",
     "stream_media_audio_keeper_dedup_unordered",
     "stream_media_video_keeper_dedup_unordered",
+    "pack_training_sequences_ranged",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

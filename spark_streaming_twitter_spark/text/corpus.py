@@ -275,6 +275,140 @@ def _stream_docs_from_spool(spark: SparkSession, spool_dir: str) -> DataFrame:
     ).repartition(par)
 
 
+PACK_PART_MIN = 4000  # MINIMUM docs per writer partition (range unit)
+PACK_MAX_PARTS = 10_000  # hard cap on coordinator-table rows
+
+
+@query(
+    "pack_training_sequences_ranged",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+mx AS (SELECT max(doc_id) AS m FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         doc_id // greatest({PACK_PART_MIN}, m // {PACK_MAX_PARTS} + 1)
+           AS part,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS start_offset
+  FROM toks CROSS JOIN mx
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // 2048 AS first_seq,
+       CASE WHEN n_tokens = 0 THEN start_offset // 2048
+            ELSE (start_offset + n_tokens - 1) // 2048 END AS last_seq,
+       CAST(part AS BIGINT) AS part,
+       CAST(min(start_offset) OVER (PARTITION BY part) AS BIGINT)
+         AS part_range_start
+FROM c
+""",
+    doc="MULTI-WRITER sequence packing — the production shape the "
+    "streaming packer's docstring promises ('a coordinator hands out "
+    "ranges, workers fill them'), demonstrated: documents are cut into "
+    "contiguous-id WRITER PARTITIONS (part = doc_id DIV part_span, "
+    "part_span adaptive like the shard size so the coordinator table "
+    "is provably <= 10^4 rows at any corpus size), the COORDINATOR "
+    "step is one cumsum over per-part token totals (bounded rows — "
+    "the only global synchronization, and the only thing a real "
+    "multi-writer ingest serializes), and each partition then packs "
+    "INDEPENDENTLY inside its handed-out offset range using the same "
+    "sharded two-stage cumsum, seeing nothing but its own rows plus "
+    "one scalar range start. Concatenating the per-part layouts in "
+    "part order tiles the global offset space with no gaps or "
+    "overlaps (invariant-tested) and reproduces pack_training_"
+    "sequences' concat-and-slice layout bitwise; the output adds the "
+    "(part, part_range_start) columns so the range handoff itself is "
+    "oracle-checked. At 100 TB: parts are the write tasks, the "
+    "coordinator is a <= 10^4-row broadcast, and no window ever spans "
+    "more than one partition's rows.",
+)
+def pack_training_sequences_ranged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = widen(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    max_id = docs.agg(F.max("doc_id").alias("max_doc_id"))
+    toks = docs.crossJoin(F.broadcast(max_id)).select(
+        "doc_id",
+        F.expr(
+            f"doc_id DIV greatest({PACK_PART_MIN}L, "
+            f"max_doc_id DIV {PACK_MAX_PARTS} + 1)"
+        ).alias("part"),
+        F.expr(
+            f"doc_id DIV greatest({PACK_SHARD}L, "
+            f"max_doc_id DIV {PACK_MAX_SHARDS} + 1)"
+        ).alias("shard"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    # COORDINATOR: per-part token totals -> range starts. The only
+    # cross-part window, bounded by PACK_MAX_PARTS rows.
+    part_tot = toks.groupBy("part").agg(F.sum("n_tokens").alias("tot"))
+    w_part = Window.orderBy("part").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    part_ranges = part_tot.select(
+        "part",
+        F.coalesce(F.sum("tot").over(w_part), F.lit(0)).alias(
+            "part_range_start"
+        ),
+    )
+    # WORKERS: each part packs independently — every window below is
+    # partitioned by part, so no stage sees another writer's rows.
+    w_in = (
+        Window.partitionBy("part", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_cs = toks.withColumn("cs_in_shard", F.sum("n_tokens").over(w_in))
+    shard_tot = toks.groupBy("part", "shard").agg(
+        F.sum("n_tokens").alias("tot")
+    )
+    w_sh = (
+        Window.partitionBy("part")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard_pre = shard_tot.select(
+        "part",
+        "shard",
+        F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias("shard_prefix"),
+    )
+    return (
+        with_cs.join(shard_pre, ["part", "shard"])
+        .join(F.broadcast(part_ranges), "part")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("part_range_start")
+                + F.col("shard_prefix")
+                + F.col("cs_in_shard")
+                - F.col("n_tokens")
+            ).alias("start_offset"),
+            "part",
+            "part_range_start",
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_offset",
+            F.expr(f"start_offset DIV {SEQ_LEN}").alias("first_seq"),
+            F.expr(
+                f"CASE WHEN n_tokens = 0 THEN start_offset DIV {SEQ_LEN} "
+                f"ELSE (start_offset + n_tokens - 1) DIV {SEQ_LEN} END"
+            ).alias("last_seq"),
+            "part",
+            "part_range_start",
+        )
+    )
+
+
 @query(
     "doc_chunk_windows",
     oracle=rf"""

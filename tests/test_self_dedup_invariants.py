@@ -476,3 +476,38 @@ def test_unordered_media_keeper_ledgers_cover_every_item(spark):
         n_items = src_fn(spark, SF).count()
         assert len(ledger) == n_items, qname
         assert all(r.kept for r in ledger if r.media_id % 4 == 0), qname
+
+
+def test_ranged_packer_tiles_offset_space(spark):
+    """Multi-writer packing invariant: per-partition layouts tile the
+    global offset space with no gaps or overlaps — each part starts at
+    its handed-out range start, ends exactly where the next part
+    begins, and the whole layout equals the single-writer packer's."""
+    specs = _specs()
+    rows = specs["pack_training_sequences_ranged"].fn(spark, SF).collect()
+    by_part: dict[int, list] = {}
+    for r in rows:
+        by_part.setdefault(r.part, []).append(r)
+    parts = sorted(by_part)
+    expected_start = 0
+    for p in parts:
+        prows = by_part[p]
+        range_start = {r.part_range_start for r in prows}
+        assert range_start == {expected_start}, (p, range_start)
+        assert min(r.start_offset for r in prows) == expected_start
+        # within-part layout is itself gap-free: offsets sorted by doc_id
+        # chain exactly
+        off = expected_start
+        for r in sorted(prows, key=lambda r: r.doc_id):
+            assert r.start_offset == off, (p, r.doc_id)
+            off += r.n_tokens
+        expected_start = off
+    plain = {
+        (r.doc_id, r.n_tokens, r.start_offset, r.first_seq, r.last_seq)
+        for r in specs["pack_training_sequences"].fn(spark, SF).collect()
+    }
+    ranged = {
+        (r.doc_id, r.n_tokens, r.start_offset, r.first_seq, r.last_seq)
+        for r in rows
+    }
+    assert ranged == plain
