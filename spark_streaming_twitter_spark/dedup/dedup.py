@@ -1843,6 +1843,12 @@ LEFT JOIN dupdocs dup ON dup.doc_id = q.doc_id
 def stream_corpus_ingest_pipeline(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return _ingest_pipeline_stream(spark, sf_dir, roundrobin=False, pack=False)
+
+
+def _ingest_pipeline_stream(
+    spark: SparkSession, sf_dir: str, roundrobin: bool, pack: bool
+) -> DataFrame:
     import os
     import shutil
     import tempfile
@@ -1850,6 +1856,7 @@ def stream_corpus_ingest_pipeline(
     from spark_streaming_twitter_spark.streaming.harness import (
         run_foreach_batch,
         spool_ordered_batches,
+        spool_roundrobin_batches,
     )
     from spark_streaming_twitter_spark.text.analysis import (
         quality_projection,
@@ -1858,7 +1865,9 @@ def stream_corpus_ingest_pipeline(
     tmp = tempfile.mkdtemp(prefix="ingest_pipeline_")
     idx_dir = os.path.join(tmp, "index")
     ledger_dir = os.path.join(tmp, "ledger")
+    pack_dir = os.path.join(tmp, "pack")
     state = {"has_index": False}
+    carry = {"offset": 0}
     bench = None
     try:
         docs = table(spark, sf_dir, "documents").select(
@@ -1879,7 +1888,10 @@ def stream_corpus_ingest_pipeline(
             .persist()
         )
         bench.count()
-        spool_ordered_batches(corpus, "doc_id", tmp)
+        spool = (
+            spool_roundrobin_batches if roundrobin else spool_ordered_batches
+        )
+        spool(corpus, "doc_id", tmp)
 
         def curate_batch(bdf: DataFrame, _epoch_id: int) -> None:
             bdf = bdf.persist()
@@ -1957,14 +1969,91 @@ def stream_corpus_ingest_pipeline(
             )
             # executor-written parquet curation ledger (the run's audit
             # table at 100 TB), not a driver list
-            q.join(dec, "doc_id").join(dup, "doc_id", "left").select(
-                "doc_id",
-                "quality",
-                "is_contaminated",
-                F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
-            ).withColumn("keep", keep).write.mode("append").parquet(
-                ledger_dir
+            led = (
+                q.join(dec, "doc_id")
+                .join(dup, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "quality",
+                    "is_contaminated",
+                    F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+                )
+                .withColumn("keep", keep)
             )
+            led.write.mode("append").parquet(ledger_dir)
+            if pack:
+                # stage 4: the KEPT survivors pack into training
+                # sequences in the SAME pass — the at-ingest packer's
+                # sharded two-stage cumsum over this batch's kept rows,
+                # one carried scalar of cross-batch state
+                from spark_streaming_twitter_spark.text.corpus import (
+                    PACK_MAX_SHARDS,
+                    PACK_SHARD,
+                    SEQ_LEN,
+                )
+
+                kept_docs = bdf.join(
+                    spark.read.parquet(ledger_dir)
+                    .where(F.col("keep"))
+                    .select("doc_id"),
+                    "doc_id",
+                )
+                max_id = kept_docs.agg(F.max("doc_id").alias("max_doc_id"))
+                toks = kept_docs.crossJoin(F.broadcast(max_id)).select(
+                    "doc_id",
+                    F.expr(
+                        f"doc_id DIV greatest({PACK_SHARD}L, "
+                        f"max_doc_id DIV {PACK_MAX_SHARDS} + 1)"
+                    ).alias("shard"),
+                    F.size(tokens(F.col("text"))).cast("bigint").alias(
+                        "n_tokens"
+                    ),
+                )
+                w_in = (
+                    Window.partitionBy("shard")
+                    .orderBy("doc_id")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                )
+                with_cs = toks.withColumn(
+                    "cs_in_shard", F.sum("n_tokens").over(w_in)
+                )
+                shard_tot = toks.groupBy("shard").agg(
+                    F.sum("n_tokens").alias("tot")
+                )
+                w_sh = Window.orderBy("shard").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+                shard_pre = shard_tot.select(
+                    "shard",
+                    F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias(
+                        "shard_prefix"
+                    ),
+                )
+                with_cs.join(shard_pre, "shard").select(
+                    "doc_id",
+                    "n_tokens",
+                    (
+                        F.lit(carry["offset"])
+                        + F.col("shard_prefix")
+                        + F.col("cs_in_shard")
+                        - F.col("n_tokens")
+                    ).alias("start_offset"),
+                ).select(
+                    "doc_id",
+                    "n_tokens",
+                    "start_offset",
+                    F.expr(f"start_offset DIV {SEQ_LEN}").alias(
+                        "first_seq"
+                    ),
+                    F.expr(
+                        f"CASE WHEN n_tokens = 0 "
+                        f"THEN start_offset DIV {SEQ_LEN} "
+                        f"ELSE (start_offset + n_tokens - 1) DIV {SEQ_LEN} "
+                        f"END"
+                    ).alias("last_seq"),
+                ).write.mode("append").parquet(pack_dir)
+                total = toks.agg(F.sum("n_tokens")).first()[0]
+                carry["offset"] += int(total or 0)
             novel.write.mode("append").parquet(idx_dir)
             state["has_index"] = True
             bands.unpersist()
@@ -1984,6 +2073,21 @@ def stream_corpus_ingest_pipeline(
         out = spark.read.parquet(ledger_dir).select(
             "doc_id", "quality", "is_contaminated", "is_dup", "keep"
         )
+        if pack:
+            neg = F.lit(-1).cast("bigint")
+            out = out.join(
+                spark.read.parquet(pack_dir), "doc_id", "left"
+            ).select(
+                "doc_id",
+                "quality",
+                "is_contaminated",
+                "is_dup",
+                "keep",
+                F.coalesce("n_tokens", neg).alias("n_tokens"),
+                F.coalesce("start_offset", neg).alias("start_offset"),
+                F.coalesce("first_seq", neg).alias("first_seq"),
+                F.coalesce("last_seq", neg).alias("last_seq"),
+            )
         rows = out.collect()
         result = spark.createDataFrame(rows, out.schema)
     finally:
@@ -1992,6 +2096,102 @@ def stream_corpus_ingest_pipeline(
         shutil.rmtree(tmp, ignore_errors=True)
     return result
 
+
+def _ingest_pipeline_unordered_oracle() -> str:
+    """The DISORDERED capstone oracle: quality and decontamination are
+    per-row (order-free, stage oracles verbatim); the dup stage's index
+    owner under round-robin arrival is the min doc_id of the EARLIEST
+    epoch (b = doc_id % 4) touching the band key — no 4-stage unroll
+    needed because this index is not quarantined: every key's owner is
+    fixed by its first-touching epoch; and the packing stage replays
+    arrival-order concat-and-slice — kept docs laid out by
+    (epoch, doc_id), the exact order the carried-offset packer sees."""
+    quality = QUERIES["doc_quality_scores"].oracle
+    decon = QUERIES["dedup_decontaminate"].oracle
+    return rf"""
+WITH {_MINHASH_BUCKETS_SQL.lstrip()},
+cbat AS (
+  SELECT doc_id, band, band_key, doc_id % 4 AS ep
+  FROM buckets WHERE doc_id % 50 <> 0
+),
+first_ep AS (
+  SELECT band, band_key, min(ep) AS ep0 FROM cbat GROUP BY 1, 2
+),
+cowners AS (
+  SELECT c.band, c.band_key, min(c.doc_id) AS ref
+  FROM cbat c
+  JOIN first_ep f ON c.band = f.band AND c.band_key = f.band_key
+                 AND c.ep = f.ep0
+  GROUP BY 1, 2
+),
+dupdocs AS (
+  SELECT DISTINCT c.doc_id FROM cbat c
+  JOIN cowners o ON c.band = o.band AND c.band_key = o.band_key
+                AND c.doc_id > o.ref
+),
+q AS (
+  SELECT doc_id, quality FROM ({quality}) WHERE doc_id % 50 <> 0
+),
+dec AS (SELECT doc_id, is_contaminated FROM ({decon})),
+led AS (
+  SELECT q.doc_id, q.quality, dec.is_contaminated,
+         (dup.doc_id IS NOT NULL) AS is_dup,
+         (q.quality >= CAST(0.6 AS DOUBLE) AND NOT dec.is_contaminated
+          AND dup.doc_id IS NULL) AS keep
+  FROM q
+  JOIN dec ON dec.doc_id = q.doc_id
+  LEFT JOIN dupdocs dup ON dup.doc_id = q.doc_id
+),
+ktoks AS (
+  SELECT d.doc_id, d.doc_id % 4 AS ep,
+         CAST(len(list_filter(string_split_regex(d.text, '\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents d JOIN led l ON l.doc_id = d.doc_id AND l.keep
+),
+pk AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY ep, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS start_offset
+  FROM ktoks
+)
+SELECT l.doc_id, l.quality, l.is_contaminated, l.is_dup, l.keep,
+       coalesce(pk.n_tokens, CAST(-1 AS BIGINT)) AS n_tokens,
+       coalesce(pk.start_offset, CAST(-1 AS BIGINT)) AS start_offset,
+       coalesce(pk.start_offset // 2048, CAST(-1 AS BIGINT)) AS first_seq,
+       coalesce(CASE WHEN pk.n_tokens = 0 THEN pk.start_offset // 2048
+                     ELSE (pk.start_offset + pk.n_tokens - 1) // 2048 END,
+                CAST(-1 AS BIGINT)) AS last_seq
+FROM led l LEFT JOIN pk ON pk.doc_id = l.doc_id
+"""
+
+
+@query(
+    "stream_corpus_ingest_pipeline_unordered",
+    oracle=_ingest_pipeline_unordered_oracle(),
+    doc="THE DISORDER CAPSTONE — one streaming pass from DISORDERED "
+    "arrivals to TRAINING SEQUENCES: a round-robin spool (Kafka "
+    "cross-partition disorder; every micro-batch spans the full id "
+    "range) feeds the full curation pipeline — quality score, "
+    "benchmark decontamination, near-dup probe against the cross-batch "
+    "band-key index — and the KEPT survivors of each batch pack "
+    "straight into the at-ingest sequence packer (sharded two-stage "
+    "cumsum, one carried offset scalar) in the SAME foreachBatch pass. "
+    "Quality/decontamination are order-free (stage oracles verbatim); "
+    "the dup stage's owner under disorder is the min doc of the "
+    "earliest epoch touching each band key (the oracle derives it "
+    "directly — the non-quarantined index needs no epoch unroll); the "
+    "packed layout is arrival-DEFINED, replayed as concat-and-slice in "
+    "(epoch, doc_id) order. Dropped docs carry -1 pack sentinels, so "
+    "one ledger row per doc audits every stage decision AND the "
+    "training-example placement. Per batch: one doc scan, broadcast "
+    "joins, window over the batch's kept rows — zero history term "
+    "beyond the band index and the offset scalar.",
+)
+def stream_corpus_ingest_pipeline_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _ingest_pipeline_stream(spark, sf_dir, roundrobin=True, pack=True)
 
 
 _JACCARD_PAIRS_SQL = f"""

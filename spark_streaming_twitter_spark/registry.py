@@ -173,6 +173,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_media_audio_keeper_dedup_unordered",
     "stream_media_video_keeper_dedup_unordered",
     "pack_training_sequences_ranged",
+    "similarity_ivf_topk_postsplit",
+    "similarity_ivf_split_probe_cost",
+    "stream_corpus_ingest_pipeline_unordered",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",
