@@ -3489,15 +3489,17 @@ def stream_media_video_keeper_dedup_unordered(
     return _video_keeper_stream(spark, sf_dir, roundrobin=True)
 
 
-def _stream_media_curation_oracle() -> str:
+def _stream_media_curation_oracle(suffix: str = "") -> str:
     """Compose the three registered STREAMING keeper oracles verbatim
     (capstone convention) into the per-modality ingest run report, plus
-    the cross-modality caption row."""
+    the cross-modality caption row. ``suffix`` selects the keeper
+    family: "" = ordered spools, "_unordered" = the round-robin
+    (Kafka cross-partition disorder) keepers."""
     from spark_streaming_twitter_spark.registry import QUERIES
 
-    ik = QUERIES["stream_media_phash_keeper_dedup"].oracle
-    ak = QUERIES["stream_media_audio_keeper_dedup"].oracle
-    vk = QUERIES["stream_media_video_keeper_dedup"].oracle
+    ik = QUERIES[f"stream_media_phash_keeper_dedup{suffix}"].oracle
+    ak = QUERIES[f"stream_media_audio_keeper_dedup{suffix}"].oracle
+    vk = QUERIES[f"stream_media_video_keeper_dedup{suffix}"].oracle
     return f"""
 WITH ikeeper AS ({ik}),
 akeeper AS ({ak}),
@@ -3547,10 +3549,22 @@ SELECT 'caption',
 def stream_media_curation_report(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return _media_curation_report_impl(
+        spark,
+        sf_dir,
+        stream_media_phash_keeper_dedup,
+        stream_media_audio_keeper_dedup,
+        stream_media_video_keeper_dedup,
+    )
+
+
+def _media_curation_report_impl(
+    spark: SparkSession, sf_dir: str, ik_fn, ak_fn, vk_fn
+) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    ik = stream_media_phash_keeper_dedup(spark, sf_dir)
-    ak = stream_media_audio_keeper_dedup(spark, sf_dir)
-    vk = stream_media_video_keeper_dedup(spark, sf_dir)
+    ik = ik_fn(spark, sf_dir)
+    ak = ak_fn(spark, sf_dir)
+    vk = vk_fn(spark, sf_dir)
 
     def kind_row(kind: str, ledger: DataFrame):
         agg = ledger.agg(
@@ -3578,4 +3592,29 @@ def stream_media_curation_report(
     return spark.createDataFrame(
         rows,
         "kind string, n_streamed bigint, n_dropped bigint, n_hits bigint",
+    )
+
+
+@query(
+    "stream_media_curation_report_unordered",
+    oracle=_stream_media_curation_oracle(suffix="_unordered"),
+    doc="The multimodal curation capstone under Kafka CROSS-PARTITION "
+    "DISORDER — the round-robin twin of stream_media_curation_report: "
+    "one run-report row per modality from the UNORDERED online keeper "
+    "streams (every micro-batch spans the full media_id range) plus "
+    "the cross-modality caption row. The three unordered keeper "
+    "oracles (b = media_id % 4 epoch chains) are composed verbatim at "
+    "decoration time; together with the text disorder capstone "
+    "(stream_corpus_ingest_pipeline_unordered) this closes the ingest "
+    "loop under disorder for every modality the engine curates.",
+)
+def stream_media_curation_report_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _media_curation_report_impl(
+        spark,
+        sf_dir,
+        stream_media_phash_keeper_dedup_unordered,
+        stream_media_audio_keeper_dedup_unordered,
+        stream_media_video_keeper_dedup_unordered,
     )

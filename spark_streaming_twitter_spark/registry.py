@@ -176,6 +176,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "similarity_ivf_topk_postsplit",
     "similarity_ivf_split_probe_cost",
     "stream_corpus_ingest_pipeline_unordered",
+    "stream_media_curation_report_unordered",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",
