@@ -1158,11 +1158,15 @@ def stream_text_minhash_ttl_dedup_unordered(
     arrival order bounds how late a predecessor can land; under
     UNBOUNDED disorder (this fixture's round-robin spans the full id
     range every batch) no entry is provably dead, so this variant keeps
-    the full per-key window and runs timeMode=None. In production the
-    disorder is watermark-bounded (delay D), and the sweep rule is the
-    ordered twin's shifted by D: evict ids older than
-    watermark - horizon - D. The semantics and oracle are unchanged
-    either way — the sweep is purely a resource bound."""
+    the full per-key window and runs timeMode=None — it exists to pin
+    the worst case and is NOT the production form. In production the
+    disorder is watermark-bounded (delay D) and the sweep rule is the
+    ordered twin's shifted by D — evict ids older than
+    watermark - horizon - D — which
+    stream_text_minhash_ttl_dedup_bounded_disorder IMPLEMENTS (with
+    the eviction-safety proof and a measured state bound:
+    tools/self_dedup_cost_probe.py ttl mode). The semantics and oracle
+    are unchanged either way — the sweep is purely a resource bound."""
     import shutil
     import tempfile
 

@@ -155,7 +155,10 @@ def _stream_pack_oracle() -> str:
     "the running token total, carried in foreachBatch and added to "
     "every within-batch offset — which is the monotone 'offset "
     "allocator' a production ingest owns anyway (the Kafka-offset "
-    "shape: a coordinator hands out ranges, workers fill them). "
+    "shape: a coordinator hands out ranges, workers fill them — "
+    "demonstrated as a first-class query by pack_training_sequences_"
+    "ranged, whose per-partition layouts tile the offset space under "
+    "a bounded coordinator cumsum). "
     "Per-doc rows land in an executor-written parquet ledger. Oracle "
     "is the batch packer's VERBATIM; output bitwise-identical to "
     "pack_training_sequences (invariant-tested) because the ordered "
