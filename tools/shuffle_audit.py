@@ -63,6 +63,8 @@ AUDIT_SET = (
     "similarity_ivf_nprobe_topk",
     # deliberate outlier: repartitions the token payload by design
     "pack_training_sequences",
+    # multi-writer packing: per-part windows + a <= 10^4-row coordinator
+    "pack_training_sequences_ranged",
     # corpus explode collapsing into the alphabet-bounded LM model
     "doc_charlm_score",
     # rank-window tertile split on top of the charlm plan
