@@ -177,6 +177,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "similarity_ivf_split_probe_cost",
     "stream_corpus_ingest_pipeline_unordered",
     "stream_media_curation_report_unordered",
+    "similarity_ivf_split_nprobe2_recall",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

@@ -2908,10 +2908,13 @@ scorpus AS MATERIALIZED (
 )"""
 
 
-def _postsplit_route_sql(ver: str, asg: str, tag: str) -> str:
+def _postsplit_route_sql(
+    ver: str, asg: str, tag: str, nprobe: int = 1
+) -> str:
     """Route the stride queries through routing-table CTE ``ver`` and
-    rank exact cosine within the routed cell's ``asg`` members — the
-    probe/score chain instantiated per routing-table version."""
+    rank exact cosine within the routed top-``nprobe`` cells' ``asg``
+    members — the probe/score chain instantiated per routing-table
+    version."""
     return f"""
 routed{tag} AS MATERIALIZED (
   SELECT q.vec_id AS query_id, c.label,
@@ -2923,7 +2926,9 @@ routed{tag} AS MATERIALIZED (
   FROM mnorms q CROSS JOIN {ver} c
   WHERE q.vec_id % {QUERY_STRIDE} = 0
 ),
-cell{tag} AS MATERIALIZED (SELECT query_id, label FROM routed{tag} WHERE rn = 1),
+cell{tag} AS MATERIALIZED (
+  SELECT query_id, label FROM routed{tag} WHERE rn <= {nprobe}
+),
 cand{tag} AS MATERIALIZED (
   SELECT cell{tag}.query_id, a.vec_id AS neighbor_id
   FROM cell{tag}
@@ -2952,12 +2957,14 @@ def _route_and_topk(
     sf_dir: str,
     cells: "list[tuple[int, list[int]]]",
     asg: DataFrame,
+    nprobe: int = 1,
 ) -> "tuple[DataFrame, DataFrame]":
     """Spark twin of _postsplit_route_sql: route the stride queries by
     row-wise argmax fold over the literal routing table (no join, no
-    shuffle — the index-ingest pattern), score exact cosine within the
-    routed cell under assignment ``asg``. Returns (candidate pairs,
-    top-k)."""
+    shuffle — the index-ingest pattern; nprobe > 1 ranks the same
+    literal per row and explodes the top cells), score exact cosine
+    within the routed cells under assignment ``asg``. Returns
+    (candidate pairs, top-k)."""
     corpus = _corpus_with_norms(spark, sf_dir)
     queries = (
         corpus.where(F.col("vec_id") % QUERY_STRIDE == 0)
@@ -2980,13 +2987,45 @@ def _route_and_topk(
             for lab, cvec in sorted(cells)
         ]
     )
-    best = _argmax_centroid(cent_arr)
-    cell = queries.withColumn("best", best).select(
-        "query_id",
-        F.col("best.label").alias("label"),
-        "q_emb",
-        "q_n2",
-    )
+    if nprobe == 1:
+        best = _argmax_centroid(cent_arr)
+        cell = queries.withColumn("best", best).select(
+            "query_id",
+            F.col("best.label").alias("label"),
+            "q_emb",
+            "q_n2",
+        )
+    else:
+        # rank ALL cells per row over the same literal (dot materialized
+        # once via transform — the no-CSE rule), keep the top nprobe:
+        # still a pure projection + one row-local explode, no join.
+        # Sort key = (-dot, label) ascending == (dot DESC, label ASC),
+        # the oracle's exact tie-break.
+        scored_cells = F.transform(
+            cent_arr,
+            lambda s: F.struct(
+                (
+                    F.lit(0).cast("bigint")
+                    - F.aggregate(
+                        F.zip_with(
+                            F.col("qv"), s["cvec"], lambda x, w: x * w
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("negdot"),
+                s["label"].alias("label"),
+            ),
+        )
+        top = F.slice(F.array_sort(scored_cells), 1, nprobe)
+        cell = queries.withColumn(
+            "probe", F.explode(top)
+        ).select(
+            "query_id",
+            F.col("probe.label").alias("label"),
+            "q_emb",
+            "q_n2",
+        )
     neighbors = asg.join(
         corpus.select(
             F.col("vec_id"),
@@ -3153,6 +3192,153 @@ def similarity_ivf_split_probe_cost(
                     F.col("n_top_common").cast("double")
                     / F.col("n_top_v0").cast("double")
                 ).alias("topk_recall_vs_v0"),
+            )
+        )
+        rows = summary.collect()
+        out = spark.createDataFrame(rows, summary.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query(
+    "similarity_ivf_split_nprobe2_recall",
+    oracle=_split_chain_sql()
+    + ","
+    + _postsplit_route_sql("ver0v", "asgall", "0")
+    + ","
+    + _postsplit_route_sql("ver1v", "asg1all", "1", nprobe=2)
+    + f""",
+rankedex AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY CAST({scaled_dot_sql("q.embedding", "n.embedding")}
+                         AS DOUBLE)
+                      / (sqrt(CAST(q.n2 AS DOUBLE))
+                         * sqrt(CAST(n.n2 AS DOUBLE))) DESC,
+                    n.vec_id ASC) AS rank
+  FROM scorpus q JOIN scorpus n ON n.vec_id <> q.vec_id
+  WHERE q.vec_id % {QUERY_STRIDE} = 0
+),
+ex AS (SELECT query_id, neighbor_id FROM rankedex WHERE rank <= {TOP_K}),
+hit0 AS (
+  SELECT r.query_id, r.neighbor_id
+  FROM (SELECT query_id, neighbor_id FROM ranked0 WHERE rank <= {TOP_K}) r
+  JOIN ex ON ex.query_id = r.query_id AND ex.neighbor_id = r.neighbor_id
+),
+hit1 AS (
+  SELECT r.query_id, r.neighbor_id
+  FROM (SELECT query_id, neighbor_id FROM ranked1 WHERE rank <= {TOP_K}) r
+  JOIN ex ON ex.query_id = r.query_id AND ex.neighbor_id = r.neighbor_id
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_top_exact,
+  CAST((SELECT count(*) FROM hit0) AS DOUBLE)
+    / CAST((SELECT count(*) FROM ex) AS DOUBLE) AS recall_v0_np1,
+  CAST((SELECT count(*) FROM hit1) AS DOUBLE)
+    / CAST((SELECT count(*) FROM ex) AS DOUBLE) AS recall_v1_np2,
+  (SELECT CAST(count(*) AS BIGINT) FROM cand0) AS total_cand_v0,
+  (SELECT CAST(count(*) AS BIGINT) FROM cand1) AS total_cand_v1_np2,
+  CAST((SELECT count(*) FROM cand1) AS DOUBLE)
+    / CAST((SELECT count(*) FROM cand0) AS DOUBLE) AS cand_ratio
+""",
+    doc="The RECOVERY row for the hot-cell split, measured against the "
+    "EXACT top-k (overlap-with-v0 would mislead here: a wider probe "
+    "finds BETTER neighbors that displace v0's page, so v0-overlap "
+    "falls as true recall rises): recall of the pre-split nprobe=1 "
+    "page and of the post-split nprobe=2 page versus the brute-force "
+    "exact page, plus the candidate counts pricing the difference. "
+    "nprobe=2 on the split table is the knob a production searcher "
+    "turns after a split: split-cell queries scan both halves (= the "
+    "original cell), others add their second-nearest cell. nprobe>1 "
+    "routing stays a pure projection — the per-row centroid ranking "
+    "sorts the same literal array by (-dot, label) and explodes the "
+    "top cells, no join or shuffle on the routing side.",
+)
+def similarity_ivf_split_nprobe2_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="split_np2_")
+    try:
+        ver0, ver1, big_label, new_label, sides, asg_v0 = _run_cell_split(
+            spark, sf_dir, tmp
+        )
+        asg_v1 = asg_v0.join(sides, "vec_id", "left").select(
+            "vec_id",
+            F.when(
+                F.col("side").isNull() | (F.col("side") == 0),
+                F.col("label"),
+            )
+            .otherwise(F.lit(new_label).cast("bigint"))
+            .alias("label"),
+        )
+        cand0, topk0 = _route_and_topk(
+            spark, sf_dir, [(lab, cvec) for lab, _, cvec in ver0], asg_v0
+        )
+        cand1, topk1 = _route_and_topk(
+            spark,
+            sf_dir,
+            [(lab, cvec) for lab, _, cvec in ver1],
+            asg_v1,
+            nprobe=2,
+        )
+        # exact page: brute force, broadcast queries — the
+        # similarity_topk_cosine shape over the same corpus
+        corpus = _corpus_with_norms(spark, sf_dir)
+        queries = corpus.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("n2").alias("q_n2"),
+        )
+        cosine = scaled_dot(F.col("q_emb"), F.col("embedding")).cast(
+            "double"
+        ) / (
+            F.sqrt(F.col("q_n2").cast("double"))
+            * F.sqrt(F.col("n2").cast("double"))
+        )
+        exact = _topk_filter(
+            corpus.crossJoin(F.broadcast(queries))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine.alias("cosine"),
+            )
+        ).select("query_id", "neighbor_id")
+
+        def hits(topk: DataFrame) -> DataFrame:
+            return topk.select("query_id", "neighbor_id").join(
+                exact, ["query_id", "neighbor_id"]
+            )
+
+        summary = (
+            exact.agg(F.count(F.lit(1)).alias("n_top_exact"))
+            .crossJoin(hits(topk0).agg(F.count(F.lit(1)).alias("h0")))
+            .crossJoin(hits(topk1).agg(F.count(F.lit(1)).alias("h1")))
+            .crossJoin(cand0.agg(F.count(F.lit(1)).alias("total_cand_v0")))
+            .crossJoin(
+                cand1.agg(F.count(F.lit(1)).alias("total_cand_v1_np2"))
+            )
+            .select(
+                "n_top_exact",
+                (
+                    F.col("h0").cast("double")
+                    / F.col("n_top_exact").cast("double")
+                ).alias("recall_v0_np1"),
+                (
+                    F.col("h1").cast("double")
+                    / F.col("n_top_exact").cast("double")
+                ).alias("recall_v1_np2"),
+                "total_cand_v0",
+                "total_cand_v1_np2",
+                (
+                    F.col("total_cand_v1_np2").cast("double")
+                    / F.col("total_cand_v0").cast("double")
+                ).alias("cand_ratio"),
             )
         )
         rows = summary.collect()
