@@ -3414,6 +3414,363 @@ def stream_media_video_ttl_dedup_unordered(
     return out
 
 
+def _chunk_ttl_bounded_stream(
+    spark: SparkSession,
+    src: DataFrame,
+    sig_stream,
+    sig_col: str,
+    n_chunks: int,
+    chunk_bits: int,
+    radius: int,
+) -> DataFrame:
+    """HORIZON-BOUNDED media dedup under BOUNDED disorder with the
+    WATERMARK-SWEPT state bound — the media twin of
+    stream_text_minhash_ttl_dedup_bounded_disorder, closing the same
+    state-bound gap for the chunk-LSH modalities that the unordered
+    variants (timeMode=None, fixture-only worst case) leave open: a
+    block-reversed spool provides the bounded-delay contract (bound D
+    feeds the watermark delay), the processor keeps the sorted
+    (media_id, sig) window per chunk bucket, and event-time timers
+    sweep window entries below watermark - horizon (the watermark
+    already runs D behind). The eviction-safety argument is the text
+    twin's verbatim: an evicted id can never be a future pair's ref
+    (any future arrival is above the watermark, hence > horizon away)
+    and no false adjacency forms across an evicted gap (a late arrival
+    below an evicted id would be below the watermark — contradiction).
+    Emission, max-ref read-back reconciliation, Hamming verify, and the
+    oracle are the unordered twin's verbatim; state per bucket is
+    bounded by horizon + D of event time."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        spool_block_reversed_batches,
+    )
+    from spark_streaming_twitter_spark.streaming.queries import (
+        _forward_vendored_protobuf_to_workers,
+        _run_tws_update,
+    )
+
+    _forward_vendored_protobuf_to_workers(spark)
+    mask = (1 << chunk_bits) - 1
+    lo, hi = src.agg(F.min("media_id"), F.max("media_id")).first()
+    horizon = (hi - lo + 1) // 2
+
+    tmp = tempfile.mkdtemp(prefix="chunk_ttl_bounded_")
+    try:
+        disorder_bound = spool_block_reversed_batches(src, "media_id", tmp)
+
+        class SweptSigWindow(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._h = handle
+                self._w = handle.getMapState(
+                    "window",
+                    "chunk_val bigint",
+                    "ids array<bigint>, sigs array<bigint>",
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                c = int(key[0])
+                pdf = pd.concat(list(rows), ignore_index=True)
+                out: dict[str, list] = {
+                    "c": [],
+                    "chunk_val": [],
+                    "media_id": [],
+                    "sig": [],
+                    "ref_id": [],
+                    "ref_sig": [],
+                }
+                for cv, grp in pdf.groupby("chunk_val", sort=True):
+                    cv = int(cv)
+                    new = {
+                        int(m): int(d)
+                        for m, d in zip(grp["media_id"], grp["sig"])
+                    }
+                    cur = self._w.getValue((cv,))
+                    window = dict(new)
+                    if cur is not None:
+                        window.update(
+                            {int(i): int(s) for i, s in zip(cur[0], cur[1])}
+                        )
+                    merged = sorted(window)
+                    for p, s in zip(merged, merged[1:]):
+                        if (p in new or s in new) and s - p <= horizon:
+                            out["c"].append(c)
+                            out["chunk_val"].append(cv)
+                            out["media_id"].append(s)
+                            out["sig"].append(window[s])
+                            out["ref_id"].append(p)
+                            out["ref_sig"].append(window[p])
+                    self._w.updateValue(
+                        (cv,), (merged, [window[i] for i in merged])
+                    )
+                # watermark + 1 ms, never deleted — the registration
+                # that actually fires mid-stream (see the text twin)
+                self._h.registerTimer(
+                    timerValues.getCurrentWatermarkInMs() + 1
+                )
+                if out["media_id"]:
+                    yield pd.DataFrame(out)
+
+            def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+                wm_ms = timerValues.getCurrentWatermarkInMs()
+                stale = []
+                for k_, v_ in self._w.iterator():
+                    pairs = [
+                        (int(i), int(s)) for i, s in zip(v_[0], v_[1])
+                    ]
+                    keep = [
+                        (i, s)
+                        for i, s in pairs
+                        if (_MEDIA_TTL_TS_BASE + i + horizon) * 1000 >= wm_ms
+                    ]
+                    if len(keep) != len(pairs):
+                        stale.append((k_[0], keep))
+                for cv, keep in stale:
+                    if keep:
+                        self._w.updateValue(
+                            (cv,),
+                            ([i for i, _ in keep], [s for _, s in keep]),
+                        )
+                    else:
+                        self._w.removeKey((cv,))
+                return iter(())
+
+            def close(self) -> None:
+                pass
+
+        par = spark.sparkContext.defaultParallelism
+        stream = (
+            spark.readStream.schema("media_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .option("pathGlobFilter", "batch_*.parquet")
+            .parquet(tmp)
+        )
+        chunks = (
+            sig_stream(stream.repartition(par))
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.lit(_MEDIA_TTL_TS_BASE) + F.col("media_id")
+                ),
+            )
+            .withWatermark("ts", f"{disorder_bound} seconds")
+            .select(
+                "media_id",
+                "ts",
+                F.col(sig_col).alias("sig"),
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(n_chunks - 1))
+                ).alias("c"),
+            )
+            .withColumn(
+                "chunk_val",
+                F.expr(f"shiftright(sig, c * {chunk_bits})")
+                .bitwiseAND(F.lit(mask))
+                .cast("bigint"),
+            )
+            .withColumn("pfx", F.col("chunk_val") % 16)
+        )
+        hits = chunks.groupBy("c", "pfx").transformWithStateInPandas(
+            statefulProcessor=SweptSigWindow(),
+            outputStructType=(
+                "c int, chunk_val bigint, media_id bigint, sig bigint, "
+                "ref_id bigint, ref_sig bigint"
+            ),
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+        sink = _run_tws_update(spark, hits)
+        agg = sink.groupBy("c", "chunk_val", "media_id", "sig").agg(
+            F.max(F.struct("ref_id", "ref_sig")).alias("r")
+        )
+        hamming = F.bit_count(F.col("sig").bitwiseXOR(F.col("r.ref_sig")))
+        res = (
+            agg.where(hamming <= radius)
+            .select(
+                "media_id",
+                F.col("r.ref_id").alias("ref_id"),
+                hamming.cast("int").alias("hamming"),
+            )
+            .distinct()
+        )
+        rows = res.collect()
+        out = spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def stream_media_phash_ttl_dedup_bounded_disorder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-disorder IMAGE TTL dedup (see _chunk_ttl_bounded_stream)."""
+    return _chunk_ttl_bounded_stream(
+        spark,
+        phash_media_table(spark, sf_dir),
+        perceptual_hashes,
+        "dhash",
+        PHASH_CHUNKS,
+        14,
+        PHASH_RADIUS,
+    )
+
+
+def stream_media_audio_ttl_dedup_bounded_disorder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-disorder AUDIO TTL dedup (see _chunk_ttl_bounded_stream)."""
+    return _chunk_ttl_bounded_stream(
+        spark,
+        fp_audio_table(spark, sf_dir),
+        audio_fingerprints,
+        "fingerprint",
+        AFP_CHUNKS,
+        12,
+        AFP_RADIUS,
+    )
+
+
+def stream_media_video_ttl_dedup_bounded_disorder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-disorder VIDEO TTL dedup — the frame-signature instance
+    of the watermark-swept sorted window: per frame signature the clip-id
+    window is swept below watermark - horizon; adjacency emission,
+    max-ref reconciliation and the shared-frames threshold are the
+    unordered twin's verbatim."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        spool_block_reversed_batches,
+    )
+    from spark_streaming_twitter_spark.streaming.queries import (
+        _forward_vendored_protobuf_to_workers,
+        _run_tws_update,
+    )
+
+    _forward_vendored_protobuf_to_workers(spark)
+
+    src = fp_video_table(spark, sf_dir)
+    lo, hi = src.agg(F.min("media_id"), F.max("media_id")).first()
+    horizon = (hi - lo + 1) // 2
+
+    tmp = tempfile.mkdtemp(prefix="vfp_ttl_bounded_")
+    try:
+        disorder_bound = spool_block_reversed_batches(src, "media_id", tmp)
+
+        class SweptIdWindow(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._h = handle
+                self._w = handle.getMapState(
+                    "window", "frame_sig bigint", "ids array<bigint>"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                pdf = pd.concat(list(rows), ignore_index=True)
+                out: dict[str, list] = {
+                    "media_id": [],
+                    "ref_id": [],
+                    "frame_sig": [],
+                }
+                for sig, grp in pdf.groupby("frame_sig", sort=True):
+                    sig = int(sig)
+                    new = {int(m) for m in grp["media_id"]}
+                    cur = self._w.getValue((sig,))
+                    merged = sorted(
+                        new.union(int(x) for x in cur[0])
+                    ) if cur is not None else sorted(new)
+                    for p, s in zip(merged, merged[1:]):
+                        if (p in new or s in new) and s - p <= horizon:
+                            out["media_id"].append(s)
+                            out["ref_id"].append(p)
+                            out["frame_sig"].append(sig)
+                    self._w.updateValue((sig,), (merged,))
+                self._h.registerTimer(
+                    timerValues.getCurrentWatermarkInMs() + 1
+                )
+                if out["media_id"]:
+                    yield pd.DataFrame(out)
+
+            def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+                wm_ms = timerValues.getCurrentWatermarkInMs()
+                stale = []
+                for k_, v_ in self._w.iterator():
+                    ids = [int(x) for x in v_[0]]
+                    keep = [
+                        i
+                        for i in ids
+                        if (_MEDIA_TTL_TS_BASE + i + horizon) * 1000 >= wm_ms
+                    ]
+                    if len(keep) != len(ids):
+                        stale.append((k_[0], keep))
+                for sig, keep in stale:
+                    if keep:
+                        self._w.updateValue((sig,), (keep,))
+                    else:
+                        self._w.removeKey((sig,))
+                return iter(())
+
+            def close(self) -> None:
+                pass
+
+        par = spark.sparkContext.defaultParallelism
+        stream = (
+            spark.readStream.schema("media_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .option("pathGlobFilter", "batch_*.parquet")
+            .parquet(tmp)
+        )
+        sigs = (
+            video_frame_signatures(stream.repartition(par))
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.lit(_MEDIA_TTL_TS_BASE) + F.col("media_id")
+                ),
+            )
+            .withWatermark("ts", f"{disorder_bound} seconds")
+            .select("media_id", "ts", "frame_sig")
+            .withColumn("pfx", F.pmod(F.col("frame_sig"), F.lit(64)))
+        )
+        hits = sigs.groupBy("pfx").transformWithStateInPandas(
+            statefulProcessor=SweptIdWindow(),
+            outputStructType=(
+                "media_id bigint, ref_id bigint, frame_sig bigint"
+            ),
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+        sink = _run_tws_update(spark, hits)
+        agg = (
+            sink.groupBy("frame_sig", "media_id")
+            .agg(F.max("ref_id").alias("ref_id"))
+            .groupBy("media_id", "ref_id")
+            .agg(F.count_distinct("frame_sig").alias("n_shared"))
+            .where(F.col("n_shared") >= VIDEO_MIN_SHARED)
+        )
+        rows = agg.collect()
+        out = spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 @query(
     "stream_media_phash_keeper_dedup_unordered",
     oracle=_phash_keeper_oracle(batch_label="s.media_id % 4"),

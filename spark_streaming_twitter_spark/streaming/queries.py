@@ -1034,17 +1034,50 @@ HAVING count(CASE WHEN event_id % 4 <> 0 THEN 1 END) > 0
         _VIDEO_TTL_DEDUP_ORACLE,
         stream_media_audio_self_dedup,
         stream_media_audio_ttl_dedup,
+        stream_media_audio_ttl_dedup_bounded_disorder,
         stream_media_audio_ttl_dedup_unordered,
         stream_media_audio_self_dedup_unordered,
         stream_media_phash_self_dedup,
         stream_media_phash_self_dedup_unordered,
         stream_media_phash_ttl_dedup,
+        stream_media_phash_ttl_dedup_bounded_disorder,
         stream_media_phash_ttl_dedup_unordered,
         stream_media_video_self_dedup,
         stream_media_video_self_dedup_unordered,
         stream_media_video_ttl_dedup,
+        stream_media_video_ttl_dedup_bounded_disorder,
         stream_media_video_ttl_dedup_unordered,
     )
+
+    query(
+        "stream_media_phash_ttl_dedup_bounded_disorder",
+        oracle=_PHASH_TTL_DEDUP_ORACLE,
+        doc="Horizon-bounded IMAGE dedup under BOUNDED disorder with the "
+        "watermark-swept state bound — the production completion of the "
+        "image TTL family: block-reversed spool (bound D feeds the "
+        "watermark delay), sorted (media_id, dhash) windows swept below "
+        "watermark - horizon by event-time timers, Hamming verify on "
+        "the max-ref-reconciled read-back; eviction safety per the text "
+        "twin's proof, oracle the ordered twin's verbatim (see "
+        "_chunk_ttl_bounded_stream in multimodal/phash.py).",
+    )(stream_media_phash_ttl_dedup_bounded_disorder)
+    query(
+        "stream_media_audio_ttl_dedup_bounded_disorder",
+        oracle=_AFP_TTL_DEDUP_ORACLE,
+        doc="Horizon-bounded AUDIO dedup under BOUNDED disorder — the "
+        "acoustic-fingerprint instance of the watermark-swept sorted "
+        "window (see _chunk_ttl_bounded_stream in multimodal/phash.py).",
+    )(stream_media_audio_ttl_dedup_bounded_disorder)
+    query(
+        "stream_media_video_ttl_dedup_bounded_disorder",
+        oracle=_VIDEO_TTL_DEDUP_ORACLE,
+        doc="Horizon-bounded VIDEO dedup under BOUNDED disorder — sorted "
+        "clip-id windows per frame signature swept below watermark - "
+        "horizon, max-ref reconciliation then the shared-frames "
+        "threshold on the read-back (see "
+        "stream_media_video_ttl_dedup_bounded_disorder in "
+        "multimodal/phash.py).",
+    )(stream_media_video_ttl_dedup_bounded_disorder)
 
     query(
         "stream_media_phash_ttl_dedup_unordered",

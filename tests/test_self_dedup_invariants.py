@@ -511,3 +511,58 @@ def test_ranged_packer_tiles_offset_space(spark):
         for r in rows
     }
     assert ranged == plain
+
+
+@pytest.mark.skipif(
+    not _has("stream_media_phash_ttl_dedup_bounded_disorder"),
+    reason="protobuf-gated tws queries unavailable on this host",
+)
+@pytest.mark.parametrize(
+    "bounded_name,ordered_name",
+    [
+        (
+            "stream_media_phash_ttl_dedup_bounded_disorder",
+            "stream_media_phash_ttl_dedup",
+        ),
+        (
+            "stream_media_audio_ttl_dedup_bounded_disorder",
+            "stream_media_audio_ttl_dedup",
+        ),
+    ],
+)
+def test_bounded_disorder_media_ttl_equals_ordered_twin(
+    spark, bounded_name, ordered_name
+):
+    """The watermark-swept media sorted-window TTL under a
+    block-reversed spool must emit the ordered twin's exact
+    (media_id, ref_id, hamming) set — sweep timing provably cannot
+    change output and bounded delay means no watermark drops."""
+    specs = _specs()
+    bounded = {
+        (r.media_id, r.ref_id, r.hamming)
+        for r in specs[bounded_name].fn(spark, SF).collect()
+    }
+    ordered = {
+        (r.media_id, r.ref_id, r.hamming)
+        for r in specs[ordered_name].fn(spark, SF).collect()
+    }
+    assert bounded == ordered
+
+
+@pytest.mark.skipif(
+    not _has("stream_media_video_ttl_dedup_bounded_disorder"),
+    reason="protobuf-gated tws queries unavailable on this host",
+)
+def test_bounded_disorder_video_ttl_equals_ordered_twin(spark):
+    specs = _specs()
+    bounded = {
+        (r.media_id, r.ref_id, r.n_shared)
+        for r in specs["stream_media_video_ttl_dedup_bounded_disorder"]
+        .fn(spark, SF)
+        .collect()
+    }
+    ordered = {
+        (r.media_id, r.ref_id, r.n_shared)
+        for r in specs["stream_media_video_ttl_dedup"].fn(spark, SF).collect()
+    }
+    assert bounded == ordered
