@@ -178,6 +178,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_corpus_ingest_pipeline_unordered",
     "stream_media_curation_report_unordered",
     "similarity_ivf_split_nprobe2_recall",
+    "stream_cell_split_rebalance",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

@@ -2752,9 +2752,30 @@ def _run_cell_split(
             )
         )
     )
+    ver1, _, new_label, sides = _split_hottest_cell(
+        spark, sides_dir, ver0, asg_v0, emb
+    )
+    return ver0, ver1, big_label, new_label, sides, asg_v0
+
+
+def _split_hottest_cell(
+    spark: SparkSession,
+    sides_dir: str,
+    ver_in: "list[tuple[int, int, list[int]]]",
+    asg_in: DataFrame,
+    emb: DataFrame,
+) -> "tuple[list, int, int, DataFrame]":
+    """One greedy rebalance STEP: split the hottest cell of routing
+    table ``ver_in`` (max members, min label on ties; the new cell
+    takes max(label)+1) under assignment ``asg_in`` with the
+    deterministic exact-integer 2-means. Returns (ver_out, big_label,
+    new_label, sides) — reusable, so repeated application IS the greedy
+    rebalance pass SCALE.md describes."""
+    big_label = max(ver_in, key=lambda r: (r[1], -r[0]))[0]
+    new_label = max(lab for lab, _, _ in ver_in) + 1
     members = (
         widen(
-            asg_v0.where(F.col("label") == big_label)
+            asg_in.where(F.col("label") == big_label)
             .select("vec_id")
             .join(emb.select("vec_id", "embedding"), "vec_id"),
             spark,
@@ -2802,7 +2823,7 @@ def _run_cell_split(
             int(r["s"]),
             int(r["cnt"]),
         ]
-    ver1 = [(lab, n, c) for lab, n, c in ver0 if lab != big_label]
+    ver_out = [(lab, n, c) for lab, n, c in ver_in if lab != big_label]
     for sd, newlab in ((0, big_label), (1, new_label)):
         st = side_stats[sd]
         # degenerate split (one member / all-identical vectors):
@@ -2810,17 +2831,106 @@ def _run_cell_split(
         # oracle's GROUP BY side omits the empty side identically
         if st[0][1] == 0:
             continue
-        ver1.append((newlab, st[0][1], _floor_div_centroid(st)))
-    ver1.sort(key=lambda r: r[0])
-    return ver0, ver1, big_label, new_label, sides, asg_v0
+        ver_out.append((newlab, st[0][1], _floor_div_centroid(st)))
+    ver_out.sort(key=lambda r: r[0])
+    return ver_out, big_label, new_label, sides
 
 
-def _split_chain_sql() -> str:
-    """CTE chain shared by the post-split SEARCH oracles: maintenance
-    replay (stats4, asg0..3) -> full post-ingest assignment (asgall) ->
-    v0 routing table as centroid VECTORS (ver0v) -> hot-cell 2-means
-    split (the _cell_split_oracle chain, list-valued) -> v1 routing
-    table (ver1v) and v1 assignment (asg1all)."""
+def _asg_after_split(
+    asg: DataFrame, sides: DataFrame, new_label: int
+) -> DataFrame:
+    """Assignment after a split: split-cell members re-labeled by their
+    2-means side (side 1 -> the new cell), everyone else unchanged."""
+    return asg.join(sides, "vec_id", "left").select(
+        "vec_id",
+        F.when(
+            F.col("side").isNull() | (F.col("side") == 0), F.col("label")
+        )
+        .otherwise(F.lit(new_label).cast("bigint"))
+        .alias("label"),
+    )
+
+
+def _split_step_sql_ctes(ver_in: str, asg_in: str, suf: str, out: str) -> str:
+    """One greedy rebalance STEP in SQL (the _cell_split_oracle chain,
+    list-valued and name-parameterized): split the hottest cell of
+    routing-table CTE ``ver_in`` under assignment CTE ``asg_in``,
+    emitting ``ver{out}v`` / ``asg{out}all``. Chaining two steps replays
+    the greedy rebalance pass exactly."""
+    return f"""
+, big{suf} AS MATERIALIZED (
+  SELECT label FROM (
+    SELECT label,
+           row_number() OVER (ORDER BY n_members DESC, label ASC) AS rn
+    FROM {ver_in}
+  ) WHERE rn = 1
+),
+smembers{suf} AS MATERIALIZED (
+  SELECT a.vec_id, m.qv
+  FROM {asg_in} a
+  JOIN big{suf} b ON a.label = b.label
+  JOIN mnorms m ON m.vec_id = a.vec_id
+),
+smem_dims{suf} AS (
+  SELECT vec_id, d, qv[d] AS q
+  FROM (SELECT vec_id, qv, unnest(generate_series(1, {DIM})) AS d
+        FROM smembers{suf})
+),
+sseed0{suf} AS (SELECT min(vec_id) AS v0 FROM smembers{suf}),
+ss0d{suf} AS (
+  SELECT d, q FROM smem_dims{suf} JOIN sseed0{suf} ON vec_id = v0
+),
+sdist0{suf} AS (
+  SELECT m.vec_id, CAST(sum((m.q - s.q) * (m.q - s.q)) AS BIGINT) AS dist
+  FROM smem_dims{suf} m JOIN ss0d{suf} s USING (d) GROUP BY 1
+),
+sseed1{suf} AS (
+  SELECT vec_id AS v1 FROM sdist0{suf} ORDER BY dist DESC, vec_id ASC LIMIT 1
+),
+ss1d{suf} AS (
+  SELECT d, q FROM smem_dims{suf} JOIN sseed1{suf} ON vec_id = v1
+),
+sdist1{suf} AS (
+  SELECT m.vec_id, CAST(sum((m.q - s.q) * (m.q - s.q)) AS BIGINT) AS dist
+  FROM smem_dims{suf} m JOIN ss1d{suf} s USING (d) GROUP BY 1
+),
+ssides{suf} AS MATERIALIZED (
+  SELECT d0.vec_id, CASE WHEN d1.dist < d0.dist THEN 1 ELSE 0 END AS side
+  FROM sdist0{suf} d0 JOIN sdist1{suf} d1 ON d0.vec_id = d1.vec_id
+),
+snewstats{suf} AS (
+  SELECT s.side, m.d,
+         CAST(sum(m.q) AS BIGINT) AS sm,
+         CAST(count(*) AS BIGINT) AS n
+  FROM smem_dims{suf} m JOIN ssides{suf} s ON s.vec_id = m.vec_id
+  GROUP BY 1, 2
+),
+snewcells{suf} AS (
+  SELECT CASE WHEN side = 0 THEN (SELECT label FROM big{suf})
+              ELSE (SELECT max(label) + 1 FROM {ver_in}) END AS label,
+         max(n) AS n_members,
+         list(CAST((sm - (((sm % n) + n) % n)) // n AS BIGINT)
+              ORDER BY d) AS cvec
+  FROM snewstats{suf} GROUP BY side
+),
+ver{out}v AS MATERIALIZED (
+  SELECT label, n_members, cvec FROM {ver_in}
+  WHERE label NOT IN (SELECT label FROM big{suf})
+  UNION ALL
+  SELECT label, n_members, cvec FROM snewcells{suf}
+),
+asg{out}all AS MATERIALIZED (
+  SELECT a.vec_id,
+         CASE WHEN s.side IS NULL OR s.side = 0 THEN a.label
+              ELSE (SELECT max(label) + 1 FROM {ver_in}) END AS label
+  FROM {asg_in} a LEFT JOIN ssides{suf} s ON s.vec_id = a.vec_id
+)"""
+
+
+def _split_base_sql() -> str:
+    """Maintenance replay -> full post-ingest assignment (asgall), v0
+    routing table as centroid VECTORS (ver0v), and the scoring corpus
+    (scorpus) — the prefix every rebalance/search oracle shares."""
     return _centroid_maintenance_ctes() + f"""
 , asgall AS MATERIALIZED (
   SELECT vec_id, CAST(label AS BIGINT) AS label
@@ -2838,74 +2948,20 @@ ver0v AS MATERIALIZED (
               ORDER BY d) AS cvec
   FROM stats4 GROUP BY label
 ),
-big AS (
-  SELECT label FROM (
-    SELECT label,
-           row_number() OVER (ORDER BY n_members DESC, label ASC) AS rn
-    FROM ver0v
-  ) WHERE rn = 1
-),
-smembers AS (
-  SELECT a.vec_id, m.qv
-  FROM asgall a
-  JOIN big b ON a.label = b.label
-  JOIN mnorms m ON m.vec_id = a.vec_id
-),
-smem_dims AS (
-  SELECT vec_id, d, qv[d] AS q
-  FROM (SELECT vec_id, qv, unnest(generate_series(1, {DIM})) AS d
-        FROM smembers)
-),
-sseed0 AS (SELECT min(vec_id) AS v0 FROM smembers),
-ss0d AS (SELECT d, q FROM smem_dims JOIN sseed0 ON vec_id = v0),
-sdist0 AS (
-  SELECT m.vec_id, CAST(sum((m.q - s.q) * (m.q - s.q)) AS BIGINT) AS dist
-  FROM smem_dims m JOIN ss0d s USING (d) GROUP BY 1
-),
-sseed1 AS (
-  SELECT vec_id AS v1 FROM sdist0 ORDER BY dist DESC, vec_id ASC LIMIT 1
-),
-ss1d AS (SELECT d, q FROM smem_dims JOIN sseed1 ON vec_id = v1),
-sdist1 AS (
-  SELECT m.vec_id, CAST(sum((m.q - s.q) * (m.q - s.q)) AS BIGINT) AS dist
-  FROM smem_dims m JOIN ss1d s USING (d) GROUP BY 1
-),
-ssides AS MATERIALIZED (
-  SELECT d0.vec_id, CASE WHEN d1.dist < d0.dist THEN 1 ELSE 0 END AS side
-  FROM sdist0 d0 JOIN sdist1 d1 ON d0.vec_id = d1.vec_id
-),
-snewstats AS (
-  SELECT s.side, m.d,
-         CAST(sum(m.q) AS BIGINT) AS sm,
-         CAST(count(*) AS BIGINT) AS n
-  FROM smem_dims m JOIN ssides s ON s.vec_id = m.vec_id
-  GROUP BY 1, 2
-),
-snewcells AS (
-  SELECT CASE WHEN side = 0 THEN (SELECT label FROM big)
-              ELSE (SELECT max(label) + 1 FROM ver0v) END AS label,
-         max(n) AS n_members,
-         list(CAST((sm - (((sm % n) + n) % n)) // n AS BIGINT)
-              ORDER BY d) AS cvec
-  FROM snewstats GROUP BY side
-),
-ver1v AS MATERIALIZED (
-  SELECT label, n_members, cvec FROM ver0v
-  WHERE label NOT IN (SELECT label FROM big)
-  UNION ALL
-  SELECT label, n_members, cvec FROM snewcells
-),
-asg1all AS MATERIALIZED (
-  SELECT a.vec_id,
-         CASE WHEN s.side IS NULL OR s.side = 0 THEN a.label
-              ELSE (SELECT max(label) + 1 FROM ver0v) END AS label
-  FROM asgall a LEFT JOIN ssides s ON s.vec_id = a.vec_id
-),
 scorpus AS MATERIALIZED (
   SELECT vec_id, embedding,
          {scaled_dot_sql("embedding", "embedding")} AS n2
   FROM embeddings
 )"""
+
+
+def _split_chain_sql() -> str:
+    """CTE chain shared by the post-split SEARCH oracles: the base
+    (asgall, ver0v, scorpus) plus ONE greedy split step -> v1 routing
+    table (ver1v) and v1 assignment (asg1all)."""
+    return _split_base_sql() + _split_step_sql_ctes(
+        "ver0v", "asgall", "", "1"
+    )
 
 
 def _postsplit_route_sql(
@@ -3046,6 +3102,69 @@ def _route_and_topk(
 
 
 @query(
+    "stream_cell_split_rebalance",
+    oracle=_split_base_sql()
+    + _split_step_sql_ctes("ver0v", "asgall", "", "1")
+    + _split_step_sql_ctes("ver1v", "asg1all", "2", "2")
+    + """
+SELECT 0 AS version, label, n_members,
+       array_to_string(cvec, ',') AS centroid
+FROM ver0v
+UNION ALL
+SELECT 1, label, n_members, array_to_string(cvec, ',') FROM ver1v
+UNION ALL
+SELECT 2, label, n_members, array_to_string(cvec, ',') FROM ver2v
+""",
+    doc="The GREEDY REBALANCE PASS — two chained hot-cell splits, making "
+    "the 'repeated greedily' claim of stream_cell_split_maintenance a "
+    "measured behavior instead of an assertion: split the hottest "
+    "post-ingest cell (version 1), then split the hottest cell of the "
+    "RESULTING table (version 2) — which may be an untouched cell or "
+    "one of the fresh halves, whichever is now largest — with each new "
+    "cell labeled max(label)+1 of its input table. The Spark split step "
+    "is ONE reusable function applied twice (exactly how a production "
+    "rebalance job loops until hottest <= ~2x mean); the oracle chains "
+    "the parameterized split-step CTE block twice. Emits all three "
+    "routing-table versions, so concurrent readers can route on any "
+    "committed version while later splits land.",
+)
+def stream_cell_split_rebalance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    def cent_str(cvec: "list[int]") -> str:
+        return ",".join(str(c) for c in cvec)
+
+    tmp = tempfile.mkdtemp(prefix="cell_rebalance_")
+    try:
+        ver0, ver1, _, new1, sides1, asg_v0 = _run_cell_split(
+            spark, sf_dir, tmp
+        )
+        asg_v1 = _asg_after_split(asg_v0, sides1, new1)
+        emb = table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
+        ver2, _, _, _ = _split_hottest_cell(
+            spark, os.path.join(tmp, "sides2"), ver1, asg_v1, emb
+        )
+        out_rows = [
+            (v, lab, n, cent_str(c))
+            for v, ver in ((0, ver0), (1, ver1), (2, ver2))
+            for lab, n, c in ver
+        ]
+        out = spark.createDataFrame(
+            out_rows,
+            "version int, label bigint, n_members bigint, centroid string",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query(
     "similarity_ivf_topk_postsplit",
     oracle=_split_chain_sql()
     + ","
@@ -3079,15 +3198,7 @@ def similarity_ivf_topk_postsplit(
         _, ver1, big_label, new_label, sides, asg_v0 = _run_cell_split(
             spark, sf_dir, tmp
         )
-        asg_v1 = asg_v0.join(sides, "vec_id", "left").select(
-            "vec_id",
-            F.when(
-                F.col("side").isNull() | (F.col("side") == 0),
-                F.col("label"),
-            )
-            .otherwise(F.lit(new_label).cast("bigint"))
-            .alias("label"),
-        )
+        asg_v1 = _asg_after_split(asg_v0, sides, new_label)
         _, topk = _route_and_topk(
             spark, sf_dir, [(lab, cvec) for lab, _, cvec in ver1], asg_v1
         )
@@ -3148,15 +3259,7 @@ def similarity_ivf_split_probe_cost(
         ver0, ver1, big_label, new_label, sides, asg_v0 = _run_cell_split(
             spark, sf_dir, tmp
         )
-        asg_v1 = asg_v0.join(sides, "vec_id", "left").select(
-            "vec_id",
-            F.when(
-                F.col("side").isNull() | (F.col("side") == 0),
-                F.col("label"),
-            )
-            .otherwise(F.lit(new_label).cast("bigint"))
-            .alias("label"),
-        )
+        asg_v1 = _asg_after_split(asg_v0, sides, new_label)
         cand0, topk0 = _route_and_topk(
             spark, sf_dir, [(lab, cvec) for lab, _, cvec in ver0], asg_v0
         )
@@ -3267,15 +3370,7 @@ def similarity_ivf_split_nprobe2_recall(
         ver0, ver1, big_label, new_label, sides, asg_v0 = _run_cell_split(
             spark, sf_dir, tmp
         )
-        asg_v1 = asg_v0.join(sides, "vec_id", "left").select(
-            "vec_id",
-            F.when(
-                F.col("side").isNull() | (F.col("side") == 0),
-                F.col("label"),
-            )
-            .otherwise(F.lit(new_label).cast("bigint"))
-            .alias("label"),
-        )
+        asg_v1 = _asg_after_split(asg_v0, sides, new_label)
         cand0, topk0 = _route_and_topk(
             spark, sf_dir, [(lab, cvec) for lab, _, cvec in ver0], asg_v0
         )
