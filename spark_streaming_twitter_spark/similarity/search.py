@@ -3165,6 +3165,55 @@ def stream_cell_split_rebalance(
 
 
 @query(
+    "similarity_ivf_topk_postrebalance",
+    oracle=_split_base_sql()
+    + _split_step_sql_ctes("ver0v", "asgall", "", "1")
+    + _split_step_sql_ctes("ver1v", "asg1all", "2", "2")
+    + ","
+    + _postsplit_route_sql("ver2v", "asg2all", "r2")
+    + f"""
+SELECT query_id, neighbor_id, rank, cosine
+FROM rankedr2 WHERE rank <= {TOP_K}
+""",
+    doc="IVF top-k THROUGH the twice-rebalanced routing table — version "
+    "2 gets a consumer the moment it exists (the v1 lesson applied): "
+    "queries route by argmax dot over the post-rebalance centroids and "
+    "exact-cosine-rank within the routed v2 cell, whose membership is "
+    "the assignment after BOTH splits. Same literal-fold routing and "
+    "broadcast cell scan as the v1 consumer; the oracle chains the two "
+    "split steps and the route/rank block.",
+)
+def similarity_ivf_topk_postrebalance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="postrebalance_topk_")
+    try:
+        ver0, ver1, _, new1, sides1, asg_v0 = _run_cell_split(
+            spark, sf_dir, tmp
+        )
+        asg_v1 = _asg_after_split(asg_v0, sides1, new1)
+        emb = table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
+        ver2, _, new2, sides2 = _split_hottest_cell(
+            spark, os.path.join(tmp, "sides2"), ver1, asg_v1, emb
+        )
+        asg_v2 = _asg_after_split(asg_v1, sides2, new2)
+        _, topk = _route_and_topk(
+            spark, sf_dir, [(lab, cvec) for lab, _, cvec in ver2], asg_v2
+        )
+        rows = topk.collect()
+        out = spark.createDataFrame(rows, topk.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query(
     "similarity_ivf_topk_postsplit",
     oracle=_split_chain_sql()
     + ","
