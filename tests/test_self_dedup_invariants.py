@@ -566,3 +566,28 @@ def test_bounded_disorder_video_ttl_equals_ordered_twin(spark):
         for r in specs["stream_media_video_ttl_dedup"].fn(spark, SF).collect()
     }
     assert bounded == ordered
+
+
+def test_disorder_capstone_order_free_stages_match_ordered(spark):
+    """In the disorder ingest capstone, quality and contamination are
+    per-row (order-FREE) so they must equal the ordered capstone's
+    flags doc for doc; the dup flags and the packed layout are
+    arrival-DEFINED and covered by the oracle instead. Also: exactly
+    the kept docs carry pack columns, and kept offsets tile with no
+    gaps in (epoch, doc_id) arrival order."""
+    specs = _specs()
+    unord = specs["stream_corpus_ingest_pipeline_unordered"].fn(
+        spark, SF
+    ).collect()
+    ordered = {
+        r.doc_id: (r.quality, r.is_contaminated)
+        for r in specs["stream_corpus_ingest_pipeline"].fn(spark, SF).collect()
+    }
+    assert {r.doc_id: (r.quality, r.is_contaminated) for r in unord} == ordered
+    kept = [r for r in unord if r.keep]
+    dropped = [r for r in unord if not r.keep]
+    assert all(r.start_offset == -1 and r.n_tokens == -1 for r in dropped)
+    off = 0
+    for r in sorted(kept, key=lambda r: (r.doc_id % 4, r.doc_id)):
+        assert r.start_offset == off, r.doc_id
+        off += r.n_tokens

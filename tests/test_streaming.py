@@ -1101,3 +1101,47 @@ def test_spool_handles_empty_buckets(spark, tmp_path):
         if spark.read.parquet(os.path.join(spool, f)).count() == 0
     ]
     assert len(empties) == 3
+
+
+def test_block_reversed_spool_bounds_disorder(spark, tmp_path):
+    """The bounded-disorder spool's contract, asserted directly: every
+    id is delivered exactly once, batches are non-trivially disordered
+    (some id arrives after a LARGER id from an earlier batch), and the
+    displacement bound holds — no id in batch j exceeds any id of a
+    LATER batch by more than D - 1, where D is the returned bound. The
+    watermark-delay = D guarantee of the swept TTL queries rests on
+    exactly this."""
+    import os
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        spool_block_reversed_batches,
+    )
+
+    n = 103  # deliberately not a multiple of block or batch count
+    df = spark.createDataFrame(
+        [(i + 7, f"doc {i}") for i in range(n)], "doc_id long, text string"
+    )
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    d = spool_block_reversed_batches(df, "doc_id", spool, n_batches=6)
+    batches = []
+    for i in range(6):
+        path = os.path.join(spool, f"batch_{i}.parquet")
+        batches.append(
+            sorted(r.doc_id for r in spark.read.parquet(path).collect())
+        )
+    delivered = sorted(x for b in batches for x in b)
+    assert delivered == [i + 7 for i in range(n)]  # exactly once
+    # genuine cross-batch disorder exists
+    assert any(
+        max(batches[i]) > min(batches[j])
+        for i in range(6)
+        for j in range(i + 1, 6)
+        if batches[i] and batches[j]
+    )
+    # and it is bounded by D: everything in earlier batches is
+    # <= x + D - 1 for every x in a later batch
+    for j in range(6):
+        for i in range(j):
+            if batches[i] and batches[j]:
+                assert max(batches[i]) <= min(batches[j]) + d - 1, (i, j)
