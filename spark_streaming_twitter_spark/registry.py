@@ -180,6 +180,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "similarity_ivf_split_nprobe2_recall",
     "stream_cell_split_rebalance",
     "similarity_ivf_topk_postrebalance",
+    "training_sequence_manifest",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",

@@ -282,6 +282,76 @@ PACK_PART_MIN = 4000  # MINIMUM docs per writer partition (range unit)
 PACK_MAX_PARTS = 10_000  # hard cap on coordinator-table rows
 
 
+def _seq_manifest_oracle() -> str:
+    """Compose the packer's oracle verbatim (capstone convention), then
+    invert it: one row per 2048-token training sequence with the docs
+    that fill it."""
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    pack = QUERIES["pack_training_sequences"].oracle
+    return f"""
+WITH pk AS ({pack}),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM pk),
+spans AS (
+  SELECT doc_id, unnest(generate_series(first_seq, last_seq)) AS seq_id
+  FROM pk WHERE n_tokens > 0
+)
+SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       CAST(LEAST({SEQ_LEN}, total - seq_id * {SEQ_LEN}) AS BIGINT)
+         AS n_tokens_filled
+FROM spans CROSS JOIN tot
+GROUP BY seq_id, total
+"""
+
+
+@query(
+    "training_sequence_manifest",
+    oracle=_seq_manifest_oracle(),
+    doc="The PROVENANCE INVERSE of sequence packing — per 2048-token "
+    "training sequence, which documents fill it (count, first/last doc "
+    "id) and its token fill (2048 everywhere except the ragged tail). "
+    "This is the lookup a training-time data-attribution or "
+    "contamination-audit question needs ('which docs were in the "
+    "sequence at step N?') and the packer's per-doc ledger answers only "
+    "in the wrong direction. Row-local derivation: explode each doc's "
+    "[first_seq, last_seq] span (bounded by n_tokens/2048 + 2 rows per "
+    "doc) and aggregate by sequence — no joins beyond a broadcast "
+    "1-row total; zero-token docs occupy no tokens and are excluded. "
+    "The packer's oracle is composed verbatim, so the manifest can "
+    "never drift from the layout.",
+)
+def training_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pk = pack_training_sequences(spark, sf_dir)
+    tot = pk.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    return (
+        pk.where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("first_seq"), F.col("last_seq"))
+            ).alias("seq_id"),
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seq_id",
+            "n_docs",
+            "first_doc",
+            "last_doc",
+            F.least(
+                F.lit(SEQ_LEN).cast("bigint"),
+                F.col("total") - F.col("seq_id") * F.lit(SEQ_LEN),
+            ).alias("n_tokens_filled"),
+        )
+    )
+
+
 @query(
     "pack_training_sequences_ranged",
     oracle=rf"""
