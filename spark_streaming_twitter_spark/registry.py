@@ -181,6 +181,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_cell_split_rebalance",
     "similarity_ivf_topk_postrebalance",
     "training_sequence_manifest",
+    "ivf_rebalance_balance_stats",
     # (b) driver-proven rows (buffer), prior priority order preserved
     "part_zorder_cells",
     "stream_upsert_latest_state",
