@@ -482,6 +482,487 @@ def pack_training_sequences_ranged(
     )
 
 
+def _attention_spans_oracle() -> str:
+    """Compose the packer's oracle verbatim, then project each doc's token
+    span INSIDE every sequence it touches."""
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    pack = QUERIES["pack_training_sequences"].oracle
+    return f"""
+WITH pk AS ({pack}),
+spans AS (
+  SELECT doc_id, n_tokens, start_offset,
+         unnest(generate_series(first_seq, last_seq)) AS seq_id
+  FROM pk WHERE n_tokens > 0
+)
+SELECT seq_id, doc_id,
+       CAST(greatest(0, start_offset - seq_id * {SEQ_LEN}) AS BIGINT)
+         AS begin_tok,
+       CAST(least({SEQ_LEN}, start_offset + n_tokens - seq_id * {SEQ_LEN})
+            AS BIGINT) AS end_tok,
+       CAST(least({SEQ_LEN}, start_offset + n_tokens - seq_id * {SEQ_LEN})
+            - greatest(0, start_offset - seq_id * {SEQ_LEN}) AS BIGINT)
+         AS n_span_tokens
+FROM spans
+"""
+
+
+@query(
+    "training_attention_spans",
+    oracle=_attention_spans_oracle(),
+    doc="Per-(sequence, document) TOKEN SPANS for packed training "
+    "sequences — the block-diagonal attention-mask / loss-mask input a "
+    "trainer needs when sequences are packed (attention must not cross "
+    "document boundaries, so the data pipeline has to ship each doc's "
+    "[begin, end) offsets inside every 2048-token sequence it occupies). "
+    "training_sequence_manifest answers 'which docs are in sequence N'; "
+    "this answers 'exactly which token positions belong to each doc'. "
+    "Purely row-local above the packer: explode each doc's "
+    "[first_seq, last_seq] span and clamp the global offsets into "
+    "sequence-local coordinates — zero joins, zero extra shuffles at any "
+    "scale. The packer's oracle is composed verbatim so the spans can "
+    "never drift from the layout; by construction the spans of a "
+    "sequence tile [0, n_tokens_filled) with no gaps or overlaps "
+    "(invariant-tested against the manifest).",
+)
+def training_attention_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pk = pack_training_sequences(spark, sf_dir)
+    spans = pk.where(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.explode(F.sequence(F.col("first_seq"), F.col("last_seq"))).alias(
+            "seq_id"
+        ),
+    )
+    begin = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.col("start_offset") - F.col("seq_id") * F.lit(SEQ_LEN),
+    )
+    end = F.least(
+        F.lit(SEQ_LEN).cast("bigint"),
+        F.col("start_offset")
+        + F.col("n_tokens")
+        - F.col("seq_id") * F.lit(SEQ_LEN),
+    )
+    return spans.select(
+        "seq_id",
+        "doc_id",
+        begin.alias("begin_tok"),
+        end.alias("end_tok"),
+        (end - begin).alias("n_span_tokens"),
+    )
+
+
+SHUFFLE_EPOCHS = 2  # epochs demonstrated by training_epoch_shuffle
+SHUFFLE_READERS = 4  # data-loader reader shards
+
+
+def _epoch_shuffle_oracle() -> str:
+    """Compose the manifest oracle verbatim (the sequence universe), then
+    the deterministic shuffle: hash-keyed order, hash-mod reader shard."""
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    manifest = QUERIES["training_sequence_manifest"].oracle
+    key = portable_hash_sql(
+        "CAST(epoch AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR)"
+    )
+    epochs = ", ".join(
+        f"CAST({i} AS BIGINT)" for i in range(SHUFFLE_EPOCHS)
+    )
+    return f"""
+WITH mf AS ({manifest}),
+e AS (SELECT seq_id, unnest([{epochs}]) AS epoch FROM mf),
+k AS (SELECT epoch, seq_id, {key} AS order_key FROM e)
+SELECT epoch,
+       CAST(order_key % {SHUFFLE_READERS} AS BIGINT) AS reader,
+       CAST(row_number() OVER (
+              PARTITION BY epoch, order_key % {SHUFFLE_READERS}
+              ORDER BY order_key, seq_id) AS BIGINT) AS position,
+       seq_id, order_key
+FROM k
+"""
+
+
+@query(
+    "training_epoch_shuffle",
+    oracle=_epoch_shuffle_oracle(),
+    doc="Deterministic PER-EPOCH shuffle + reader sharding of the packed "
+    "training sequences — the data-loader order. Each (epoch, sequence) "
+    "gets a portable hash key; the key mod R picks the reader shard and "
+    "the within-shard sort position is the read order. Deterministic "
+    "(any worker can recompute any reader's order for resume-from-step), "
+    "epoch-varying (the epoch is hashed into the key, so no two epochs "
+    "share an order), and coordination-free. Scale shape: ONE shuffle "
+    "keyed on (epoch, reader) — R readers x E epochs partitions — and "
+    "the per-reader sort is exactly the per-reader stream a real loader "
+    "materializes; no global sort, no driver-side permutation. Composes "
+    "training_sequence_manifest verbatim as the sequence universe.",
+)
+def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mf = training_sequence_manifest(spark, sf_dir).select("seq_id")
+    e = mf.select(
+        "seq_id",
+        F.explode(
+            F.array([F.lit(i) for i in range(SHUFFLE_EPOCHS)])
+        ).alias("epoch_i"),
+    ).select("seq_id", F.col("epoch_i").cast("bigint").alias("epoch"))
+    k = e.select(
+        "epoch",
+        "seq_id",
+        portable_hash(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("seq_id").cast("string"),
+            )
+        ).alias("order_key"),
+    ).withColumn(
+        "reader",
+        F.pmod(F.col("order_key"), F.lit(SHUFFLE_READERS)).cast("bigint"),
+    )
+    w = Window.partitionBy("epoch", "reader").orderBy("order_key", "seq_id")
+    return k.select(
+        "epoch",
+        "reader",
+        F.row_number().over(w).cast("bigint").alias("position"),
+        "seq_id",
+        "order_key",
+    )
+
+
+@query(
+    "stream_pack_training_sequences_ranged",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+lohi AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+b AS (
+  SELECT t.doc_id, t.n_tokens,
+         CAST((CASE WHEN t.doc_id > lo + (hi - lo + 1) * 1 // 4
+                    THEN 1 ELSE 0 END)
+            + (CASE WHEN t.doc_id > lo + (hi - lo + 1) * 2 // 4
+                    THEN 1 ELSE 0 END)
+            + (CASE WHEN t.doc_id > lo + (hi - lo + 1) * 3 // 4
+                    THEN 1 ELSE 0 END) AS BIGINT) AS batch
+  FROM toks t CROSS JOIN lohi
+),
+bm AS (SELECT batch, max(doc_id) AS bmax FROM b GROUP BY batch),
+c AS (
+  SELECT b.doc_id, b.n_tokens, b.batch,
+         b.doc_id // greatest({PACK_PART_MIN},
+                              bm.bmax // {PACK_MAX_PARTS} + 1) AS part,
+         CAST(sum(b.n_tokens) OVER (ORDER BY b.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - b.n_tokens AS start_offset
+  FROM b JOIN bm USING (batch)
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // {SEQ_LEN} AS first_seq,
+       CASE WHEN n_tokens = 0 THEN start_offset // {SEQ_LEN}
+            ELSE (start_offset + n_tokens - 1) // {SEQ_LEN} END AS last_seq,
+       batch,
+       CAST(part AS BIGINT) AS part,
+       CAST(min(start_offset) OVER (PARTITION BY batch, part) AS BIGINT)
+         AS part_range_start
+FROM c
+""",
+    doc="MULTI-WRITER packing AT INGEST — the composition of "
+    "stream_pack_training_sequences (one carried scalar across triggers) "
+    "and pack_training_sequences_ranged (coordinator hands out "
+    "per-partition offset ranges; writers pack independently), closing "
+    "the production claim end-to-end: per micro-batch, the batch's rows "
+    "are cut into contiguous-id writer partitions (part span adaptive "
+    "from the batch's max doc_id, coordinator table provably <= 10^4 "
+    "rows), the per-trigger COORDINATOR step is one cumsum over per-part "
+    "token totals seeded by the carried running total, and each part "
+    "then packs its own rows inside its handed-out range (windows "
+    "partitioned by part — no stage sees another writer's rows). The "
+    "output keeps (batch, part, part_range_start) so BOTH handoffs — "
+    "cross-trigger scalar and intra-trigger ranges — are oracle-checked: "
+    "the oracle replays the ordered spool's id-range batching (cuts at "
+    "lo + (hi-lo+1)*q/4, the spool helper's own rule) and derives every "
+    "range start as min(start_offset) per (batch, part). Offsets are "
+    "bitwise-identical to the batch packer's (invariant-tested): ordered "
+    "arrival makes concatenating per-part layouts in (batch, part) order "
+    "the global concat-and-slice layout.",
+)
+def stream_pack_training_sequences_ranged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_foreach_batch,
+        spool_ordered_batches,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_pack_ranged_")
+    ledger_dir = os.path.join(tmp, "ledger")
+    carry = {"offset": 0, "batch": 0}
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        spool_ordered_batches(docs, "doc_id", tmp)
+
+        def pack_batch(bdf: DataFrame, _epoch_id: int) -> None:
+            bdf = bdf.persist()
+            bmax = bdf.agg(F.max("doc_id").alias("bmax"))
+            toks = bdf.crossJoin(F.broadcast(bmax)).select(
+                "doc_id",
+                F.expr(
+                    f"doc_id DIV greatest({PACK_PART_MIN}L, "
+                    f"bmax DIV {PACK_MAX_PARTS} + 1)"
+                ).alias("part"),
+                F.expr(
+                    f"doc_id DIV greatest({PACK_SHARD}L, "
+                    f"bmax DIV {PACK_MAX_SHARDS} + 1)"
+                ).alias("shard"),
+                F.size(tokens(F.col("text"))).cast("bigint").alias(
+                    "n_tokens"
+                ),
+            )
+            # COORDINATOR: per-part totals -> range starts, seeded by the
+            # carried cross-trigger running total. Bounded rows.
+            part_tot = toks.groupBy("part").agg(
+                F.sum("n_tokens").alias("tot")
+            )
+            w_part = Window.orderBy("part").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            part_ranges = part_tot.select(
+                "part",
+                (
+                    F.lit(carry["offset"])
+                    + F.coalesce(F.sum("tot").over(w_part), F.lit(0))
+                ).cast("bigint").alias("part_range_start"),
+            )
+            # WORKERS: per-part independent sharded two-stage cumsum.
+            w_in = (
+                Window.partitionBy("part", "shard")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            with_cs = toks.withColumn(
+                "cs_in_shard", F.sum("n_tokens").over(w_in)
+            )
+            shard_tot = toks.groupBy("part", "shard").agg(
+                F.sum("n_tokens").alias("tot")
+            )
+            w_sh = (
+                Window.partitionBy("part")
+                .orderBy("shard")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            shard_pre = shard_tot.select(
+                "part",
+                "shard",
+                F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias(
+                    "shard_prefix"
+                ),
+            )
+            packed = (
+                with_cs.join(shard_pre, ["part", "shard"])
+                .join(F.broadcast(part_ranges), "part")
+                .select(
+                    "doc_id",
+                    "n_tokens",
+                    (
+                        F.col("part_range_start")
+                        + F.col("shard_prefix")
+                        + F.col("cs_in_shard")
+                        - F.col("n_tokens")
+                    ).alias("start_offset"),
+                    F.lit(carry["batch"]).cast("bigint").alias("batch"),
+                    F.col("part").cast("bigint").alias("part"),
+                    "part_range_start",
+                )
+                .select(
+                    "doc_id",
+                    "n_tokens",
+                    "start_offset",
+                    F.expr(f"start_offset DIV {SEQ_LEN}").alias("first_seq"),
+                    F.expr(
+                        f"CASE WHEN n_tokens = 0 "
+                        f"THEN start_offset DIV {SEQ_LEN} "
+                        f"ELSE (start_offset + n_tokens - 1) DIV {SEQ_LEN} "
+                        f"END"
+                    ).alias("last_seq"),
+                    "batch",
+                    "part",
+                    "part_range_start",
+                )
+            )
+            packed.write.mode("append").parquet(ledger_dir)
+            total = toks.agg(F.sum("n_tokens")).first()[0]
+            carry["offset"] += int(total or 0)
+            carry["batch"] += 1
+            bdf.unpersist()
+
+        run_foreach_batch(
+            _stream_docs_from_spool(spark, tmp), pack_batch,
+            output_mode="append",
+        )
+        out = spark.read.parquet(ledger_dir).select(
+            "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq",
+            "batch", "part", "part_range_start",
+        )
+        rows = out.collect()
+        result = spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+@query(
+    "stream_pack_training_sequences_unordered",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id % 4, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS start_offset
+  FROM toks
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // {SEQ_LEN} AS first_seq,
+       CASE WHEN n_tokens = 0 THEN start_offset // {SEQ_LEN}
+            ELSE (start_offset + n_tokens - 1) // {SEQ_LEN} END AS last_seq,
+       CAST(doc_id % 4 AS BIGINT) AS arrival_epoch
+FROM c
+""",
+    doc="At-ingest packing under Kafka CROSS-PARTITION DISORDER (the "
+    "round-robin spool: every micro-batch spans the full id range, so "
+    "arrival order disagrees with id order everywhere — the reference "
+    "topic guarantees order only within a partition, "
+    "TwitterDatasetTrendingHashtag.java:64-72). Packing at ingest is "
+    "ARRIVAL-DEFINED, like keeper dedup: the layout is 'concatenate in "
+    "the order documents arrived', which is the only layout an online "
+    "packer can produce without buffering the corpus — so the machinery "
+    "must assume NOTHING about id order, and the oracle replays the "
+    "arrival order explicitly (ORDER BY doc_id % 4, doc_id — the "
+    "round-robin epochs, then id order within a batch, which is the "
+    "within-trigger layout because the shard key is monotone in doc_id). "
+    "Mechanics are stream_pack_training_sequences' verbatim — per-batch "
+    "sharded two-stage cumsum, one carried scalar — demonstrating that "
+    "the SAME code is disorder-safe; only the oracle's notion of 'the "
+    "expected layout' changes. The arrival_epoch column pins which "
+    "trigger packed each doc. Downstream invariants survive disorder: "
+    "offsets still tile [0, total) gap-free (invariant-tested) and the "
+    "manifest/attention-span derivations apply unchanged to the ledger.",
+)
+def stream_pack_training_sequences_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_foreach_batch,
+        spool_roundrobin_batches,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_pack_unord_")
+    ledger_dir = os.path.join(tmp, "ledger")
+    carry = {"offset": 0, "batch": 0}
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        spool_roundrobin_batches(docs, "doc_id", tmp)
+
+        def pack_batch(bdf: DataFrame, _epoch_id: int) -> None:
+            bdf = bdf.persist()
+            max_id = bdf.agg(F.max("doc_id").alias("max_doc_id"))
+            toks = bdf.crossJoin(F.broadcast(max_id)).select(
+                "doc_id",
+                F.expr(
+                    f"doc_id DIV greatest({PACK_SHARD}L, "
+                    f"max_doc_id DIV {PACK_MAX_SHARDS} + 1)"
+                ).alias("shard"),
+                F.size(tokens(F.col("text"))).cast("bigint").alias(
+                    "n_tokens"
+                ),
+            )
+            w_in = (
+                Window.partitionBy("shard")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            with_cs = toks.withColumn(
+                "cs_in_shard", F.sum("n_tokens").over(w_in)
+            )
+            shard_tot = toks.groupBy("shard").agg(
+                F.sum("n_tokens").alias("tot")
+            )
+            w_sh = Window.orderBy("shard").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            shard_pre = shard_tot.select(
+                "shard",
+                F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias(
+                    "shard_prefix"
+                ),
+            )
+            packed = (
+                with_cs.join(shard_pre, "shard")
+                .select(
+                    "doc_id",
+                    "n_tokens",
+                    (
+                        F.lit(carry["offset"])
+                        + F.col("shard_prefix")
+                        + F.col("cs_in_shard")
+                        - F.col("n_tokens")
+                    ).alias("start_offset"),
+                )
+                .select(
+                    "doc_id",
+                    "n_tokens",
+                    "start_offset",
+                    F.expr(f"start_offset DIV {SEQ_LEN}").alias("first_seq"),
+                    F.expr(
+                        f"CASE WHEN n_tokens = 0 "
+                        f"THEN start_offset DIV {SEQ_LEN} "
+                        f"ELSE (start_offset + n_tokens - 1) DIV {SEQ_LEN} "
+                        f"END"
+                    ).alias("last_seq"),
+                    F.lit(carry["batch"]).cast("bigint").alias(
+                        "arrival_epoch"
+                    ),
+                )
+            )
+            packed.write.mode("append").parquet(ledger_dir)
+            total = toks.agg(F.sum("n_tokens")).first()[0]
+            carry["offset"] += int(total or 0)
+            carry["batch"] += 1
+            bdf.unpersist()
+
+        run_foreach_batch(
+            _stream_docs_from_spool(spark, tmp), pack_batch,
+            output_mode="append",
+        )
+        out = spark.read.parquet(ledger_dir).select(
+            "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq",
+            "arrival_epoch",
+        )
+        rows = out.collect()
+        result = spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
 @query(
     "doc_chunk_windows",
     oracle=rf"""

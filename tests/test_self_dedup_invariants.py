@@ -591,3 +591,118 @@ def test_disorder_capstone_order_free_stages_match_ordered(spark):
     for r in sorted(kept, key=lambda r: (r.doc_id % 4, r.doc_id)):
         assert r.start_offset == off, r.doc_id
         off += r.n_tokens
+
+
+def test_stream_ranged_packer_equals_batch_packer_and_tiles(spark):
+    """The at-ingest multi-writer packer reproduces the batch layout
+    bitwise on the shared columns, AND both handoffs tile: each
+    (batch, part) range starts where the previous ends, and within a
+    range offsets chain doc by doc with no gaps."""
+    specs = _specs()
+    rows = specs["stream_pack_training_sequences_ranged"].fn(
+        spark, SF
+    ).collect()
+    batch = {
+        (r.doc_id, r.n_tokens, r.start_offset, r.first_seq, r.last_seq)
+        for r in specs["pack_training_sequences"].fn(spark, SF).collect()
+    }
+    assert {
+        (r.doc_id, r.n_tokens, r.start_offset, r.first_seq, r.last_seq)
+        for r in rows
+    } == batch
+    by_range: dict[tuple, list] = {}
+    for r in rows:
+        by_range.setdefault((r.batch, r.part), []).append(r)
+    expected_start = 0
+    for key in sorted(by_range):
+        prows = by_range[key]
+        assert {r.part_range_start for r in prows} == {expected_start}, key
+        off = expected_start
+        for r in sorted(prows, key=lambda r: r.doc_id):
+            assert r.start_offset == off, (key, r.doc_id)
+            off += r.n_tokens
+        expected_start = off
+
+
+def test_unordered_packer_layout_is_arrival_defined_and_gap_free(spark):
+    """Under round-robin disorder the packer's layout is arrival order
+    (epoch, then id within the trigger): offsets chain gap-free in that
+    order, tile [0, total), and the doc->token-count map is exactly the
+    ordered packer's (same corpus, different concatenation order)."""
+    specs = _specs()
+    rows = specs["stream_pack_training_sequences_unordered"].fn(
+        spark, SF
+    ).collect()
+    assert all(r.arrival_epoch == r.doc_id % 4 for r in rows)
+    off = 0
+    for r in sorted(rows, key=lambda r: (r.arrival_epoch, r.doc_id)):
+        assert r.start_offset == off, r.doc_id
+        off += r.n_tokens
+    ordered = {
+        r.doc_id: r.n_tokens
+        for r in specs["pack_training_sequences"].fn(spark, SF).collect()
+    }
+    assert {r.doc_id: r.n_tokens for r in rows} == ordered
+    assert off == sum(ordered.values())
+
+
+def test_attention_spans_tile_each_sequence_exactly(spark):
+    """Per sequence, the doc spans must tile [0, n_tokens_filled) with no
+    gaps or overlaps — the property a block-diagonal attention mask
+    builder relies on — and agree with the manifest's doc counts."""
+    specs = _specs()
+    spans = specs["training_attention_spans"].fn(spark, SF).collect()
+    manifest = {
+        r.seq_id: (r.n_docs, r.n_tokens_filled)
+        for r in specs["training_sequence_manifest"].fn(spark, SF).collect()
+    }
+    by_seq: dict[int, list] = {}
+    for s in spans:
+        assert 0 <= s.begin_tok < s.end_tok <= 2048, s
+        assert s.n_span_tokens == s.end_tok - s.begin_tok
+        by_seq.setdefault(s.seq_id, []).append(s)
+    assert set(by_seq) == set(manifest)
+    for seq_id, ss in by_seq.items():
+        n_docs, filled = manifest[seq_id]
+        assert len(ss) == n_docs, seq_id
+        ss.sort(key=lambda s: s.begin_tok)
+        pos = 0
+        for s in ss:
+            assert s.begin_tok == pos, (seq_id, s.doc_id)
+            pos = s.end_tok
+        assert pos == filled, seq_id
+
+
+def test_epoch_shuffle_partitions_and_reorders(spark):
+    """Each epoch's readers partition the sequence universe exactly once;
+    positions are contiguous 1..count per reader; and the two epochs
+    produce genuinely different orders (hash keys differ per epoch)."""
+    specs = _specs()
+    rows = specs["training_epoch_shuffle"].fn(spark, SF).collect()
+    manifest_seqs = {
+        r.seq_id
+        for r in specs["training_sequence_manifest"].fn(spark, SF).collect()
+    }
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == {0, 1}
+    orders = {}
+    for epoch, ers in by_epoch.items():
+        assert {r.seq_id for r in ers} == manifest_seqs
+        assert len(ers) == len(manifest_seqs)  # no seq twice per epoch
+        by_reader: dict[int, list] = {}
+        for r in ers:
+            assert r.reader == r.order_key % 4
+            by_reader.setdefault(r.reader, []).append(r)
+        for reader, rr in by_reader.items():
+            rr.sort(key=lambda r: r.position)
+            assert [r.position for r in rr] == list(range(1, len(rr) + 1))
+            assert [r.order_key for r in rr] == sorted(
+                r.order_key for r in rr
+            )
+        orders[epoch] = tuple(
+            r.seq_id
+            for r in sorted(ers, key=lambda r: (r.reader, r.position))
+        )
+    assert orders[0] != orders[1]
