@@ -184,77 +184,9 @@ def stream_pack_training_sequences(
     try:
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
         spool_ordered_batches(docs, "doc_id", tmp)
-
-        def pack_batch(bdf: DataFrame, _epoch_id: int) -> None:
-            bdf = bdf.persist()
-            # the batch packer's DYNAMIC shard size (from this batch's max
-            # doc_id): offsets are shard-size invariant, but a hardcoded
-            # shard would leave the stage-2 window over shard totals
-            # unbounded for sparse/large id spaces — the same #shards cap
-            # must hold per batch
-            max_id = bdf.agg(F.max("doc_id").alias("max_doc_id"))
-            toks = bdf.crossJoin(F.broadcast(max_id)).select(
-                "doc_id",
-                F.expr(
-                    f"doc_id DIV greatest({PACK_SHARD}L, "
-                    f"max_doc_id DIV {PACK_MAX_SHARDS} + 1)"
-                ).alias("shard"),
-                F.size(tokens(F.col("text"))).cast("bigint").alias(
-                    "n_tokens"
-                ),
-            )
-            w_in = (
-                Window.partitionBy("shard")
-                .orderBy("doc_id")
-                .rowsBetween(Window.unboundedPreceding, 0)
-            )
-            with_cs = toks.withColumn(
-                "cs_in_shard", F.sum("n_tokens").over(w_in)
-            )
-            shard_tot = toks.groupBy("shard").agg(
-                F.sum("n_tokens").alias("tot")
-            )
-            w_sh = Window.orderBy("shard").rowsBetween(
-                Window.unboundedPreceding, -1
-            )
-            shard_pre = shard_tot.select(
-                "shard",
-                F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias(
-                    "shard_prefix"
-                ),
-            )
-            packed = (
-                with_cs.join(shard_pre, "shard")
-                .select(
-                    "doc_id",
-                    "n_tokens",
-                    (
-                        F.lit(carry["offset"])
-                        + F.col("shard_prefix")
-                        + F.col("cs_in_shard")
-                        - F.col("n_tokens")
-                    ).alias("start_offset"),
-                )
-                .select(
-                    "doc_id",
-                    "n_tokens",
-                    "start_offset",
-                    F.expr(f"start_offset DIV {SEQ_LEN}").alias("first_seq"),
-                    F.expr(
-                        f"CASE WHEN n_tokens = 0 "
-                        f"THEN start_offset DIV {SEQ_LEN} "
-                        f"ELSE (start_offset + n_tokens - 1) DIV {SEQ_LEN} "
-                        f"END"
-                    ).alias("last_seq"),
-                )
-            )
-            packed.write.mode("append").parquet(ledger_dir)
-            total = toks.agg(F.sum("n_tokens")).first()[0]
-            carry["offset"] += int(total or 0)
-            bdf.unpersist()
-
         run_foreach_batch(
-            _stream_docs_from_spool(spark, tmp), pack_batch,
+            _stream_docs_from_spool(spark, tmp),
+            _make_pack_batch(ledger_dir, carry),
             output_mode="append",
         )
         out = spark.read.parquet(ledger_dir).select(
@@ -265,6 +197,76 @@ def stream_pack_training_sequences(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+def _make_pack_batch(ledger_dir: str, carry: dict):
+    """The streaming packer's per-trigger body, shared by the plain,
+    resumed, and (structurally) unordered variants: the batch packer's
+    DYNAMIC shard size (from this batch's max doc_id — offsets are
+    shard-size invariant, but a hardcoded shard would leave the stage-2
+    window over shard totals unbounded for sparse/large id spaces, the
+    same #shards cap must hold per batch), the sharded two-stage cumsum
+    over the batch's rows, the carried running total added to every
+    within-batch offset, and an executor-written parquet ledger append."""
+
+    def pack_batch(bdf: DataFrame, _epoch_id: int) -> None:
+        bdf = bdf.persist()
+        max_id = bdf.agg(F.max("doc_id").alias("max_doc_id"))
+        toks = bdf.crossJoin(F.broadcast(max_id)).select(
+            "doc_id",
+            F.expr(
+                f"doc_id DIV greatest({PACK_SHARD}L, "
+                f"max_doc_id DIV {PACK_MAX_SHARDS} + 1)"
+            ).alias("shard"),
+            F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        )
+        w_in = (
+            Window.partitionBy("shard")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        with_cs = toks.withColumn("cs_in_shard", F.sum("n_tokens").over(w_in))
+        shard_tot = toks.groupBy("shard").agg(F.sum("n_tokens").alias("tot"))
+        w_sh = Window.orderBy("shard").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        shard_pre = shard_tot.select(
+            "shard",
+            F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias(
+                "shard_prefix"
+            ),
+        )
+        packed = (
+            with_cs.join(shard_pre, "shard")
+            .select(
+                "doc_id",
+                "n_tokens",
+                (
+                    F.lit(carry["offset"])
+                    + F.col("shard_prefix")
+                    + F.col("cs_in_shard")
+                    - F.col("n_tokens")
+                ).alias("start_offset"),
+            )
+            .select(
+                "doc_id",
+                "n_tokens",
+                "start_offset",
+                F.expr(f"start_offset DIV {SEQ_LEN}").alias("first_seq"),
+                F.expr(
+                    f"CASE WHEN n_tokens = 0 "
+                    f"THEN start_offset DIV {SEQ_LEN} "
+                    f"ELSE (start_offset + n_tokens - 1) DIV {SEQ_LEN} "
+                    f"END"
+                ).alias("last_seq"),
+            )
+        )
+        packed.write.mode("append").parquet(ledger_dir)
+        total = toks.agg(F.sum("n_tokens")).first()[0]
+        carry["offset"] += int(total or 0)
+        bdf.unpersist()
+
+    return pack_batch
 
 
 def _stream_docs_from_spool(spark: SparkSession, spool_dir: str) -> DataFrame:
@@ -955,6 +957,88 @@ def stream_pack_training_sequences_unordered(
         out = spark.read.parquet(ledger_dir).select(
             "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq",
             "arrival_epoch",
+        )
+        rows = out.collect()
+        result = spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+def _stream_pack_resumed_oracle() -> str:
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    return QUERIES["pack_training_sequences"].oracle
+
+
+@query(
+    "stream_pack_training_sequences_resumed",
+    oracle=_stream_pack_resumed_oracle(),
+    doc="CRASH RECOVERY of the at-ingest packer's offset allocator: the "
+    "streaming packer's only cross-trigger state is one scalar (the "
+    "running token total), and this query demonstrates it is "
+    "RECOVERABLE FROM THE LEDGER ITSELF — no side checkpoint. The "
+    "stream runs over the first half of the spool, the driver-held "
+    "carry is then DISCARDED (the simulated crash), a fresh run seeds "
+    "its carry with one aggregate over the ledger (sum of n_tokens = "
+    "exactly the tokens already laid out) and processes the remaining "
+    "batches; the combined ledger must be bitwise the uninterrupted "
+    "packer's layout, so the oracle is the batch packer's VERBATIM. "
+    "At scale the recovery aggregate is a map-side sum over the ledger "
+    "(or its footer statistics — parquet column sums make it metadata-"
+    "only); production pairing: the ledger append itself is made "
+    "idempotent under foreachBatch retry with the epoch-id guard "
+    "stream_exactly_once_sink_replay demonstrates, and recovery then "
+    "sums only committed epochs.",
+)
+def stream_pack_training_sequences_resumed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_foreach_batch,
+        spool_ordered_batches,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_pack_resume_")
+    spool_a = os.path.join(tmp, "before_crash")
+    spool_b = os.path.join(tmp, "after_restart")
+    ledger_dir = os.path.join(tmp, "ledger")
+    os.makedirs(spool_b)
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        spool_ordered_batches(docs, "doc_id", spool_a)
+        # hold back the later half of the spool: those batches arrive
+        # only after the restart
+        for f in sorted(glob.glob(os.path.join(spool_a, "batch_*.parquet")))[
+            2:
+        ]:
+            shutil.move(f, os.path.join(spool_b, os.path.basename(f)))
+
+        carry = {"offset": 0}
+        run_foreach_batch(
+            _stream_docs_from_spool(spark, spool_a),
+            _make_pack_batch(ledger_dir, carry),
+            output_mode="append",
+        )
+        # ---- the crash: the driver (and its carry scalar) is lost ----
+        del carry
+        # ---- restart: recover the allocator from the ledger ----
+        recovered = spark.read.parquet(ledger_dir).agg(
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t")
+        ).first()[0]
+        carry2 = {"offset": int(recovered)}
+        run_foreach_batch(
+            _stream_docs_from_spool(spark, spool_b),
+            _make_pack_batch(ledger_dir, carry2),
+            output_mode="append",
+        )
+        out = spark.read.parquet(ledger_dir).select(
+            "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq"
         )
         rows = out.collect()
         result = spark.createDataFrame(rows, out.schema)
