@@ -558,6 +558,7 @@ def training_attention_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SHUFFLE_EPOCHS = 2  # epochs demonstrated by training_epoch_shuffle
 SHUFFLE_READERS = 4  # data-loader reader shards
+_SHUFFLE_SUB_BITS = 8  # 2^8 range sub-shards per reader for the sharded rank
 
 
 def _epoch_shuffle_oracle() -> str:
@@ -595,11 +596,19 @@ FROM k
     "the within-shard sort position is the read order. Deterministic "
     "(any worker can recompute any reader's order for resume-from-step), "
     "epoch-varying (the epoch is hashed into the key, so no two epochs "
-    "share an order), and coordination-free. Scale shape: ONE shuffle "
-    "keyed on (epoch, reader) — R readers x E epochs partitions — and "
-    "the per-reader sort is exactly the per-reader stream a real loader "
-    "materializes; no global sort, no driver-side permutation. Composes "
-    "training_sequence_manifest verbatim as the sequence universe.",
+    "share an order), and coordination-free. Scale shape: the "
+    "within-reader rank is SHARDED two-stage (the packer's pattern), "
+    "never one window per reader — the uniform 60-bit order_key is "
+    "RANGE-sub-sharded by its high bits (order-preserving, so ranks "
+    "compose by prefix counts; equal keys share a sub-shard, keeping "
+    "the seq_id tie-break window-local), stage-1 row_numbers run per "
+    "(epoch, reader, sub-shard) in parallel, and stage-2 is a cumsum "
+    "over the bounded E x R x 2^{_SHUFFLE_SUB_BITS} count table. No "
+    "global sort, no driver-side permutation, no single-task reader "
+    "stream at any corpus size (sub-shard bits are the parallelism "
+    "knob; production R is the loader's worker count, thousands). "
+    "Composes training_sequence_manifest verbatim as the sequence "
+    "universe.",
 )
 def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     mf = training_sequence_manifest(spark, sf_dir).select("seq_id")
@@ -622,12 +631,35 @@ def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "reader",
         F.pmod(F.col("order_key"), F.lit(SHUFFLE_READERS)).cast("bigint"),
+    ).withColumn(
+        # range sub-shard on the key's high bits: order-preserving within
+        # a reader (sub asc == order_key asc across sub-shards), uniform
+        # by construction (the key is a 60-bit hash)
+        "sub",
+        F.expr(f"order_key DIV {1 << (60 - _SHUFFLE_SUB_BITS)}"),
     )
-    w = Window.partitionBy("epoch", "reader").orderBy("order_key", "seq_id")
-    return k.select(
+    w_in = Window.partitionBy("epoch", "reader", "sub").orderBy(
+        "order_key", "seq_id"
+    )
+    ranked = k.withColumn("rn", F.row_number().over(w_in))
+    sub_tot = k.groupBy("epoch", "reader", "sub").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_sub = (
+        Window.partitionBy("epoch", "reader")
+        .orderBy("sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sub_pre = sub_tot.select(
         "epoch",
         "reader",
-        F.row_number().over(w).cast("bigint").alias("position"),
+        "sub",
+        F.coalesce(F.sum("cnt").over(w_sub), F.lit(0)).alias("prefix"),
+    )
+    return ranked.join(sub_pre, ["epoch", "reader", "sub"]).select(
+        "epoch",
+        "reader",
+        (F.col("prefix") + F.col("rn")).cast("bigint").alias("position"),
         "seq_id",
         "order_key",
     )
