@@ -656,7 +656,7 @@ def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sub",
         F.coalesce(F.sum("cnt").over(w_sub), F.lit(0)).alias("prefix"),
     )
-    return ranked.join(sub_pre, ["epoch", "reader", "sub"]).select(
+    return ranked.join(F.broadcast(sub_pre), ["epoch", "reader", "sub"]).select(
         "epoch",
         "reader",
         (F.col("prefix") + F.col("rn")).cast("bigint").alias("position"),
