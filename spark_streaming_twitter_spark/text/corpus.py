@@ -665,6 +665,52 @@ def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_order_oracle() -> str:
+    """Compose the epoch-shuffle and manifest oracles verbatim (capstone
+    convention) and join them on seq_id."""
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    sh = QUERIES["training_epoch_shuffle"].oracle
+    mf = QUERIES["training_sequence_manifest"].oracle
+    return f"""
+WITH sh AS ({sh}),
+mf AS ({mf})
+SELECT sh.epoch, sh.reader, sh.position, sh.seq_id,
+       mf.n_docs, mf.first_doc, mf.last_doc, mf.n_tokens_filled
+FROM sh JOIN mf USING (seq_id)
+"""
+
+
+@query(
+    "training_run_order",
+    oracle=_run_order_oracle(),
+    doc="CAPSTONE of the training-data story: the exact stream a "
+    "trainer's reader consumes — per (epoch, reader, position), the "
+    "packed sequence it reads next with its provenance (how many docs "
+    "fill it, their id range, the token fill). Composes "
+    "training_epoch_shuffle and training_sequence_manifest, both stage "
+    "oracles verbatim, joined 1:1 on seq_id — the answer to 'what did "
+    "the model see at step N of epoch E on reader R, and where did it "
+    "come from?' in one query over nothing but the raw documents "
+    "table. The join is fact-fact on seq_id (both sides corpus-"
+    "proportional) and legitimately shuffles once; everything below it "
+    "reuses the already-audited packer/manifest/shuffle plans.",
+)
+def training_run_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    order = training_epoch_shuffle(spark, sf_dir)
+    mf = training_sequence_manifest(spark, sf_dir)
+    return order.join(mf, "seq_id").select(
+        "epoch",
+        "reader",
+        "position",
+        "seq_id",
+        "n_docs",
+        "first_doc",
+        "last_doc",
+        "n_tokens_filled",
+    )
+
+
 @query(
     "stream_pack_training_sequences_ranged",
     oracle=rf"""

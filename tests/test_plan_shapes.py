@@ -729,3 +729,13 @@ def test_bloom_filter_runtime_injection_and_control(spark):
         .toString()
     )
     assert "might_contain" not in control
+
+
+def test_epoch_shuffle_rank_is_sharded_and_prefix_broadcasts(spark):
+    """training_epoch_shuffle's within-reader rank must stay the sharded
+    two-stage form: the stage-1 window partitions by the range sub-shard
+    (never one window per reader) and the bounded prefix table joins by
+    broadcast, not sort-merge."""
+    f = _features(spark, "training_epoch_shuffle")
+    assert "BroadcastHashJoin" in f.join_nodes, f.join_nodes
+    assert "sub#" in f.raw, "stage-1 window lost its sub-shard partition key"
