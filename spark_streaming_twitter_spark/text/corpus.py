@@ -711,6 +711,68 @@ def training_run_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _blast_radius_oracle() -> str:
+    """Compose the decontaminator, attention-span, and epoch-shuffle
+    oracles verbatim (capstone convention)."""
+    import spark_streaming_twitter_spark.dedup.dedup  # noqa: F401
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    decon = QUERIES["dedup_decontaminate"].oracle
+    spans = QUERIES["training_attention_spans"].oracle
+    sh = QUERIES["training_epoch_shuffle"].oracle
+    return f"""
+WITH decon AS ({decon}),
+spans AS ({spans}),
+sh AS ({sh})
+SELECT s.doc_id, s.seq_id, o.epoch, o.reader, o.position, s.n_span_tokens
+FROM spans s
+JOIN decon d ON s.doc_id = d.doc_id AND d.is_contaminated
+JOIN sh o ON o.seq_id = s.seq_id
+"""
+
+
+@query(
+    "contamination_blast_radius",
+    oracle=_blast_radius_oracle(),
+    doc="POST-HOC contamination audit — the question every training run "
+    "eventually asks: 'we trained, and THEN discovered benchmark "
+    "contamination; exactly which training steps consumed the "
+    "contaminated tokens?' Per (contaminated doc, sequence, epoch): the "
+    "reader and step position that read it and how many of its tokens "
+    "the sequence carries — the blast radius a checkpoint-rollback or "
+    "eval-invalidation decision needs. Composes dedup_decontaminate "
+    "(the flagged docs), training_attention_spans (doc -> sequences + "
+    "token spans), and training_epoch_shuffle (sequence -> read steps), "
+    "all three stage oracles verbatim. Scale shape: the flagged set is "
+    "small BY THE DECONTAMINATION PREMISE (a benchmark overlap is rare), "
+    "so it broadcasts against the span table, and the surviving flagged "
+    "spans broadcast against the run order — the corpus-proportional "
+    "order table is scanned once and never shuffled; the audit costs "
+    "two broadcasts and one scan.",
+)
+def contamination_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.dedup.dedup import dedup_decontaminate
+
+    flagged = (
+        dedup_decontaminate(spark, sf_dir)
+        .where(F.col("is_contaminated"))
+        .select("doc_id")
+    )
+    spans = training_attention_spans(spark, sf_dir)
+    flagged_spans = spans.join(F.broadcast(flagged), "doc_id").select(
+        "doc_id", "seq_id", "n_span_tokens"
+    )
+    order = training_epoch_shuffle(spark, sf_dir)
+    return order.join(F.broadcast(flagged_spans), "seq_id").select(
+        "doc_id",
+        "seq_id",
+        "epoch",
+        "reader",
+        "position",
+        "n_span_tokens",
+    )
+
+
 @query(
     "stream_pack_training_sequences_ranged",
     oracle=rf"""
