@@ -528,8 +528,18 @@ FROM spans
     "(invariant-tested against the manifest).",
 )
 def training_attention_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pk = pack_training_sequences(spark, sf_dir)
-    spans = pk.where(F.col("n_tokens") > 0).select(
+    return attention_spans_from_layout(pack_training_sequences(spark, sf_dir))
+
+
+def attention_spans_from_layout(layout: DataFrame) -> DataFrame:
+    """Span derivation over ANY packer ledger/layout with columns
+    (doc_id, n_tokens, start_offset, first_seq, last_seq) — the ordered,
+    ranged, resumed, and UNORDERED packers all emit this shape, and the
+    derivation is layout-order-agnostic (it reads only each row's own
+    offsets), so the mask input works for arrival-defined layouts too
+    (pinned by tests/test_self_dedup_invariants.py's unordered-ledger
+    span test)."""
+    spans = layout.where(F.col("n_tokens") > 0).select(
         "doc_id",
         "n_tokens",
         "start_offset",

@@ -706,3 +706,35 @@ def test_epoch_shuffle_partitions_and_reorders(spark):
             for r in sorted(ers, key=lambda r: (r.reader, r.position))
         )
     assert orders[0] != orders[1]
+
+
+def test_attention_spans_apply_to_the_unordered_ledger(spark):
+    """The unordered packer's docstring claims the attention-span
+    derivation applies unchanged to its arrival-defined ledger: derive
+    spans from that layout and check they tile every sequence of the
+    unordered token stream exactly (same property the ordered spans
+    satisfy, different layout)."""
+    from spark_streaming_twitter_spark.text.corpus import (
+        attention_spans_from_layout,
+    )
+
+    specs = _specs()
+    layout = specs["stream_pack_training_sequences_unordered"].fn(spark, SF)
+    rows = layout.collect()
+    total = sum(r.n_tokens for r in rows)
+    spans = attention_spans_from_layout(
+        layout.sparkSession.createDataFrame(rows, layout.schema)
+    ).collect()
+    by_seq: dict[int, list] = {}
+    for s in spans:
+        by_seq.setdefault(s.seq_id, []).append(s)
+    n_seqs = (total + 2047) // 2048
+    assert set(by_seq) == set(range(n_seqs))
+    for seq_id, ss in by_seq.items():
+        ss.sort(key=lambda s: s.begin_tok)
+        pos = 0
+        for s in ss:
+            assert s.begin_tok == pos, (seq_id, s.doc_id)
+            pos = s.end_tok
+        expected = min(2048, total - seq_id * 2048)
+        assert pos == expected, seq_id
