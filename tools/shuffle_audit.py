@@ -65,6 +65,14 @@ AUDIT_SET = (
     "pack_training_sequences",
     # multi-writer packing: per-part windows + a <= 10^4-row coordinator
     "pack_training_sequences_ranged",
+    # provenance inverse: row-local span explode + one bounded agg
+    "training_sequence_manifest",
+    # loader order: sharded two-stage rank, broadcast prefix table
+    "training_epoch_shuffle",
+    # capstone: one fact-fact seq_id join above audited stages
+    "training_run_order",
+    # post-hoc audit: two broadcasts + one scan, corpus never shuffles
+    "contamination_blast_radius",
     # corpus explode collapsing into the alphabet-bounded LM model
     "doc_charlm_score",
     # rank-window tertile split on top of the charlm plan
