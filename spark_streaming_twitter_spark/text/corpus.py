@@ -85,6 +85,12 @@ FROM c
 )
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    return _pack_layout(docs)
+
+
+def _pack_layout(docs: DataFrame) -> DataFrame:
+    """The batch packer's layout over ANY (doc_id, text) corpus slice —
+    reused by the full-corpus query and the opt-out re-pack delta."""
     # shard size from a broadcast scalar agg (no driver collect, no
     # recompute of the tokenization scan — max runs on the pruned id column)
     max_id = docs.agg(F.max("doc_id").alias("max_doc_id"))
@@ -780,6 +786,136 @@ def contamination_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reader",
         "position",
         "n_span_tokens",
+    )
+
+
+def _optout_oracle() -> str:
+    """Compose the packer's oracle verbatim twice: once over the full
+    corpus, once REBOUND to the kept slice (a deterministic textual
+    rebind of its FROM documents — asserted present — which is the only
+    way to reuse the layout spec verbatim over a filtered corpus)."""
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    pack = QUERIES["pack_training_sequences"].oracle
+    assert "FROM documents" in pack
+    pack_kept = pack.replace("FROM documents", "FROM documents_kept")
+    return f"""
+WITH optout AS (SELECT min(source) AS src FROM documents),
+documents_kept AS (
+  SELECT d.* FROM documents d CROSS JOIN optout WHERE d.source <> src
+),
+pk_old AS ({pack}),
+pk_new AS ({pack_kept}),
+dropped AS (
+  SELECT o.* FROM pk_old o JOIN documents d ON o.doc_id = d.doc_id
+  CROSS JOIN optout WHERE d.source = src
+),
+inval AS (
+  SELECT count(DISTINCT seq_id) AS n_seqs_invalidated
+  FROM (SELECT unnest(generate_series(first_seq, last_seq)) AS seq_id
+        FROM dropped WHERE n_tokens > 0)
+),
+shifted AS (
+  SELECT count(*) AS n_docs_shifted
+  FROM pk_old o JOIN pk_new n ON o.doc_id = n.doc_id
+  WHERE o.start_offset <> n.start_offset
+)
+SELECT (SELECT src FROM optout) AS src,
+       CAST((SELECT count(*) FROM dropped) AS BIGINT) AS n_docs_dropped,
+       CAST((SELECT coalesce(sum(n_tokens), 0) FROM dropped) AS BIGINT)
+         AS n_tokens_dropped,
+       CAST((SELECT (sum(n_tokens) + {SEQ_LEN} - 1) // {SEQ_LEN}
+             FROM pk_old) AS BIGINT) AS n_seqs_before,
+       CAST((SELECT (sum(n_tokens) + {SEQ_LEN} - 1) // {SEQ_LEN}
+             FROM pk_new) AS BIGINT) AS n_seqs_after,
+       CAST((SELECT n_seqs_invalidated FROM inval) AS BIGINT)
+         AS n_seqs_invalidated,
+       CAST((SELECT n_docs_shifted FROM shifted) AS BIGINT)
+         AS n_docs_shifted
+"""
+
+
+@query(
+    "source_optout_repack_delta",
+    oracle=_optout_oracle(),
+    doc="DATA-ERASURE propagation through the training pipeline — the "
+    "right-to-be-forgotten / publisher-opt-out question: when a source "
+    "demands removal (here the lexicographically first source stands in "
+    "for the opted-out publisher), what is the blast radius on the "
+    "packed corpus and the cost of re-packing? One summary row: docs "
+    "and tokens dropped, sequence counts before/after, sequences "
+    "INVALIDATED (old-layout sequences containing any dropped token — "
+    "the ones a trainer must not reuse, via the span explode), and kept "
+    "docs whose offsets SHIFT under the re-pack (the incremental-"
+    "re-pack cost: everything after the first dropped doc — in "
+    "practice the argument for tombstoning over re-packing). The "
+    "packer's layout spec is composed verbatim twice, the second time "
+    "rebound to the kept slice; both layouts shuffle once on doc_id "
+    "for the shift compare and every other term is a bounded "
+    "aggregate.",
+)
+def source_optout_repack_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(
+        table(spark, sf_dir, "documents").select("doc_id", "text", "source"),
+        spark,
+    )
+    optout = docs.agg(F.min("source").alias("src"))
+    tagged = docs.crossJoin(F.broadcast(optout))
+    pk_old = _pack_layout(docs.select("doc_id", "text")).join(
+        tagged.select("doc_id", (F.col("source") == F.col("src")).alias("is_dropped")),
+        "doc_id",
+    )
+    pk_new = _pack_layout(
+        tagged.where(F.col("source") != F.col("src")).select("doc_id", "text")
+    )
+    dropped = pk_old.where(F.col("is_dropped"))
+    inval = (
+        dropped.where(F.col("n_tokens") > 0)
+        .select(
+            F.explode(F.sequence(F.col("first_seq"), F.col("last_seq"))).alias(
+                "seq_id"
+            )
+        )
+        .agg(F.countDistinct("seq_id").alias("n_seqs_invalidated"))
+    )
+    shifted = (
+        pk_old.select("doc_id", F.col("start_offset").alias("off_old"))
+        .join(pk_new.select("doc_id", F.col("start_offset").alias("off_new")), "doc_id")
+        .where(F.col("off_old") != F.col("off_new"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_shifted"))
+    )
+    drop_stats = dropped.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_dropped"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias(
+            "n_tokens_dropped"
+        ),
+    )
+    # integer DIV, never float division: exact at any token total
+    seqs_before = pk_old.agg(
+        F.expr(f"(sum(n_tokens) + {SEQ_LEN - 1}) DIV {SEQ_LEN}")
+        .cast("bigint")
+        .alias("n_seqs_before")
+    )
+    seqs_after = pk_new.agg(
+        F.expr(f"(sum(n_tokens) + {SEQ_LEN - 1}) DIV {SEQ_LEN}")
+        .cast("bigint")
+        .alias("n_seqs_after")
+    )
+    return (
+        optout.crossJoin(F.broadcast(drop_stats))
+        .crossJoin(F.broadcast(seqs_before))
+        .crossJoin(F.broadcast(seqs_after))
+        .crossJoin(F.broadcast(inval))
+        .crossJoin(F.broadcast(shifted))
+        .select(
+            "src",
+            "n_docs_dropped",
+            "n_tokens_dropped",
+            "n_seqs_before",
+            "n_seqs_after",
+            "n_seqs_invalidated",
+            "n_docs_shifted",
+        )
     )
 
 
