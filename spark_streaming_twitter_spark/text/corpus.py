@@ -919,6 +919,76 @@ def source_optout_repack_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tombstone_oracle() -> str:
+    """Compose the span oracle verbatim, tag spans by the opted-out
+    source, and aggregate per sequence."""
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    spans = QUERIES["training_attention_spans"].oracle
+    return f"""
+WITH optout AS (SELECT min(source) AS src FROM documents),
+sp AS ({spans}),
+tagged AS (
+  SELECT sp.seq_id, sp.n_span_tokens, (d.source = o.src) AS is_dropped
+  FROM sp JOIN documents d ON sp.doc_id = d.doc_id CROSS JOIN optout o
+)
+SELECT seq_id,
+       CAST(count(*) FILTER (WHERE is_dropped) AS BIGINT)
+         AS n_tombstoned_spans,
+       CAST(coalesce(sum(n_span_tokens) FILTER (WHERE is_dropped), 0)
+            AS BIGINT) AS n_tombstoned_tokens,
+       CAST(coalesce(sum(n_span_tokens) FILTER (WHERE NOT is_dropped), 0)
+            AS BIGINT) AS n_live_tokens
+FROM tagged
+GROUP BY seq_id
+HAVING count(*) FILTER (WHERE is_dropped) > 0
+"""
+
+
+@query(
+    "source_optout_tombstone_masks",
+    oracle=_tombstone_oracle(),
+    doc="The TOMBSTONE alternative the re-pack delta argues for: instead "
+    "of re-packing the corpus after an opt-out (shifting every "
+    "downstream offset), keep the layout and LOSS-MASK the dropped "
+    "spans — per invalidated sequence, how many spans/tokens are "
+    "tombstoned and how many live tokens remain (a trainer reuses the "
+    "sequence with the dropped spans masked out of the loss; a "
+    "sequence whose live count hits zero is skipped outright). "
+    "Composes the span oracle verbatim; the doc->source tag is one "
+    "join on doc_id and the rest is a per-sequence aggregate — no "
+    "layout recomputation, which is precisely the operational point.",
+)
+def source_optout_tombstone_masks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    optout = docs.agg(F.min("source").alias("src"))
+    spans = training_attention_spans(spark, sf_dir)
+    tagged = spans.join(docs, "doc_id").crossJoin(F.broadcast(optout)).select(
+        "seq_id",
+        "n_span_tokens",
+        (F.col("source") == F.col("src")).alias("is_dropped"),
+    )
+    dropped_tok = F.sum(F.when(F.col("is_dropped"), F.col("n_span_tokens")))
+    live_tok = F.sum(F.when(~F.col("is_dropped"), F.col("n_span_tokens")))
+    return (
+        tagged.groupBy("seq_id")
+        .agg(
+            F.count(F.when(F.col("is_dropped"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_tombstoned_spans"),
+            F.coalesce(dropped_tok, F.lit(0))
+            .cast("bigint")
+            .alias("n_tombstoned_tokens"),
+            F.coalesce(live_tok, F.lit(0)).cast("bigint").alias(
+                "n_live_tokens"
+            ),
+        )
+        .where(F.col("n_tombstoned_spans") > 0)
+    )
+
+
 @query(
     "stream_pack_training_sequences_ranged",
     oracle=rf"""
