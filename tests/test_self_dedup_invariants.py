@@ -738,3 +738,15 @@ def test_attention_spans_apply_to_the_unordered_ledger(spark):
             pos = s.end_tok
         expected = min(2048, total - seq_id * 2048)
         assert pos == expected, seq_id
+
+
+def test_erasure_pair_accounts_for_every_dropped_token(spark):
+    """The re-pack delta and the tombstone masks are two answers to one
+    opt-out: the delta's dropped-token total must equal the masks'
+    tombstoned-token total, and its invalidated-sequence count must
+    equal the number of mask rows."""
+    specs = _specs()
+    delta = specs["source_optout_repack_delta"].fn(spark, SF).collect()[0]
+    masks = specs["source_optout_tombstone_masks"].fn(spark, SF).collect()
+    assert delta.n_tokens_dropped == sum(m.n_tombstoned_tokens for m in masks)
+    assert delta.n_seqs_invalidated == len(masks)
