@@ -275,6 +275,106 @@ def _make_pack_batch(ledger_dir: str, carry: dict):
     return pack_batch
 
 
+def _make_ranged_pack_batch(ledger_dir: str, carry: dict):
+    """The multi-writer packer's per-trigger body, shared by the ordered
+    and round-robin (disordered) ranged variants: writer partitions are
+    id-contiguous segments of THIS batch's members (part span adaptive
+    from the batch's max id), the per-trigger coordinator cumsum over
+    per-part totals is seeded by the carried cross-trigger running
+    total, and each part packs independently via the sharded two-stage
+    cumsum — no window sees another writer's rows."""
+
+    def pack_batch(bdf: DataFrame, _epoch_id: int) -> None:
+        bdf = bdf.persist()
+        bmax = bdf.agg(F.max("doc_id").alias("bmax"))
+        toks = bdf.crossJoin(F.broadcast(bmax)).select(
+            "doc_id",
+            F.expr(
+                f"doc_id DIV greatest({PACK_PART_MIN}L, "
+                f"bmax DIV {PACK_MAX_PARTS} + 1)"
+            ).alias("part"),
+            F.expr(
+                f"doc_id DIV greatest({PACK_SHARD}L, "
+                f"bmax DIV {PACK_MAX_SHARDS} + 1)"
+            ).alias("shard"),
+            F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        )
+        # COORDINATOR: per-part totals -> range starts, seeded by the
+        # carried cross-trigger running total. Bounded rows.
+        part_tot = toks.groupBy("part").agg(F.sum("n_tokens").alias("tot"))
+        w_part = Window.orderBy("part").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        part_ranges = part_tot.select(
+            "part",
+            (
+                F.lit(carry["offset"])
+                + F.coalesce(F.sum("tot").over(w_part), F.lit(0))
+            ).cast("bigint").alias("part_range_start"),
+        )
+        # WORKERS: per-part independent sharded two-stage cumsum.
+        w_in = (
+            Window.partitionBy("part", "shard")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        with_cs = toks.withColumn("cs_in_shard", F.sum("n_tokens").over(w_in))
+        shard_tot = toks.groupBy("part", "shard").agg(
+            F.sum("n_tokens").alias("tot")
+        )
+        w_sh = (
+            Window.partitionBy("part")
+            .orderBy("shard")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        shard_pre = shard_tot.select(
+            "part",
+            "shard",
+            F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias(
+                "shard_prefix"
+            ),
+        )
+        packed = (
+            with_cs.join(shard_pre, ["part", "shard"])
+            .join(F.broadcast(part_ranges), "part")
+            .select(
+                "doc_id",
+                "n_tokens",
+                (
+                    F.col("part_range_start")
+                    + F.col("shard_prefix")
+                    + F.col("cs_in_shard")
+                    - F.col("n_tokens")
+                ).alias("start_offset"),
+                F.lit(carry["batch"]).cast("bigint").alias("batch"),
+                F.col("part").cast("bigint").alias("part"),
+                "part_range_start",
+            )
+            .select(
+                "doc_id",
+                "n_tokens",
+                "start_offset",
+                F.expr(f"start_offset DIV {SEQ_LEN}").alias("first_seq"),
+                F.expr(
+                    f"CASE WHEN n_tokens = 0 "
+                    f"THEN start_offset DIV {SEQ_LEN} "
+                    f"ELSE (start_offset + n_tokens - 1) DIV {SEQ_LEN} "
+                    f"END"
+                ).alias("last_seq"),
+                "batch",
+                "part",
+                "part_range_start",
+            )
+        )
+        packed.write.mode("append").parquet(ledger_dir)
+        total = toks.agg(F.sum("n_tokens")).first()[0]
+        carry["offset"] += int(total or 0)
+        carry["batch"] += 1
+        bdf.unpersist()
+
+    return pack_batch
+
+
 def _stream_docs_from_spool(spark: SparkSession, spool_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     return (
@@ -1067,103 +1167,90 @@ def stream_pack_training_sequences_ranged(
     try:
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
         spool_ordered_batches(docs, "doc_id", tmp)
-
-        def pack_batch(bdf: DataFrame, _epoch_id: int) -> None:
-            bdf = bdf.persist()
-            bmax = bdf.agg(F.max("doc_id").alias("bmax"))
-            toks = bdf.crossJoin(F.broadcast(bmax)).select(
-                "doc_id",
-                F.expr(
-                    f"doc_id DIV greatest({PACK_PART_MIN}L, "
-                    f"bmax DIV {PACK_MAX_PARTS} + 1)"
-                ).alias("part"),
-                F.expr(
-                    f"doc_id DIV greatest({PACK_SHARD}L, "
-                    f"bmax DIV {PACK_MAX_SHARDS} + 1)"
-                ).alias("shard"),
-                F.size(tokens(F.col("text"))).cast("bigint").alias(
-                    "n_tokens"
-                ),
-            )
-            # COORDINATOR: per-part totals -> range starts, seeded by the
-            # carried cross-trigger running total. Bounded rows.
-            part_tot = toks.groupBy("part").agg(
-                F.sum("n_tokens").alias("tot")
-            )
-            w_part = Window.orderBy("part").rowsBetween(
-                Window.unboundedPreceding, -1
-            )
-            part_ranges = part_tot.select(
-                "part",
-                (
-                    F.lit(carry["offset"])
-                    + F.coalesce(F.sum("tot").over(w_part), F.lit(0))
-                ).cast("bigint").alias("part_range_start"),
-            )
-            # WORKERS: per-part independent sharded two-stage cumsum.
-            w_in = (
-                Window.partitionBy("part", "shard")
-                .orderBy("doc_id")
-                .rowsBetween(Window.unboundedPreceding, 0)
-            )
-            with_cs = toks.withColumn(
-                "cs_in_shard", F.sum("n_tokens").over(w_in)
-            )
-            shard_tot = toks.groupBy("part", "shard").agg(
-                F.sum("n_tokens").alias("tot")
-            )
-            w_sh = (
-                Window.partitionBy("part")
-                .orderBy("shard")
-                .rowsBetween(Window.unboundedPreceding, -1)
-            )
-            shard_pre = shard_tot.select(
-                "part",
-                "shard",
-                F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias(
-                    "shard_prefix"
-                ),
-            )
-            packed = (
-                with_cs.join(shard_pre, ["part", "shard"])
-                .join(F.broadcast(part_ranges), "part")
-                .select(
-                    "doc_id",
-                    "n_tokens",
-                    (
-                        F.col("part_range_start")
-                        + F.col("shard_prefix")
-                        + F.col("cs_in_shard")
-                        - F.col("n_tokens")
-                    ).alias("start_offset"),
-                    F.lit(carry["batch"]).cast("bigint").alias("batch"),
-                    F.col("part").cast("bigint").alias("part"),
-                    "part_range_start",
-                )
-                .select(
-                    "doc_id",
-                    "n_tokens",
-                    "start_offset",
-                    F.expr(f"start_offset DIV {SEQ_LEN}").alias("first_seq"),
-                    F.expr(
-                        f"CASE WHEN n_tokens = 0 "
-                        f"THEN start_offset DIV {SEQ_LEN} "
-                        f"ELSE (start_offset + n_tokens - 1) DIV {SEQ_LEN} "
-                        f"END"
-                    ).alias("last_seq"),
-                    "batch",
-                    "part",
-                    "part_range_start",
-                )
-            )
-            packed.write.mode("append").parquet(ledger_dir)
-            total = toks.agg(F.sum("n_tokens")).first()[0]
-            carry["offset"] += int(total or 0)
-            carry["batch"] += 1
-            bdf.unpersist()
-
         run_foreach_batch(
-            _stream_docs_from_spool(spark, tmp), pack_batch,
+            _stream_docs_from_spool(spark, tmp),
+            _make_ranged_pack_batch(ledger_dir, carry),
+            output_mode="append",
+        )
+        out = spark.read.parquet(ledger_dir).select(
+            "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq",
+            "batch", "part", "part_range_start",
+        )
+        rows = out.collect()
+        result = spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+@query(
+    "stream_pack_training_sequences_ranged_unordered",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens, CAST(doc_id % 4 AS BIGINT) AS batch
+  FROM toks
+),
+bm AS (SELECT batch, max(doc_id) AS bmax FROM b GROUP BY batch),
+c AS (
+  SELECT b.doc_id, b.n_tokens, b.batch,
+         b.doc_id // greatest({PACK_PART_MIN},
+                              bm.bmax // {PACK_MAX_PARTS} + 1) AS part,
+         CAST(sum(b.n_tokens) OVER (ORDER BY b.batch, b.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - b.n_tokens AS start_offset
+  FROM b JOIN bm USING (batch)
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // {SEQ_LEN} AS first_seq,
+       CASE WHEN n_tokens = 0 THEN start_offset // {SEQ_LEN}
+            ELSE (start_offset + n_tokens - 1) // {SEQ_LEN} END AS last_seq,
+       batch,
+       CAST(part AS BIGINT) AS part,
+       CAST(min(start_offset) OVER (PARTITION BY batch, part) AS BIGINT)
+         AS part_range_start
+FROM c
+""",
+    doc="The FULL production topology in one query: MULTI-WRITER packing "
+    "of a DISORDERED stream — Kafka cross-partition disorder (the "
+    "round-robin spool) feeding per-trigger coordinator/range packing "
+    "(the multi-writer shape). Within a trigger the writer partitions "
+    "are id-contiguous segments OF THAT BATCH'S members (part span "
+    "adaptive from the batch's max id), so the within-trigger layout is "
+    "still id order and the global layout is arrival order — the oracle "
+    "replays batch = doc_id % 4 for the round-robin epochs, derives "
+    "parts per batch, and checks every range start as "
+    "min(start_offset) per (batch, part). Completes the packer cube: "
+    "{single, multi-writer} x {ordered, disordered} x {uninterrupted, "
+    "resumed} all share the same per-trigger machinery and differ only "
+    "in which handoffs the oracle must replay.",
+)
+def stream_pack_training_sequences_ranged_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_foreach_batch,
+        spool_roundrobin_batches,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_pack_rng_unord_")
+    ledger_dir = os.path.join(tmp, "ledger")
+    carry = {"offset": 0, "batch": 0}
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        spool_roundrobin_batches(docs, "doc_id", tmp)
+        run_foreach_batch(
+            _stream_docs_from_spool(spark, tmp),
+            _make_ranged_pack_batch(ledger_dir, carry),
             output_mode="append",
         )
         out = spark.read.parquet(ledger_dir).select(

@@ -750,3 +750,36 @@ def test_erasure_pair_accounts_for_every_dropped_token(spark):
     masks = specs["source_optout_tombstone_masks"].fn(spark, SF).collect()
     assert delta.n_tokens_dropped == sum(m.n_tombstoned_tokens for m in masks)
     assert delta.n_seqs_invalidated == len(masks)
+
+
+def test_ranged_unordered_packer_matches_single_writer_and_tiles(spark):
+    """The multi-writer disordered packer's layout equals the
+    single-writer disordered packer's bitwise on the shared columns, and
+    its (batch, part) ranges tile the offset space in arrival order."""
+    specs = _specs()
+    rows = specs["stream_pack_training_sequences_ranged_unordered"].fn(
+        spark, SF
+    ).collect()
+    single = {
+        (r.doc_id, r.n_tokens, r.start_offset, r.first_seq, r.last_seq)
+        for r in specs["stream_pack_training_sequences_unordered"]
+        .fn(spark, SF)
+        .collect()
+    }
+    assert {
+        (r.doc_id, r.n_tokens, r.start_offset, r.first_seq, r.last_seq)
+        for r in rows
+    } == single
+    by_range: dict[tuple, list] = {}
+    for r in rows:
+        assert r.batch == r.doc_id % 4
+        by_range.setdefault((r.batch, r.part), []).append(r)
+    expected_start = 0
+    for key in sorted(by_range):
+        prows = by_range[key]
+        assert {r.part_range_start for r in prows} == {expected_start}, key
+        off = expected_start
+        for r in sorted(prows, key=lambda r: r.doc_id):
+            assert r.start_offset == off, (key, r.doc_id)
+            off += r.n_tokens
+        expected_start = off
