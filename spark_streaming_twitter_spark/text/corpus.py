@@ -91,16 +91,29 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pack_layout(docs: DataFrame) -> DataFrame:
     """The batch packer's layout over ANY (doc_id, text) corpus slice —
     reused by the full-corpus query and the opt-out re-pack delta."""
-    # shard size from a broadcast scalar agg (no driver collect, no
-    # recompute of the tokenization scan — max runs on the pruned id column)
-    max_id = docs.agg(F.max("doc_id").alias("max_doc_id"))
-    toks = docs.crossJoin(F.broadcast(max_id)).select(
-        "doc_id",
+    return _pack_layout_from_counts(
+        docs.select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def _pack_layout_from_counts(counts: DataFrame) -> DataFrame:
+    """Concat-and-slice layout over ANY (doc_id, ..., n_tokens) count
+    table — the token-counting step is the caller's, so the same sharded
+    two-stage cumsum packs plain text (``_pack_layout``) or multimodal
+    token budgets (``pack_multimodal_sequences``). Extra columns pass
+    through untouched."""
+    # shard size from a broadcast scalar agg (no driver collect; the max
+    # prunes to the id column, so the token-count branch is not recomputed)
+    max_id = counts.agg(F.max("doc_id").alias("max_doc_id"))
+    toks = counts.crossJoin(F.broadcast(max_id)).select(
+        *counts.columns,
         F.expr(
             f"doc_id DIV greatest({PACK_SHARD}L, "
             f"max_doc_id DIV {PACK_MAX_SHARDS} + 1)"
         ).alias("shard"),
-        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
     w_in = (
         Window.partitionBy("shard")
@@ -120,14 +133,12 @@ def _pack_layout(docs: DataFrame) -> DataFrame:
     return (
         with_cs.join(shard_pre, "shard")
         .select(
-            "doc_id",
-            "n_tokens",
+            *counts.columns,
             (F.col("shard_prefix") + F.col("cs_in_shard") - F.col("n_tokens"))
             .alias("start_offset"),
         )
         .select(
-            "doc_id",
-            "n_tokens",
+            *counts.columns,
             "start_offset",
             F.expr(f"start_offset DIV {SEQ_LEN}").alias("first_seq"),
             F.expr(
@@ -136,6 +147,76 @@ def _pack_layout(docs: DataFrame) -> DataFrame:
             ).alias("last_seq"),
         )
     )
+
+
+MEDIA_TOKEN_COST = {"image": 64, "audio": 32, "video": 256}
+
+
+@query(
+    "pack_multimodal_sequences",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+              AS BIGINT) AS n_text_tokens,
+         CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 64
+              WHEN 1 THEN 32 ELSE 256 END AS BIGINT) AS n_media_tokens
+  FROM documents
+),
+t2 AS (
+  SELECT doc_id, kind, n_text_tokens, n_media_tokens,
+         n_text_tokens + n_media_tokens AS n_tokens
+  FROM toks
+),
+c AS (
+  SELECT *, CAST(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          - n_tokens AS start_offset
+  FROM t2
+)
+SELECT doc_id, kind, n_text_tokens, n_media_tokens, n_tokens, start_offset,
+       start_offset // 2048 AS first_seq,
+       (start_offset + n_tokens - 1) // 2048 AS last_seq
+FROM c
+""",
+    doc="MULTIMODAL sequence packing — the VLM-training token budget: "
+    "each document carries its attached media item (the multimodal "
+    "fixture pairs every doc with one image/audio/video by "
+    "doc_id % 3, multimodal/columns.py:60-79) as a FIXED per-kind "
+    "patch-token cost (image 64, audio 32, video 256 — the "
+    "vision-encoder output length a trainer budgets, independent of "
+    "payload bytes), and the concat-and-slice layout packs the "
+    "COMBINED text+media token count. Reuses the sharded two-stage "
+    "cumsum verbatim via _pack_layout_from_counts — the layout engine "
+    "is modality-agnostic; only the count column changes. n_tokens is "
+    "always >= the media cost so the zero-token branch never fires "
+    "(the oracle drops the CASE accordingly). Downstream derivations "
+    "(manifest, spans, shuffle) apply to this layout unchanged, since "
+    "they read only the count/offset columns.",
+)
+def pack_multimodal_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in MEDIA_TOKEN_COST]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    media_cost = F.element_at(
+        F.array(*[F.lit(v) for v in MEDIA_TOKEN_COST.values()]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    ).cast("bigint")
+    counts = docs.select(
+        "doc_id",
+        kind.alias("kind"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_text_tokens"),
+        media_cost.alias("n_media_tokens"),
+    ).withColumn(
+        "n_tokens", F.col("n_text_tokens") + F.col("n_media_tokens")
+    )
+    return _pack_layout_from_counts(counts)
 
 
 def _stream_pack_oracle() -> str:
