@@ -783,3 +783,28 @@ def test_ranged_unordered_packer_matches_single_writer_and_tiles(spark):
             assert r.start_offset == off, (key, r.doc_id)
             off += r.n_tokens
         expected_start = off
+
+
+def test_attention_spans_apply_to_the_multimodal_layout(spark):
+    """The multimodal packer's docstring claims the span derivation
+    applies unchanged to its combined-token layout: spans must tile
+    every sequence of the multimodal token stream exactly."""
+    from spark_streaming_twitter_spark.text.corpus import (
+        attention_spans_from_layout,
+    )
+
+    specs = _specs()
+    layout = specs["pack_multimodal_sequences"].fn(spark, SF)
+    total = layout.agg({"n_tokens": "sum"}).collect()[0][0]
+    spans = attention_spans_from_layout(layout).collect()
+    by_seq: dict[int, list] = {}
+    for s in spans:
+        by_seq.setdefault(s.seq_id, []).append(s)
+    assert set(by_seq) == set(range((total + 2047) // 2048))
+    for seq_id, ss in by_seq.items():
+        ss.sort(key=lambda s: s.begin_tok)
+        pos = 0
+        for s in ss:
+            assert s.begin_tok == pos, (seq_id, s.doc_id)
+            pos = s.end_tok
+        assert pos == min(2048, total - seq_id * 2048), seq_id
