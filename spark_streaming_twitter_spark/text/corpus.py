@@ -1345,6 +1345,83 @@ def stream_pack_training_sequences_ranged_unordered(
     return result
 
 
+def _ranged_resumed_oracle() -> str:
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    return QUERIES["stream_pack_training_sequences_ranged"].oracle
+
+
+@query(
+    "stream_pack_training_sequences_ranged_resumed",
+    oracle=_ranged_resumed_oracle(),
+    doc="Crash recovery for the MULTI-WRITER packer — the cube's last "
+    "cell: the ranged packer's cross-restart state is the same one "
+    "scalar as the single-writer's plus the trigger counter, and BOTH "
+    "are recoverable from the ledger itself (sum of n_tokens; "
+    "max(batch) + 1) — the per-trigger writer ranges need no recovery "
+    "at all because they are derived per batch from the carried "
+    "scalar. Same drill as the single-writer resume: first half of "
+    "the spool, discard the carry, re-seed from the ledger, process "
+    "the rest; oracle is the ordered ranged packer's VERBATIM, so the "
+    "combined ledger must be bitwise the uninterrupted multi-writer "
+    "layout including every (batch, part, part_range_start) handoff.",
+)
+def stream_pack_training_sequences_ranged_resumed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_foreach_batch,
+        spool_ordered_batches,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_pack_rng_resume_")
+    spool_a = os.path.join(tmp, "before_crash")
+    spool_b = os.path.join(tmp, "after_restart")
+    ledger_dir = os.path.join(tmp, "ledger")
+    os.makedirs(spool_b)
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        spool_ordered_batches(docs, "doc_id", spool_a)
+        for f in sorted(glob.glob(os.path.join(spool_a, "batch_*.parquet")))[
+            2:
+        ]:
+            shutil.move(f, os.path.join(spool_b, os.path.basename(f)))
+
+        carry = {"offset": 0, "batch": 0}
+        run_foreach_batch(
+            _stream_docs_from_spool(spark, spool_a),
+            _make_ranged_pack_batch(ledger_dir, carry),
+            output_mode="append",
+        )
+        # ---- the crash: the driver (and its carry dict) is lost ----
+        del carry
+        # ---- restart: BOTH scalars recovered from the ledger ----
+        rec = spark.read.parquet(ledger_dir).agg(
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"),
+            (F.coalesce(F.max("batch"), F.lit(-1)) + 1).alias("b"),
+        ).first()
+        carry2 = {"offset": int(rec["t"]), "batch": int(rec["b"])}
+        run_foreach_batch(
+            _stream_docs_from_spool(spark, spool_b),
+            _make_ranged_pack_batch(ledger_dir, carry2),
+            output_mode="append",
+        )
+        out = spark.read.parquet(ledger_dir).select(
+            "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq",
+            "batch", "part", "part_range_start",
+        )
+        rows = out.collect()
+        result = spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
 @query(
     "stream_pack_training_sequences_unordered",
     oracle=rf"""
