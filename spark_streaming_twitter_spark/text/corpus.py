@@ -286,15 +286,17 @@ def stream_pack_training_sequences(
     return result
 
 
-def _make_pack_batch(ledger_dir: str, carry: dict):
+def _make_pack_batch(ledger_dir: str, carry: dict, with_arrival_epoch=False):
     """The streaming packer's per-trigger body, shared by the plain,
-    resumed, and (structurally) unordered variants: the batch packer's
+    resumed, and unordered(+resumed) variants: the batch packer's
     DYNAMIC shard size (from this batch's max doc_id — offsets are
     shard-size invariant, but a hardcoded shard would leave the stage-2
     window over shard totals unbounded for sparse/large id spaces, the
     same #shards cap must hold per batch), the sharded two-stage cumsum
     over the batch's rows, the carried running total added to every
-    within-batch offset, and an executor-written parquet ledger append."""
+    within-batch offset, and an executor-written parquet ledger append.
+    ``with_arrival_epoch`` additionally stamps each row with the carried
+    trigger counter (the disordered variants' arrival pin)."""
 
     def pack_batch(bdf: DataFrame, _epoch_id: int) -> None:
         bdf = bdf.persist()
@@ -348,12 +350,23 @@ def _make_pack_batch(ledger_dir: str, carry: dict):
                 ).alias("last_seq"),
             )
         )
+        if with_arrival_epoch:
+            packed = packed.withColumn(
+                "arrival_epoch", F.lit(carry["batch"]).cast("bigint")
+            )
         packed.write.mode("append").parquet(ledger_dir)
         total = toks.agg(F.sum("n_tokens")).first()[0]
         carry["offset"] += int(total or 0)
+        carry["batch"] = carry.get("batch", 0) + 1
         bdf.unpersist()
 
     return pack_batch
+
+
+def _make_unordered_pack_batch(ledger_dir: str, carry: dict):
+    """The disordered packer's per-trigger body: the plain body plus the
+    carried-arrival-epoch stamp."""
+    return _make_pack_batch(ledger_dir, carry, with_arrival_epoch=True)
 
 
 def _make_ranged_pack_batch(ledger_dir: str, carry: dict):
@@ -1483,76 +1496,9 @@ def stream_pack_training_sequences_unordered(
     try:
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
         spool_roundrobin_batches(docs, "doc_id", tmp)
-
-        def pack_batch(bdf: DataFrame, _epoch_id: int) -> None:
-            bdf = bdf.persist()
-            max_id = bdf.agg(F.max("doc_id").alias("max_doc_id"))
-            toks = bdf.crossJoin(F.broadcast(max_id)).select(
-                "doc_id",
-                F.expr(
-                    f"doc_id DIV greatest({PACK_SHARD}L, "
-                    f"max_doc_id DIV {PACK_MAX_SHARDS} + 1)"
-                ).alias("shard"),
-                F.size(tokens(F.col("text"))).cast("bigint").alias(
-                    "n_tokens"
-                ),
-            )
-            w_in = (
-                Window.partitionBy("shard")
-                .orderBy("doc_id")
-                .rowsBetween(Window.unboundedPreceding, 0)
-            )
-            with_cs = toks.withColumn(
-                "cs_in_shard", F.sum("n_tokens").over(w_in)
-            )
-            shard_tot = toks.groupBy("shard").agg(
-                F.sum("n_tokens").alias("tot")
-            )
-            w_sh = Window.orderBy("shard").rowsBetween(
-                Window.unboundedPreceding, -1
-            )
-            shard_pre = shard_tot.select(
-                "shard",
-                F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias(
-                    "shard_prefix"
-                ),
-            )
-            packed = (
-                with_cs.join(shard_pre, "shard")
-                .select(
-                    "doc_id",
-                    "n_tokens",
-                    (
-                        F.lit(carry["offset"])
-                        + F.col("shard_prefix")
-                        + F.col("cs_in_shard")
-                        - F.col("n_tokens")
-                    ).alias("start_offset"),
-                )
-                .select(
-                    "doc_id",
-                    "n_tokens",
-                    "start_offset",
-                    F.expr(f"start_offset DIV {SEQ_LEN}").alias("first_seq"),
-                    F.expr(
-                        f"CASE WHEN n_tokens = 0 "
-                        f"THEN start_offset DIV {SEQ_LEN} "
-                        f"ELSE (start_offset + n_tokens - 1) DIV {SEQ_LEN} "
-                        f"END"
-                    ).alias("last_seq"),
-                    F.lit(carry["batch"]).cast("bigint").alias(
-                        "arrival_epoch"
-                    ),
-                )
-            )
-            packed.write.mode("append").parquet(ledger_dir)
-            total = toks.agg(F.sum("n_tokens")).first()[0]
-            carry["offset"] += int(total or 0)
-            carry["batch"] += 1
-            bdf.unpersist()
-
         run_foreach_batch(
-            _stream_docs_from_spool(spark, tmp), pack_batch,
+            _stream_docs_from_spool(spark, tmp),
+            _make_unordered_pack_batch(ledger_dir, carry),
             output_mode="append",
         )
         out = spark.read.parquet(ledger_dir).select(
@@ -1640,6 +1586,82 @@ def stream_pack_training_sequences_resumed(
         )
         out = spark.read.parquet(ledger_dir).select(
             "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq"
+        )
+        rows = out.collect()
+        result = spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+def _unordered_resumed_oracle() -> str:
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    return QUERIES["stream_pack_training_sequences_unordered"].oracle
+
+
+@query(
+    "stream_pack_training_sequences_unordered_resumed",
+    oracle=_unordered_resumed_oracle(),
+    doc="Crash recovery UNDER DISORDER — the most production-real cell "
+    "of the packer cube (a Kafka consumer restarting mid-stream while "
+    "partitions interleave): the round-robin spool's first two epochs "
+    "run, the carry is discarded, recovery re-seeds BOTH scalars from "
+    "the ledger (sum of n_tokens; max(arrival_epoch) + 1 — the ledger "
+    "read needs no order assumption, a sum and a max are "
+    "arrival-order-free), and the remaining epochs run. Oracle is the "
+    "unordered packer's VERBATIM: the combined ledger must be bitwise "
+    "the uninterrupted arrival-defined layout. With this cell every "
+    "corner of {single, multi-writer} x {ordered, disordered} x "
+    "{uninterrupted, resumed} is either demonstrated directly or "
+    "differs from a demonstrated cell only by which spool feeds it.",
+)
+def stream_pack_training_sequences_unordered_resumed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_foreach_batch,
+        spool_roundrobin_batches,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_pack_unord_resume_")
+    spool_a = os.path.join(tmp, "before_crash")
+    spool_b = os.path.join(tmp, "after_restart")
+    ledger_dir = os.path.join(tmp, "ledger")
+    os.makedirs(spool_b)
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        spool_roundrobin_batches(docs, "doc_id", spool_a)
+        for f in sorted(glob.glob(os.path.join(spool_a, "batch_*.parquet")))[
+            2:
+        ]:
+            shutil.move(f, os.path.join(spool_b, os.path.basename(f)))
+
+        carry = {"offset": 0, "batch": 0}
+        run_foreach_batch(
+            _stream_docs_from_spool(spark, spool_a),
+            _make_unordered_pack_batch(ledger_dir, carry),
+            output_mode="append",
+        )
+        del carry
+        rec = spark.read.parquet(ledger_dir).agg(
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"),
+            (F.coalesce(F.max("arrival_epoch"), F.lit(-1)) + 1).alias("b"),
+        ).first()
+        carry2 = {"offset": int(rec["t"]), "batch": int(rec["b"])}
+        run_foreach_batch(
+            _stream_docs_from_spool(spark, spool_b),
+            _make_unordered_pack_batch(ledger_dir, carry2),
+            output_mode="append",
+        )
+        out = spark.read.parquet(ledger_dir).select(
+            "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq",
+            "arrival_epoch",
         )
         rows = out.collect()
         result = spark.createDataFrame(rows, out.schema)
