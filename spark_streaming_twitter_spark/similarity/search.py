@@ -3545,6 +3545,171 @@ def similarity_ivf_split_nprobe2_recall(
 
 
 @query(
+    "similarity_ivf_rebalance_recall",
+    oracle=_split_base_sql()
+    + _split_step_sql_ctes("ver0v", "asgall", "", "1")
+    + _split_step_sql_ctes("ver1v", "asg1all", "2", "2")
+    + ","
+    + _postsplit_route_sql("ver1v", "asg1all", "a")
+    + ","
+    + _postsplit_route_sql("ver2v", "asg2all", "b")
+    + ","
+    + _postsplit_route_sql("ver2v", "asg2all", "c", nprobe=2)
+    + f""",
+rankedex AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY CAST({scaled_dot_sql("q.embedding", "n.embedding")}
+                         AS DOUBLE)
+                      / (sqrt(CAST(q.n2 AS DOUBLE))
+                         * sqrt(CAST(n.n2 AS DOUBLE))) DESC,
+                    n.vec_id ASC) AS rank
+  FROM scorpus q JOIN scorpus n ON n.vec_id <> q.vec_id
+  WHERE q.vec_id % {QUERY_STRIDE} = 0
+),
+ex AS (SELECT query_id, neighbor_id FROM rankedex WHERE rank <= {TOP_K}),
+hita AS (
+  SELECT r.query_id, r.neighbor_id
+  FROM (SELECT query_id, neighbor_id FROM rankeda WHERE rank <= {TOP_K}) r
+  JOIN ex ON ex.query_id = r.query_id AND ex.neighbor_id = r.neighbor_id
+),
+hitb AS (
+  SELECT r.query_id, r.neighbor_id
+  FROM (SELECT query_id, neighbor_id FROM rankedb WHERE rank <= {TOP_K}) r
+  JOIN ex ON ex.query_id = r.query_id AND ex.neighbor_id = r.neighbor_id
+),
+hitc AS (
+  SELECT r.query_id, r.neighbor_id
+  FROM (SELECT query_id, neighbor_id FROM rankedc WHERE rank <= {TOP_K}) r
+  JOIN ex ON ex.query_id = r.query_id AND ex.neighbor_id = r.neighbor_id
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_top_exact,
+  CAST((SELECT count(*) FROM hita) AS DOUBLE)
+    / CAST((SELECT count(*) FROM ex) AS DOUBLE) AS recall_v1_np1,
+  CAST((SELECT count(*) FROM hitb) AS DOUBLE)
+    / CAST((SELECT count(*) FROM ex) AS DOUBLE) AS recall_v2_np1,
+  CAST((SELECT count(*) FROM hitc) AS DOUBLE)
+    / CAST((SELECT count(*) FROM ex) AS DOUBLE) AS recall_v2_np2,
+  (SELECT CAST(count(*) AS BIGINT) FROM canda) AS total_cand_v1_np1,
+  (SELECT CAST(count(*) AS BIGINT) FROM candb) AS total_cand_v2_np1,
+  (SELECT CAST(count(*) AS BIGINT) FROM candc) AS total_cand_v2_np2
+""",
+    doc="The RECALL PRICE SHEET for the full greedy rebalance (two "
+    "chained splits), closing for version 2 what similarity_ivf_split_"
+    "nprobe2_recall closed for version 1: exact-top-k recall of the "
+    "v1 incumbent at nprobe=1 and of the rebalanced v2 table at "
+    "nprobe=1 and nprobe=2, with the candidate counts pricing each "
+    "point — so the balance metric (ivf_rebalance_balance_stats) and "
+    "the recall/cost frontier are read together, not asserted apart. "
+    "Finer cells cut candidates at np1 (cheaper) and recover recall "
+    "at np2; measured against the EXACT page because overlap-with-"
+    "incumbent misleads when a wider probe finds better neighbors. "
+    "Same literal-fold routing, broadcast cell scans, and one summary "
+    "row of bounded aggregates.",
+)
+def similarity_ivf_rebalance_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="rebalance_recall_")
+    try:
+        ver0, ver1, _, new1, sides1, asg_v0 = _run_cell_split(
+            spark, sf_dir, tmp
+        )
+        asg_v1 = _asg_after_split(asg_v0, sides1, new1)
+        emb = table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
+        ver2, _, new2, sides2 = _split_hottest_cell(
+            spark, os.path.join(tmp, "sides2"), ver1, asg_v1, emb
+        )
+        asg_v2 = _asg_after_split(asg_v1, sides2, new2)
+        cand_a, topk_a = _route_and_topk(
+            spark, sf_dir, [(lab, cvec) for lab, _, cvec in ver1], asg_v1
+        )
+        cand_b, topk_b = _route_and_topk(
+            spark, sf_dir, [(lab, cvec) for lab, _, cvec in ver2], asg_v2
+        )
+        cand_c, topk_c = _route_and_topk(
+            spark,
+            sf_dir,
+            [(lab, cvec) for lab, _, cvec in ver2],
+            asg_v2,
+            nprobe=2,
+        )
+        corpus = _corpus_with_norms(spark, sf_dir)
+        queries = corpus.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("n2").alias("q_n2"),
+        )
+        cosine = scaled_dot(F.col("q_emb"), F.col("embedding")).cast(
+            "double"
+        ) / (
+            F.sqrt(F.col("q_n2").cast("double"))
+            * F.sqrt(F.col("n2").cast("double"))
+        )
+        exact = _topk_filter(
+            corpus.crossJoin(F.broadcast(queries))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine.alias("cosine"),
+            )
+        ).select("query_id", "neighbor_id")
+
+        def hits(topk: DataFrame) -> DataFrame:
+            return topk.select("query_id", "neighbor_id").join(
+                exact, ["query_id", "neighbor_id"]
+            )
+
+        summary = (
+            exact.agg(F.count(F.lit(1)).alias("n_top_exact"))
+            .crossJoin(hits(topk_a).agg(F.count(F.lit(1)).alias("ha")))
+            .crossJoin(hits(topk_b).agg(F.count(F.lit(1)).alias("hb")))
+            .crossJoin(hits(topk_c).agg(F.count(F.lit(1)).alias("hc")))
+            .crossJoin(
+                cand_a.agg(F.count(F.lit(1)).alias("total_cand_v1_np1"))
+            )
+            .crossJoin(
+                cand_b.agg(F.count(F.lit(1)).alias("total_cand_v2_np1"))
+            )
+            .crossJoin(
+                cand_c.agg(F.count(F.lit(1)).alias("total_cand_v2_np2"))
+            )
+            .select(
+                "n_top_exact",
+                (
+                    F.col("ha").cast("double")
+                    / F.col("n_top_exact").cast("double")
+                ).alias("recall_v1_np1"),
+                (
+                    F.col("hb").cast("double")
+                    / F.col("n_top_exact").cast("double")
+                ).alias("recall_v2_np1"),
+                (
+                    F.col("hc").cast("double")
+                    / F.col("n_top_exact").cast("double")
+                ).alias("recall_v2_np2"),
+                "total_cand_v1_np1",
+                "total_cand_v2_np1",
+                "total_cand_v2_np2",
+            )
+        )
+        rows = summary.collect()
+        out = spark.createDataFrame(rows, summary.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query(
     "semantic_decontaminate_ann",
     oracle=f"""
 WITH {_SEMDECON_ANN_CTES.lstrip()},
