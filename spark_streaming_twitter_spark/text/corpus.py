@@ -219,6 +219,80 @@ def pack_multimodal_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack_layout_from_counts(counts)
 
 
+@query(
+    "stream_pack_multimodal_sequences",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+              AS BIGINT)
+           + CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 64
+                  WHEN 1 THEN 32 ELSE 256 END AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS start_offset
+  FROM toks
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // {SEQ_LEN} AS first_seq,
+       (start_offset + n_tokens - 1) // {SEQ_LEN} AS last_seq
+FROM c
+""",
+    doc="MULTIMODAL training examples AT INGEST — the streaming twin of "
+    "pack_multimodal_sequences: interleaved text+media token budgets "
+    "(image 64 / audio 32 / video 256 patch tokens by the fixture's "
+    "doc % 3 media pairing) are packed incrementally as documents "
+    "arrive, with the identical per-trigger machinery as the text "
+    "packer — only the count expression changes "
+    "(_make_pack_batch's count_expr parameter), which is the point: "
+    "the at-ingest layout engine is count-agnostic, so the streaming "
+    "curation-to-training-examples story holds for multimodal corpora "
+    "with zero new moving parts. Oracle is the multimodal budget's "
+    "concat-and-slice layout; n_tokens >= the media cost so the "
+    "zero-token branch never fires.",
+)
+def stream_pack_multimodal_sequences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_foreach_batch,
+        spool_ordered_batches,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_pack_mm_")
+    ledger_dir = os.path.join(tmp, "ledger")
+    carry = {"offset": 0}
+    media_cost = F.element_at(
+        F.array(*[F.lit(v) for v in MEDIA_TOKEN_COST.values()]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    ).cast("bigint")
+    count_expr = F.size(tokens(F.col("text"))).cast("bigint") + media_cost
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        spool_ordered_batches(docs, "doc_id", tmp)
+        run_foreach_batch(
+            _stream_docs_from_spool(spark, tmp),
+            _make_pack_batch(ledger_dir, carry, count_expr=count_expr),
+            output_mode="append",
+        )
+        out = spark.read.parquet(ledger_dir).select(
+            "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq"
+        )
+        rows = out.collect()
+        result = spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
 def _stream_pack_oracle() -> str:
     """The batch packer's oracle VERBATIM (capstone convention): with the
     ordered spool, arrival order == doc_id order, so incremental offset
@@ -286,17 +360,24 @@ def stream_pack_training_sequences(
     return result
 
 
-def _make_pack_batch(ledger_dir: str, carry: dict, with_arrival_epoch=False):
+def _make_pack_batch(
+    ledger_dir: str, carry: dict, with_arrival_epoch=False, count_expr=None
+):
     """The streaming packer's per-trigger body, shared by the plain,
-    resumed, and unordered(+resumed) variants: the batch packer's
-    DYNAMIC shard size (from this batch's max doc_id — offsets are
-    shard-size invariant, but a hardcoded shard would leave the stage-2
-    window over shard totals unbounded for sparse/large id spaces, the
-    same #shards cap must hold per batch), the sharded two-stage cumsum
-    over the batch's rows, the carried running total added to every
-    within-batch offset, and an executor-written parquet ledger append.
-    ``with_arrival_epoch`` additionally stamps each row with the carried
-    trigger counter (the disordered variants' arrival pin)."""
+    resumed, unordered(+resumed), and multimodal variants: the batch
+    packer's DYNAMIC shard size (from this batch's max doc_id — offsets
+    are shard-size invariant, but a hardcoded shard would leave the
+    stage-2 window over shard totals unbounded for sparse/large id
+    spaces, the same #shards cap must hold per batch), the sharded
+    two-stage cumsum over the batch's rows, the carried running total
+    added to every within-batch offset, and an executor-written parquet
+    ledger append. ``with_arrival_epoch`` additionally stamps each row
+    with the carried trigger counter (the disordered variants' arrival
+    pin); ``count_expr`` swaps the per-row token count (the multimodal
+    variant's combined text+media budget) — the layout machinery is
+    count-agnostic."""
+    if count_expr is None:
+        count_expr = F.size(tokens(F.col("text"))).cast("bigint")
 
     def pack_batch(bdf: DataFrame, _epoch_id: int) -> None:
         bdf = bdf.persist()
@@ -307,7 +388,7 @@ def _make_pack_batch(ledger_dir: str, carry: dict, with_arrival_epoch=False):
                 f"doc_id DIV greatest({PACK_SHARD}L, "
                 f"max_doc_id DIV {PACK_MAX_SHARDS} + 1)"
             ).alias("shard"),
-            F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+            count_expr.alias("n_tokens"),
         )
         w_in = (
             Window.partitionBy("shard")
