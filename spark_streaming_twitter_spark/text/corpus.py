@@ -293,6 +293,133 @@ def stream_pack_multimodal_sequences(
     return result
 
 
+def _mm_ingest_to_training_oracle() -> str:
+    """Compose the three streaming keeper oracles verbatim (capstone
+    convention), drop their rejects, and lay out the multimodal token
+    budget of the survivors."""
+    import spark_streaming_twitter_spark.multimodal.phash  # noqa: F401
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    ik = QUERIES["stream_media_phash_keeper_dedup"].oracle
+    ak = QUERIES["stream_media_audio_keeper_dedup"].oracle
+    vk = QUERIES["stream_media_video_keeper_dedup"].oracle
+    return rf"""
+WITH ikeeper AS ({ik}),
+akeeper AS ({ak}),
+vkeeper AS ({vk}),
+drops AS (
+  SELECT media_id AS doc_id FROM ikeeper WHERE NOT kept
+  UNION ALL SELECT media_id FROM akeeper WHERE NOT kept
+  UNION ALL SELECT media_id FROM vkeeper WHERE NOT kept
+),
+toks AS (
+  SELECT d.doc_id,
+         CAST(len(list_filter(string_split_regex(d.text, '\s+'),
+                              t -> t <> '')) AS BIGINT)
+           + CAST(CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 64
+                  WHEN 1 THEN 32 ELSE 256 END AS BIGINT) AS n_tokens
+  FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS start_offset
+  FROM toks
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // {SEQ_LEN} AS first_seq,
+       (start_offset + n_tokens - 1) // {SEQ_LEN} AS last_seq
+FROM c
+"""
+
+
+@query(
+    "stream_multimodal_ingest_to_training",
+    oracle=_mm_ingest_to_training_oracle(),
+    doc="FLAGSHIP multimodal capstone: disorderly-arriving media is "
+    "keeper-deduped per modality by the ONLINE keeper streams (image "
+    "pHash / audio fingerprint / video frame-signature — their three "
+    "oracles composed VERBATIM), and the SURVIVING documents are packed "
+    "into multimodal training sequences at ingest — the full "
+    "curation-to-training-examples story for a multimodal corpus in "
+    "one registered query. The keeper decision ledgers feed the packer "
+    "as a broadcast drop set anti-joined per trigger (drops are small "
+    "by the dedup premise — at 100 TB the anti-join stays a broadcast "
+    "because a keeper REJECT list, not the keep list, crosses the "
+    "wire), and the packer is the same count-agnostic per-trigger body "
+    "with the multimodal budget. One wrong keep/drop decision in any "
+    "modality's stream shifts every downstream offset here, so the "
+    "capstone re-verifies all three detectors through the layout.",
+)
+def stream_multimodal_ingest_to_training(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.multimodal.phash import (
+        stream_media_audio_keeper_dedup,
+        stream_media_phash_keeper_dedup,
+        stream_media_video_keeper_dedup,
+    )
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_foreach_batch,
+        spool_ordered_batches,
+    )
+
+    drops = (
+        stream_media_phash_keeper_dedup(spark, sf_dir)
+        .where(~F.col("kept"))
+        .select(F.col("media_id").alias("doc_id"))
+        .unionByName(
+            stream_media_audio_keeper_dedup(spark, sf_dir)
+            .where(~F.col("kept"))
+            .select(F.col("media_id").alias("doc_id"))
+        )
+        .unionByName(
+            stream_media_video_keeper_dedup(spark, sf_dir)
+            .where(~F.col("kept"))
+            .select(F.col("media_id").alias("doc_id"))
+        )
+        .persist()
+    )
+    drops.count()
+
+    tmp = tempfile.mkdtemp(prefix="stream_mm_ingest_")
+    ledger_dir = os.path.join(tmp, "ledger")
+    carry = {"offset": 0}
+    media_cost = F.element_at(
+        F.array(*[F.lit(v) for v in MEDIA_TOKEN_COST.values()]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    ).cast("bigint")
+    count_expr = F.size(tokens(F.col("text"))).cast("bigint") + media_cost
+    inner = _make_pack_batch(ledger_dir, carry, count_expr=count_expr)
+
+    def pack_survivors(bdf: DataFrame, epoch_id: int) -> None:
+        inner(bdf.join(F.broadcast(drops), "doc_id", "left_anti"), epoch_id)
+
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        spool_ordered_batches(docs, "doc_id", tmp)
+        run_foreach_batch(
+            _stream_docs_from_spool(spark, tmp),
+            pack_survivors,
+            output_mode="append",
+        )
+        out = spark.read.parquet(ledger_dir).select(
+            "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq"
+        )
+        rows = out.collect()
+        result = spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        drops.unpersist()
+    return result
+
+
 def _stream_pack_oracle() -> str:
     """The batch packer's oracle VERBATIM (capstone convention): with the
     ordered spool, arrival order == doc_id order, so incremental offset
