@@ -293,16 +293,20 @@ def stream_pack_multimodal_sequences(
     return result
 
 
-def _mm_ingest_to_training_oracle() -> str:
+def _mm_ingest_to_training_oracle(suffix: str = "") -> str:
     """Compose the three streaming keeper oracles verbatim (capstone
     convention), drop their rejects, and lay out the multimodal token
-    budget of the survivors."""
+    budget of the survivors. ``suffix`` selects the keeper family and
+    the layout's arrival order: "" = ordered spools (layout = id
+    order), "_unordered" = round-robin disorder (layout = arrival
+    order: epoch, then id within the trigger)."""
     import spark_streaming_twitter_spark.multimodal.phash  # noqa: F401
     from spark_streaming_twitter_spark.registry import QUERIES
 
-    ik = QUERIES["stream_media_phash_keeper_dedup"].oracle
-    ak = QUERIES["stream_media_audio_keeper_dedup"].oracle
-    vk = QUERIES["stream_media_video_keeper_dedup"].oracle
+    ik = QUERIES[f"stream_media_phash_keeper_dedup{suffix}"].oracle
+    ak = QUERIES[f"stream_media_audio_keeper_dedup{suffix}"].oracle
+    vk = QUERIES[f"stream_media_video_keeper_dedup{suffix}"].oracle
+    order = "doc_id % 4, doc_id" if suffix else "doc_id"
     return rf"""
 WITH ikeeper AS ({ik}),
 akeeper AS ({ak}),
@@ -323,7 +327,7 @@ toks AS (
 ),
 c AS (
   SELECT doc_id, n_tokens,
-         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         CAST(sum(n_tokens) OVER (ORDER BY {order}
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            - n_tokens AS start_offset
   FROM toks
@@ -356,36 +360,55 @@ FROM c
 def stream_multimodal_ingest_to_training(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return _mm_ingest_impl(spark, sf_dir, suffix="")
+
+
+@query(
+    "stream_multimodal_ingest_to_training_unordered",
+    oracle=_mm_ingest_to_training_oracle("_unordered"),
+    doc="The flagship multimodal capstone under Kafka CROSS-PARTITION "
+    "DISORDER — keeper curation AND packing both run on round-robin "
+    "arrivals: the disorder-tolerant keeper streams decide keep/drop "
+    "with arrival-defined semantics (their unordered oracles composed "
+    "verbatim, epochs replayed), and the survivors pack in arrival "
+    "order (epoch, then id within the trigger). Identical code to the "
+    "ordered flagship except which spool feeds each stage — the "
+    "composition, like its parts, assumes nothing about id order.",
+)
+def stream_multimodal_ingest_to_training_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _mm_ingest_impl(spark, sf_dir, suffix="_unordered")
+
+
+def _mm_ingest_impl(spark: SparkSession, sf_dir: str, suffix: str) -> DataFrame:
     import os
     import shutil
     import tempfile
 
-    from spark_streaming_twitter_spark.multimodal.phash import (
-        stream_media_audio_keeper_dedup,
-        stream_media_phash_keeper_dedup,
-        stream_media_video_keeper_dedup,
-    )
+    from spark_streaming_twitter_spark.multimodal import phash
     from spark_streaming_twitter_spark.streaming.harness import (
         run_foreach_batch,
         spool_ordered_batches,
+        spool_roundrobin_batches,
     )
 
-    drops = (
-        stream_media_phash_keeper_dedup(spark, sf_dir)
-        .where(~F.col("kept"))
-        .select(F.col("media_id").alias("doc_id"))
-        .unionByName(
-            stream_media_audio_keeper_dedup(spark, sf_dir)
-            .where(~F.col("kept"))
-            .select(F.col("media_id").alias("doc_id"))
-        )
-        .unionByName(
-            stream_media_video_keeper_dedup(spark, sf_dir)
-            .where(~F.col("kept"))
-            .select(F.col("media_id").alias("doc_id"))
-        )
-        .persist()
+    keeper_fns = [
+        getattr(phash, f"stream_media_{m}_keeper_dedup{suffix}")
+        for m in ("phash", "audio", "video")
+    ]
+    spool = spool_roundrobin_batches if suffix else spool_ordered_batches
+
+    drops = keeper_fns[0](spark, sf_dir).where(~F.col("kept")).select(
+        F.col("media_id").alias("doc_id")
     )
+    for fn in keeper_fns[1:]:
+        drops = drops.unionByName(
+            fn(spark, sf_dir)
+            .where(~F.col("kept"))
+            .select(F.col("media_id").alias("doc_id"))
+        )
+    drops = drops.persist()
     drops.count()
 
     tmp = tempfile.mkdtemp(prefix="stream_mm_ingest_")
@@ -403,7 +426,7 @@ def stream_multimodal_ingest_to_training(
 
     try:
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-        spool_ordered_batches(docs, "doc_id", tmp)
+        spool(docs, "doc_id", tmp)
         run_foreach_batch(
             _stream_docs_from_spool(spark, tmp),
             pack_survivors,
