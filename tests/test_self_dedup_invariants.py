@@ -808,3 +808,31 @@ def test_attention_spans_apply_to_the_multimodal_layout(spark):
             assert s.begin_tok == pos, (seq_id, s.doc_id)
             pos = s.end_tok
         assert pos == min(2048, total - seq_id * 2048), seq_id
+
+
+def test_multimodal_flagship_packs_exactly_the_keeper_survivors(spark):
+    """The flagship capstone's layout must cover exactly the documents
+    every modality's keeper kept, and its offsets must tile [0, total)
+    in id order (ordered spool)."""
+    from spark_streaming_twitter_spark.multimodal.phash import (
+        stream_media_audio_keeper_dedup,
+        stream_media_phash_keeper_dedup,
+        stream_media_video_keeper_dedup,
+    )
+
+    specs = _specs()
+    rows = specs["stream_multimodal_ingest_to_training"].fn(
+        spark, SF
+    ).collect()
+    kept = set()
+    for fn in (
+        stream_media_phash_keeper_dedup,
+        stream_media_audio_keeper_dedup,
+        stream_media_video_keeper_dedup,
+    ):
+        kept |= {r.media_id for r in fn(spark, SF).collect() if r.kept}
+    assert {r.doc_id for r in rows} == kept
+    off = 0
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        assert r.start_offset == off, r.doc_id
+        off += r.n_tokens
