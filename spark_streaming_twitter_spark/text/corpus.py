@@ -915,6 +915,113 @@ def pack_training_sequences_ranged(
     )
 
 
+def _datasheet_oracle() -> str:
+    """Compose the quality oracle verbatim for the per-source card."""
+    from spark_streaming_twitter_spark.functions.numeric import davg_sql
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    q = QUERIES["doc_quality_scores"].oracle
+    return rf"""
+WITH q AS ({q}),
+t AS (
+  SELECT d.doc_id, d.source, d.lang,
+         CAST(len(list_filter(string_split_regex(d.text, '\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens,
+         {portable_hash_sql("d.text")} AS h
+  FROM documents d
+),
+g AS (SELECT source, h, count(*) AS cnt FROM t GROUP BY 1, 2),
+dup AS (
+  SELECT source, CAST(sum(cnt - 1) AS BIGINT) AS n_exact_dup_docs
+  FROM g WHERE cnt > 1 GROUP BY 1
+),
+agg AS (
+  SELECT t.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT t.lang) AS BIGINT) AS n_langs,
+         CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+         {davg_sql("q.quality")} AS mean_quality,
+         CAST(count(*) FILTER (WHERE t.n_tokens < 10) AS BIGINT)
+           AS n_short_docs
+  FROM t JOIN q ON q.doc_id = t.doc_id
+  GROUP BY 1
+)
+SELECT a.source, a.n_docs, a.n_langs, a.n_tokens, a.mean_quality,
+       a.n_short_docs,
+       CAST(coalesce(d.n_exact_dup_docs, 0) AS BIGINT) AS n_exact_dup_docs
+FROM agg a LEFT JOIN dup d ON a.source = d.source
+"""
+
+
+@query(
+    "corpus_datasheet",
+    oracle=_datasheet_oracle(),
+    doc="The DATASET CARD ('datasheets for datasets'): one row per "
+    "source with the numbers a dataset release documents — doc and "
+    "token counts, language count, mean quality score (exact-decimal "
+    "sum, functions/numeric.py, so the double is bitwise on both "
+    "engines), short-doc count, and exact-duplicate count (portable "
+    "text-hash groups within the source, sum of group sizes minus "
+    "one). Scale shape: everything keys on source (bounded "
+    "cardinality) — the quality score is per-row, the dup groups "
+    "combine map-side on (source, hash), and the final table is "
+    "#sources rows. Composes doc_quality_scores' oracle verbatim.",
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_twitter_spark.functions.numeric import davg
+    from spark_streaming_twitter_spark.text.analysis import (
+        quality_projection,
+    )
+
+    docs = widen(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "n_chars", "source", "lang"
+        ),
+        spark,
+    )
+    qp = quality_projection(
+        docs.select("doc_id", "text", "n_chars")
+    ).select("doc_id", "quality")
+    t = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        portable_hash(F.col("text")).alias("h"),
+    )
+    dup = (
+        t.groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .groupBy("source")
+        .agg((F.sum(F.col("cnt") - 1)).cast("bigint").alias("dups"))
+    )
+    agg = (
+        t.join(qp, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            davg("quality").alias("mean_quality"),
+            F.count(F.when(F.col("n_tokens") < 10, F.lit(1)))
+            .cast("bigint")
+            .alias("n_short_docs"),
+        )
+    )
+    return agg.join(F.broadcast(dup), "source", "left").select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "n_tokens",
+        "mean_quality",
+        "n_short_docs",
+        F.coalesce(F.col("dups"), F.lit(0)).cast("bigint").alias(
+            "n_exact_dup_docs"
+        ),
+    )
+
+
 def _attention_spans_oracle() -> str:
     """Compose the packer's oracle verbatim, then project each doc's token
     span INSIDE every sequence it touches."""
