@@ -785,6 +785,53 @@ def training_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _training_datasheet_oracle() -> str:
+    """Compose the manifest oracle verbatim and reduce it to the card."""
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    mf = QUERIES["training_sequence_manifest"].oracle
+    return f"""
+WITH mf AS ({mf})
+SELECT CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(n_tokens_filled) AS BIGINT) AS total_tokens,
+       CAST(sum(n_docs) AS BIGINT) AS total_doc_spans,
+       CAST(count(*) FILTER (WHERE n_tokens_filled = {SEQ_LEN}) AS BIGINT)
+         AS n_full_seqs,
+       CAST(max(n_docs) AS BIGINT) AS max_docs_per_seq,
+       CAST(sum(n_docs) AS DOUBLE) / count(*) AS mean_docs_per_seq
+FROM mf
+"""
+
+
+@query(
+    "training_datasheet",
+    oracle=_training_datasheet_oracle(),
+    doc="The PACKED dataset's card — corpus_datasheet's companion on the "
+    "training side: one summary row over the sequence manifest with the "
+    "numbers a training-data release documents — sequence count, total "
+    "tokens, doc-span count, how many sequences are full 2048-token "
+    "blocks (all but the ragged tail, by construction of "
+    "concat-and-slice), and the docs-per-sequence profile (max and "
+    "mean; the mean is one count/count double division, deterministic). "
+    "One bounded aggregate over the manifest, whose oracle is composed "
+    "verbatim.",
+)
+def training_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mf = training_sequence_manifest(spark, sf_dir)
+    return mf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+        F.sum("n_tokens_filled").cast("bigint").alias("total_tokens"),
+        F.sum("n_docs").cast("bigint").alias("total_doc_spans"),
+        F.count(F.when(F.col("n_tokens_filled") == SEQ_LEN, F.lit(1)))
+        .cast("bigint")
+        .alias("n_full_seqs"),
+        F.max("n_docs").cast("bigint").alias("max_docs_per_seq"),
+        (
+            F.sum("n_docs").cast("double") / F.count(F.lit(1))
+        ).alias("mean_docs_per_seq"),
+    )
+
+
 @query(
     "pack_training_sequences_ranged",
     oracle=rf"""
