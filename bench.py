@@ -1,10 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints exactly one JSON line:
+Prints the full JSON line, then a compact echo as the FINAL line:
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
    "queries": {"<name>": <min sec>, ...},
    "queries_p50": {"<name>": <median sec>, ...}, "value_p50": <sec>,
    "sf": <float>}
+  {"metric": ..., "value": ..., "unit": "sec", "queries": {2-dec}, "sf": ...}
+The compact echo exists because the round driver records only the last
+2000 bytes of stdout; capture the full line with `tail -2 | head -1`.
 
 "value"/"queries" stay min-of-N (continuity with BENCH_r01/r02);
 "queries_p50" is the noise floor — judge regressions against it.
@@ -152,6 +155,30 @@ def main() -> None:
     }
     sys.stderr.flush()
     print(json.dumps(out), flush=True)
+    # The round driver records only the LAST 2000 bytes of stdout and
+    # json-parses what it finds there; the full line above outgrew that
+    # window in round 3 (BENCH_r03+ all carry "parsed": null). Echo a
+    # compact line LAST — same contract fields (metric/value/unit/
+    # queries/sf), 2-decimal values, no whitespace — sized to fit the
+    # window, degrading precision (then dropping the query map) if the
+    # headline set ever grows past it. Full-precision data is the
+    # PENULTIMATE line (capture artifacts with `tail -2 | head -1`) and
+    # the committed bench_artifacts files.
+    compact = {
+        "metric": out["metric"],
+        "value": round(out["value"], 2),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:
+        del compact["queries"]
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line, flush=True)
 
 
 def _load_indicator(spark, specs) -> "dict | None":
