@@ -836,3 +836,31 @@ def test_multimodal_flagship_packs_exactly_the_keeper_survivors(spark):
     for r in sorted(rows, key=lambda r: r.doc_id):
         assert r.start_offset == off, r.doc_id
         off += r.n_tokens
+
+
+def test_unordered_flagship_packs_exactly_the_unordered_survivors(spark):
+    """The disordered flagship's layout must cover exactly the docs the
+    DISORDER-TOLERANT keepers kept, and tile [0, total) in arrival
+    order (epoch, then id)."""
+    from spark_streaming_twitter_spark.multimodal.phash import (
+        stream_media_audio_keeper_dedup_unordered,
+        stream_media_phash_keeper_dedup_unordered,
+        stream_media_video_keeper_dedup_unordered,
+    )
+
+    specs = _specs()
+    rows = specs["stream_multimodal_ingest_to_training_unordered"].fn(
+        spark, SF
+    ).collect()
+    kept = set()
+    for fn in (
+        stream_media_phash_keeper_dedup_unordered,
+        stream_media_audio_keeper_dedup_unordered,
+        stream_media_video_keeper_dedup_unordered,
+    ):
+        kept |= {r.media_id for r in fn(spark, SF).collect() if r.kept}
+    assert {r.doc_id for r in rows} == kept
+    off = 0
+    for r in sorted(rows, key=lambda r: (r.doc_id % 4, r.doc_id)):
+        assert r.start_offset == off, r.doc_id
+        off += r.n_tokens
