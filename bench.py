@@ -164,9 +164,13 @@ def main() -> None:
     # headline set ever grows past it. Full-precision data is the
     # PENULTIMATE line (capture artifacts with `tail -2 | head -1`) and
     # the committed bench_artifacts files.
+    # The headline "value" stays full precision — it alone can never
+    # overflow the window; only the per-query map degrades, and any
+    # degradation is MARKED so the driver-recorded JSON can't silently
+    # lose the breakdown (ADVICE r12).
     compact = {
         "metric": out["metric"],
-        "value": round(out["value"], 2),
+        "value": out["value"],
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
@@ -174,9 +178,12 @@ def main() -> None:
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1950:
         compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        compact["queries_rounded_1dp"] = True
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1950:
         del compact["queries"]
+        del compact["queries_rounded_1dp"]
+        compact["truncated"] = True
         line = json.dumps(compact, separators=(",", ":"))
     print(line, flush=True)
 

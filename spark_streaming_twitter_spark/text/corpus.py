@@ -373,7 +373,14 @@ def stream_multimodal_ingest_to_training(
     "verbatim, epochs replayed), and the survivors pack in arrival "
     "order (epoch, then id within the trigger). Identical code to the "
     "ordered flagship except which spool feeds each stage — the "
-    "composition, like its parts, assumes nothing about id order.",
+    "composition, like its parts, assumes nothing about id order. "
+    "Scale caveat (ADVICE r12): under disorder the reject list is NOT "
+    "always the small side — arrival clustering makes keeper dedup "
+    "drop most near-dup group members (373/500 docs at sf0.01, the "
+    "sensitivity SCALE.md names), so at 100 TB the drops anti-join "
+    "broadcast holds only when the dup rate is low; a high-dup "
+    "disordered corpus should flip it to a shuffled anti-join (or "
+    "invert to an inner join on the smaller KEEP list).",
 )
 def stream_multimodal_ingest_to_training_unordered(
     spark: SparkSession, sf_dir: str
@@ -408,9 +415,6 @@ def _mm_ingest_impl(spark: SparkSession, sf_dir: str, suffix: str) -> DataFrame:
             .where(~F.col("kept"))
             .select(F.col("media_id").alias("doc_id"))
         )
-    drops = drops.persist()
-    drops.count()
-
     tmp = tempfile.mkdtemp(prefix="stream_mm_ingest_")
     ledger_dir = os.path.join(tmp, "ledger")
     carry = {"offset": 0}
@@ -425,6 +429,11 @@ def _mm_ingest_impl(spark: SparkSession, sf_dir: str, suffix: str) -> DataFrame:
         inner(bdf.join(F.broadcast(drops), "doc_id", "left_anti"), epoch_id)
 
     try:
+        # persist inside the try so a failure anywhere after (incl. the
+        # materializing count) still reaches the finally's unpersist
+        # (ADVICE r12 — the old order leaked the cache if mkdtemp threw)
+        drops = drops.persist()
+        drops.count()
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
         spool(docs, "doc_id", tmp)
         run_foreach_batch(

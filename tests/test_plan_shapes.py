@@ -733,9 +733,30 @@ def test_bloom_filter_runtime_injection_and_control(spark):
 
 def test_epoch_shuffle_rank_is_sharded_and_prefix_broadcasts(spark):
     """training_epoch_shuffle's within-reader rank must stay the sharded
-    two-stage form: the stage-1 window partitions by the range sub-shard
-    (never one window per reader) and the bounded prefix table joins by
-    broadcast, not sort-merge."""
+    two-stage form: the stage-1 row_number window partitions by
+    (epoch, reader, SUB-SHARD) — never one window per reader — and THE
+    prefix-table join (keys epoch/reader/sub) is a broadcast hash join,
+    not sort-merge. Both assertions pin the specific nodes, not
+    plan-wide substrings: the packer beneath this query contributes its
+    own broadcast joins and windows, which must not satisfy this guard
+    (ADVICE r12)."""
+    import re
+
     f = _features(spark, "training_epoch_shuffle")
-    assert "BroadcastHashJoin" in f.join_nodes, f.join_nodes
-    assert "sub#" in f.raw, "stage-1 window lost its sub-shard partition key"
+    # THE prefix join: its keys are exactly epoch/reader/sub
+    assert re.search(
+        r"BroadcastHashJoin \[epoch#\d+L?, reader#\d+L?, sub#\d+L?\]", f.raw
+    ), "prefix-table join lost broadcast or its epoch/reader/sub keys"
+    # THE stage-1 rank window: row_number partitioned by the sub-shard
+    assert re.search(
+        r"row_number\(\) windowspecdefinition\("
+        r"epoch#\d+L?, reader#\d+L?, sub#\d+L?, order_key#\d+L? ASC",
+        f.raw,
+    ), "stage-1 row_number window lost its sub-shard partition key"
+    # and NO row_number window partitioned by (epoch, reader) alone —
+    # that would be the single-task-per-reader global rank regression
+    assert not re.search(
+        r"row_number\(\) windowspecdefinition\("
+        r"epoch#\d+L?, reader#\d+L?, order_key#\d+L?",
+        f.raw,
+    ), "found an unsharded per-reader row_number window"
