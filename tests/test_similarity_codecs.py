@@ -114,3 +114,33 @@ def test_filtered_ivf_recall_bounds(spark):
         assert r.n_exact == TOP_K, r
         assert 0 <= r.n_hits <= r.n_exact, r
         assert 0.0 <= r.recall <= 1.0, r
+
+
+def test_skewed_rebalance_loop_invariants(spark):
+    """The greedy loop on the skew overlay must (a) actually RUN (the
+    fixture starts over the threshold), (b) stop exactly when its
+    governing metric is satisfied — final max/mean <= 2, every earlier
+    version > 2, (c) conserve members at every version, and (d) never
+    increase the hottest cell."""
+    from spark_streaming_twitter_spark.similarity.search import (
+        REBALANCE_STOP,
+        ivf_rebalance_skewed_trajectory,
+    )
+
+    rows = sorted(
+        ivf_rebalance_skewed_trajectory(
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r["version"],
+    )
+    assert len(rows) >= 2, "loop never ran — fixture not skewed enough"
+    totals = {r["total_members"] for r in rows}
+    assert len(totals) == 1, f"members not conserved: {totals}"
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["max_members"] <= prev["max_members"], (
+            prev["version"],
+            cur["version"],
+        )
+        assert cur["n_cells"] == prev["n_cells"] + 1
+    assert all(r["max_over_mean"] > REBALANCE_STOP for r in rows[:-1])
+    assert rows[-1]["max_over_mean"] <= REBALANCE_STOP
