@@ -1216,13 +1216,21 @@ FROM k
 )
 def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     mf = training_sequence_manifest(spark, sf_dir).select("seq_id")
+    return _rank_positions(_shuffle_keys(mf))
+
+
+def _shuffle_keys(mf: DataFrame) -> DataFrame:
+    """(epoch, seq_id, order_key, reader, sub) for every epoch x sequence
+    — the PURE-FUNCTION half of the shuffle: no window, no shuffle, just
+    a hash projection, so ANY worker can recompute any row from the
+    manifest alone (the property resume-from-step rests on)."""
     e = mf.select(
         "seq_id",
         F.explode(
             F.array([F.lit(i) for i in range(SHUFFLE_EPOCHS)])
         ).alias("epoch_i"),
     ).select("seq_id", F.col("epoch_i").cast("bigint").alias("epoch"))
-    k = e.select(
+    return e.select(
         "epoch",
         "seq_id",
         portable_hash(
@@ -1242,6 +1250,15 @@ def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sub",
         F.expr(f"order_key DIV {1 << (60 - _SHUFFLE_SUB_BITS)}"),
     )
+
+
+def _rank_positions(k: DataFrame) -> DataFrame:
+    """The STATEFUL half: within-reader read position via the sharded
+    two-stage rank (stage-1 row_number per (epoch, reader, sub-shard),
+    stage-2 prefix over the bounded count table). Works identically on
+    the full key set or any (epoch, reader) slice of it — positions are
+    per-(epoch, reader) by construction, so ranking a single reader's
+    slice yields exactly that reader's positions from the full run."""
     w_in = Window.partitionBy("epoch", "reader", "sub").orderBy(
         "order_key", "seq_id"
     )
@@ -1312,6 +1329,79 @@ def training_run_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_doc",
         "last_doc",
         "n_tokens_filled",
+    )
+
+
+RESUME_EPOCH = 1  # the checkpoint a mid-run worker restarts from
+RESUME_READER = 2
+
+
+def _run_order_resumed_oracle() -> str:
+    """The UNINTERRUPTED run-order oracle composed verbatim, sliced to
+    the checkpoint reader's suffix — so the resumed stream is pinned
+    equal to what the reader would have consumed had it never died."""
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    full = QUERIES["training_run_order"].oracle
+    return f"""
+WITH fullorder AS ({full}),
+mine AS (
+  SELECT * FROM fullorder
+  WHERE epoch = {RESUME_EPOCH} AND reader = {RESUME_READER}
+),
+ckpt AS (SELECT CAST(count(*) // 2 AS BIGINT) AS p FROM mine)
+SELECT epoch, reader, position, seq_id,
+       n_docs, first_doc, last_doc, n_tokens_filled
+FROM mine CROSS JOIN ckpt
+WHERE position > p
+"""
+
+
+@query(
+    "training_run_order_resumed",
+    oracle=_run_order_resumed_oracle(),
+    doc="RESUME-FROM-STEP, demonstrated (r12 verdict ask #2): a worker "
+    "that died mid-epoch recomputes reader R's remaining stream from "
+    "checkpoint position p — here epoch 1, reader 2, p = the midpoint "
+    "of that reader's stream (data-derived so the demo scales) — "
+    "WITHOUT any saved shuffle state: the order key is a pure hash of "
+    "(epoch, seq_id), so the keys are re-projected from the manifest, "
+    "FILTERED to the one reader BEFORE any ranking work (the filter "
+    "is on pmod(key, R) — a projection predicate, so the recompute "
+    "prices at O(corpus/R) rows through one reader-local sharded "
+    "rank, never the full shuffle), re-ranked, and sliced at p. The "
+    "oracle composes the uninterrupted training_run_order verbatim "
+    "and takes the same suffix — bitwise equality with the stream the "
+    "reader would have consumed had it never died is exactly what the "
+    "gate checks. The packer proved the WRITE side's crash story "
+    "(ledger resume); this is the READ side's.",
+)
+def training_run_order_resumed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    mf = training_sequence_manifest(spark, sf_dir)
+    mine = _shuffle_keys(mf.select("seq_id")).where(
+        (F.col("epoch") == RESUME_EPOCH)
+        & (F.col("reader") == RESUME_READER)
+    )
+    ranked = _rank_positions(mine)
+    ckpt = ranked.agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("p")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ckpt))
+        .where(F.col("position") > F.col("p"))
+        .join(mf, "seq_id")
+        .select(
+            "epoch",
+            "reader",
+            "position",
+            "seq_id",
+            "n_docs",
+            "first_doc",
+            "last_doc",
+            "n_tokens_filled",
+        )
     )
 
 

@@ -864,3 +864,33 @@ def test_unordered_flagship_packs_exactly_the_unordered_survivors(spark):
     for r in sorted(rows, key=lambda r: (r.doc_id % 4, r.doc_id)):
         assert r.start_offset == off, r.doc_id
         off += r.n_tokens
+
+
+def test_run_order_resume_equals_uninterrupted_suffix(spark):
+    """Resume-from-step (r12 verdict ask #2): recomputing reader R's
+    order from checkpoint p — keys re-projected, filtered to one
+    reader BEFORE ranking, re-ranked — must equal the uninterrupted
+    run order's suffix row-for-row, and the checkpoint must actually
+    split the stream (non-empty prefix AND suffix)."""
+    from spark_streaming_twitter_spark.text.corpus import (
+        RESUME_EPOCH,
+        RESUME_READER,
+        training_run_order,
+        training_run_order_resumed,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    full = {
+        r["position"]: (r["seq_id"], r["n_docs"], r["n_tokens_filled"])
+        for r in training_run_order(spark, sf).collect()
+        if r["epoch"] == RESUME_EPOCH and r["reader"] == RESUME_READER
+    }
+    p = len(full) // 2
+    assert p >= 1, "fixture too small: empty prefix proves nothing"
+    resumed = {
+        r["position"]: (r["seq_id"], r["n_docs"], r["n_tokens_filled"])
+        for r in training_run_order_resumed(spark, sf).collect()
+    }
+    assert resumed, "empty suffix proves nothing"
+    expected = {pos: v for pos, v in full.items() if pos > p}
+    assert resumed == expected
