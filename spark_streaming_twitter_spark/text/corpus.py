@@ -388,7 +388,39 @@ def stream_multimodal_ingest_to_training_unordered(
     return _mm_ingest_impl(spark, sf_dir, suffix="_unordered")
 
 
-def _mm_ingest_impl(spark: SparkSession, sf_dir: str, suffix: str) -> DataFrame:
+@query(
+    "stream_multimodal_ingest_to_training_persisted",
+    oracle=_mm_ingest_to_training_oracle(),
+    doc="The flagship capstone in its PRODUCTION READ-BACK shape "
+    "(r12 verdict ask #4): identical keeper-dedup + at-ingest packing, "
+    "but the packer ledger is written to a KEPT location (overwritten "
+    "at start, like any output-table rewrite) and the returned frame "
+    "IS the parquet-backed ledger — no collect() anywhere between "
+    "streaming finish and the caller's hands, so the output scales to "
+    "a corpus-proportional result where the harness-lifecycle variant "
+    "(which must materialize before its temp dir dies) cannot. At "
+    "100 TB this is the only valid shape: the ledger is the training "
+    "job's input table, read where it landed. Ordered-flagship oracle "
+    "verbatim — same bits, different lifecycle.",
+)
+def stream_multimodal_ingest_to_training_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    kept = os.path.join(
+        tempfile.gettempdir(), "spark_graft_flagship_ledger"
+    )
+    return _mm_ingest_impl(spark, sf_dir, suffix="", keep_ledger_dir=kept)
+
+
+def _mm_ingest_impl(
+    spark: SparkSession,
+    sf_dir: str,
+    suffix: str,
+    keep_ledger_dir: "str | None" = None,
+) -> DataFrame:
     import os
     import shutil
     import tempfile
@@ -416,7 +448,15 @@ def _mm_ingest_impl(spark: SparkSession, sf_dir: str, suffix: str) -> DataFrame:
             .select(F.col("media_id").alias("doc_id"))
         )
     tmp = tempfile.mkdtemp(prefix="stream_mm_ingest_")
-    ledger_dir = os.path.join(tmp, "ledger")
+    if keep_ledger_dir is not None:
+        # production read-back shape (VERDICT r12 #4): the ledger OUTLIVES
+        # the query — overwrite-at-start, like any output table rewrite —
+        # so the returned frame is the parquet-backed ledger itself, with
+        # NO collect between streaming finish and the caller's hands
+        shutil.rmtree(keep_ledger_dir, ignore_errors=True)
+        ledger_dir = keep_ledger_dir
+    else:
+        ledger_dir = os.path.join(tmp, "ledger")
     carry = {"offset": 0}
     media_cost = F.element_at(
         F.array(*[F.lit(v) for v in MEDIA_TOKEN_COST.values()]),
@@ -444,8 +484,13 @@ def _mm_ingest_impl(spark: SparkSession, sf_dir: str, suffix: str) -> DataFrame:
         out = spark.read.parquet(ledger_dir).select(
             "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq"
         )
-        rows = out.collect()
-        result = spark.createDataFrame(rows, out.schema)
+        if keep_ledger_dir is not None:
+            result = out  # parquet-backed; ledger outlives the query
+        else:
+            # harness temp-dir lifecycle: the ledger dies in the finally,
+            # so materialize before it does
+            rows = out.collect()
+            result = spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         drops.unpersist()

@@ -894,3 +894,24 @@ def test_run_order_resume_equals_uninterrupted_suffix(spark):
     assert resumed, "empty suffix proves nothing"
     expected = {pos: v for pos, v in full.items() if pos > p}
     assert resumed == expected
+
+
+def test_persisted_flagship_is_parquet_backed_no_collect(spark):
+    """The production read-back twin (r12 verdict ask #4) must return
+    the kept ledger ITSELF: a parquet FileScan of the kept location,
+    bitwise-equal rows to the harness-lifecycle flagship."""
+    from spark_streaming_twitter_spark.text.corpus import (
+        stream_multimodal_ingest_to_training,
+        stream_multimodal_ingest_to_training_persisted,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pers = stream_multimodal_ingest_to_training_persisted(spark, sf)
+    plan = pers._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan, plan
+    assert "spark_graft_flagship_ledger" in plan, plan
+    got = sorted(map(tuple, pers.collect()))
+    want = sorted(
+        map(tuple, stream_multimodal_ingest_to_training(spark, sf).collect())
+    )
+    assert got == want
