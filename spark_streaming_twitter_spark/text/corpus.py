@@ -809,7 +809,14 @@ GROUP BY seq_id, total
     "never drift from the layout.",
 )
 def training_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pk = pack_training_sequences(spark, sf_dir)
+    return manifest_from_layout(pack_training_sequences(spark, sf_dir))
+
+
+def manifest_from_layout(pk: DataFrame) -> DataFrame:
+    """Manifest derivation over ANY packer ledger/layout with columns
+    (doc_id, n_tokens, start_offset, first_seq, last_seq) — the batch
+    packer's frame or a landed streaming ledger read back (the
+    attention_spans_from_layout pattern)."""
     tot = pk.agg(F.sum("n_tokens").cast("bigint").alias("total"))
     return (
         pk.where(F.col("n_tokens") > 0)
@@ -1448,6 +1455,93 @@ def training_run_order_resumed(
             "n_tokens_filled",
         )
     )
+
+
+@query(
+    "stream_training_run_order",
+    oracle=_run_order_oracle(),
+    doc="The training chain goes STREAMING past the packer (r12 verdict "
+    "ask #5): in the SAME foreachBatch pass that packs each "
+    "micro-batch, every training sequence the batch brings into "
+    "existence (seq ids [emitted, (offset_after-1) DIV 2048] — the "
+    "carried offset already knows them, no history scan) gets its "
+    "shuffle ASSIGNMENT — (epoch, order_key, reader, sub), a pure "
+    "hash projection over a distributed range, stateless per trigger "
+    "— appended to a second ledger beside the doc ledger. Each seq "
+    "is assigned exactly once, the trigger it first exists. READ "
+    "positions are then one sharded rank over the landed assignment "
+    "ledger at epoch start — deliberately NOT per-trigger: a read "
+    "position is only meaningful once the epoch's sequence universe "
+    "is closed, and ranking earlier would re-rank every trigger for "
+    "no consumer. Provenance joins the doc ledger's manifest "
+    "(manifest_from_layout — the span/aggregate derivation, layout-"
+    "agnostic). Oracle: the BATCH training_run_order's composed "
+    "oracle verbatim — on the ordered spool the streaming chain must "
+    "reproduce the batch chain bitwise, which re-verifies packer "
+    "offsets, sequence discovery, hash assignment, and rank through "
+    "one another.",
+)
+def stream_training_run_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_foreach_batch,
+        spool_ordered_batches,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_run_order_")
+    ledger_dir = os.path.join(tmp, "ledger")
+    shuffle_dir = os.path.join(tmp, "shuffle_ledger")
+    carry = {"offset": 0}
+    emitted = {"n": 0}  # seq ids already assigned (next unassigned id)
+    pack = _make_pack_batch(ledger_dir, carry)
+
+    def pack_and_assign(bdf: DataFrame, epoch_id: int) -> None:
+        pack(bdf, epoch_id)
+        hi = (carry["offset"] - 1) // SEQ_LEN
+        if carry["offset"] > 0 and hi >= emitted["n"]:
+            new_seqs = spark.range(emitted["n"], hi + 1).select(
+                F.col("id").cast("bigint").alias("seq_id")
+            )
+            _shuffle_keys(new_seqs).write.mode("append").parquet(
+                shuffle_dir
+            )
+            emitted["n"] = hi + 1
+
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        spool_ordered_batches(docs, "doc_id", tmp)
+        run_foreach_batch(
+            _stream_docs_from_spool(spark, tmp),
+            pack_and_assign,
+            output_mode="append",
+        )
+        ranked = _rank_positions(spark.read.parquet(shuffle_dir))
+        mf = manifest_from_layout(
+            spark.read.parquet(ledger_dir).select(
+                "doc_id", "n_tokens", "start_offset", "first_seq",
+                "last_seq",
+            )
+        )
+        out = ranked.join(mf, "seq_id").select(
+            "epoch",
+            "reader",
+            "position",
+            "seq_id",
+            "n_docs",
+            "first_doc",
+            "last_doc",
+            "n_tokens_filled",
+        )
+        rows = out.collect()
+        result = spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
 
 
 def _blast_radius_oracle() -> str:

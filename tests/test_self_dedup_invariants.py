@@ -915,3 +915,21 @@ def test_persisted_flagship_is_parquet_backed_no_collect(spark):
         map(tuple, stream_multimodal_ingest_to_training(spark, sf).collect())
     )
     assert got == want
+
+
+def test_stream_run_order_equals_batch_chain(spark):
+    """The streaming run order (per-trigger sequence discovery + hash
+    assignment, epoch-start rank) must reproduce the batch chain
+    bitwise on the ordered spool — and each seq must be assigned
+    exactly once (no duplicate (epoch, seq_id) rows)."""
+    from spark_streaming_twitter_spark.text.corpus import (
+        stream_training_run_order,
+        training_run_order,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, stream_training_run_order(spark, sf).collect()))
+    want = sorted(map(tuple, training_run_order(spark, sf).collect()))
+    assert got == want
+    keys = [(r[0], r[3]) for r in got]  # (epoch, seq_id)
+    assert len(keys) == len(set(keys))
