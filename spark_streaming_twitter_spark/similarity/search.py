@@ -4347,3 +4347,138 @@ def similarity_ivf_skewed_recall(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "similarity_ivf_skewed_nprobe2_recall",
+    oracle=_skewed_chain_sql()
+    + ","
+    + _postsplit_route_sql("ver0v", "asgall", "0")
+    + ","
+    + _postsplit_route_sql(
+        f"ver{_SKEW_STEPS_SF001}v", f"asg{_SKEW_STEPS_SF001}all", "N2",
+        nprobe=2,
+    )
+    + f""",
+rankedex AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY CAST({scaled_dot_sql("q.embedding", "n.embedding")}
+                         AS DOUBLE)
+                      / (sqrt(CAST(q.n2 AS DOUBLE))
+                         * sqrt(CAST(n.n2 AS DOUBLE))) DESC,
+                    n.vec_id ASC) AS rank
+  FROM scorpus q JOIN scorpus n ON n.vec_id <> q.vec_id
+  WHERE q.vec_id % {QUERY_STRIDE} = 0
+),
+ex AS (SELECT query_id, neighbor_id FROM rankedex WHERE rank <= {TOP_K}),
+hit0 AS (
+  SELECT r.query_id, r.neighbor_id
+  FROM (SELECT query_id, neighbor_id FROM ranked0 WHERE rank <= {TOP_K}) r
+  JOIN ex ON ex.query_id = r.query_id AND ex.neighbor_id = r.neighbor_id
+),
+hitN2 AS (
+  SELECT r.query_id, r.neighbor_id
+  FROM (SELECT query_id, neighbor_id FROM rankedN2 WHERE rank <= {TOP_K}) r
+  JOIN ex ON ex.query_id = r.query_id AND ex.neighbor_id = r.neighbor_id
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_top_exact,
+  CAST((SELECT count(*) FROM hit0) AS DOUBLE)
+    / CAST((SELECT count(*) FROM ex) AS DOUBLE) AS recall_v0_np1,
+  CAST((SELECT count(*) FROM hitN2) AS DOUBLE)
+    / CAST((SELECT count(*) FROM ex) AS DOUBLE) AS recall_vN_np2,
+  (SELECT CAST(count(*) AS BIGINT) FROM cand0) AS total_cand_v0,
+  (SELECT CAST(count(*) AS BIGINT) FROM candN2) AS total_cand_vN_np2,
+  CAST((SELECT count(*) FROM candN2) AS DOUBLE)
+    / CAST((SELECT count(*) FROM cand0) AS DOUBLE) AS cand_ratio
+""",
+    doc="The recovery knob ON the rebalanced table — making the 'buy "
+    "recall back with nprobe=2 at the rebalanced price' claim from "
+    "similarity_ivf_skewed_recall a measured row instead of a "
+    "sentence: exact-page recall of the pre-loop v0@np1 search vs the "
+    "post-loop vN@np2 search, with candidate counts pricing both. "
+    "After 5 splits the cells are ~half the mega-cell's size, so the "
+    "second probe's extra scan starts from a far cheaper base — the "
+    "operator's frontier point is (recall up, candidates comparable "
+    "to or below the UNSPLIT single-probe cost). Routing stays a pure "
+    "projection at nprobe=2 (literal sort + explode, no join).",
+)
+def similarity_ivf_skewed_nprobe2_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="skewed_np2_")
+    try:
+        vers, asgs = _run_skewed_rebalance(spark, sf_dir, tmp)
+        cand0, topk0 = _route_and_topk(
+            spark, sf_dir, [(lab, c) for lab, _, c in vers[0]], asgs[0]
+        )
+        candN2, topkN2 = _route_and_topk(
+            spark,
+            sf_dir,
+            [(lab, c) for lab, _, c in vers[-1]],
+            asgs[-1],
+            nprobe=2,
+        )
+        corpus = _corpus_with_norms(spark, sf_dir)
+        queries = corpus.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("n2").alias("q_n2"),
+        )
+        cosine = scaled_dot(F.col("q_emb"), F.col("embedding")).cast(
+            "double"
+        ) / (
+            F.sqrt(F.col("q_n2").cast("double"))
+            * F.sqrt(F.col("n2").cast("double"))
+        )
+        exact = _topk_filter(
+            corpus.crossJoin(F.broadcast(queries))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine.alias("cosine"),
+            )
+        ).select("query_id", "neighbor_id")
+
+        def hits(topk: DataFrame) -> DataFrame:
+            return topk.select("query_id", "neighbor_id").join(
+                exact, ["query_id", "neighbor_id"]
+            )
+
+        summary = (
+            exact.agg(F.count(F.lit(1)).alias("n_top_exact"))
+            .crossJoin(hits(topk0).agg(F.count(F.lit(1)).alias("h0")))
+            .crossJoin(hits(topkN2).agg(F.count(F.lit(1)).alias("hN2")))
+            .crossJoin(cand0.agg(F.count(F.lit(1)).alias("total_cand_v0")))
+            .crossJoin(
+                candN2.agg(F.count(F.lit(1)).alias("total_cand_vN_np2"))
+            )
+            .select(
+                "n_top_exact",
+                (
+                    F.col("h0").cast("double")
+                    / F.col("n_top_exact").cast("double")
+                ).alias("recall_v0_np1"),
+                (
+                    F.col("hN2").cast("double")
+                    / F.col("n_top_exact").cast("double")
+                ).alias("recall_vN_np2"),
+                "total_cand_v0",
+                "total_cand_vN_np2",
+                (
+                    F.col("total_cand_vN_np2").cast("double")
+                    / F.col("total_cand_v0").cast("double")
+                ).alias("cand_ratio"),
+            )
+        )
+        rows = summary.collect()
+        out = spark.createDataFrame(rows, summary.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -342,6 +342,8 @@ FROM c
 @query(
     "stream_multimodal_ingest_to_training",
     oracle=_mm_ingest_to_training_oracle(),
+    bench=True,  # r12 verdict #3: the repo's most expensive query belongs
+    # in the headline set, not hidden in a side artifact
     doc="FLAGSHIP multimodal capstone: disorderly-arriving media is "
     "keeper-deduped per modality by the ONLINE keeper streams (image "
     "pHash / audio fingerprint / video frame-signature — their three "
@@ -366,6 +368,7 @@ def stream_multimodal_ingest_to_training(
 @query(
     "stream_multimodal_ingest_to_training_unordered",
     oracle=_mm_ingest_to_training_oracle("_unordered"),
+    bench=True,
     doc="The flagship multimodal capstone under Kafka CROSS-PARTITION "
     "DISORDER — keeper curation AND packing both run on round-robin "
     "arrivals: the disorder-tolerant keeper streams decide keep/drop "
@@ -769,13 +772,16 @@ PACK_PART_MIN = 4000  # MINIMUM docs per writer partition (range unit)
 PACK_MAX_PARTS = 10_000  # hard cap on coordinator-table rows
 
 
-def _seq_manifest_oracle() -> str:
-    """Compose the packer's oracle verbatim (capstone convention), then
+def _seq_manifest_oracle(pack: "str | None" = None) -> str:
+    """Compose a packer's oracle verbatim (capstone convention), then
     invert it: one row per 2048-token training sequence with the docs
-    that fill it."""
+    that fill it. ``pack`` defaults to the batch packer; the unordered
+    chain passes the arrival-defined packer's oracle instead — the
+    manifest derivation itself is layout-agnostic."""
     from spark_streaming_twitter_spark.registry import QUERIES
 
-    pack = QUERIES["pack_training_sequences"].oracle
+    if pack is None:
+        pack = QUERIES["pack_training_sequences"].oracle
     return f"""
 WITH pk AS ({pack}),
 tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM pk),
@@ -1484,6 +1490,12 @@ def training_run_order_resumed(
 def stream_training_run_order(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return _stream_run_order_impl(spark, sf_dir, unordered=False)
+
+
+def _stream_run_order_impl(
+    spark: SparkSession, sf_dir: str, unordered: bool
+) -> DataFrame:
     import os
     import shutil
     import tempfile
@@ -1491,14 +1503,17 @@ def stream_training_run_order(
     from spark_streaming_twitter_spark.streaming.harness import (
         run_foreach_batch,
         spool_ordered_batches,
+        spool_roundrobin_batches,
     )
 
     tmp = tempfile.mkdtemp(prefix="stream_run_order_")
     ledger_dir = os.path.join(tmp, "ledger")
     shuffle_dir = os.path.join(tmp, "shuffle_ledger")
-    carry = {"offset": 0}
+    carry = {"offset": 0, "batch": 0}
     emitted = {"n": 0}  # seq ids already assigned (next unassigned id)
-    pack = _make_pack_batch(ledger_dir, carry)
+    pack = _make_pack_batch(
+        ledger_dir, carry, with_arrival_epoch=unordered
+    )
 
     def pack_and_assign(bdf: DataFrame, epoch_id: int) -> None:
         pack(bdf, epoch_id)
@@ -1512,9 +1527,10 @@ def stream_training_run_order(
             )
             emitted["n"] = hi + 1
 
+    spool = spool_roundrobin_batches if unordered else spool_ordered_batches
     try:
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-        spool_ordered_batches(docs, "doc_id", tmp)
+        spool(docs, "doc_id", tmp)
         run_foreach_batch(
             _stream_docs_from_spool(spark, tmp),
             pack_and_assign,
@@ -3021,3 +3037,45 @@ def importance_weights(docs: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def _stream_run_order_unordered_oracle() -> str:
+    """Shuffle oracle verbatim + the manifest derivation rebound to the
+    arrival-defined (unordered) packer's oracle: disorder changes WHICH
+    docs fill each sequence — never the sequence universe (total tokens
+    are order-invariant) and therefore never the read schedule."""
+    from spark_streaming_twitter_spark.registry import QUERIES
+
+    sh = QUERIES["training_epoch_shuffle"].oracle
+    mf = _seq_manifest_oracle(
+        QUERIES["stream_pack_training_sequences_unordered"].oracle
+    )
+    return f"""
+WITH sh AS ({sh}),
+mf AS ({mf})
+SELECT sh.epoch, sh.reader, sh.position, sh.seq_id,
+       mf.n_docs, mf.first_doc, mf.last_doc, mf.n_tokens_filled
+FROM sh JOIN mf USING (seq_id)
+"""
+
+
+@query(
+    "stream_training_run_order_unordered",
+    oracle=_stream_run_order_unordered_oracle(),
+    doc="The streaming run order under Kafka CROSS-PARTITION DISORDER — "
+    "and the invariant that makes loader scheduling robust to ingest "
+    "order: the sequence UNIVERSE depends only on total tokens (order-"
+    "invariant), and the shuffle key only on (epoch, seq_id), so the "
+    "READ SCHEDULE (epoch, reader, position, seq_id) is bitwise "
+    "identical to the ordered chain's while the PROVENANCE columns "
+    "(which docs fill each sequence) are arrival-defined. The oracle "
+    "states exactly that: the batch epoch-shuffle oracle verbatim, "
+    "joined to the manifest derivation rebound to the unordered "
+    "packer's arrival-replaying oracle. Same per-trigger assign-once "
+    "discovery as the ordered variant — the carried offset grows "
+    "monotonically regardless of arrival order.",
+)
+def stream_training_run_order_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _stream_run_order_impl(spark, sf_dir, unordered=True)

@@ -933,3 +933,24 @@ def test_stream_run_order_equals_batch_chain(spark):
     assert got == want
     keys = [(r[0], r[3]) for r in got]  # (epoch, seq_id)
     assert len(keys) == len(set(keys))
+
+
+def test_unordered_run_order_keeps_schedule_changes_provenance(spark):
+    """Disorder must change WHICH docs fill each sequence, never the
+    read schedule: (epoch, reader, position, seq_id) identical to the
+    ordered chain; provenance columns arrival-defined (and genuinely
+    different on this fixture, so the invariant isn't vacuous)."""
+    from spark_streaming_twitter_spark.text.corpus import (
+        stream_training_run_order,
+        stream_training_run_order_unordered,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ordered = stream_training_run_order(spark, sf).collect()
+    unordered = stream_training_run_order_unordered(spark, sf).collect()
+    sched = lambda rows: sorted((r[0], r[1], r[2], r[3]) for r in rows)
+    assert sched(ordered) == sched(unordered)
+    prov = lambda rows: sorted(map(tuple, rows))
+    assert prov(ordered) != prov(unordered), (
+        "fixture produced identical layouts - disorder test is vacuous"
+    )
