@@ -3079,3 +3079,114 @@ def stream_training_run_order_unordered(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return _stream_run_order_impl(spark, sf_dir, unordered=True)
+
+
+@query(
+    "stream_training_run_order_resumed",
+    oracle=_run_order_oracle(),
+    doc="CRASH RECOVERY for the streaming training chain — the packer's "
+    "ledger-resume story extended through sequence discovery and "
+    "shuffle assignment: the chain's cross-trigger state is two "
+    "scalars (the offset allocator and the next-unassigned seq id), "
+    "and BOTH are recoverable from the ledgers themselves — offset = "
+    "sum(n_tokens) over the doc ledger, next seq = max(seq_id) + 1 "
+    "over the assignment ledger (each a map-side aggregate; parquet "
+    "footer stats make them metadata-only at scale). The stream runs "
+    "over the first half of the spool, the driver dies (both scalars "
+    "discarded), a fresh driver re-seeds from the ledgers and "
+    "processes the rest; the combined chain must be bitwise the "
+    "uninterrupted batch run order (oracle verbatim) — in particular "
+    "the restart must not re-assign any sequence (the recovered next-"
+    "seq pointer guarantees assign-exactly-once across the crash). "
+    "With training_run_order_resumed this closes the crash story on "
+    "BOTH sides: the writer's ledgers recover the ingest chain, the "
+    "reader's determinism recovers the consumption order.",
+)
+def stream_training_run_order_resumed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_foreach_batch,
+        spool_ordered_batches,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_run_order_resume_")
+    spool_a = os.path.join(tmp, "before_crash")
+    spool_b = os.path.join(tmp, "after_restart")
+    ledger_dir = os.path.join(tmp, "ledger")
+    shuffle_dir = os.path.join(tmp, "shuffle_ledger")
+    os.makedirs(spool_b)
+
+    def make_body(carry: dict, emitted: dict):
+        pack = _make_pack_batch(ledger_dir, carry)
+
+        def pack_and_assign(bdf: DataFrame, epoch_id: int) -> None:
+            pack(bdf, epoch_id)
+            hi = (carry["offset"] - 1) // SEQ_LEN
+            if carry["offset"] > 0 and hi >= emitted["n"]:
+                new_seqs = spark.range(emitted["n"], hi + 1).select(
+                    F.col("id").cast("bigint").alias("seq_id")
+                )
+                _shuffle_keys(new_seqs).write.mode("append").parquet(
+                    shuffle_dir
+                )
+                emitted["n"] = hi + 1
+
+        return pack_and_assign
+
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        spool_ordered_batches(docs, "doc_id", spool_a)
+        for f in sorted(glob.glob(os.path.join(spool_a, "batch_*.parquet")))[
+            2:
+        ]:
+            shutil.move(f, os.path.join(spool_b, os.path.basename(f)))
+
+        carry, emitted = {"offset": 0}, {"n": 0}
+        run_foreach_batch(
+            _stream_docs_from_spool(spark, spool_a),
+            make_body(carry, emitted),
+            output_mode="append",
+        )
+        # ---- the crash: driver (offset allocator + seq pointer) lost ----
+        del carry, emitted
+        # ---- restart: re-seed BOTH scalars from the ledgers ----
+        off = spark.read.parquet(ledger_dir).agg(
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t")
+        ).first()[0]
+        nxt = spark.read.parquet(shuffle_dir).agg(
+            F.coalesce(F.max("seq_id") + 1, F.lit(0)).alias("n")
+        ).first()[0]
+        carry2, emitted2 = {"offset": int(off)}, {"n": int(nxt)}
+        run_foreach_batch(
+            _stream_docs_from_spool(spark, spool_b),
+            make_body(carry2, emitted2),
+            output_mode="append",
+        )
+        ranked = _rank_positions(spark.read.parquet(shuffle_dir))
+        mf = manifest_from_layout(
+            spark.read.parquet(ledger_dir).select(
+                "doc_id", "n_tokens", "start_offset", "first_seq",
+                "last_seq",
+            )
+        )
+        out = ranked.join(mf, "seq_id").select(
+            "epoch",
+            "reader",
+            "position",
+            "seq_id",
+            "n_docs",
+            "first_doc",
+            "last_doc",
+            "n_tokens_filled",
+        )
+        rows = out.collect()
+        result = spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
