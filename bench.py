@@ -175,12 +175,15 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
     }
+    # 1990: the driver tail-captures the last 2000 bytes of stdout, so a
+    # line of up to 1999 bytes (incl. newline) starts inside the window;
+    # 61 entries with the flagship pair measure 1972 bytes at 2dp
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1950:
+    if len(line) > 1990:
         compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
         compact["queries_rounded_1dp"] = True
         line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1950:
+    if len(line) > 1990:
         del compact["queries"]
         del compact["queries_rounded_1dp"]
         compact["truncated"] = True
