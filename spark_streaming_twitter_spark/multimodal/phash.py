@@ -3919,9 +3919,16 @@ def _media_curation_report_impl(
     spark: SparkSession, sf_dir: str, ik_fn, ak_fn, vk_fn
 ) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    ik = ik_fn(spark, sf_dir)
-    ak = ak_fn(spark, sf_dir)
-    vk = vk_fn(spark, sf_dir)
+    # independent streams (disjoint media subsets, separate
+    # spools/indices/ledgers): run concurrently, wall = max not sum —
+    # same scheduling win as the flagship's keeper phase
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fi = pool.submit(ik_fn, spark, sf_dir)
+        fa = pool.submit(ak_fn, spark, sf_dir)
+        fv = pool.submit(vk_fn, spark, sf_dir)
+        ik, ak, vk = fi.result(), fa.result(), fv.result()
 
     def kind_row(kind: str, ledger: DataFrame):
         agg = ledger.agg(

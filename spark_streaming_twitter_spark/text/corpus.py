@@ -441,14 +441,25 @@ def _mm_ingest_impl(
     ]
     spool = spool_roundrobin_batches if suffix else spool_ordered_batches
 
-    drops = keeper_fns[0](spark, sf_dir).where(~F.col("kept")).select(
+    # the three keeper streams are INDEPENDENT (disjoint media subsets,
+    # separate spools/indices/ledgers), so run them concurrently — wall
+    # becomes max(keeper) instead of sum(keeper), bits unchanged (each
+    # stream is its own registered, oracle-pinned query); a production
+    # job owns one consumer per modality topic for the same reason
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        ledgers = list(
+            pool.map(lambda fn: fn(spark, sf_dir), keeper_fns)
+        )
+    drops = ledgers[0].where(~F.col("kept")).select(
         F.col("media_id").alias("doc_id")
     )
-    for fn in keeper_fns[1:]:
+    for led in ledgers[1:]:
         drops = drops.unionByName(
-            fn(spark, sf_dir)
-            .where(~F.col("kept"))
-            .select(F.col("media_id").alias("doc_id"))
+            led.where(~F.col("kept")).select(
+                F.col("media_id").alias("doc_id")
+            )
         )
     tmp = tempfile.mkdtemp(prefix="stream_mm_ingest_")
     if keep_ledger_dir is not None:
