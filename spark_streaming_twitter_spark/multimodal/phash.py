@@ -61,12 +61,20 @@ def phash_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod-256 wraps perturb a few pixels; different group => unrelated
     pattern AND (mod 48) different dimensions, so a different sample grid.
     """
-    docs = widen(
-        table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .where(F.col("doc_id") % 3 == 0),
-        spark,
+    return phash_media_from_ids(
+        widen(
+            table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .where(F.col("doc_id") % 3 == 0),
+            spark,
+        )
     )
+
+
+def phash_media_from_ids(docs: DataFrame) -> DataFrame:
+    """The image payload builder over ANY doc_id frame — shared by the
+    fixture table and the fused single-stream flagship (which builds
+    payloads per micro-batch)."""
 
     def encode(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -312,14 +320,20 @@ def fp_audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip at most a couple of envelope bits (measured: within-group
     Hamming <= 2 at sf0.01); different group => a different waveform
     SHAPE, not just offset (cross-group median 24)."""
-    from spark_streaming_twitter_spark.multimodal.columns import encode_wav
-
-    docs = widen(
-        table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .where(F.col("doc_id") % 3 == 1),
-        spark,
+    return fp_audio_from_ids(
+        widen(
+            table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .where(F.col("doc_id") % 3 == 1),
+            spark,
+        )
     )
+
+
+def fp_audio_from_ids(docs: DataFrame) -> DataFrame:
+    """The audio payload builder over ANY doc_id frame (see
+    phash_media_from_ids)."""
+    from spark_streaming_twitter_spark.multimodal.columns import encode_wav
 
     def encode(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -622,16 +636,22 @@ def fp_video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     RE-ENCODES the first v frames (an edited intro — the classic
     near-dup video shape), leaving frames v..15 bit-identical across the
     group."""
+    return fp_video_from_ids(
+        widen(
+            table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .where(F.col("doc_id") % 3 == 2),
+            spark,
+        )
+    )
+
+
+def fp_video_from_ids(docs: DataFrame) -> DataFrame:
+    """The video payload builder over ANY doc_id frame (see
+    phash_media_from_ids)."""
     import struct
 
     from spark_streaming_twitter_spark.multimodal.columns import _mp4_box
-
-    docs = widen(
-        table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .where(F.col("doc_id") % 3 == 2),
-        spark,
-    )
 
     def encode(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -1456,6 +1476,113 @@ def _phash_keeper_oracle(batch_label: str | None = None) -> str:
     )
 
 
+def make_chunk_keeper_prober(
+    spark: SparkSession, idx_dir: str, ledger_dir: str, radius: int
+):
+    """ONE trigger's worth of the chunk-LSH keeper protocol, as a
+    reusable closure over (kept-index dir, decision-ledger dir): probe
+    the batch's distinct (media_id, sig, c, chunk_val) keys against the
+    kept index (broadcast join + full-signature Hamming verify <=
+    radius + per-item verified-hit count), append the per-item decision
+    to the ledger, and append ONLY kept items' chunk entries to the
+    index. Returns the batch's media-id frame (for caption propagation
+    / drop collection by the caller). Shared by the standalone keeper
+    streams and the fused single-stream flagship — one protocol, two
+    trigger topologies."""
+    state = {"has_index": False}
+    hamming = F.bit_count(F.col("sig").bitwiseXOR(F.col("ref_sig")))
+
+    def probe_and_keep(keys: DataFrame) -> DataFrame:
+        media = keys.select("media_id").distinct()
+        if not state["has_index"]:
+            report = media.select(
+                "media_id", F.lit(0).cast("bigint").alias("n_index_hits")
+            )
+        else:
+            idx = spark.read.parquet(idx_dir)
+            nhits = (
+                keys.join(F.broadcast(idx), ["c", "chunk_val"])
+                .where(hamming <= radius)
+                .groupBy("media_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            report = media.join(nhits, "media_id", "left").select(
+                "media_id",
+                F.coalesce("n", F.lit(0).cast("bigint")).alias(
+                    "n_index_hits"
+                ),
+            )
+        # executor-side parquet ledger, not a driver list
+        report.write.mode("append").parquet(ledger_dir)
+        kept = spark.read.parquet(ledger_dir).join(
+            F.broadcast(media), "media_id"
+        ).where(F.col("n_index_hits") == 0).select("media_id")
+        novel = (
+            keys.join(F.broadcast(kept), "media_id")
+            .select("c", "chunk_val", F.col("sig").alias("ref_sig"))
+            .distinct()
+        )
+        if state["has_index"]:
+            novel = novel.join(
+                spark.read.parquet(idx_dir),
+                ["c", "chunk_val", "ref_sig"],
+                "left_anti",
+            )
+        novel.write.mode("append").parquet(idx_dir)
+        state["has_index"] = True
+        return media
+
+    return probe_and_keep
+
+
+def make_video_keeper_prober(
+    spark: SparkSession, idx_dir: str, ledger_dir: str
+):
+    """The video instance of the keeper protocol (frame-signature
+    containment: a clip drops when it shares >= VIDEO_MIN_SHARED
+    distinct frames with ANY kept clip), same probe/ledger/index
+    contract as make_chunk_keeper_prober over distinct
+    (media_id, frame_sig) rows."""
+    state = {"has_index": False}
+
+    def probe_and_keep(dsig: DataFrame) -> DataFrame:
+        media = dsig.select("media_id").distinct()
+        if not state["has_index"]:
+            report = media.select(
+                "media_id", F.lit(0).cast("bigint").alias("n_index_hits")
+            )
+        else:
+            idx = spark.read.parquet(idx_dir)
+            nhits = (
+                dsig.join(F.broadcast(idx), "frame_sig")
+                .groupBy("media_id", "kept_id")
+                .agg(F.count_distinct("frame_sig").alias("nsh"))
+                .where(F.col("nsh") >= VIDEO_MIN_SHARED)
+                .groupBy("media_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            )
+            report = media.join(nhits, "media_id", "left").select(
+                "media_id",
+                F.coalesce("n", F.lit(0).cast("bigint")).alias(
+                    "n_index_hits"
+                ),
+            )
+        report.write.mode("append").parquet(ledger_dir)
+        kept = (
+            spark.read.parquet(ledger_dir)
+            .join(F.broadcast(media), "media_id")
+            .where(F.col("n_index_hits") == 0)
+            .select("media_id")
+        )
+        dsig.join(F.broadcast(kept), "media_id").select(
+            "frame_sig", F.col("media_id").alias("kept_id")
+        ).distinct().write.mode("append").parquet(idx_dir)
+        state["has_index"] = True
+        return media
+
+    return probe_and_keep
+
+
 def _chunk_keeper_stream(
     spark: SparkSession,
     src: DataFrame,
@@ -1498,7 +1625,6 @@ def _chunk_keeper_stream(
     tmp = tempfile.mkdtemp(prefix="chunk_keeper_stream_")
     idx_dir = os.path.join(tmp, "index")
     ledger_dir = os.path.join(tmp, "ledger")
-    state = {"has_index": False}
     try:
         spool = (
             spool_roundrobin_batches if roundrobin else spool_ordered_batches
@@ -1529,47 +1655,12 @@ def _chunk_keeper_stream(
             )
         )
 
-        hamming = F.bit_count(F.col("sig").bitwiseXOR(F.col("ref_sig")))
+        prober = make_chunk_keeper_prober(spark, idx_dir, ledger_dir, radius)
 
         def probe_and_keep(bdf: DataFrame, _epoch_id: int) -> None:
             bdf = bdf.persist()
             keys = bdf.select("media_id", "sig", "c", "chunk_val").distinct()
-            media = keys.select("media_id").distinct()
-            if not state["has_index"]:
-                report = media.select(
-                    "media_id", F.lit(0).cast("bigint").alias("n_index_hits")
-                )
-            else:
-                idx = spark.read.parquet(idx_dir)
-                nhits = (
-                    keys.join(F.broadcast(idx), ["c", "chunk_val"])
-                    .where(hamming <= radius)
-                    .groupBy("media_id")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                )
-                report = media.join(nhits, "media_id", "left").select(
-                    "media_id",
-                    F.coalesce("n", F.lit(0).cast("bigint")).alias(
-                        "n_index_hits"
-                    ),
-                )
-            # executor-side parquet ledger, not a driver list
-            report.write.mode("append").parquet(ledger_dir)
-            kept = spark.read.parquet(ledger_dir).join(
-                F.broadcast(media), "media_id"
-            ).where(F.col("n_index_hits") == 0).select("media_id")
-            novel = (
-                keys.join(F.broadcast(kept), "media_id")
-                .select("c", "chunk_val", F.col("sig").alias("ref_sig"))
-                .distinct()
-            )
-            if state["has_index"]:
-                novel = novel.join(
-                    spark.read.parquet(idx_dir),
-                    ["c", "chunk_val", "ref_sig"],
-                    "left_anti",
-                )
-            novel.write.mode("append").parquet(idx_dir)
+            media = prober(keys)
             if caption_dir is not None:
                 drops = spark.read.parquet(ledger_dir).join(
                     F.broadcast(media), "media_id"
@@ -1582,7 +1673,6 @@ def _chunk_keeper_stream(
                     "n_index_hits",
                     F.length("text").cast("bigint").alias("caption_len"),
                 ).write.mode("append").parquet(caption_dir)
-            state["has_index"] = True
             bdf.unpersist()
 
         run_foreach_batch(chunks, probe_and_keep, output_mode="append")
@@ -2139,7 +2229,9 @@ def stream_media_video_ttl_dedup(
 # Video keeper oracle: 4 unrolled epochs over the kept-clip frame index
 # (frame_sig, kept_id); a clip drops when it shares >= VIDEO_MIN_SHARED
 # distinct frames with ANY kept clip; n_index_hits counts those clips.
-def _video_keeper_oracle(batch_label: str | None = None) -> str:
+def _video_keeper_oracle(
+    batch_label: str | None = None, rng_rel: str = "vids"
+) -> str:
     batch_label = batch_label or (
         """CASE WHEN s.media_id <= lo + (hi - lo + 1) * 1 // 4 THEN 0
               WHEN s.media_id <= lo + (hi - lo + 1) * 2 // 4 THEN 1
@@ -2177,7 +2269,7 @@ idx{k} AS (
     return f"""
 WITH {_VIDEO_SIGS_SQL.lstrip()},
 dsigs AS (SELECT DISTINCT media_id, frame_sig FROM vsigs),
-rng AS (SELECT min(media_id) AS lo, max(media_id) AS hi FROM vids),
+rng AS (SELECT min(media_id) AS lo, max(media_id) AS hi FROM {rng_rel}),
 bat AS (
   SELECT s.media_id, s.frame_sig,
          {batch_label} AS b
@@ -2239,7 +2331,6 @@ def _video_keeper_stream(
     tmp = tempfile.mkdtemp(prefix="vfp_keeper_stream_")
     idx_dir = os.path.join(tmp, "index")
     ledger_dir = os.path.join(tmp, "ledger")
-    state = {"has_index": False}
     try:
         src = fp_video_table(spark, sf_dir)
         spool = (
@@ -2258,41 +2349,11 @@ def _video_keeper_stream(
             "media_id", "frame_sig"
         )
 
+        prober = make_video_keeper_prober(spark, idx_dir, ledger_dir)
+
         def probe_and_keep(bdf: DataFrame, _epoch_id: int) -> None:
             bdf = bdf.persist()
-            dsig = bdf.select("media_id", "frame_sig").distinct()
-            media = dsig.select("media_id").distinct()
-            if not state["has_index"]:
-                report = media.select(
-                    "media_id", F.lit(0).cast("bigint").alias("n_index_hits")
-                )
-            else:
-                idx = spark.read.parquet(idx_dir)
-                nhits = (
-                    dsig.join(F.broadcast(idx), "frame_sig")
-                    .groupBy("media_id", "kept_id")
-                    .agg(F.count_distinct("frame_sig").alias("nsh"))
-                    .where(F.col("nsh") >= VIDEO_MIN_SHARED)
-                    .groupBy("media_id")
-                    .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-                )
-                report = media.join(nhits, "media_id", "left").select(
-                    "media_id",
-                    F.coalesce("n", F.lit(0).cast("bigint")).alias(
-                        "n_index_hits"
-                    ),
-                )
-            report.write.mode("append").parquet(ledger_dir)
-            kept = (
-                spark.read.parquet(ledger_dir)
-                .join(F.broadcast(media), "media_id")
-                .where(F.col("n_index_hits") == 0)
-                .select("media_id")
-            )
-            dsig.join(F.broadcast(kept), "media_id").select(
-                "frame_sig", F.col("media_id").alias("kept_id")
-            ).distinct().write.mode("append").parquet(idx_dir)
-            state["has_index"] = True
+            prober(bdf.select("media_id", "frame_sig").distinct())
             bdf.unpersist()
 
         run_foreach_batch(sigs, probe_and_keep, output_mode="append")

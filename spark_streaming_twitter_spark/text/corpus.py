@@ -3201,3 +3201,207 @@ def stream_training_run_order_resumed(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+def _mm_fused_oracle() -> str:
+    """The fused flagship's oracle: the three keeper protocols replayed
+    on the SHARED ingest trigger grid — identical keeper CTE chains to
+    the standalone streams' oracles (same generators, composed at
+    decoration time) except the epoch cuts come from the DOCUMENT
+    range, because in the fused topology one spool feeds everything —
+    then the same drops/pack tail as the 4-stream flagship."""
+    import spark_streaming_twitter_spark.multimodal.phash as ph
+
+    docrng = "(SELECT doc_id AS media_id FROM documents)"
+    ik = ph._chunk_keeper_oracle(
+        ph._PHASH_SIGS_SQL, "sigs", "dhash", docrng,
+        ph.PHASH_CHUNKS, 14, ph.PHASH_RADIUS,
+    )
+    ak = ph._chunk_keeper_oracle(
+        ph._AFP_SIGS_SQL, "afps", "fingerprint", docrng,
+        ph.AFP_CHUNKS, 12, ph.AFP_RADIUS,
+    )
+    vk = ph._video_keeper_oracle(rng_rel=docrng)
+    return rf"""
+WITH ikeeper AS ({ik}),
+akeeper AS ({ak}),
+vkeeper AS ({vk}),
+drops AS (
+  SELECT media_id AS doc_id FROM ikeeper WHERE NOT kept
+  UNION ALL SELECT media_id FROM akeeper WHERE NOT kept
+  UNION ALL SELECT media_id FROM vkeeper WHERE NOT kept
+),
+toks AS (
+  SELECT d.doc_id,
+         CAST(len(list_filter(string_split_regex(d.text, '\s+'),
+                              t -> t <> '')) AS BIGINT)
+           + CAST(CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 64
+                  WHEN 1 THEN 32 ELSE 256 END AS BIGINT) AS n_tokens
+  FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS start_offset
+  FROM toks
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // {SEQ_LEN} AS first_seq,
+       (start_offset + n_tokens - 1) // {SEQ_LEN} AS last_seq
+FROM c
+"""
+
+
+@query(
+    "stream_multimodal_ingest_to_training_fused",
+    oracle=_mm_fused_oracle(),
+    doc="The flagship capstone FUSED into one stream — the topology a "
+    "production ingest actually owns (one topic, one consumer, one "
+    "trigger grid): per micro-batch the SAME foreachBatch pass builds "
+    "each modality's payloads for its slice of the batch (doc_id % 3 "
+    "routes image/audio/video), probes/updates the three kept-indices "
+    "via the shared keeper protocol (make_chunk_keeper_prober / "
+    "make_video_keeper_prober — the standalone streams' bodies, "
+    "reused verbatim), and packs the batch's survivors, so curation "
+    "and training-example construction happen in ONE pass over the "
+    "wire instead of four streams (3 keeper spools + a packer spool) "
+    "over the same bytes. Keeper semantics are IDENTICAL per trigger; "
+    "what changes is the epoch grid — decisions cut on the shared doc "
+    "spool's ranges instead of three per-modality spools — and the "
+    "oracle composes the same keeper CTE generators re-ranged to the "
+    "document spool, then the same pack tail. At 100 TB the fused "
+    "form reads the corpus ONCE per trigger where the 4-stream form "
+    "reads it four times: the bench pair prices exactly that.",
+    bench=True,
+)
+def stream_multimodal_ingest_to_training_fused(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    import spark_streaming_twitter_spark.multimodal.phash as ph
+    from spark_streaming_twitter_spark.streaming.harness import (
+        run_foreach_batch,
+        spool_ordered_batches,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_mm_fused_")
+    ledger_dir = os.path.join(tmp, "ledger")
+    mod_ledgers = {
+        k: os.path.join(tmp, f"{k}_ledger")
+        for k in ("image", "audio", "video")
+    }
+    probers = {
+        "image": ph.make_chunk_keeper_prober(
+            spark, os.path.join(tmp, "image_index"),
+            mod_ledgers["image"], ph.PHASH_RADIUS,
+        ),
+        "audio": ph.make_chunk_keeper_prober(
+            spark, os.path.join(tmp, "audio_index"),
+            mod_ledgers["audio"], ph.AFP_RADIUS,
+        ),
+        "video": ph.make_video_keeper_prober(
+            spark, os.path.join(tmp, "video_index"), mod_ledgers["video"]
+        ),
+    }
+
+    def chunk_keys(sig_df, sig_col, n_chunks, chunk_bits):
+        mask = (1 << chunk_bits) - 1
+        return (
+            sig_df.select(
+                "media_id",
+                F.col(sig_col).alias("sig"),
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(n_chunks - 1))
+                ).alias("c"),
+            )
+            .withColumn(
+                "chunk_val",
+                F.expr(f"shiftright(sig, c * {chunk_bits})")
+                .bitwiseAND(F.lit(mask))
+                .cast("bigint"),
+            )
+            .select("media_id", "sig", "c", "chunk_val")
+            .distinct()
+        )
+
+    carry = {"offset": 0}
+    media_cost = F.element_at(
+        F.array(*[F.lit(v) for v in MEDIA_TOKEN_COST.values()]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    ).cast("bigint")
+    count_expr = F.size(tokens(F.col("text"))).cast("bigint") + media_cost
+    inner = _make_pack_batch(ledger_dir, carry, count_expr=count_expr)
+
+    def fused(bdf: DataFrame, epoch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        bdf = bdf.persist()
+
+        def ids(k: int) -> DataFrame:
+            return bdf.where(F.col("doc_id") % 3 == k).select("doc_id")
+
+        # the three modality probes are independent within the trigger
+        # (disjoint slices, separate index/ledger dirs) — overlap them,
+        # same scheduling economics as the 4-stream form's keeper phase
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            fi = pool.submit(
+                lambda: probers["image"](
+                    chunk_keys(
+                        ph.perceptual_hashes(
+                            ph.phash_media_from_ids(ids(0))
+                        ),
+                        "dhash", ph.PHASH_CHUNKS, 14,
+                    )
+                )
+            )
+            fa = pool.submit(
+                lambda: probers["audio"](
+                    chunk_keys(
+                        ph.audio_fingerprints(ph.fp_audio_from_ids(ids(1))),
+                        "fingerprint", ph.AFP_CHUNKS, 12,
+                    )
+                )
+            )
+            fv = pool.submit(
+                lambda: probers["video"](
+                    ph.video_frame_signatures(ph.fp_video_from_ids(ids(2)))
+                    .select("media_id", "frame_sig")
+                    .distinct()
+                )
+            )
+            fi.result(), fa.result(), fv.result()
+        # this batch's drops, from the decision ledgers the probers just
+        # appended (every doc is decided the trigger it arrives, so the
+        # batch-local anti-join sees exactly the full-drop-set semantics)
+        batch_media = bdf.select(F.col("doc_id").alias("media_id"))
+        drops = None
+        for led in mod_ledgers.values():
+            d = (
+                spark.read.parquet(led)
+                .join(F.broadcast(batch_media), "media_id")
+                .where(F.col("n_index_hits") > 0)
+                .select(F.col("media_id").alias("doc_id"))
+            )
+            drops = d if drops is None else drops.unionByName(d)
+        inner(bdf.join(F.broadcast(drops), "doc_id", "left_anti"), epoch_id)
+        bdf.unpersist()
+
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        spool_ordered_batches(docs, "doc_id", tmp)
+        run_foreach_batch(
+            _stream_docs_from_spool(spark, tmp), fused, output_mode="append"
+        )
+        out = spark.read.parquet(ledger_dir).select(
+            "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq"
+        )
+        rows = out.collect()
+        result = spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
