@@ -3279,6 +3279,32 @@ FROM c
 def stream_multimodal_ingest_to_training_fused(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return _mm_fused_impl(spark, sf_dir, unordered=False)
+
+
+@query(
+    "stream_multimodal_ingest_to_training_fused_unordered",
+    oracle=_mm_ingest_to_training_oracle("_unordered"),
+    doc="The fused one-consumer flagship under Kafka CROSS-PARTITION "
+    "DISORDER — and the cell where the two topologies PROVABLY "
+    "COINCIDE: round-robin arrival assigns batch = id % 4 with no "
+    "range arithmetic, so the shared doc spool's trigger grid IS each "
+    "modality's own grid, keeper decisions match the standalone "
+    "unordered keeper streams bit for bit, and the oracle is the "
+    "4-stream unordered flagship's VERBATIM (same composed keeper "
+    "chains, same arrival-order pack tail). One query, two "
+    "architectures, one answer — the strongest cross-check either "
+    "implementation has.",
+)
+def stream_multimodal_ingest_to_training_fused_unordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _mm_fused_impl(spark, sf_dir, unordered=True)
+
+
+def _mm_fused_impl(
+    spark: SparkSession, sf_dir: str, unordered: bool
+) -> DataFrame:
     import os
     import shutil
     import tempfile
@@ -3287,6 +3313,7 @@ def stream_multimodal_ingest_to_training_fused(
     from spark_streaming_twitter_spark.streaming.harness import (
         run_foreach_batch,
         spool_ordered_batches,
+        spool_roundrobin_batches,
     )
 
     tmp = tempfile.mkdtemp(prefix="stream_mm_fused_")
@@ -3391,9 +3418,10 @@ def stream_multimodal_ingest_to_training_fused(
         inner(bdf.join(F.broadcast(drops), "doc_id", "left_anti"), epoch_id)
         bdf.unpersist()
 
+    spool = spool_roundrobin_batches if unordered else spool_ordered_batches
     try:
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-        spool_ordered_batches(docs, "doc_id", tmp)
+        spool(docs, "doc_id", tmp)
         run_foreach_batch(
             _stream_docs_from_spool(spark, tmp), fused, output_mode="append"
         )
