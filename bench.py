@@ -180,12 +180,15 @@ def main() -> None:
     # 61 entries with the flagship pair measure 1972 bytes at 2dp
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1990:
+        # degrade to 1dp, MARKED ("q1dp" — the flag is deliberately terse:
+        # at 62 entries the 1dp line sits 14 bytes under the window, and a
+        # verbose flag name was itself what pushed it over)
         compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
-        compact["queries_rounded_1dp"] = True
+        compact["q1dp"] = True
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1990:
         del compact["queries"]
-        del compact["queries_rounded_1dp"]
+        del compact["q1dp"]
         compact["truncated"] = True
         line = json.dumps(compact, separators=(",", ":"))
     print(line, flush=True)
