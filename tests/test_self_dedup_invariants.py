@@ -954,3 +954,33 @@ def test_unordered_run_order_keeps_schedule_changes_provenance(spark):
     assert prov(ordered) != prov(unordered), (
         "fixture produced identical layouts - disorder test is vacuous"
     )
+
+
+def test_fused_unordered_equals_four_stream_unordered(spark):
+    """Under round-robin disorder the trigger grid is id % 4 for every
+    spool, so the fused one-consumer flagship and the 4-stream flagship
+    must produce the SAME layout bit for bit — two architectures, one
+    answer."""
+    from spark_streaming_twitter_spark.text.corpus import (
+        stream_multimodal_ingest_to_training_fused_unordered,
+        stream_multimodal_ingest_to_training_unordered,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        map(
+            tuple,
+            stream_multimodal_ingest_to_training_fused_unordered(
+                spark, sf
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            stream_multimodal_ingest_to_training_unordered(
+                spark, sf
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
