@@ -760,3 +760,28 @@ def test_epoch_shuffle_rank_is_sharded_and_prefix_broadcasts(spark):
         r"epoch#\d+L?, reader#\d+L?, order_key#\d+L?",
         f.raw,
     ), "found an unsharded per-reader row_number window"
+
+
+def test_run_order_resume_filters_reader_before_rank(spark):
+    """training_run_order_resumed's scale claim — the recompute touches
+    only ONE reader's rows — must hold in the physical plan: the
+    pmod(order_key, R) reader filter sits BELOW the stage-1 row_number
+    window (Catalyst pushes it through the key projection), so the
+    sharded rank never sees the other readers' keys."""
+    f = _features(spark, "training_run_order_resumed")
+    lines = f.raw.splitlines()
+    rn = next(
+        i for i, l in enumerate(lines)
+        if "row_number() windowspecdefinition(epoch#" in l
+    )
+    flt = next(
+        (
+            i for i, l in enumerate(lines)
+            if "Filter" in l and "pmod" in l and i > rn
+        ),
+        None,
+    )
+    assert flt is not None, (
+        "reader filter not found below the rank window - the resume "
+        "recompute is ranking all readers"
+    )
