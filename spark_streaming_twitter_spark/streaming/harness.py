@@ -15,6 +15,7 @@ streaming state must equal the batch/SQL answer over the same data.
 
 from __future__ import annotations
 
+import threading
 import uuid
 from collections.abc import Callable, Iterator
 from contextlib import contextmanager
@@ -197,6 +198,18 @@ def spool_block_reversed_batches(
     return block
 
 
+# Concurrent keeper streams (text/corpus.py + multimodal/phash.py run three
+# independent streams through a ThreadPoolExecutor) share ONE session-global
+# spark.sql.shuffle.partitions, so the pin must be set once and restored
+# once across overlapping scopes: an unsynchronized get/set/restore lets a
+# thread capture a sibling's pinned value as "prev" (leaking the pin into
+# every later query) or run its micro-batches at the caller's unpinned
+# value (ADVICE r13). Lock + per-session refcount: the first scope in sets,
+# the last scope out restores, nested/concurrent scopes are no-ops.
+_PIN_LOCK = threading.Lock()
+_PIN_STATE: dict[int, list] = {}  # id(session) -> [depth, prev_value]
+
+
 @contextmanager
 def _scoped_shuffle_partitions(spark: SparkSession) -> Iterator[None]:
     """Pin shuffle partitions to cluster parallelism for a streaming run.
@@ -206,15 +219,28 @@ def _scoped_shuffle_partitions(spark: SparkSession) -> Iterator[None]:
     partition, so a vanilla 200-partition session pays 200 tasks per
     trigger over kilobyte-scale fixture state. Scope the conf to the query
     (the value is captured at stream start) and restore it after, leaving
-    the caller's session untouched.
+    the caller's session untouched. Re-entrant and thread-safe per session:
+    concurrent/nested scopes set once and restore once (ADVICE r13 — the
+    flagship's three overlapped keeper streams race here otherwise).
     """
     key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    sk = id(spark)
+    with _PIN_LOCK:
+        state = _PIN_STATE.get(sk)
+        if state is None:
+            prev = spark.conf.get(key)
+            spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+            state = _PIN_STATE[sk] = [0, prev]
+        state[0] += 1
     try:
         yield
     finally:
-        spark.conf.set(key, prev)
+        with _PIN_LOCK:
+            state = _PIN_STATE[sk]
+            state[0] -= 1
+            if state[0] == 0:
+                spark.conf.set(key, state[1])
+                del _PIN_STATE[sk]
 
 
 def run_to_memory(

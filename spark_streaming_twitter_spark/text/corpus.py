@@ -339,11 +339,90 @@ FROM c
 """
 
 
+# VERDICT r13 #1 — the reject-set join gate. A keeper DROP list is
+# broadcastable only while it is genuinely small: under disorder the
+# builder's own fixture measures it at 75% of the corpus (373/500 docs at
+# sf0.01 — arrival clustering makes keeper dedup drop most near-dup group
+# members), and broadcasting a corpus-proportional frame is a driver/OOM
+# cliff at 100 TB. The choice is data-driven on the ALREADY-materialized
+# drop count: broadcast when the list is both absolutely small (fits a
+# broadcast comfortably) and a small FRACTION of the stream side (the
+# "dups are rare" premise the broadcast rests on); otherwise take the
+# shuffled hash anti-join — both sides hash-partition on doc_id, each
+# task builds only its partition's slice of the drop set, nothing
+# corpus-proportional ever lands on one node. Plan-pinned both sides in
+# tests/test_plan_shapes.py.
+REJECT_BROADCAST_MAX_ROWS = 4_000_000  # ~32 MB of bigint ids
+REJECT_BROADCAST_MAX_FRAC = 10  # ...and drops <= survivors-side/10
+
+
+def _adaptive_reject_anti_join(
+    src: DataFrame, drops: DataFrame, n_drops: int, n_src: int
+) -> DataFrame:
+    """Anti-join ``src`` (survivor side, keyed ``doc_id``) against the
+    keeper reject set, picking the physical join from the measured drop
+    count: broadcast below the gate, shuffled hash join above it."""
+    if n_drops <= min(
+        REJECT_BROADCAST_MAX_ROWS,
+        max(n_src // REJECT_BROADCAST_MAX_FRAC, 1),
+    ):
+        return src.join(F.broadcast(drops), "doc_id", "left_anti")
+    return src.join(drops.hint("shuffle_hash"), "doc_id", "left_anti")
+
+
+def _kept_ledger_dir(name: str) -> str:
+    """Namespaced kept location for a persisted flagship ledger (ADVICE
+    r13): per-user under ``$SPARK_GRAFT_LEDGER_BASE`` (default the temp
+    dir), so concurrent users/processes on a shared host don't silently
+    corrupt each other's ledger, and ownership-verified before the
+    overwrite-at-start rmtree so a pre-planted directory or symlink is
+    rejected rather than followed."""
+    import getpass
+    import os
+    import stat as stat_mod
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_LEDGER_BASE") or tempfile.gettempdir()
+    try:
+        user = getpass.getuser()
+    except Exception:
+        user = "u"
+    parent = os.path.join(base, f"spark_graft_{user}_{os.getuid()}")
+    os.makedirs(parent, exist_ok=True)
+    pst = os.lstat(parent)
+    if stat_mod.S_ISLNK(pst.st_mode) or pst.st_uid != os.getuid():
+        raise RuntimeError(
+            f"refusing to use {parent}: not a directory owned by this user"
+        )
+    d = os.path.join(parent, name)
+    if os.path.lexists(d):
+        dst = os.lstat(d)
+        if not stat_mod.S_ISDIR(dst.st_mode) or dst.st_uid != os.getuid():
+            raise RuntimeError(
+                f"refusing to overwrite {d}: not an owned directory"
+            )
+    return d
+
+
+def _ledger_or_none(spark: SparkSession, path: str) -> "DataFrame | None":
+    """Read an executor-written parquet ledger, or None when nothing has
+    landed yet (dir absent, or present with no data files — an empty
+    micro-batch write leaves only _SUCCESS). Makes every recovery /
+    re-seed path TOTAL: a pre-crash half that packed zero docs resumes
+    from offset 0 instead of raising AnalysisException (ADVICE r13)."""
+    import glob as glob_mod
+    import os
+
+    if not os.path.isdir(path) or not glob_mod.glob(
+        os.path.join(path, "*.parquet")
+    ):
+        return None
+    return spark.read.parquet(path)
+
+
 @query(
     "stream_multimodal_ingest_to_training",
     oracle=_mm_ingest_to_training_oracle(),
-    bench=True,  # r12 verdict #3: the repo's most expensive query belongs
-    # in the headline set, not hidden in a side artifact
     doc="FLAGSHIP multimodal capstone: disorderly-arriving media is "
     "keeper-deduped per modality by the ONLINE keeper streams (image "
     "pHash / audio fingerprint / video frame-signature — their three "
@@ -351,13 +430,16 @@ FROM c
     "into multimodal training sequences at ingest — the full "
     "curation-to-training-examples story for a multimodal corpus in "
     "one registered query. The keeper decision ledgers feed the packer "
-    "as a broadcast drop set anti-joined per trigger (drops are small "
-    "by the dedup premise — at 100 TB the anti-join stays a broadcast "
-    "because a keeper REJECT list, not the keep list, crosses the "
-    "wire), and the packer is the same count-agnostic per-trigger body "
-    "with the multimodal budget. One wrong keep/drop decision in any "
-    "modality's stream shifts every downstream offset here, so the "
-    "capstone re-verifies all three detectors through the layout.",
+    "as a drop set anti-joined per trigger through the SIZE-ADAPTIVE "
+    "gate (_adaptive_reject_anti_join, VERDICT r13 #1): the drop count "
+    "is materialized anyway, so the join broadcasts when drops are "
+    "both < 4M rows and < 1/10 of the corpus (the dedup premise "
+    "holding, as here: 47/500 at sf0.01) and flips to a shuffled hash "
+    "anti-join when the list is corpus-proportional. The packer is the "
+    "same count-agnostic per-trigger body with the multimodal budget. "
+    "One wrong keep/drop decision in any modality's stream shifts "
+    "every downstream offset here, so the capstone re-verifies all "
+    "three detectors through the layout.",
 )
 def stream_multimodal_ingest_to_training(
     spark: SparkSession, sf_dir: str
@@ -368,7 +450,6 @@ def stream_multimodal_ingest_to_training(
 @query(
     "stream_multimodal_ingest_to_training_unordered",
     oracle=_mm_ingest_to_training_oracle("_unordered"),
-    bench=True,
     doc="The flagship multimodal capstone under Kafka CROSS-PARTITION "
     "DISORDER — keeper curation AND packing both run on round-robin "
     "arrivals: the disorder-tolerant keeper streams decide keep/drop "
@@ -377,13 +458,14 @@ def stream_multimodal_ingest_to_training(
     "order (epoch, then id within the trigger). Identical code to the "
     "ordered flagship except which spool feeds each stage — the "
     "composition, like its parts, assumes nothing about id order. "
-    "Scale caveat (ADVICE r12): under disorder the reject list is NOT "
-    "always the small side — arrival clustering makes keeper dedup "
-    "drop most near-dup group members (373/500 docs at sf0.01, the "
-    "sensitivity SCALE.md names), so at 100 TB the drops anti-join "
-    "broadcast holds only when the dup rate is low; a high-dup "
-    "disordered corpus should flip it to a shuffled anti-join (or "
-    "invert to an inner join on the smaller KEEP list).",
+    "Under disorder the reject list is NOT the small side — arrival "
+    "clustering makes keeper dedup drop most near-dup group members "
+    "(373/500 docs at sf0.01, the sensitivity SCALE.md names) — so "
+    "the size-adaptive gate FLIPS here: 373 > 500/10 fails the "
+    "fraction test and the packer anti-joins through a shuffled hash "
+    "join instead of a broadcast (VERDICT r13 #1). This query is the "
+    "gate's shuffled side IN the driver's correctness gate; the "
+    "ordered flagship exercises the broadcast side.",
 )
 def stream_multimodal_ingest_to_training_unordered(
     spark: SparkSession, sf_dir: str
@@ -394,6 +476,9 @@ def stream_multimodal_ingest_to_training_unordered(
 @query(
     "stream_multimodal_ingest_to_training_persisted",
     oracle=_mm_ingest_to_training_oracle(),
+    bench=True,  # r13 verdict #4: the headline flagship entries point at
+    # the persisted (production read-back) shapes, not the
+    # collect-materializing harness-lifecycle variants
     doc="The flagship capstone in its PRODUCTION READ-BACK shape "
     "(r12 verdict ask #4): identical keeper-dedup + at-ingest packing, "
     "but the packer ledger is written to a KEPT location (overwritten "
@@ -409,13 +494,37 @@ def stream_multimodal_ingest_to_training_unordered(
 def stream_multimodal_ingest_to_training_persisted(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import os
-    import tempfile
-
-    kept = os.path.join(
-        tempfile.gettempdir(), "spark_graft_flagship_ledger"
+    return _mm_ingest_impl(
+        spark,
+        sf_dir,
+        suffix="",
+        keep_ledger_dir=_kept_ledger_dir("flagship_ledger"),
     )
-    return _mm_ingest_impl(spark, sf_dir, suffix="", keep_ledger_dir=kept)
+
+
+@query(
+    "stream_multimodal_ingest_to_training_unordered_persisted",
+    oracle=_mm_ingest_to_training_oracle("_unordered"),
+    bench=True,
+    doc="The DISORDERED flagship in the production read-back shape "
+    "(r13 verdict #4): keeper curation and packing on round-robin "
+    "arrivals, ledger written to a kept per-user location, returned "
+    "frame IS the parquet-backed ledger — no collect between streaming "
+    "finish and the caller. Because disorder makes the reject list "
+    "corpus-proportional (373/500 at sf0.01), this variant runs the "
+    "size-adaptive gate's SHUFFLED side end-to-end in its production "
+    "lifecycle. Unordered-flagship oracle verbatim — same bits, "
+    "different lifecycle.",
+)
+def stream_multimodal_ingest_to_training_unordered_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _mm_ingest_impl(
+        spark,
+        sf_dir,
+        suffix="_unordered",
+        keep_ledger_dir=_kept_ledger_dir("flagship_unordered_ledger"),
+    )
 
 
 def _mm_ingest_impl(
@@ -479,23 +588,40 @@ def _mm_ingest_impl(
     count_expr = F.size(tokens(F.col("text"))).cast("bigint") + media_cost
     inner = _make_pack_batch(ledger_dir, carry, count_expr=count_expr)
 
-    def pack_survivors(bdf: DataFrame, epoch_id: int) -> None:
-        inner(bdf.join(F.broadcast(drops), "doc_id", "left_anti"), epoch_id)
-
     try:
         # persist inside the try so a failure anywhere after (incl. the
         # materializing count) still reaches the finally's unpersist
         # (ADVICE r12 — the old order leaked the cache if mkdtemp threw)
         drops = drops.persist()
-        drops.count()
+        n_drops = drops.count()
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        # the gate's denominator: the survivor side the drop set joins
+        # against (count-from-metadata parquet scan, one cheap action)
+        n_docs = docs.count()
+
+        def pack_survivors(bdf: DataFrame, epoch_id: int) -> None:
+            # VERDICT r13 #1: broadcast vs shuffled is decided by the
+            # MEASURED drop count, not assumed small (under disorder the
+            # drop list is 75% of the corpus — see the unordered doc)
+            inner(
+                _adaptive_reject_anti_join(bdf, drops, n_drops, n_docs),
+                epoch_id,
+            )
+
         spool(docs, "doc_id", tmp)
         run_foreach_batch(
             _stream_docs_from_spool(spark, tmp),
             pack_survivors,
             output_mode="append",
         )
-        out = spark.read.parquet(ledger_dir).select(
+        led = _ledger_or_none(spark, ledger_dir)
+        if led is None:  # zero survivors packed: total, not AnalysisException
+            led = spark.createDataFrame(
+                [],
+                "doc_id bigint, n_tokens bigint, start_offset bigint,"
+                " first_seq bigint, last_seq bigint",
+            )
+        out = led.select(
             "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq"
         )
         if keep_ledger_dir is not None:
@@ -1355,6 +1481,41 @@ def _rank_positions(k: DataFrame) -> DataFrame:
     )
 
 
+def _run_order_from_ledgers(
+    spark: SparkSession, ledger_dir: str, shuffle_dir: str
+) -> DataFrame:
+    """Read position rank + provenance join over the LANDED ledgers —
+    the epoch-start step shared by the streaming run-order chains.
+    Total on empty ledgers (ADVICE r13): a run that packed zero docs /
+    assigned zero sequences yields an empty run order, not an
+    AnalysisException from reading a never-created directory."""
+    led = _ledger_or_none(spark, ledger_dir)
+    shl = _ledger_or_none(spark, shuffle_dir)
+    if led is None or shl is None:
+        return spark.createDataFrame(
+            [],
+            "epoch bigint, reader bigint, position bigint, seq_id bigint,"
+            " n_docs bigint, first_doc bigint, last_doc bigint,"
+            " n_tokens_filled bigint",
+        )
+    ranked = _rank_positions(shl)
+    mf = manifest_from_layout(
+        led.select(
+            "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq"
+        )
+    )
+    return ranked.join(mf, "seq_id").select(
+        "epoch",
+        "reader",
+        "position",
+        "seq_id",
+        "n_docs",
+        "first_doc",
+        "last_doc",
+        "n_tokens_filled",
+    )
+
+
 def _run_order_oracle() -> str:
     """Compose the epoch-shuffle and manifest oracles verbatim (capstone
     convention) and join them on seq_id."""
@@ -1547,23 +1708,7 @@ def _stream_run_order_impl(
             pack_and_assign,
             output_mode="append",
         )
-        ranked = _rank_positions(spark.read.parquet(shuffle_dir))
-        mf = manifest_from_layout(
-            spark.read.parquet(ledger_dir).select(
-                "doc_id", "n_tokens", "start_offset", "first_seq",
-                "last_seq",
-            )
-        )
-        out = ranked.join(mf, "seq_id").select(
-            "epoch",
-            "reader",
-            "position",
-            "seq_id",
-            "n_docs",
-            "first_doc",
-            "last_doc",
-            "n_tokens_filled",
-        )
+        out = _run_order_from_ledgers(spark, ledger_dir, shuffle_dir)
         rows = out.collect()
         result = spark.createDataFrame(rows, out.schema)
     finally:
@@ -3166,36 +3311,33 @@ def stream_training_run_order_resumed(
         )
         # ---- the crash: driver (offset allocator + seq pointer) lost ----
         del carry, emitted
-        # ---- restart: re-seed BOTH scalars from the ledgers ----
-        off = spark.read.parquet(ledger_dir).agg(
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t")
-        ).first()[0]
-        nxt = spark.read.parquet(shuffle_dir).agg(
-            F.coalesce(F.max("seq_id") + 1, F.lit(0)).alias("n")
-        ).first()[0]
+        # ---- restart: re-seed BOTH scalars from the ledgers. Guarded so
+        # recovery is TOTAL (ADVICE r13): a pre-crash half that packed
+        # zero docs / assigned zero sequences has no ledger dirs to read
+        # — that's a resume from 0, not an AnalysisException ----
+        led = _ledger_or_none(spark, ledger_dir)
+        off = (
+            0
+            if led is None
+            else led.agg(
+                F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t")
+            ).first()[0]
+        )
+        shl = _ledger_or_none(spark, shuffle_dir)
+        nxt = (
+            0
+            if shl is None
+            else shl.agg(
+                F.coalesce(F.max("seq_id") + 1, F.lit(0)).alias("n")
+            ).first()[0]
+        )
         carry2, emitted2 = {"offset": int(off)}, {"n": int(nxt)}
         run_foreach_batch(
             _stream_docs_from_spool(spark, spool_b),
             make_body(carry2, emitted2),
             output_mode="append",
         )
-        ranked = _rank_positions(spark.read.parquet(shuffle_dir))
-        mf = manifest_from_layout(
-            spark.read.parquet(ledger_dir).select(
-                "doc_id", "n_tokens", "start_offset", "first_seq",
-                "last_seq",
-            )
-        )
-        out = ranked.join(mf, "seq_id").select(
-            "epoch",
-            "reader",
-            "position",
-            "seq_id",
-            "n_docs",
-            "first_doc",
-            "last_doc",
-            "n_tokens_filled",
-        )
+        out = _run_order_from_ledgers(spark, ledger_dir, shuffle_dir)
         rows = out.collect()
         result = spark.createDataFrame(rows, out.schema)
     finally:
@@ -3273,13 +3415,35 @@ FROM c
     "oracle composes the same keeper CTE generators re-ranged to the "
     "document spool, then the same pack tail. At 100 TB the fused "
     "form reads the corpus ONCE per trigger where the 4-stream form "
-    "reads it four times: the bench pair prices exactly that.",
-    bench=True,
+    "reads it four times: the bench pair prices exactly that "
+    "(measured in bytes: bench_artifacts/r14_fused_bytes_probe.json).",
 )
 def stream_multimodal_ingest_to_training_fused(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return _mm_fused_impl(spark, sf_dir, unordered=False)
+
+
+@query(
+    "stream_multimodal_ingest_to_training_fused_persisted",
+    oracle=_mm_fused_oracle(),
+    bench=True,
+    doc="The fused one-consumer flagship in the production read-back "
+    "shape (r13 verdict #4): same one-topic/one-trigger-grid topology, "
+    "ledger written to a kept per-user location and returned as the "
+    "parquet-backed frame — no collect between streaming finish and "
+    "the caller. Fused-flagship oracle verbatim — same bits, "
+    "different lifecycle.",
+)
+def stream_multimodal_ingest_to_training_fused_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _mm_fused_impl(
+        spark,
+        sf_dir,
+        unordered=False,
+        keep_ledger_dir=_kept_ledger_dir("flagship_fused_ledger"),
+    )
 
 
 @query(
@@ -3303,7 +3467,10 @@ def stream_multimodal_ingest_to_training_fused_unordered(
 
 
 def _mm_fused_impl(
-    spark: SparkSession, sf_dir: str, unordered: bool
+    spark: SparkSession,
+    sf_dir: str,
+    unordered: bool,
+    keep_ledger_dir: "str | None" = None,
 ) -> DataFrame:
     import os
     import shutil
@@ -3317,7 +3484,13 @@ def _mm_fused_impl(
     )
 
     tmp = tempfile.mkdtemp(prefix="stream_mm_fused_")
-    ledger_dir = os.path.join(tmp, "ledger")
+    if keep_ledger_dir is not None:
+        # production read-back shape (VERDICT r13 #4): the ledger outlives
+        # the query — overwrite-at-start, like any output-table rewrite
+        shutil.rmtree(keep_ledger_dir, ignore_errors=True)
+        ledger_dir = keep_ledger_dir
+    else:
+        ledger_dir = os.path.join(tmp, "ledger")
     mod_ledgers = {
         k: os.path.join(tmp, f"{k}_ledger")
         for k in ("image", "audio", "video")
@@ -3372,34 +3545,46 @@ def _mm_fused_impl(
         def ids(k: int) -> DataFrame:
             return bdf.where(F.col("doc_id") % 3 == k).select("doc_id")
 
+        def probe(kind: str, frame: DataFrame) -> None:
+            # persist the synthesized keys/signatures before the prober:
+            # each prober runs >=2 actions (ledger append + index update)
+            # over this frame, and without the cache the mapInPandas
+            # payload synthesis + hashing recomputes per action — exactly
+            # the per-trigger cost the fused topology exists to price
+            # (ADVICE r13; the standalone streams persist their
+            # micro-batch the same way)
+            frame = frame.persist()
+            try:
+                probers[kind](frame)
+            finally:
+                frame.unpersist()
+
         # the three modality probes are independent within the trigger
         # (disjoint slices, separate index/ledger dirs) — overlap them,
         # same scheduling economics as the 4-stream form's keeper phase
         with ThreadPoolExecutor(max_workers=3) as pool:
             fi = pool.submit(
-                lambda: probers["image"](
-                    chunk_keys(
-                        ph.perceptual_hashes(
-                            ph.phash_media_from_ids(ids(0))
-                        ),
-                        "dhash", ph.PHASH_CHUNKS, 14,
-                    )
-                )
+                probe,
+                "image",
+                chunk_keys(
+                    ph.perceptual_hashes(ph.phash_media_from_ids(ids(0))),
+                    "dhash", ph.PHASH_CHUNKS, 14,
+                ),
             )
             fa = pool.submit(
-                lambda: probers["audio"](
-                    chunk_keys(
-                        ph.audio_fingerprints(ph.fp_audio_from_ids(ids(1))),
-                        "fingerprint", ph.AFP_CHUNKS, 12,
-                    )
-                )
+                probe,
+                "audio",
+                chunk_keys(
+                    ph.audio_fingerprints(ph.fp_audio_from_ids(ids(1))),
+                    "fingerprint", ph.AFP_CHUNKS, 12,
+                ),
             )
             fv = pool.submit(
-                lambda: probers["video"](
-                    ph.video_frame_signatures(ph.fp_video_from_ids(ids(2)))
-                    .select("media_id", "frame_sig")
-                    .distinct()
-                )
+                probe,
+                "video",
+                ph.video_frame_signatures(ph.fp_video_from_ids(ids(2)))
+                .select("media_id", "frame_sig")
+                .distinct(),
             )
             fi.result(), fa.result(), fv.result()
         # this batch's drops, from the decision ledgers the probers just
@@ -3415,7 +3600,20 @@ def _mm_fused_impl(
                 .select(F.col("media_id").alias("doc_id"))
             )
             drops = d if drops is None else drops.unionByName(d)
-        inner(bdf.join(F.broadcast(drops), "doc_id", "left_anti"), epoch_id)
+        # VERDICT r13 #1: the per-trigger reject set is batch-bounded but
+        # NOT small under disorder (most of a clustered batch drops), so
+        # the same measured gate decides broadcast vs shuffled here too;
+        # persist so the gate's count doesn't recompute the ledger joins
+        drops = drops.persist()
+        try:
+            inner(
+                _adaptive_reject_anti_join(
+                    bdf, drops, drops.count(), bdf.count()
+                ),
+                epoch_id,
+            )
+        finally:
+            drops.unpersist()
         bdf.unpersist()
 
     spool = spool_roundrobin_batches if unordered else spool_ordered_batches
@@ -3425,11 +3623,23 @@ def _mm_fused_impl(
         run_foreach_batch(
             _stream_docs_from_spool(spark, tmp), fused, output_mode="append"
         )
-        out = spark.read.parquet(ledger_dir).select(
+        led = _ledger_or_none(spark, ledger_dir)
+        if led is None:  # zero survivors packed: total, not AnalysisException
+            led = spark.createDataFrame(
+                [],
+                "doc_id bigint, n_tokens bigint, start_offset bigint,"
+                " first_seq bigint, last_seq bigint",
+            )
+        out = led.select(
             "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq"
         )
-        rows = out.collect()
-        result = spark.createDataFrame(rows, out.schema)
+        if keep_ledger_dir is not None:
+            result = out  # parquet-backed; ledger outlives the query
+        else:
+            # harness temp-dir lifecycle: the ledger dies in the finally,
+            # so materialize before it does
+            rows = out.collect()
+            result = spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result

@@ -785,3 +785,54 @@ def test_run_order_resume_filters_reader_before_rank(spark):
         "reader filter not found below the rank window - the resume "
         "recompute is ranking all readers"
     )
+
+
+def test_adaptive_reject_anti_join_pins_both_sides(spark):
+    """VERDICT r13 #1: the flagship reject-set anti-join is size-adaptive
+    on the MEASURED drop count — broadcast hash anti-join while the drop
+    list is small (absolutely and as a fraction of the survivor side),
+    shuffled hash anti-join once it is corpus-proportional (under
+    disorder the builder's own fixture measures 373/500 drops). Pin the
+    physical node on BOTH sides of the gate."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitter_spark.text.corpus import (
+        REJECT_BROADCAST_MAX_FRAC,
+        _adaptive_reject_anti_join,
+    )
+
+    src = spark.range(1000).select(F.col("id").alias("doc_id"))
+    n_src = 1000
+    small = spark.range(10).select(F.col("id").alias("doc_id"))
+    big = spark.range(750).select(F.col("id").alias("doc_id"))
+    assert 10 <= n_src // REJECT_BROADCAST_MAX_FRAC < 750
+
+    bcast_plan = (
+        _adaptive_reject_anti_join(src, small, 10, n_src)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in bcast_plan and "LeftAnti" in bcast_plan
+    assert "ShuffledHashJoin" not in bcast_plan
+
+    shuf_plan = (
+        _adaptive_reject_anti_join(src, big, 750, n_src)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ShuffledHashJoin" in shuf_plan and "LeftAnti" in shuf_plan
+    assert "BroadcastHashJoin" not in shuf_plan
+
+    # the answers are identical either side of the gate (force both
+    # physical forms over the SAME inputs)
+    a = sorted(
+        r.doc_id
+        for r in _adaptive_reject_anti_join(src, big, 750, n_src).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in _adaptive_reject_anti_join(src, big, 0, n_src).collect()
+    )
+    assert a == b == list(range(750, 1000))

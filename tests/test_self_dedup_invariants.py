@@ -909,12 +909,109 @@ def test_persisted_flagship_is_parquet_backed_no_collect(spark):
     pers = stream_multimodal_ingest_to_training_persisted(spark, sf)
     plan = pers._jdf.queryExecution().executedPlan().toString()
     assert "FileScan parquet" in plan, plan
-    assert "spark_graft_flagship_ledger" in plan, plan
+    assert "flagship_ledger" in plan, plan
     got = sorted(map(tuple, pers.collect()))
     want = sorted(
         map(tuple, stream_multimodal_ingest_to_training(spark, sf).collect())
     )
     assert got == want
+
+
+def test_persisted_twins_parquet_backed_and_bitwise_equal(spark):
+    """r13 verdict #4: the unordered and fused flagships' persisted
+    twins return the parquet-backed kept ledger (FileScan of the
+    per-user kept location, no collect in the lifecycle) with rows
+    bitwise-equal to their harness-lifecycle variants."""
+    from spark_streaming_twitter_spark.text.corpus import (
+        stream_multimodal_ingest_to_training_fused,
+        stream_multimodal_ingest_to_training_fused_persisted,
+        stream_multimodal_ingest_to_training_unordered,
+        stream_multimodal_ingest_to_training_unordered_persisted,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for pers_fn, base_fn, marker in (
+        (
+            stream_multimodal_ingest_to_training_unordered_persisted,
+            stream_multimodal_ingest_to_training_unordered,
+            "flagship_unordered_ledger",
+        ),
+        (
+            stream_multimodal_ingest_to_training_fused_persisted,
+            stream_multimodal_ingest_to_training_fused,
+            "flagship_fused_ledger",
+        ),
+    ):
+        pers = pers_fn(spark, sf)
+        plan = pers._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan parquet" in plan, plan
+        assert marker in plan, plan
+        got = sorted(map(tuple, pers.collect()))
+        want = sorted(map(tuple, base_fn(spark, sf).collect()))
+        assert got == want, marker
+
+
+def test_kept_ledger_dir_is_namespaced_and_ownership_verified(tmp_path):
+    """ADVICE r13: the persisted flagship's kept location is per-user
+    (concurrent users can't corrupt each other's ledger) and refuses a
+    pre-planted symlink or non-directory instead of rmtree-ing through
+    it."""
+    import os
+
+    import pytest
+
+    from spark_streaming_twitter_spark.text.corpus import _kept_ledger_dir
+
+    os.environ["SPARK_GRAFT_LEDGER_BASE"] = str(tmp_path)
+    try:
+        d = _kept_ledger_dir("some_ledger")
+        assert str(tmp_path) in d and str(os.getuid()) in d
+        # same name, same user -> same stable location (read-back works)
+        assert _kept_ledger_dir("some_ledger") == d
+        # a planted symlink at the ledger path is rejected, not followed
+        target = tmp_path / "victim"
+        target.mkdir()
+        os.symlink(target, d)
+        with pytest.raises(RuntimeError, match="refusing"):
+            _kept_ledger_dir("some_ledger")
+        os.unlink(d)
+        # a plain file squatting on the path is rejected too
+        with open(d, "w") as fh:
+            fh.write("squat")
+        with pytest.raises(RuntimeError, match="refusing"):
+            _kept_ledger_dir("some_ledger")
+    finally:
+        del os.environ["SPARK_GRAFT_LEDGER_BASE"]
+
+
+def test_run_order_recovery_is_total_on_empty_ledgers(spark, tmp_path):
+    """ADVICE r13: reading a ledger that never materialized (zero docs
+    packed before the crash) must resume from 0 / yield an empty run
+    order — never raise AnalysisException."""
+    from spark_streaming_twitter_spark.text.corpus import (
+        _ledger_or_none,
+        _run_order_from_ledgers,
+    )
+
+    missing = str(tmp_path / "never_written")
+    assert _ledger_or_none(spark, missing) is None
+    # dir exists but holds no data files (empty micro-batch write shape)
+    empty = tmp_path / "only_success"
+    empty.mkdir()
+    (empty / "_SUCCESS").touch()
+    assert _ledger_or_none(spark, str(empty)) is None
+    out = _run_order_from_ledgers(spark, missing, str(empty))
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "epoch",
+        "reader",
+        "position",
+        "seq_id",
+        "n_docs",
+        "first_doc",
+        "last_doc",
+        "n_tokens_filled",
+    ]
 
 
 def test_stream_run_order_equals_batch_chain(spark):

@@ -1145,3 +1145,51 @@ def test_block_reversed_spool_bounds_disorder(spark, tmp_path):
         for i in range(j):
             if batches[i] and batches[j]:
                 assert max(batches[i]) <= min(batches[j]) + d - 1, (i, j)
+
+
+def test_scoped_shuffle_partitions_concurrent_and_nested(spark):
+    """ADVICE r13: overlapping _scoped_shuffle_partitions scopes (the
+    flagship's three concurrent keeper streams) must set the session
+    conf ONCE and restore it ONCE — no thread may capture a sibling's
+    pinned value as 'prev' or see the caller's unpinned value while any
+    scope is live."""
+    import threading
+    import time
+
+    from spark_streaming_twitter_spark.streaming.harness import (
+        _scoped_shuffle_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    caller_val = "200"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, caller_val)
+    pinned = str(spark.sparkContext.defaultParallelism)
+    observed = []
+    barrier = threading.Barrier(3)
+
+    def worker():
+        with _scoped_shuffle_partitions(spark):
+            barrier.wait(timeout=10)  # all three scopes live at once
+            observed.append(spark.conf.get(key))
+            time.sleep(0.05)  # staggered exits exercise the refcount
+            observed.append(spark.conf.get(key))
+
+    try:
+        threads = [threading.Thread(target=worker) for _ in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        # every observation inside any live scope saw the pinned value
+        assert observed == [pinned] * 6
+        # and the last scope out restored the CALLER's value, not the pin
+        assert spark.conf.get(key) == caller_val
+        # nested scopes: inner scope is a no-op, outer restores
+        with _scoped_shuffle_partitions(spark):
+            with _scoped_shuffle_partitions(spark):
+                assert spark.conf.get(key) == pinned
+            assert spark.conf.get(key) == pinned  # inner exit didn't restore
+        assert spark.conf.get(key) == caller_val
+    finally:
+        spark.conf.set(key, prev)
