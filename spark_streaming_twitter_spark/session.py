@@ -48,7 +48,10 @@ def get_spark(
         # the JIT stops compiling and EVERY query degrades ~4x.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=1g",
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=1g "
+            # diagnostics passthrough (e.g. -Xlog:gc* for the driver-memory
+            # probes); empty by default so the production flags stay fixed
+            + os.environ.get("SPARK_GRAFT_EXTRA_JAVA_OPTS", ""),
         )
         .config(
             "spark.executor.extraJavaOptions",
