@@ -4824,3 +4824,170 @@ def similarity_ivf_clustered_recall_curve(
         for df in pinned:
             df.unpersist()
     return out
+
+
+def _clustered_lsh_tail_sql() -> str:
+    """LSH buckets + candidates + re-rank over the CLUSTERED vectors, then
+    the recall summary row — same 4x8-bit sign-plane index as
+    similarity_ann_lsh_topk, applied in the already-quantized domain."""
+    case = " ".join(
+        f"WHEN {b} THEN {_band_sig_sql('clsh', b)}" for b in range(LSH_BANDS)
+    )
+    return f""",
+cbuckets AS MATERIALIZED (
+  SELECT vec_id, band, CASE band {case} END AS sig
+  FROM (SELECT vec_id, cv AS q_clsh FROM ccorpus)
+  CROSS JOIN (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS band)
+),
+clcand AS MATERIALIZED (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM cbuckets qb
+  JOIN cbuckets cb ON qb.band = cb.band AND qb.sig = cb.sig
+                  AND qb.vec_id <> cb.vec_id
+  WHERE qb.vec_id % {QUERY_STRIDE} = 0
+),
+cltop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+           row_number() OVER (PARTITION BY c.query_id ORDER BY
+             CAST({_int_dot_sql("q.cv", "n.cv")} AS DOUBLE)
+               / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(n.n2 AS DOUBLE)))
+             DESC, c.neighbor_id ASC) AS rank
+    FROM clcand c
+    JOIN ccorpus q ON q.vec_id = c.query_id
+    JOIN ccorpus n ON n.vec_id = c.neighbor_id)
+  WHERE rank <= {TOP_K}
+),
+clhit AS (
+  SELECT t.query_id FROM cltop t
+  JOIN cexact e ON e.query_id = t.query_id
+              AND e.neighbor_id = t.neighbor_id
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM cexact) AS n_top_exact,
+  (SELECT CAST(count(*) AS BIGINT) FROM clhit) AS n_hits,
+  CAST((SELECT count(*) FROM clhit) AS DOUBLE)
+    / CAST((SELECT count(*) FROM cexact) AS DOUBLE) AS recall,
+  (SELECT CAST(count(*) AS BIGINT) FROM clcand) AS total_cand,
+  CAST((SELECT count(*) FROM clcand) AS DOUBLE)
+    / CAST((SELECT count(*) FROM cqueries)
+           * (SELECT count(*) - 1 FROM ccorpus) AS DOUBLE) AS cand_frac"""
+
+
+@query(
+    "similarity_lsh_clustered_recall",
+    oracle=_clustered_prelude_sql() + _clustered_lsh_tail_sql(),
+    doc="The LSH index measured in the SAME regime as the IVF clustered "
+    "curve (completing r13 verdict #5's juxtaposition): the 4x8-bit "
+    "sign-hyperplane index over the CLUSTERED vectors, bucket-join "
+    "candidates, exact integer re-rank, recall@5 against the clustered "
+    "exact page plus the candidate-fraction price. The measured answer "
+    "is a LESSON, not a win: recall 0.04 at cand_frac 0.029 vs the IVF "
+    "curve's 0.84 at 0.10 — the overlay's per-label direction shifts "
+    "within-cluster cosine by only ~+0.08, which the IVF route "
+    "detects because the centroid dot INTEGRATES the shared bias "
+    "across all 64 dims, while each sign-plane quantizes one "
+    "projection to 1 bit and the weak bias drowns in noise, so "
+    "same-cluster signatures rarely agree on a whole 8-bit band. "
+    "When structure is weak-but-real, centroid routing wins; LSH "
+    "needs strong angular alignment (or more/shorter bands) to see "
+    "it. Corpus bucketed once (4 rows/vector), candidates via "
+    "equi-join, no cross product.",
+)
+def similarity_lsh_clustered_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    corpus = _clustered_corpus(spark, sf_dir).persist()
+    try:
+        queries = corpus.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cv").alias("q_cv"),
+            F.col("n2").alias("q_n2"),
+        )
+        q_cos = _int_dot(F.col("q_cv"), F.col("cv")).cast("double") / (
+            F.sqrt(F.col("q_n2").cast("double"))
+            * F.sqrt(F.col("n2").cast("double"))
+        )
+        exact = (
+            _topk_filter(
+                corpus.crossJoin(F.broadcast(queries))
+                .where(F.col("vec_id") != F.col("query_id"))
+                .select(
+                    "query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    q_cos.alias("cosine"),
+                )
+            )
+            .select("query_id", "neighbor_id")
+            .persist()
+        )
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"), _band_sig("cv", b).alias("sig")
+                )
+                for b in range(LSH_BANDS)
+            ]
+        )
+        buckets = corpus.select(
+            "vec_id", F.explode(band_structs).alias("bs")
+        ).select(
+            "vec_id",
+            F.col("bs.band").alias("band"),
+            F.col("bs.sig").alias("sig"),
+        )
+        qb = buckets.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+            F.col("vec_id").alias("query_id"), "band", "sig"
+        )
+        cand = (
+            buckets.join(F.broadcast(qb), ["band", "sig"])
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .distinct()
+            .persist()
+        )
+        n_cand = cand.count()
+        nbr = corpus.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cv").alias("n_cv"),
+            F.col("n2").alias("n_n2"),
+        )
+        qside = corpus.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cv").alias("q_cv"),
+            F.col("n2").alias("q_n2"),
+        )
+        c_cos = _int_dot(F.col("q_cv"), F.col("n_cv")).cast("double") / (
+            F.sqrt(F.col("q_n2").cast("double"))
+            * F.sqrt(F.col("n_n2").cast("double"))
+        )
+        topk = _topk_filter(
+            cand.join(F.broadcast(qside), "query_id")
+            .join(nbr, "neighbor_id")
+            .select("query_id", "neighbor_id", c_cos.alias("cosine"))
+        ).select("query_id", "neighbor_id")
+        n_exact = exact.count()
+        n_hits = topk.join(exact, ["query_id", "neighbor_id"]).count()
+        n_q = queries.count()
+        n_c = corpus.count()
+        out = spark.createDataFrame(
+            [
+                (
+                    n_exact,
+                    n_hits,
+                    n_hits / n_exact,
+                    n_cand,
+                    n_cand / (n_q * (n_c - 1)),
+                )
+            ],
+            "n_top_exact bigint, n_hits bigint, recall double,"
+            " total_cand bigint, cand_frac double",
+        )
+    finally:
+        corpus.unpersist()
+        try:
+            exact.unpersist()
+            cand.unpersist()
+        except NameError:
+            pass
+    return out
