@@ -17,3 +17,25 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMOKE
+
+
+def pytest_collection_modifyitems(config, items):
+    """Mark the measured-heavyweight tests from tests/slow_manifest.txt
+    (r13 verdict #7): the FAST path is `pytest tests/ -m "not slow"`
+    (~minutes — plan shapes, oracles, unit invariants); the FULL set —
+    fast path plus the end-to-end streaming/flagship invariants — must
+    still exit 0 and is what `python -m pytest tests/` runs by default.
+    The manifest holds nodeids (param brackets stripped) of tests that
+    measured >= 3 s in the committed duration profile; regenerate with
+      pytest tests/ --ignore=tests/test_oracle_parity.py -q --durations=0
+    """
+    import pathlib
+
+    manifest = pathlib.Path(__file__).parent / "slow_manifest.txt"
+    if not manifest.exists():
+        return
+    slow = set(manifest.read_text().split())
+    for item in items:
+        base = item.nodeid.split("[")[0]
+        if base in slow or item.nodeid in slow:
+            item.add_marker(pytest.mark.slow)
