@@ -4532,7 +4532,9 @@ def _int_dot_sql(a: str, b: str) -> str:
     )
 
 
-def _clustered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _clustered_corpus(
+    spark: SparkSession, sf_dir: str, gain: int = CLUSTER_GAIN
+) -> DataFrame:
     """(vec_id, label, cv, n2): quantized embedding + GAIN * the label's
     hash-derived offset direction, with its exact integer squared norm.
     Pure projection — zero shuffles, and the offset hash is JVM-side md5
@@ -4560,7 +4562,7 @@ def _clustered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cv = F.transform(
         _quantized(F.col("embedding")),
-        lambda x, i: x + F.lit(CLUSTER_GAIN).cast("bigint") * off(i + 1),
+        lambda x, i: x + F.lit(gain).cast("bigint") * off(i + 1),
     )
     return emb.select(
         "vec_id",
@@ -4569,35 +4571,35 @@ def _clustered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n2", _int_dot(F.col("cv"), F.col("cv")))
 
 
-def _clustered_prelude_sql() -> str:
-    """DuckDB twin of the clustered overlay: corpus, queries, exact top-k
-    page, per-label centroids (exact floor division), and the top-3 route
-    table — the CTE base every clustered query composes."""
+def _clustered_ctes(gain: int, p: str) -> str:
+    """The clustered-overlay CTE chain with name prefix ``p`` and offset
+    multiplier ``gain`` — lets one oracle carry SEVERAL overlay strengths
+    side by side (the structure curve). ``p='c'``, ``gain=CLUSTER_GAIN``
+    reproduces the canonical prelude names (cq, ccorpus, cexact, ...)."""
     coff = portable_hash_sql(
         "'coff:' || CAST(label AS VARCHAR) || ':' || CAST(d AS VARCHAR)"
     )
-    return f"""
-WITH cq AS (
+    return f"""{p}q AS (
   SELECT vec_id, CAST(label AS BIGINT) AS label,
          {_QUANT_SQL.format(vec="embedding")} AS qv
   FROM embeddings
 ),
-cdim AS MATERIALIZED (
+{p}dim AS MATERIALIZED (
   SELECT vec_id, label, d,
-         qv[d] + {CLUSTER_GAIN} * ({coff} % 2001 - 1000) AS cval
+         qv[d] + {gain} * ({coff} % 2001 - 1000) AS cval
   FROM (SELECT vec_id, label, qv,
-               unnest(generate_series(1, {DIM})) AS d FROM cq)
+               unnest(generate_series(1, {DIM})) AS d FROM {p}q)
 ),
-ccorpus AS MATERIALIZED (
+{p}corpus AS MATERIALIZED (
   SELECT vec_id, label, cv, {_int_dot_sql("cv", "cv")} AS n2
   FROM (SELECT vec_id, label, list(cval ORDER BY d) AS cv
-        FROM cdim GROUP BY vec_id, label)
+        FROM {p}dim GROUP BY vec_id, label)
 ),
-cqueries AS MATERIALIZED (
+{p}queries AS MATERIALIZED (
   SELECT vec_id AS query_id, cv AS q_cv, n2 AS q_n2
-  FROM ccorpus WHERE vec_id % {QUERY_STRIDE} = 0
+  FROM {p}corpus WHERE vec_id % {QUERY_STRIDE} = 0
 ),
-cexact AS MATERIALIZED (
+{p}exact AS MATERIALIZED (
   SELECT query_id, neighbor_id, rank, cosine FROM (
     SELECT query_id, neighbor_id, cosine,
            row_number() OVER (PARTITION BY query_id
@@ -4607,35 +4609,42 @@ cexact AS MATERIALIZED (
              CAST({_int_dot_sql("q.q_cv", "c.cv")} AS DOUBLE)
                / (sqrt(CAST(q.q_n2 AS DOUBLE))
                   * sqrt(CAST(c.n2 AS DOUBLE))) AS cosine
-      FROM cqueries q JOIN ccorpus c ON q.query_id <> c.vec_id))
+      FROM {p}queries q JOIN {p}corpus c ON q.query_id <> c.vec_id))
   WHERE rank <= {TOP_K}
 ),
-ccent AS MATERIALIZED (
+{p}cent AS MATERIALIZED (
   SELECT label, list(c ORDER BY d) AS cvec FROM (
     SELECT label, d,
            CAST((sum(cval)
                  - (((sum(cval) % count(*)) + count(*)) % count(*)))
                 // count(*) AS BIGINT) AS c
-    FROM cdim GROUP BY label, d)
+    FROM {p}dim GROUP BY label, d)
   GROUP BY label
 ),
-croute AS MATERIALIZED (
+{p}route AS MATERIALIZED (
   SELECT query_id, label, rr FROM (
     SELECT q.query_id, t.label,
            row_number() OVER (PARTITION BY q.query_id ORDER BY
              {_int_dot_sql("q.q_cv", "t.cvec")} DESC, t.label ASC) AS rr
-    FROM cqueries q CROSS JOIN ccent t)
+    FROM {p}queries q CROSS JOIN {p}cent t)
   WHERE rr <= 3
 ),
-cscored AS MATERIALIZED (
+{p}scored AS MATERIALIZED (
   SELECT r.query_id, r.rr, c.vec_id AS neighbor_id,
          CAST({_int_dot_sql("q.q_cv", "c.cv")} AS DOUBLE)
            / (sqrt(CAST(q.q_n2 AS DOUBLE))
               * sqrt(CAST(c.n2 AS DOUBLE))) AS cosine
-  FROM croute r
-  JOIN cqueries q ON q.query_id = r.query_id
-  JOIN ccorpus c ON c.label = r.label AND c.vec_id <> r.query_id
+  FROM {p}route r
+  JOIN {p}queries q ON q.query_id = r.query_id
+  JOIN {p}corpus c ON c.label = r.label AND c.vec_id <> r.query_id
 )"""
+
+
+def _clustered_prelude_sql() -> str:
+    """DuckDB twin of the clustered overlay: corpus, queries, exact top-k
+    page, per-label centroids (exact floor division), and the top-3 route
+    table — the CTE base every clustered query composes."""
+    return "\nWITH " + _clustered_ctes(CLUSTER_GAIN, "c")
 
 
 def _clustered_curve_tail() -> str:
@@ -4826,43 +4835,49 @@ def similarity_ivf_clustered_recall_curve(
     return out
 
 
-def _clustered_lsh_tail_sql() -> str:
-    """LSH buckets + candidates + re-rank over the CLUSTERED vectors, then
-    the recall summary row — same 4x8-bit sign-plane index as
+def _clustered_lsh_ctes(p: str) -> str:
+    """LSH buckets + candidates + re-rank + hit CTEs over the clustered
+    vectors with name prefix ``p`` — same 4x8-bit sign-plane index as
     similarity_ann_lsh_topk, applied in the already-quantized domain."""
     case = " ".join(
         f"WHEN {b} THEN {_band_sig_sql('clsh', b)}" for b in range(LSH_BANDS)
     )
-    return f""",
-cbuckets AS MATERIALIZED (
+    return f"""{p}buckets AS MATERIALIZED (
   SELECT vec_id, band, CASE band {case} END AS sig
-  FROM (SELECT vec_id, cv AS q_clsh FROM ccorpus)
+  FROM (SELECT vec_id, cv AS q_clsh FROM {p}corpus)
   CROSS JOIN (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS band)
 ),
-clcand AS MATERIALIZED (
+{p}lcand AS MATERIALIZED (
   SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
-  FROM cbuckets qb
-  JOIN cbuckets cb ON qb.band = cb.band AND qb.sig = cb.sig
+  FROM {p}buckets qb
+  JOIN {p}buckets cb ON qb.band = cb.band AND qb.sig = cb.sig
                   AND qb.vec_id <> cb.vec_id
   WHERE qb.vec_id % {QUERY_STRIDE} = 0
 ),
-cltop AS (
+{p}ltop AS (
   SELECT query_id, neighbor_id FROM (
     SELECT c.query_id, c.neighbor_id,
            row_number() OVER (PARTITION BY c.query_id ORDER BY
              CAST({_int_dot_sql("q.cv", "n.cv")} AS DOUBLE)
                / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(n.n2 AS DOUBLE)))
              DESC, c.neighbor_id ASC) AS rank
-    FROM clcand c
-    JOIN ccorpus q ON q.vec_id = c.query_id
-    JOIN ccorpus n ON n.vec_id = c.neighbor_id)
+    FROM {p}lcand c
+    JOIN {p}corpus q ON q.vec_id = c.query_id
+    JOIN {p}corpus n ON n.vec_id = c.neighbor_id)
   WHERE rank <= {TOP_K}
 ),
-clhit AS (
-  SELECT t.query_id FROM cltop t
-  JOIN cexact e ON e.query_id = t.query_id
+{p}lhit AS (
+  SELECT t.query_id FROM {p}ltop t
+  JOIN {p}exact e ON e.query_id = t.query_id
               AND e.neighbor_id = t.neighbor_id
-)
+)"""
+
+
+def _clustered_lsh_tail_sql() -> str:
+    """The standalone LSH-recall oracle tail: the prefixed CTEs plus the
+    one-row recall/price summary."""
+    return f""",
+{_clustered_lsh_ctes("c")}
 SELECT
   (SELECT CAST(count(*) AS BIGINT) FROM cexact) AS n_top_exact,
   (SELECT CAST(count(*) AS BIGINT) FROM clhit) AS n_hits,
@@ -4991,3 +5006,225 @@ def similarity_lsh_clustered_recall(
         except NameError:
             pass
     return out
+
+
+STRUCTURE_GAINS = (150, 1500)  # weak-but-real vs strong cluster structure
+
+
+def _structure_curve_sql() -> str:
+    """Two full overlay chains (weak / strong) side by side, each with its
+    IVF nprobe=1 page and its LSH page measured against that overlay's
+    own exact ground truth — one row per gain."""
+    ctes, selects = [], []
+    for gain in STRUCTURE_GAINS:
+        p = f"g{gain}_"
+        ctes.append(_clustered_ctes(gain, p))
+        ctes.append(_clustered_lsh_ctes(p))
+        ctes.append(f"""{p}itop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM {p}scored WHERE rr <= 1)
+  WHERE rank <= {TOP_K}
+),
+{p}ihit AS (
+  SELECT t.query_id FROM {p}itop t
+  JOIN {p}exact e ON e.query_id = t.query_id
+              AND e.neighbor_id = t.neighbor_id
+)""")
+        selects.append(f"""
+SELECT {gain} AS gain,
+  (SELECT CAST(count(*) AS BIGINT) FROM {p}exact) AS n_top_exact,
+  CAST((SELECT count(*) FROM {p}ihit) AS DOUBLE)
+    / CAST((SELECT count(*) FROM {p}exact) AS DOUBLE) AS ivf_recall,
+  CAST((SELECT count(*) FROM {p}scored WHERE rr <= 1) AS DOUBLE)
+    / CAST((SELECT count(*) FROM {p}queries)
+           * (SELECT count(*) - 1 FROM {p}corpus) AS DOUBLE)
+    AS ivf_cand_frac,
+  CAST((SELECT count(*) FROM {p}lhit) AS DOUBLE)
+    / CAST((SELECT count(*) FROM {p}exact) AS DOUBLE) AS lsh_recall,
+  CAST((SELECT count(*) FROM {p}lcand) AS DOUBLE)
+    / CAST((SELECT count(*) FROM {p}queries)
+           * (SELECT count(*) - 1 FROM {p}corpus) AS DOUBLE)
+    AS lsh_cand_frac""")
+    return "\nWITH " + ",\n".join(ctes) + "\nUNION ALL".join(selects)
+
+
+@query(
+    "similarity_index_structure_curve",
+    oracle=_structure_curve_sql(),
+    doc="The index-choice frontier vs STRUCTURE STRENGTH, measured in one "
+    "table: for a weak overlay (gain 150: within-cluster cosine shift "
+    "~+0.08) and a strong one (gain 1500: ~0.89 within-cluster cosine), "
+    "the IVF nprobe=1 page and the 4x8-bit LSH page are each scored "
+    "against that overlay's own exact ground truth — recall plus "
+    "candidate-fraction price per index per regime. Measured at "
+    "sf0.01: IVF 0.84 -> 1.00 while LSH goes 0.04 -> ~0.7+ — the "
+    "centroid route integrates weak structure across all dims and "
+    "wins everywhere, while sign-plane LSH only catches up once "
+    "alignment is strong enough to flip whole 8-bit bands (the "
+    "1 - acos(cos)/pi per-plane agreement raised to the 8th power). "
+    "The operational answer an index chooser needs: below ~0.5 "
+    "within-cluster cosine, route by centroids.",
+)
+def similarity_index_structure_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    rows = []
+    for gain in STRUCTURE_GAINS:
+        corpus = _clustered_corpus(spark, sf_dir, gain).persist()
+        try:
+            queries = corpus.where(
+                F.col("vec_id") % QUERY_STRIDE == 0
+            ).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("cv").alias("q_cv"),
+                F.col("n2").alias("q_n2"),
+            )
+            q_cos = _int_dot(F.col("q_cv"), F.col("cv")).cast("double") / (
+                F.sqrt(F.col("q_n2").cast("double"))
+                * F.sqrt(F.col("n2").cast("double"))
+            )
+            exact = (
+                _topk_filter(
+                    corpus.crossJoin(F.broadcast(queries))
+                    .where(F.col("vec_id") != F.col("query_id"))
+                    .select(
+                        "query_id",
+                        F.col("vec_id").alias("neighbor_id"),
+                        q_cos.alias("cosine"),
+                    )
+                )
+                .select("query_id", "neighbor_id")
+                .persist()
+            )
+            n_exact = exact.count()
+            n_q = queries.count()
+            n_c = corpus.count()
+            denom = n_q * (n_c - 1)
+
+            # IVF nprobe=1: per-label exact centroid, argmax route
+            dims = corpus.select(
+                "label", F.posexplode(F.col("cv")).alias("d0", "v")
+            )
+            centroids = (
+                dims.groupBy("label", "d0")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+                .select(
+                    "label",
+                    "d0",
+                    F.expr("(s - pmod(s, cnt)) DIV cnt")
+                    .cast("bigint")
+                    .alias("c"),
+                )
+                .groupBy("label")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("d0", "c"))),
+                        lambda x: x["c"],
+                    ).alias("cvec")
+                )
+            )
+            cdot = _int_dot(F.col("q_cv"), F.col("cvec"))
+            w_route = Window.partitionBy("query_id").orderBy(
+                F.col("cdot").desc(), F.col("label").asc()
+            )
+            route = (
+                queries.crossJoin(F.broadcast(centroids))
+                .withColumn("cdot", cdot)
+                .withColumn("rr", F.row_number().over(w_route))
+                .where(F.col("rr") == 1)
+                .select("query_id", "label", "q_cv", "q_n2")
+            )
+            n_cos = _int_dot(F.col("q_cv"), F.col("cv")).cast("double") / (
+                F.sqrt(F.col("q_n2").cast("double"))
+                * F.sqrt(F.col("n2").cast("double"))
+            )
+            iscored = (
+                corpus.select(
+                    F.col("vec_id").alias("neighbor_id"), "label", "cv", "n2"
+                )
+                .join(F.broadcast(route), "label")
+                .where(F.col("neighbor_id") != F.col("query_id"))
+                .select("query_id", "neighbor_id", n_cos.alias("cosine"))
+                .persist()
+            )
+            i_cand = iscored.count()
+            itop = _topk_filter(
+                iscored.select(
+                    "query_id", "neighbor_id", "cosine"
+                )
+            ).select("query_id", "neighbor_id")
+            i_hits = itop.join(exact, ["query_id", "neighbor_id"]).count()
+
+            # LSH: same 4x8-bit sign-plane index over cv
+            band_structs = F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _band_sig("cv", b).alias("sig"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+            buckets = corpus.select(
+                "vec_id", F.explode(band_structs).alias("bs")
+            ).select(
+                "vec_id",
+                F.col("bs.band").alias("band"),
+                F.col("bs.sig").alias("sig"),
+            )
+            qb = buckets.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+                F.col("vec_id").alias("query_id"), "band", "sig"
+            )
+            lcand = (
+                buckets.join(F.broadcast(qb), ["band", "sig"])
+                .where(F.col("vec_id") != F.col("query_id"))
+                .select("query_id", F.col("vec_id").alias("neighbor_id"))
+                .distinct()
+                .persist()
+            )
+            l_cand = lcand.count()
+            qside = corpus.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("cv").alias("q_cv"),
+                F.col("n2").alias("q_n2"),
+            )
+            nbr = corpus.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("cv").alias("n_cv"),
+                F.col("n2").alias("n_n2"),
+            )
+            l_cos = _int_dot(F.col("q_cv"), F.col("n_cv")).cast(
+                "double"
+            ) / (
+                F.sqrt(F.col("q_n2").cast("double"))
+                * F.sqrt(F.col("n_n2").cast("double"))
+            )
+            ltop = _topk_filter(
+                lcand.join(F.broadcast(qside), "query_id")
+                .join(nbr, "neighbor_id")
+                .select("query_id", "neighbor_id", l_cos.alias("cosine"))
+            ).select("query_id", "neighbor_id")
+            l_hits = ltop.join(exact, ["query_id", "neighbor_id"]).count()
+            rows.append(
+                (
+                    gain,
+                    n_exact,
+                    i_hits / n_exact,
+                    i_cand / denom,
+                    l_hits / n_exact,
+                    l_cand / denom,
+                )
+            )
+            iscored.unpersist()
+            lcand.unpersist()
+            exact.unpersist()
+        finally:
+            corpus.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "gain int, n_top_exact bigint, ivf_recall double,"
+        " ivf_cand_frac double, lsh_recall double, lsh_cand_frac double",
+    )
