@@ -5060,13 +5060,16 @@ SELECT {gain} AS gain,
     "the IVF nprobe=1 page and the 4x8-bit LSH page are each scored "
     "against that overlay's own exact ground truth — recall plus "
     "candidate-fraction price per index per regime. Measured at "
-    "sf0.01: IVF 0.84 -> 1.00 while LSH goes 0.04 -> ~0.7+ — the "
-    "centroid route integrates weak structure across all dims and "
-    "wins everywhere, while sign-plane LSH only catches up once "
-    "alignment is strong enough to flip whole 8-bit bands (the "
-    "1 - acos(cos)/pi per-plane agreement raised to the 8th power). "
-    "The operational answer an index chooser needs: below ~0.5 "
-    "within-cluster cosine, route by centroids.",
+    "sf0.01: IVF 0.84 -> 1.00 at a FLAT 0.097 scan price, while LSH "
+    "goes 0.04 -> 1.00 but pays 0.029 -> 0.120 (its bucket collisions "
+    "explode exactly when structure appears) — the centroid route "
+    "integrates weak structure across all dims and wins everywhere; "
+    "sign-plane LSH only catches up once alignment is strong enough "
+    "to flip whole 8-bit bands (per-plane agreement 1 - acos(cos)/pi "
+    "raised to the 8th power), and at that point costs ~24% more "
+    "scan than IVF for the same page. The operational answer an "
+    "index chooser needs: when cluster structure exists at any "
+    "strength, route by centroids.",
 )
 def similarity_index_structure_curve(
     spark: SparkSession, sf_dir: str
