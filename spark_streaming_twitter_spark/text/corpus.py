@@ -3466,6 +3466,30 @@ def stream_multimodal_ingest_to_training_fused_unordered(
     return _mm_fused_impl(spark, sf_dir, unordered=True)
 
 
+@query(
+    "stream_multimodal_ingest_to_training_fused_unordered_persisted",
+    oracle=_mm_ingest_to_training_oracle("_unordered"),
+    doc="The fourth and last cell of the persisted flagship cube "
+    "({4-stream, fused} x {ordered, disordered}, all in the production "
+    "read-back shape): the fused one-consumer topology under "
+    "cross-partition disorder, kept parquet-backed ledger returned "
+    "with no collect anywhere in the lifecycle. Oracle is the "
+    "4-stream unordered flagship's VERBATIM (the provably-coinciding "
+    "cell), so this single query cross-checks two architectures, two "
+    "lifecycles, and the size-adaptive reject gate's shuffled side "
+    "at once.",
+)
+def stream_multimodal_ingest_to_training_fused_unordered_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _mm_fused_impl(
+        spark,
+        sf_dir,
+        unordered=True,
+        keep_ledger_dir=_kept_ledger_dir("flagship_fused_unordered_ledger"),
+    )
+
+
 def _mm_fused_impl(
     spark: SparkSession,
     sf_dir: str,
