@@ -49,6 +49,22 @@ def query(
     return deco
 
 
+# Queries whose SEMANTICS changed since their newest green driver row —
+# their old evidence no longer proves the current code, so gate_order
+# treats them exactly like never-tested debt (fronted before every proven
+# query) until a fresh green row lands, at which point the name should be
+# removed from this tuple. Round 15: the skewed-rebalance family's step
+# count became contractual (fixed K=5, was loop-until-threshold; VERDICT
+# r14 #1) — same rows at sf0.01, but the gate must re-prove that, not
+# inherit r13's evidence.
+_RECHECK_FIRST: tuple[str, ...] = (
+    "ivf_rebalance_skewed_trajectory",
+    "similarity_ivf_topk_skewed_rebalanced",
+    "similarity_ivf_skewed_probe_cost",
+    "similarity_ivf_skewed_recall",
+    "similarity_ivf_skewed_nprobe2_recall",
+)
+
 # The driver's correctness gate walks the registry in order and records ~50
 # rows per round, so ordering IS coverage policy. Since round 9 the order is
 # DYNAMIC: ``gate_order`` reads the committed CORRECTNESS_r*.json files and
@@ -438,10 +454,13 @@ def gate_order(names: "set[str] | frozenset[str]") -> list[str]:
     static_rank = {n: i for i, n in enumerate(_GATE_PRIORITY)}
     fallback = len(_GATE_PRIORITY)
     reg_rank = {n: i for i, n in enumerate(QUERIES)}
+    recheck = set(_RECHECK_FIRST)
     return sorted(
         names,
         key=lambda n: (
-            green.get(n, -1),  # unproven (-1) first, then oldest evidence
+            # semantics-changed names re-enter the unproven tier: their
+            # old green rows predate the current contract (_RECHECK_FIRST)
+            -1 if n in recheck else green.get(n, -1),
             static_rank.get(n, fallback),
             reg_rank.get(n, 0),
         ),

@@ -21,13 +21,19 @@ def sf_dir() -> str:
 
 def pytest_collection_modifyitems(config, items):
     """Mark the measured-heavyweight tests from tests/slow_manifest.txt
-    (r13 verdict #7): the FAST path is `pytest tests/ -m "not slow"`
-    (~minutes — plan shapes, oracles, unit invariants); the FULL set —
-    fast path plus the end-to-end streaming/flagship invariants — must
-    still exit 0 and is what `python -m pytest tests/` runs by default.
-    The manifest holds nodeids (param brackets stripped) of tests that
+    (r13 verdict #7; scope corrected r15 — the manifest now also lists
+    the parametrized oracle-parity base nodeids, so the FAST path
+    `pytest tests/ -m "not slow"` really is minutes, not the ~30-minute
+    run the r14 manifest silently selected). The FULL set — fast path
+    plus the end-to-end streaming/flagship invariants plus the ~370
+    parity checks — must still exit 0, is what `python -m pytest tests/`
+    runs by default, and is proven once per round by the committed
+    `bench_artifacts/r{N}_pytest_full.txt` run on final code. The
+    manifest holds nodeids (param brackets stripped) of tests that
     measured >= 3 s in the committed duration profile; regenerate with
-      pytest tests/ --ignore=tests/test_oracle_parity.py -q --durations=0
+      pytest tests/ -q --durations=0
+    plus the two test_oracle_parity.py base nodeids, which stay listed
+    regardless of profile.
     """
     import pathlib
 

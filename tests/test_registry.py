@@ -43,6 +43,7 @@ def test_gate_order_fronts_driver_unproven_queries():
     the test has a non-vacuous assertion even in the zero-debt goal state
     round 9 reached, instead of hard-failing on `assert unproven`."""
     from spark_streaming_twitter_spark.registry import (
+        _RECHECK_FIRST,
         _driver_green_rounds,
         load_all,
     )
@@ -50,17 +51,22 @@ def test_gate_order_fronts_driver_unproven_queries():
     rounds = _driver_green_rounds()
     assert rounds, "no committed CORRECTNESS_r*.json rows parsed"
     order = list(load_all())
-    unproven = [n for n in order if n not in rounds]
+    # semantics-changed names re-enter the unproven tier regardless of
+    # their (now-stale) green rows — the gate must re-prove them
+    unproven = [
+        n for n in order if n not in rounds or n in set(_RECHECK_FIRST)
+    ]
+    proven = [n for n in order if n in rounds and n not in set(_RECHECK_FIRST)]
     if unproven:
         last_unproven = max(order.index(n) for n in unproven)
-        first_proven = min(order.index(n) for n in order if n in rounds)
+        first_proven = min(order.index(n) for n in proven)
         assert last_unproven < first_proven, (
             f"proven query {order[first_proven]!r} sorts before unproven "
             f"{order[last_unproven]!r}"
         )
     # freshness rotation: proven queries are non-decreasing in their
     # newest-green round, so the stalest evidence is re-verified first
-    proven_rounds = [rounds[n] for n in order if n in rounds]
+    proven_rounds = [rounds[n] for n in proven]
     assert proven_rounds == sorted(proven_rounds), (
         "proven bucket is not ordered oldest-evidence-first"
     )
