@@ -176,12 +176,22 @@ def main() -> None:
     # its longer form. Full names stay in the penultimate full-precision
     # line and the committed bench_artifacts files.
     def _abbrev(names):
+        # ADVICE r14: the fallback (keep the longer "stream_"-ful form)
+        # can itself collide when the registry holds BOTH stream_X and
+        # plain X — then X's fallback is its own already-taken key and a
+        # timing would be silently overwritten. Re-check after the
+        # fallback and disambiguate with a deterministic numeric suffix
+        # so two full names can never share an abbreviated key.
         m, seen = {}, {}
         for n in sorted(names):
             a = n.replace("multimodal_ingest_to_training", "flagship")
             a = a[7:] if a.startswith("stream_") else a
             if a in seen:
                 a = n.replace("multimodal_ingest_to_training", "flagship")
+            i = 2
+            while a in seen:
+                a = f"{n.replace('multimodal_ingest_to_training', 'flagship')}~{i}"
+                i += 1
             seen[a] = n
             m[n] = a
         return m

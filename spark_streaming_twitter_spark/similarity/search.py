@@ -4923,7 +4923,14 @@ SELECT
 def similarity_lsh_clustered_recall(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # every persisted frame goes on this list the moment it's persisted,
+    # and the finally unpersists the LIST — an exception anywhere in the
+    # body can no longer leak a cached frame into the rest of the gate
+    # session (ADVICE r14; same shape as
+    # similarity_ivf_clustered_recall_curve)
+    pinned: "list[DataFrame]" = []
     corpus = _clustered_corpus(spark, sf_dir).persist()
+    pinned.append(corpus)
     try:
         queries = corpus.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
             F.col("vec_id").alias("query_id"),
@@ -4947,6 +4954,7 @@ def similarity_lsh_clustered_recall(
             .select("query_id", "neighbor_id")
             .persist()
         )
+        pinned.append(exact)
         band_structs = F.array(
             *[
                 F.struct(
@@ -4972,6 +4980,7 @@ def similarity_lsh_clustered_recall(
             .distinct()
             .persist()
         )
+        pinned.append(cand)
         n_cand = cand.count()
         nbr = corpus.select(
             F.col("vec_id").alias("neighbor_id"),
@@ -5010,12 +5019,8 @@ def similarity_lsh_clustered_recall(
             " total_cand bigint, cand_frac double",
         )
     finally:
-        corpus.unpersist()
-        try:
-            exact.unpersist()
-            cand.unpersist()
-        except NameError:
-            pass
+        for df in pinned:
+            df.unpersist()
     return out
 
 
@@ -5087,7 +5092,12 @@ def similarity_index_structure_curve(
 ) -> DataFrame:
     rows = []
     for gain in STRUCTURE_GAINS:
+        # per-gain pinned list: every persist lands here and the finally
+        # unpersists the list, so an exception mid-gain cannot leak
+        # cached frames into the rest of the gate session (ADVICE r14)
+        pinned: "list[DataFrame]" = []
         corpus = _clustered_corpus(spark, sf_dir, gain).persist()
+        pinned.append(corpus)
         try:
             queries = corpus.where(
                 F.col("vec_id") % QUERY_STRIDE == 0
@@ -5113,6 +5123,7 @@ def similarity_index_structure_curve(
                 .select("query_id", "neighbor_id")
                 .persist()
             )
+            pinned.append(exact)
             n_exact = exact.count()
             n_q = queries.count()
             n_c = corpus.count()
@@ -5164,6 +5175,7 @@ def similarity_index_structure_curve(
                 .select("query_id", "neighbor_id", n_cos.alias("cosine"))
                 .persist()
             )
+            pinned.append(iscored)
             i_cand = iscored.count()
             itop = _topk_filter(
                 iscored.select(
@@ -5199,6 +5211,7 @@ def similarity_index_structure_curve(
                 .distinct()
                 .persist()
             )
+            pinned.append(lcand)
             l_cand = lcand.count()
             qside = corpus.select(
                 F.col("vec_id").alias("query_id"),
@@ -5232,11 +5245,9 @@ def similarity_index_structure_curve(
                     l_cand / denom,
                 )
             )
-            iscored.unpersist()
-            lcand.unpersist()
-            exact.unpersist()
         finally:
-            corpus.unpersist()
+            for df in pinned:
+                df.unpersist()
     return spark.createDataFrame(
         rows,
         "gain int, n_top_exact bigint, ivf_recall double,"

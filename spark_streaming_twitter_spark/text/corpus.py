@@ -352,6 +352,9 @@ FROM c
 # task builds only its partition's slice of the drop set, nothing
 # corpus-proportional ever lands on one node. Plan-pinned both sides in
 # tests/test_plan_shapes.py.
+# Both bounds are INCLUSIVE (<=): at exactly 4M rows / exactly 1/10 of
+# the survivors the gate still broadcasts (ADVICE r14 doc alignment —
+# the code has always used <=; the docs now say so too).
 REJECT_BROADCAST_MAX_ROWS = 4_000_000  # ~32 MB of bigint ids
 REJECT_BROADCAST_MAX_FRAC = 10  # ...and drops <= survivors-side/10
 
@@ -404,6 +407,28 @@ def _kept_ledger_dir(name: str) -> str:
     return d
 
 
+def _reclaim_ledger_dir(path: str) -> None:
+    """Re-verify ownership IMMEDIATELY before the overwrite-at-start
+    rmtree (ADVICE r14): _kept_ledger_dir checks at path-computation
+    time, but the rmtree happens later in the impl — re-running the
+    lexists/lstat check here closes the window in which a same-uid
+    process could plant a symlink at the ledger path between the two
+    (the parent dir is already ownership-verified, so only the same
+    uid can write there at all)."""
+    import os
+    import stat as stat_mod
+
+    if os.path.lexists(path):
+        st = os.lstat(path)
+        if not stat_mod.S_ISDIR(st.st_mode) or st.st_uid != os.getuid():
+            raise RuntimeError(
+                f"refusing to overwrite {path}: not an owned directory"
+            )
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def _ledger_or_none(spark: SparkSession, path: str) -> "DataFrame | None":
     """Read an executor-written parquet ledger, or None when nothing has
     landed yet (dir absent, or present with no data files — an empty
@@ -433,7 +458,7 @@ def _ledger_or_none(spark: SparkSession, path: str) -> "DataFrame | None":
     "as a drop set anti-joined per trigger through the SIZE-ADAPTIVE "
     "gate (_adaptive_reject_anti_join, VERDICT r13 #1): the drop count "
     "is materialized anyway, so the join broadcasts when drops are "
-    "both < 4M rows and < 1/10 of the corpus (the dedup premise "
+    "both <= 4M rows and <= 1/10 of the corpus (the dedup premise "
     "holding, as here: 47/500 at sf0.01) and flips to a shuffled hash "
     "anti-join when the list is corpus-proportional. The packer is the "
     "same count-agnostic per-trigger body with the multimodal budget. "
@@ -576,7 +601,7 @@ def _mm_ingest_impl(
         # the query — overwrite-at-start, like any output table rewrite —
         # so the returned frame is the parquet-backed ledger itself, with
         # NO collect between streaming finish and the caller's hands
-        shutil.rmtree(keep_ledger_dir, ignore_errors=True)
+        _reclaim_ledger_dir(keep_ledger_dir)
         ledger_dir = keep_ledger_dir
     else:
         ledger_dir = os.path.join(tmp, "ledger")
@@ -3511,7 +3536,7 @@ def _mm_fused_impl(
     if keep_ledger_dir is not None:
         # production read-back shape (VERDICT r13 #4): the ledger outlives
         # the query — overwrite-at-start, like any output-table rewrite
-        shutil.rmtree(keep_ledger_dir, ignore_errors=True)
+        _reclaim_ledger_dir(keep_ledger_dir)
         ledger_dir = keep_ledger_dir
     else:
         ledger_dir = os.path.join(tmp, "ledger")
