@@ -1487,8 +1487,40 @@ def stream_text_minhash_keeper_dedup(
     return _text_keeper_stream(spark, sf_dir, roundrobin=False)
 
 
+@query(
+    "stream_text_minhash_keeper_dedup_persisted",
+    oracle=_keeper_dedup_oracle(),
+    bench=True,
+    doc="The TEXT keeper dedup in its PRODUCTION READ-BACK shape (r14 "
+    "verdict #4 — the flagship's _kept_ledger_dir pattern applied to "
+    "the keeper family): identical quarantine foreachBatch pipeline, "
+    "but the per-doc decision ledger is written to a KEPT per-user "
+    "location (overwritten at start, ownership re-verified immediately "
+    "before the rmtree) and the returned frame IS the parquet-backed "
+    "ledger — no collect() between streaming finish and the caller. "
+    "At 100 TB the ledger is the curation run's audit table, read "
+    "where it landed; the kept-index stays run-scoped (it is the "
+    "stream's working state, not its product). Oracle verbatim from "
+    "the lifecycle twin; benched beside it.",
+)
+def stream_text_minhash_keeper_dedup_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_streaming_twitter_spark.text.corpus import _kept_ledger_dir
+
+    return _text_keeper_stream(
+        spark,
+        sf_dir,
+        roundrobin=False,
+        keep_ledger_dir=_kept_ledger_dir("text_keeper_ledger"),
+    )
+
+
 def _text_keeper_stream(
-    spark: SparkSession, sf_dir: str, roundrobin: bool
+    spark: SparkSession,
+    sf_dir: str,
+    roundrobin: bool,
+    keep_ledger_dir: "str | None" = None,
 ) -> DataFrame:
     import os
     import shutil
@@ -1502,7 +1534,18 @@ def _text_keeper_stream(
 
     tmp = tempfile.mkdtemp(prefix="minhash_keeper_stream_")
     idx_dir = os.path.join(tmp, "index")
-    ledger_dir = os.path.join(tmp, "ledger")
+    if keep_ledger_dir is not None:
+        # production read-back shape (VERDICT r14 #4): ledger outlives
+        # the query; overwrite-at-start with the pre-rmtree ownership
+        # recheck, returned frame is the parquet-backed ledger itself
+        from spark_streaming_twitter_spark.text.corpus import (
+            _reclaim_ledger_dir,
+        )
+
+        _reclaim_ledger_dir(keep_ledger_dir)
+        ledger_dir = keep_ledger_dir
+    else:
+        ledger_dir = os.path.join(tmp, "ledger")
     state = {"has_index": False}
     try:
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1562,6 +1605,8 @@ def _text_keeper_stream(
         out = spark.read.parquet(ledger_dir).select(
             "doc_id", "n_index_hits", (F.col("n_index_hits") == 0).alias("kept")
         )
+        if keep_ledger_dir is not None:
+            return out
         rows = out.collect()
         result = spark.createDataFrame(rows, out.schema)
     finally:

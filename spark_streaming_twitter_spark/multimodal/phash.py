@@ -1594,6 +1594,7 @@ def _chunk_keeper_stream(
     caption_docs: "DataFrame | None" = None,
     caption_dir: "str | None" = None,
     roundrobin: bool = False,
+    keep_ledger_dir: "str | None" = None,
 ) -> DataFrame:
     """Keeper-aware online chunk-LSH dedup stream, generic over the
     signature family (image dHash, audio fingerprint): probe every
@@ -1624,7 +1625,18 @@ def _chunk_keeper_stream(
     mask = (1 << chunk_bits) - 1
     tmp = tempfile.mkdtemp(prefix="chunk_keeper_stream_")
     idx_dir = os.path.join(tmp, "index")
-    ledger_dir = os.path.join(tmp, "ledger")
+    if keep_ledger_dir is not None:
+        # production read-back shape (VERDICT r14 #4): ledger outlives
+        # the query; overwrite-at-start with the pre-rmtree ownership
+        # recheck, returned frame is the parquet-backed ledger itself
+        from spark_streaming_twitter_spark.text.corpus import (
+            _reclaim_ledger_dir,
+        )
+
+        _reclaim_ledger_dir(keep_ledger_dir)
+        ledger_dir = keep_ledger_dir
+    else:
+        ledger_dir = os.path.join(tmp, "ledger")
     try:
         spool = (
             spool_roundrobin_batches if roundrobin else spool_ordered_batches
@@ -1681,6 +1693,8 @@ def _chunk_keeper_stream(
             "n_index_hits",
             (F.col("n_index_hits") == 0).alias("kept"),
         )
+        if keep_ledger_dir is not None:
+            return ledger
         rows = ledger.collect()
         out = spark.createDataFrame(rows, ledger.schema)
     finally:
@@ -1689,7 +1703,10 @@ def _chunk_keeper_stream(
 
 
 def _phash_keeper_stream(
-    spark: SparkSession, sf_dir: str, caption_dir: "str | None" = None
+    spark: SparkSession,
+    sf_dir: str,
+    caption_dir: "str | None" = None,
+    keep_ledger_dir: "str | None" = None,
 ) -> DataFrame:
     docs = (
         table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1706,6 +1723,7 @@ def _phash_keeper_stream(
         PHASH_RADIUS,
         caption_docs=docs,
         caption_dir=caption_dir,
+        keep_ledger_dir=keep_ledger_dir,
     )
 
 
@@ -1725,11 +1743,36 @@ def _phash_keeper_stream(
     "epochs as a CTE chain replicating the spool's range arithmetic. "
     "Per-batch reports land in an executor-written parquet ledger (the "
     "run's audit table at 100 TB), never a driver list.",
+    bench=True,  # r14 verdict #4: benched beside its persisted twin
 )
 def stream_media_phash_keeper_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return _phash_keeper_stream(spark, sf_dir)
+
+
+@query(
+    "stream_media_phash_keeper_dedup_persisted",
+    oracle=_phash_keeper_oracle(),
+    bench=True,
+    doc="The IMAGE keeper dedup in its PRODUCTION READ-BACK shape (r14 "
+    "verdict #4 — the flagship's _kept_ledger_dir pattern applied to "
+    "the media keeper family): identical chunk-LSH quarantine "
+    "pipeline, but the per-image decision ledger is written to a KEPT "
+    "per-user location (overwritten at start, ownership re-verified "
+    "immediately before the rmtree) and the returned frame IS the "
+    "parquet-backed ledger — no collect() between streaming finish "
+    "and the caller. Oracle verbatim from the lifecycle twin; benched "
+    "beside it so the lifecycle-vs-production delta is measured.",
+)
+def stream_media_phash_keeper_dedup_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_streaming_twitter_spark.text.corpus import _kept_ledger_dir
+
+    return _phash_keeper_stream(
+        spark, sf_dir, keep_ledger_dir=_kept_ledger_dir("phash_keeper_ledger")
+    )
 
 
 def _stream_caption_drop_oracle() -> str:
@@ -2308,6 +2351,7 @@ FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1
     "probe a co-located shuffle join; frame-sig posting lists are "
     "bounded by re-edit family sizes, the df-cap pattern applies "
     "unchanged past that.",
+    bench=True,  # r14 verdict #4: benched beside its persisted twin
 )
 def stream_media_video_keeper_dedup(
     spark: SparkSession, sf_dir: str
@@ -2315,8 +2359,38 @@ def stream_media_video_keeper_dedup(
     return _video_keeper_stream(spark, sf_dir, roundrobin=False)
 
 
+@query(
+    "stream_media_video_keeper_dedup_persisted",
+    oracle=_video_keeper_oracle(),
+    bench=True,
+    doc="The VIDEO keeper dedup in its PRODUCTION READ-BACK shape (r14 "
+    "verdict #4): identical frame-signature quarantine pipeline, "
+    "per-clip decision ledger written to a KEPT per-user location "
+    "(overwrite-at-start with the pre-rmtree ownership recheck), "
+    "returned frame IS the parquet-backed ledger — no collect() "
+    "between streaming finish and the caller. Completes the persisted "
+    "read-back column across all four modalities (text packer + "
+    "text/image/audio/video keepers). Oracle verbatim from the "
+    "lifecycle twin; benched beside it.",
+)
+def stream_media_video_keeper_dedup_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_streaming_twitter_spark.text.corpus import _kept_ledger_dir
+
+    return _video_keeper_stream(
+        spark,
+        sf_dir,
+        roundrobin=False,
+        keep_ledger_dir=_kept_ledger_dir("video_keeper_ledger"),
+    )
+
+
 def _video_keeper_stream(
-    spark: SparkSession, sf_dir: str, roundrobin: bool
+    spark: SparkSession,
+    sf_dir: str,
+    roundrobin: bool,
+    keep_ledger_dir: "str | None" = None,
 ) -> DataFrame:
     import os
     import shutil
@@ -2330,7 +2404,15 @@ def _video_keeper_stream(
 
     tmp = tempfile.mkdtemp(prefix="vfp_keeper_stream_")
     idx_dir = os.path.join(tmp, "index")
-    ledger_dir = os.path.join(tmp, "ledger")
+    if keep_ledger_dir is not None:
+        from spark_streaming_twitter_spark.text.corpus import (
+            _reclaim_ledger_dir,
+        )
+
+        _reclaim_ledger_dir(keep_ledger_dir)
+        ledger_dir = keep_ledger_dir
+    else:
+        ledger_dir = os.path.join(tmp, "ledger")
     try:
         src = fp_video_table(spark, sf_dir)
         spool = (
@@ -2362,6 +2444,8 @@ def _video_keeper_stream(
             "n_index_hits",
             (F.col("n_index_hits") == 0).alias("kept"),
         )
+        if keep_ledger_dir is not None:
+            return ledger
         rows = ledger.collect()
         out = spark.createDataFrame(rows, ledger.schema)
     finally:
@@ -2409,6 +2493,7 @@ def stream_media_audio_ttl_dedup(
     "epochs as a CTE chain with the verify in the hit join (shared "
     "builder with the image keeper — one banded design, per-modality "
     "signature/width/radius).",
+    bench=True,  # r14 verdict #4: benched beside its persisted twin
 )
 def stream_media_audio_keeper_dedup(
     spark: SparkSession, sf_dir: str
@@ -2421,6 +2506,38 @@ def stream_media_audio_keeper_dedup(
         AFP_CHUNKS,
         12,
         AFP_RADIUS,
+    )
+
+
+@query(
+    "stream_media_audio_keeper_dedup_persisted",
+    oracle=_chunk_keeper_oracle(
+        _AFP_SIGS_SQL, "afps", "fingerprint", "auds",
+        AFP_CHUNKS, 12, AFP_RADIUS,
+    ),
+    bench=True,
+    doc="The AUDIO keeper dedup in its PRODUCTION READ-BACK shape (r14 "
+    "verdict #4): identical acoustic-fingerprint quarantine pipeline, "
+    "per-clip decision ledger written to a KEPT per-user location "
+    "(overwrite-at-start with the pre-rmtree ownership recheck), "
+    "returned frame IS the parquet-backed ledger — no collect() "
+    "between streaming finish and the caller. Oracle verbatim from "
+    "the lifecycle twin; benched beside it.",
+)
+def stream_media_audio_keeper_dedup_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_streaming_twitter_spark.text.corpus import _kept_ledger_dir
+
+    return _chunk_keeper_stream(
+        spark,
+        fp_audio_table(spark, sf_dir),
+        audio_fingerprints,
+        "fingerprint",
+        AFP_CHUNKS,
+        12,
+        AFP_RADIUS,
+        keep_ledger_dir=_kept_ledger_dir("audio_keeper_ledger"),
     )
 
 

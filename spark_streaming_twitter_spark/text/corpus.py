@@ -674,6 +674,8 @@ def _stream_pack_oracle() -> str:
 @query(
     "stream_pack_training_sequences",
     oracle=_stream_pack_oracle(),
+    bench=True,  # r14 verdict #4: benched beside its persisted twin so
+    # the lifecycle-vs-production cost delta is a measured number
     doc="AT-INGEST sequence packing — extends the streaming story from "
     "curation to TRAINING-EXAMPLE construction: documents arrive in "
     "micro-batches and each is assigned its GLOBAL token offset (and "
@@ -699,6 +701,46 @@ def _stream_pack_oracle() -> str:
 def stream_pack_training_sequences(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return _pack_training_stream(spark, sf_dir)
+
+
+@query(
+    "stream_pack_training_sequences_persisted",
+    oracle=_stream_pack_oracle(),
+    bench=True,
+    doc="The streaming text packer in its PRODUCTION READ-BACK shape "
+    "(r14 verdict #4 — the flagship's _kept_ledger_dir pattern applied "
+    "to the packer family): identical per-trigger sharded-cumsum "
+    "machinery, but the per-doc ledger is written to a KEPT per-user "
+    "location (overwritten at start like any output-table rewrite, "
+    "ownership re-verified immediately before the rmtree) and the "
+    "returned frame IS the parquet-backed ledger — no collect() "
+    "between streaming finish and the caller, so the result scales to "
+    "a corpus-proportional layout table where the harness-lifecycle "
+    "variant (which must materialize before its temp dir dies) "
+    "cannot. At 100 TB the ledger is the training job's input table, "
+    "read where it landed. Oracle verbatim from the lifecycle twin — "
+    "same bits, different lifecycle; benched beside it so the "
+    "production shape's cost is a measured number, not a claim.",
+)
+def stream_pack_training_sequences_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _pack_training_stream(
+        spark, sf_dir, keep_ledger_dir=_kept_ledger_dir("pack_training_ledger")
+    )
+
+
+def _pack_training_stream(
+    spark: SparkSession, sf_dir: str, keep_ledger_dir: "str | None" = None
+) -> DataFrame:
+    """The streaming text packer's shared lifecycle: harness shape
+    (ledger inside the temp dir, collect-materialized before rmtree)
+    when ``keep_ledger_dir`` is None, production read-back shape
+    (ledger written to the kept per-user location, returned frame IS
+    the parquet-backed ledger, no collect) when given — the flagship's
+    `_kept_ledger_dir` pattern (VERDICT r14 #4) applied to the packer
+    family."""
     import os
     import shutil
     import tempfile
@@ -709,7 +751,11 @@ def stream_pack_training_sequences(
     )
 
     tmp = tempfile.mkdtemp(prefix="stream_pack_")
-    ledger_dir = os.path.join(tmp, "ledger")
+    if keep_ledger_dir is not None:
+        _reclaim_ledger_dir(keep_ledger_dir)
+        ledger_dir = keep_ledger_dir
+    else:
+        ledger_dir = os.path.join(tmp, "ledger")
     carry = {"offset": 0}
     try:
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -722,6 +768,8 @@ def stream_pack_training_sequences(
         out = spark.read.parquet(ledger_dir).select(
             "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq"
         )
+        if keep_ledger_dir is not None:
+            return out
         rows = out.collect()
         result = spark.createDataFrame(rows, out.schema)
     finally:
