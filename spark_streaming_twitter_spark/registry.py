@@ -57,7 +57,11 @@ def query(
 # count became contractual (fixed K=5, was loop-until-threshold; VERDICT
 # r14 #1) — same rows at sf0.01, but the gate must re-prove that, not
 # inherit r13's evidence.
+# Also round 15: similarity_index_structure_curve grew the SQ8 and
+# matryoshka tiers (schema + oracle extended), so its r14 evidence is
+# stale.
 _RECHECK_FIRST: tuple[str, ...] = (
+    "similarity_index_structure_curve",
     "ivf_rebalance_skewed_trajectory",
     "similarity_ivf_topk_skewed_rebalanced",
     "similarity_ivf_skewed_probe_cost",
