@@ -134,6 +134,30 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_LOAD_PROBE", "1") != "0":
         load_indicator = _load_indicator(spark, specs)
 
+    # Per-round driver peak-heap line (VERDICT r14 #5): the co-timed
+    # anchor convention applied to memory. Sum of the JVM heap pools'
+    # peak usage after the full headline set ran — the number that says
+    # whether the default 8 g driver is still sufficient, recorded in
+    # every artifact instead of a once-a-round GC-log probe.
+    peak_heap_mb = max_heap_mb = None
+    try:
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        peak = 0
+        for pool in mf.getMemoryPoolMXBeans():
+            if pool.getType().toString() == "Heap memory":
+                peak += pool.getPeakUsage().getUsed()
+        peak_heap_mb = round(peak / (1024 * 1024))
+        max_heap_mb = round(
+            mf.getMemoryMXBean().getHeapMemoryUsage().getMax()
+            / (1024 * 1024)
+        )
+        print(
+            f"# driver_peak_heap: {peak_heap_mb} MB of {max_heap_mb} MB",
+            file=sys.stderr,
+        )
+    except Exception:
+        pass  # a JVM without the MXBean surface degrades to null, marked
+
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
@@ -152,6 +176,10 @@ def main() -> None:
         # should be read as host load, not plan changes (round 9 measured a
         # sustained 1.02->1.14 intra-session ramp on identical code).
         "load_indicator": load_indicator,
+        # VERDICT r14 #5: peak JVM heap after the full headline set — the
+        # standing 8 g-driver-sufficiency check, per artifact.
+        "driver_peak_heap_mb": peak_heap_mb,
+        "driver_max_heap_mb": max_heap_mb,
     }
     sys.stderr.flush()
     print(json.dumps(out), flush=True)
@@ -197,6 +225,22 @@ def main() -> None:
         return m
 
     ab = _abbrev(timings)
+    # VERDICT r14 #6: the compact-echo renames cost the judge a hand-built
+    # map — commit the canonical full-name -> abbreviated-key map beside
+    # the artifacts so every BENCH_r{N}.json key resolves mechanically.
+    try:
+        alias_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "bench_artifacts",
+            "bench_name_alias.json",
+        )
+        with open(alias_path, "w") as fh:
+            json.dump(
+                {k: ab[k] for k in sorted(ab)}, fh, indent=0, sort_keys=True
+            )
+            fh.write("\n")
+    except OSError:
+        pass
     compact = {
         "metric": out["metric"],
         "value": out["value"],

@@ -36,7 +36,7 @@ from spark_streaming_twitter_spark.functions.hashing import (
     portable_hash,
     portable_hash_sql,
 )
-from spark_streaming_twitter_spark.registry import query
+from spark_streaming_twitter_spark.registry import QUERIES, query
 from spark_streaming_twitter_spark.text.analysis import tokens
 
 SEQ_LEN = 2048  # tokens per packed training sequence
@@ -258,6 +258,32 @@ FROM c
 def stream_pack_multimodal_sequences(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return _pack_multimodal_stream(spark, sf_dir)
+
+
+@query(
+    "stream_pack_multimodal_sequences_persisted",
+    oracle=QUERIES["stream_pack_multimodal_sequences"].oracle,
+    doc="The multimodal streaming packer in its PRODUCTION READ-BACK "
+    "shape (r14 verdict #4, same _kept_ledger_dir pattern as the text "
+    "packer's persisted twin): identical count-agnostic per-trigger "
+    "body with the multimodal budget, ledger written to a kept "
+    "per-user location (overwrite-at-start with the pre-rmtree "
+    "ownership recheck), returned frame IS the parquet-backed ledger "
+    "— no collect() between streaming finish and the caller. Oracle "
+    "verbatim from the lifecycle twin.",
+)
+def stream_pack_multimodal_sequences_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _pack_multimodal_stream(
+        spark, sf_dir, keep_ledger_dir=_kept_ledger_dir("pack_mm_ledger")
+    )
+
+
+def _pack_multimodal_stream(
+    spark: SparkSession, sf_dir: str, keep_ledger_dir: "str | None" = None
+) -> DataFrame:
     import os
     import shutil
     import tempfile
@@ -268,7 +294,11 @@ def stream_pack_multimodal_sequences(
     )
 
     tmp = tempfile.mkdtemp(prefix="stream_pack_mm_")
-    ledger_dir = os.path.join(tmp, "ledger")
+    if keep_ledger_dir is not None:
+        _reclaim_ledger_dir(keep_ledger_dir)
+        ledger_dir = keep_ledger_dir
+    else:
+        ledger_dir = os.path.join(tmp, "ledger")
     carry = {"offset": 0}
     media_cost = F.element_at(
         F.array(*[F.lit(v) for v in MEDIA_TOKEN_COST.values()]),
@@ -286,6 +316,8 @@ def stream_pack_multimodal_sequences(
         out = spark.read.parquet(ledger_dir).select(
             "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq"
         )
+        if keep_ledger_dir is not None:
+            return out
         rows = out.collect()
         result = spark.createDataFrame(rows, out.schema)
     finally:
@@ -2114,6 +2146,32 @@ FROM c
 def stream_pack_training_sequences_ranged(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return _pack_ranged_stream(spark, sf_dir)
+
+
+@query(
+    "stream_pack_training_sequences_ranged_persisted",
+    oracle=QUERIES["stream_pack_training_sequences_ranged"].oracle,
+    doc="The multi-writer (ranged) streaming packer in its PRODUCTION "
+    "READ-BACK shape (r14 verdict #4): identical per-trigger "
+    "coordinator-cumsum + per-part packing, ledger written to a kept "
+    "per-user location (overwrite-at-start with the pre-rmtree "
+    "ownership recheck), returned frame IS the parquet-backed ledger "
+    "with both handoff columns (batch, part, part_range_start) — no "
+    "collect() between streaming finish and the caller. Oracle "
+    "verbatim from the lifecycle twin.",
+)
+def stream_pack_training_sequences_ranged_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _pack_ranged_stream(
+        spark, sf_dir, keep_ledger_dir=_kept_ledger_dir("pack_ranged_ledger")
+    )
+
+
+def _pack_ranged_stream(
+    spark: SparkSession, sf_dir: str, keep_ledger_dir: "str | None" = None
+) -> DataFrame:
     import os
     import shutil
     import tempfile
@@ -2124,7 +2182,11 @@ def stream_pack_training_sequences_ranged(
     )
 
     tmp = tempfile.mkdtemp(prefix="stream_pack_ranged_")
-    ledger_dir = os.path.join(tmp, "ledger")
+    if keep_ledger_dir is not None:
+        _reclaim_ledger_dir(keep_ledger_dir)
+        ledger_dir = keep_ledger_dir
+    else:
+        ledger_dir = os.path.join(tmp, "ledger")
     carry = {"offset": 0, "batch": 0}
     try:
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2138,6 +2200,8 @@ def stream_pack_training_sequences_ranged(
             "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq",
             "batch", "part", "part_range_start",
         )
+        if keep_ledger_dir is not None:
+            return out
         rows = out.collect()
         result = spark.createDataFrame(rows, out.schema)
     finally:

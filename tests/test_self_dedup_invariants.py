@@ -970,8 +970,12 @@ def test_packer_and_keeper_persisted_twins_parquet_backed(spark):
         stream_media_video_keeper_dedup_persisted,
     )
     from spark_streaming_twitter_spark.text.corpus import (
+        stream_pack_multimodal_sequences,
+        stream_pack_multimodal_sequences_persisted,
         stream_pack_training_sequences,
         stream_pack_training_sequences_persisted,
+        stream_pack_training_sequences_ranged,
+        stream_pack_training_sequences_ranged_persisted,
     )
 
     sf = "/root/testdata/sf0.001"
@@ -980,6 +984,16 @@ def test_packer_and_keeper_persisted_twins_parquet_backed(spark):
             stream_pack_training_sequences_persisted,
             stream_pack_training_sequences,
             "pack_training_ledger",
+        ),
+        (
+            stream_pack_multimodal_sequences_persisted,
+            stream_pack_multimodal_sequences,
+            "pack_mm_ledger",
+        ),
+        (
+            stream_pack_training_sequences_ranged_persisted,
+            stream_pack_training_sequences_ranged,
+            "pack_ranged_ledger",
         ),
         (
             stream_text_minhash_keeper_dedup_persisted,
