@@ -136,9 +136,14 @@ def main() -> None:
 
     # Per-round driver peak-heap line (VERDICT r14 #5): the co-timed
     # anchor convention applied to memory. Sum of the JVM heap pools'
-    # peak usage after the full headline set ran — the number that says
-    # whether the default 8 g driver is still sufficient, recorded in
-    # every artifact instead of a once-a-round GC-log probe.
+    # peak usage after the full headline set ran — an UPPER BOUND on the
+    # true peak (G1 pools peak at different moments and regions resize,
+    # so the sum over-counts; the 4x run reads 11.2 GB of an 8 GB max
+    # while completing without OOM, i.e. true peak <= max by
+    # construction). Read it as: sum < max proves headroom of at least
+    # (max - sum); sum >= max proves nothing beyond "the run fit" — the
+    # per-round GC-log probe (r14_driver_mem_probe.md) remains the
+    # exact instrument when the bound is not conclusive.
     peak_heap_mb = max_heap_mb = None
     try:
         mf = spark._jvm.java.lang.management.ManagementFactory
