@@ -1557,8 +1557,14 @@ def _text_keeper_stream(
 
         def probe_and_keep(bdf: DataFrame, _epoch_id: int) -> None:
             bdf = bdf.persist()
-            doc_keys = bdf.select("doc_id", "band", "band_key").distinct()
+            # no .distinct() on the band keys: the banding projection is
+            # one row per (doc_id, band) by construction (explode of the
+            # per-doc band structs over a spool where each doc_id appears
+            # in exactly one batch), so the old distinct was a no-op
+            # exchange paid inside BOTH write actions per trigger (r15)
+            doc_keys = bdf.select("doc_id", "band", "band_key")
             media = doc_keys.select("doc_id").distinct()
+            idx = None
             if not state["has_index"]:
                 report = media.select(
                     "doc_id",
@@ -1577,15 +1583,20 @@ def _text_keeper_stream(
                         "n_index_hits"
                     ),
                 )
+            # r15: pin the per-batch report (localCheckpoint — the index
+            # append below recaches every plan reading idx_dir, so a
+            # persisted report would silently rebuild against the
+            # post-append listing; lineage truncation makes that
+            # impossible) and derive the kept set from it directly —
+            # each doc_id arrives in exactly one spool batch, so the old
+            # whole-ledger read-back + broadcast join was bitwise
+            # `report.where(n_index_hits = 0)`; the kept-index relation
+            # is read once per trigger (probe + anti-join share it)
+            report = report.localCheckpoint()
             # executor-written parquet ledger (the run's audit table at
-            # 100 TB), not a driver list; the kept set re-derives from it
+            # 100 TB), not a driver list
             report.write.mode("append").parquet(ledger_dir)
-            kept = (
-                spark.read.parquet(ledger_dir)
-                .join(F.broadcast(media), "doc_id")
-                .where(F.col("n_index_hits") == 0)
-                .select("doc_id")
-            )
+            kept = report.where(F.col("n_index_hits") == 0).select("doc_id")
             novel = (
                 doc_keys.join(F.broadcast(kept), "doc_id")
                 .select("band", "band_key")
@@ -1593,7 +1604,7 @@ def _text_keeper_stream(
             )
             if state["has_index"]:
                 novel = novel.join(
-                    spark.read.parquet(idx_dir),
+                    idx,
                     ["band", "band_key"],
                     "left_anti",
                 )

@@ -745,11 +745,16 @@ WAV_RATE = 16000
 
 def encode_wav(n_samples: int, samples, rate: int = WAV_RATE) -> bytes:
     """Minimal REAL WAV encoder: RIFF/fmt/data chunks, 16-bit mono PCM,
-    little-endian — stdlib struct only. The format every audio pipeline
-    ingests before feature extraction."""
+    little-endian. The format every audio pipeline ingests before
+    feature extraction. The PCM body is packed vectorized (r15, guide
+    §4.2): an explicit little-endian int16 buffer — byte-identical to
+    the old per-sample ``struct.pack('<h', s)`` join for every in-range
+    sample (all fixture generators emit [-32768, 32767])."""
     import struct
 
-    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=np.int64).astype("<i2").tobytes()
     assert len(pcm) == n_samples * 2
     fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
     return (
@@ -814,6 +819,7 @@ def wav_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def encode(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -821,7 +827,11 @@ def wav_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 n = did % 320 + 32
-                samples = [((did * 31 + i) % 65536) - 32768 for i in range(n)]
+                # r15 (guide §4.2): vectorized — same exact integers as
+                # the old per-sample list comp, same bytes
+                samples = (
+                    (did * 31 + np.arange(n, dtype=np.int64)) % 65536
+                ) - 32768
                 payloads.append(encode_wav(n, samples))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 

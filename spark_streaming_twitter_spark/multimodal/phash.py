@@ -77,6 +77,7 @@ def phash_media_from_ids(docs: DataFrame) -> DataFrame:
     payloads per micro-batch)."""
 
     def encode(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -86,9 +87,13 @@ def phash_media_from_ids(docs: DataFrame) -> DataFrame:
                 g, v = did // 24, (did % 24) // 3
                 w, h = g % 16 + 8, g % 12 + 8
                 step, off = (2 * g + 71) % 256, g * 131 + v
-                body = bytes(
-                    (off + i * step) % 256 for i in range(w * h * 3)
-                )
+                # r15 (guide §4.2): vectorized pixel ramp — same exact
+                # integer arithmetic as the old per-byte Python loop
+                # (all terms non-negative, i*step < 2^63), same bytes
+                body = (
+                    (off + np.arange(w * h * 3, dtype=np.int64) * step)
+                    % 256
+                ).astype(np.uint8).tobytes()
                 payloads.append(f"P6\n{w} {h}\n255\n".encode("ascii") + body)
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
@@ -336,6 +341,7 @@ def fp_audio_from_ids(docs: DataFrame) -> DataFrame:
     from spark_streaming_twitter_spark.multimodal.columns import encode_wav
 
     def encode(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -346,9 +352,11 @@ def fp_audio_from_ids(docs: DataFrame) -> DataFrame:
                 n = g % 256 + 200
                 kg = ((g * 4093 + 31) % 65536) | 1
                 off = g * 37 + v * 16
-                samples = [
-                    ((off + i * i * kg) % 65536) - 32768 for i in range(n)
-                ]
+                # r15 (guide §4.2): vectorized waveform — same exact
+                # integer arithmetic as the old per-sample list comp
+                # (off + i*i*kg < 2^63 for every fixture i), same bytes
+                i = np.arange(n, dtype=np.int64)
+                samples = ((off + i * i * kg) % 65536) - 32768
                 payloads.append(encode_wav(n, samples))
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
@@ -654,6 +662,7 @@ def fp_video_from_ids(docs: DataFrame) -> DataFrame:
     from spark_streaming_twitter_spark.multimodal.columns import _mp4_box
 
     def encode(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -662,15 +671,18 @@ def fp_video_from_ids(docs: DataFrame) -> DataFrame:
                 did = int(did)
                 g, v = did // 24, (did % 24) // 3
                 kg = ((g * 4093 + 31) % 256) | 1
-                frames = []
-                for f in range(VIDEO_FRAMES):
-                    bump = 5 + v * 11 if f < v else 0
-                    frames.append(
-                        bytes(
-                            (g * 53 + f * 29 + j * kg + bump) % 256
-                            for j in range(VIDEO_FRAME_BYTES)
-                        )
-                    )
+                # r15 (guide §4.2): vectorized frame matrix — same exact
+                # integer arithmetic as the old per-byte double loop
+                # (every term non-negative and < 2^63), same bytes
+                f_col = np.arange(VIDEO_FRAMES, dtype=np.int64).reshape(
+                    -1, 1
+                )
+                j_row = np.arange(VIDEO_FRAME_BYTES, dtype=np.int64)
+                bump = np.where(f_col < v, 5 + v * 11, 0)
+                mat = (
+                    (g * 53 + f_col * 29 + j_row * kg + bump) % 256
+                ).astype(np.uint8)
+                frames = [mat[f].tobytes() for f in range(VIDEO_FRAMES)]
                 ftyp = _mp4_box(
                     b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2"
                 )
@@ -726,6 +738,7 @@ def video_frame_signatures(df: DataFrame) -> DataFrame:
     from spark_streaming_twitter_spark.multimodal.columns import decode_mp4
 
     def sigs(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -751,15 +764,23 @@ def video_frame_signatures(df: DataFrame) -> DataFrame:
                     pos += size
                 if mdat is None:
                     continue
+                # r15 (guide §4.2): vectorized position-weighted checksum
+                # — np.dot over uint8→int64 is the exact integer sum the
+                # old per-byte loop computed; the cumulative-offset frame
+                # walk keeps the stop-at-first-short-frame semantics
+                # (offsets are monotone, so "first short frame" == "first
+                # frame whose end exceeds len(mdat)")
                 off = 0
                 for f, sz in enumerate(meta["samples"]):
-                    frame = mdat[off : off + sz]
-                    if len(frame) != sz:
+                    if off + sz > len(mdat):
                         break
+                    frame = np.frombuffer(
+                        mdat, np.uint8, count=sz, offset=off
+                    ).astype(np.int64)
                     out["media_id"].append(mid)
                     out["frame_idx"].append(f)
                     out["frame_sig"].append(
-                        sum(b * (j + 1) for j, b in enumerate(frame))
+                        int(frame @ np.arange(1, sz + 1, dtype=np.int64))
                     )
                     off += sz
             yield pd.DataFrame(out)
@@ -1485,15 +1506,30 @@ def make_chunk_keeper_prober(
     kept index (broadcast join + full-signature Hamming verify <=
     radius + per-item verified-hit count), append the per-item decision
     to the ledger, and append ONLY kept items' chunk entries to the
-    index. Returns the batch's media-id frame (for caption propagation
-    / drop collection by the caller). Shared by the standalone keeper
-    streams and the fused single-stream flagship — one protocol, two
-    trigger topologies."""
+    index. Returns the batch's PINNED (localCheckpointed) decision
+    report (media_id, n_index_hits) for caption propagation / drop
+    collection by the caller. Shared by the standalone keeper streams
+    and the fused single-stream flagship — one protocol, two trigger
+    topologies."""
     state = {"has_index": False}
     hamming = F.bit_count(F.col("sig").bitwiseXOR(F.col("ref_sig")))
 
     def probe_and_keep(keys: DataFrame) -> DataFrame:
+        # r15 optimization (guide §2.4/§5): pin the per-batch report once
+        # and derive everything downstream from the pinned rows. The old
+        # body re-read the whole ledger dir and re-joined it against the
+        # batch to recover this batch's kept set — but every media_id
+        # arrives in exactly one spool batch, so that read-back is
+        # bitwise `report.where(n_index_hits = 0)`. localCheckpoint (not
+        # persist) is load-bearing: the index append below triggers
+        # recacheByPath on every cached plan reading idx_dir, which would
+        # silently REBUILD a merely-persisted report against the
+        # post-append file listing (self-matches); the checkpoint
+        # truncates lineage so the report can never be recomputed. The
+        # kept-index relation is likewise read once per trigger (probe +
+        # anti-join share it), not twice.
         media = keys.select("media_id").distinct()
+        idx = None
         if not state["has_index"]:
             report = media.select(
                 "media_id", F.lit(0).cast("bigint").alias("n_index_hits")
@@ -1512,11 +1548,11 @@ def make_chunk_keeper_prober(
                     "n_index_hits"
                 ),
             )
-        # executor-side parquet ledger, not a driver list
+        report = report.localCheckpoint()
+        # executor-side parquet ledger, not a driver list (written from
+        # the checkpointed blocks — the probe join never re-runs)
         report.write.mode("append").parquet(ledger_dir)
-        kept = spark.read.parquet(ledger_dir).join(
-            F.broadcast(media), "media_id"
-        ).where(F.col("n_index_hits") == 0).select("media_id")
+        kept = report.where(F.col("n_index_hits") == 0).select("media_id")
         novel = (
             keys.join(F.broadcast(kept), "media_id")
             .select("c", "chunk_val", F.col("sig").alias("ref_sig"))
@@ -1524,13 +1560,16 @@ def make_chunk_keeper_prober(
         )
         if state["has_index"]:
             novel = novel.join(
-                spark.read.parquet(idx_dir),
+                idx,
                 ["c", "chunk_val", "ref_sig"],
                 "left_anti",
             )
         novel.write.mode("append").parquet(idx_dir)
         state["has_index"] = True
-        return media
+        # contract: the PINNED (localCheckpointed) per-batch decision
+        # report — callers filter it (drops/captions) without re-reading
+        # the ledger; lineage-free, so safe after the index append
+        return report
 
     return probe_and_keep
 
@@ -1567,18 +1606,20 @@ def make_video_keeper_prober(
                     "n_index_hits"
                 ),
             )
+        # r15 optimization: pin the per-batch report (localCheckpoint —
+        # see make_chunk_keeper_prober for why persist() is unsafe here:
+        # the index append recaches every plan reading idx_dir) and
+        # derive the kept set from it directly — each media_id arrives in
+        # exactly one spool batch, so the old ledger read-back +
+        # broadcast join was bitwise `report.where(n_index_hits = 0)`.
+        report = report.localCheckpoint()
         report.write.mode("append").parquet(ledger_dir)
-        kept = (
-            spark.read.parquet(ledger_dir)
-            .join(F.broadcast(media), "media_id")
-            .where(F.col("n_index_hits") == 0)
-            .select("media_id")
-        )
+        kept = report.where(F.col("n_index_hits") == 0).select("media_id")
         dsig.join(F.broadcast(kept), "media_id").select(
             "frame_sig", F.col("media_id").alias("kept_id")
         ).distinct().write.mode("append").parquet(idx_dir)
         state["has_index"] = True
-        return media
+        return report
 
     return probe_and_keep
 
@@ -1671,12 +1712,17 @@ def _chunk_keeper_stream(
 
         def probe_and_keep(bdf: DataFrame, _epoch_id: int) -> None:
             bdf = bdf.persist()
-            keys = bdf.select("media_id", "sig", "c", "chunk_val").distinct()
-            media = prober(keys)
+            # no .distinct() on the chunk keys: the projection is one row
+            # per (media_id, c) by construction (explode of a per-media
+            # 0..n_chunks-1 sequence over a spool where each media_id
+            # appears in exactly one batch), so the old distinct was a
+            # no-op exchange paid inside BOTH write actions per trigger
+            keys = bdf.select("media_id", "sig", "c", "chunk_val")
+            report = prober(keys)
             if caption_dir is not None:
-                drops = spark.read.parquet(ledger_dir).join(
-                    F.broadcast(media), "media_id"
-                ).where(F.col("n_index_hits") > 0)
+                # this batch's drops, straight from the pinned report
+                # (bitwise what the old ledger read-back + batch join gave)
+                drops = report.where(F.col("n_index_hits") > 0)
                 caption_docs.join(
                     F.broadcast(drops),
                     F.col("doc_id") == F.col("media_id"),
@@ -2435,6 +2481,8 @@ def _video_keeper_stream(
 
         def probe_and_keep(bdf: DataFrame, _epoch_id: int) -> None:
             bdf = bdf.persist()
+            # frame_sig CAN repeat within a clip, so the distinct here is
+            # load-bearing (the prober contract is distinct rows) — kept
             prober(bdf.select("media_id", "frame_sig").distinct())
             bdf.unpersist()
 

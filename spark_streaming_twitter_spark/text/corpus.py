@@ -28,7 +28,7 @@ Scale designs, per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_streaming_twitter_spark.catalog import table, widen
@@ -829,15 +829,29 @@ def _make_pack_batch(
         count_expr = F.size(tokens(F.col("text"))).cast("bigint")
 
     def pack_batch(bdf: DataFrame, _epoch_id: int) -> None:
+        # r15 optimization (guide §2.3/§5): persist the NARROW per-doc
+        # token counts, not the raw batch. The old body cached the full
+        # (doc_id, text) rows and recomputed the tokenize for every scan
+        # of `toks` — the two cumsum branches and the running-total agg
+        # each re-split the text, ~3 tokenizations per trigger. Caching
+        # (doc_id, shard, n_tokens) runs the tokenizer once per trigger
+        # and the cache holds 3 bigints/row instead of the payload. bdf
+        # stays persisted too: the max_id broadcast subquery and the toks
+        # scan are separate evaluations of bdf's plan (which for the
+        # flagship is the reject anti-join — worth computing exactly once).
         bdf = bdf.persist()
         max_id = bdf.agg(F.max("doc_id").alias("max_doc_id"))
-        toks = bdf.crossJoin(F.broadcast(max_id)).select(
-            "doc_id",
-            F.expr(
-                f"doc_id DIV greatest({PACK_SHARD}L, "
-                f"max_doc_id DIV {PACK_MAX_SHARDS} + 1)"
-            ).alias("shard"),
-            count_expr.alias("n_tokens"),
+        toks = (
+            bdf.crossJoin(F.broadcast(max_id))
+            .select(
+                "doc_id",
+                F.expr(
+                    f"doc_id DIV greatest({PACK_SHARD}L, "
+                    f"max_doc_id DIV {PACK_MAX_SHARDS} + 1)"
+                ).alias("shard"),
+                count_expr.alias("n_tokens"),
+            )
+            .persist()
         )
         w_in = (
             Window.partitionBy("shard")
@@ -884,10 +898,17 @@ def _make_pack_batch(
             packed = packed.withColumn(
                 "arrival_epoch", F.lit(carry["batch"]).cast("bigint")
             )
+        # r15: the running total rides the write action as an observed
+        # metric (CollectMetrics) — sum(n_tokens) over `packed` is the
+        # same rows as over `toks` (the shard join drops nothing), so
+        # the old separate agg job per trigger is folded into the write
+        obs = Observation()
+        packed = packed.observe(obs, F.sum("n_tokens").alias("total"))
         packed.write.mode("append").parquet(ledger_dir)
-        total = toks.agg(F.sum("n_tokens")).first()[0]
+        total = obs.get["total"]
         carry["offset"] += int(total or 0)
         carry["batch"] = carry.get("batch", 0) + 1
+        toks.unpersist()
         bdf.unpersist()
 
     return pack_batch
@@ -909,19 +930,25 @@ def _make_ranged_pack_batch(ledger_dir: str, carry: dict):
     cumsum — no window sees another writer's rows."""
 
     def pack_batch(bdf: DataFrame, _epoch_id: int) -> None:
+        # r15: same narrow-cache + observed-total shape as _make_pack_batch
+        # — tokenize once per trigger, running total rides the write
         bdf = bdf.persist()
         bmax = bdf.agg(F.max("doc_id").alias("bmax"))
-        toks = bdf.crossJoin(F.broadcast(bmax)).select(
-            "doc_id",
-            F.expr(
-                f"doc_id DIV greatest({PACK_PART_MIN}L, "
-                f"bmax DIV {PACK_MAX_PARTS} + 1)"
-            ).alias("part"),
-            F.expr(
-                f"doc_id DIV greatest({PACK_SHARD}L, "
-                f"bmax DIV {PACK_MAX_SHARDS} + 1)"
-            ).alias("shard"),
-            F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        toks = (
+            bdf.crossJoin(F.broadcast(bmax))
+            .select(
+                "doc_id",
+                F.expr(
+                    f"doc_id DIV greatest({PACK_PART_MIN}L, "
+                    f"bmax DIV {PACK_MAX_PARTS} + 1)"
+                ).alias("part"),
+                F.expr(
+                    f"doc_id DIV greatest({PACK_SHARD}L, "
+                    f"bmax DIV {PACK_MAX_SHARDS} + 1)"
+                ).alias("shard"),
+                F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+            )
+            .persist()
         )
         # COORDINATOR: per-part totals -> range starts, seeded by the
         # carried cross-trigger running total. Bounded rows.
@@ -990,10 +1017,13 @@ def _make_ranged_pack_batch(ledger_dir: str, carry: dict):
                 "part_range_start",
             )
         )
+        obs = Observation()
+        packed = packed.observe(obs, F.sum("n_tokens").alias("total"))
         packed.write.mode("append").parquet(ledger_dir)
-        total = toks.agg(F.sum("n_tokens")).first()[0]
+        total = obs.get["total"]
         carry["offset"] += int(total or 0)
         carry["batch"] += 1
+        toks.unpersist()
         bdf.unpersist()
 
     return pack_batch
@@ -3686,8 +3716,12 @@ def _mm_fused_impl(
                 .bitwiseAND(F.lit(mask))
                 .cast("bigint"),
             )
+            # no .distinct(): one row per (media_id, c) by construction
+            # (explode of a per-media 0..n_chunks-1 sequence over unique
+            # batch ids) — the old distinct was a no-op exchange paid in
+            # both prober write actions (r15; video keeps its distinct,
+            # frame_sigs genuinely repeat within a clip)
             .select("media_id", "sig", "c", "chunk_val")
-            .distinct()
         )
 
     carry = {"offset": 0}
@@ -3706,17 +3740,20 @@ def _mm_fused_impl(
         def ids(k: int) -> DataFrame:
             return bdf.where(F.col("doc_id") % 3 == k).select("doc_id")
 
-        def probe(kind: str, frame: DataFrame) -> None:
+        def probe(kind: str, frame: DataFrame) -> DataFrame:
             # persist the synthesized keys/signatures before the prober:
             # each prober runs >=2 actions (ledger append + index update)
             # over this frame, and without the cache the mapInPandas
             # payload synthesis + hashing recomputes per action — exactly
             # the per-trigger cost the fused topology exists to price
             # (ADVICE r13; the standalone streams persist their
-            # micro-batch the same way)
+            # micro-batch the same way). Returns the prober's PINNED
+            # (localCheckpointed) per-batch decision report (r15) —
+            # lineage-free, so unpersisting the input frame here cannot
+            # force a payload re-synthesis.
             frame = frame.persist()
             try:
-                probers[kind](frame)
+                return probers[kind](frame)
             finally:
                 frame.unpersist()
 
@@ -3747,18 +3784,16 @@ def _mm_fused_impl(
                 .select("media_id", "frame_sig")
                 .distinct(),
             )
-            fi.result(), fa.result(), fv.result()
-        # this batch's drops, from the decision ledgers the probers just
-        # appended (every doc is decided the trigger it arrives, so the
-        # batch-local anti-join sees exactly the full-drop-set semantics)
-        batch_media = bdf.select(F.col("doc_id").alias("media_id"))
+            reports = [fi.result(), fa.result(), fv.result()]
+        # this batch's drops, straight from the probers' PINNED
+        # per-batch reports (r15 — bitwise what the old per-modality
+        # ledger read-back + batch join produced: every doc is decided
+        # the trigger it arrives, so each ledger's rows for this batch's
+        # media ARE this trigger's report rows)
         drops = None
-        for led in mod_ledgers.values():
-            d = (
-                spark.read.parquet(led)
-                .join(F.broadcast(batch_media), "media_id")
-                .where(F.col("n_index_hits") > 0)
-                .select(F.col("media_id").alias("doc_id"))
+        for rep in reports:
+            d = rep.where(F.col("n_index_hits") > 0).select(
+                F.col("media_id").alias("doc_id")
             )
             drops = d if drops is None else drops.unionByName(d)
         # VERDICT r13 #1: the per-trigger reject set is batch-bounded but
