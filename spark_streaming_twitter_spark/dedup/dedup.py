@@ -2417,9 +2417,16 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos0", "sh"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sh")
-    rare = psh.withColumn(
-        "occ", F.count(F.lit(1)).over(Window.partitionBy("sh"))
-    ).where(F.col("occ") <= SPAN_MAX_SHINGLE_OCC)
+    # r15: both sides of the diagonal self-join read this relation; cache
+    # it so the tokenize + explode + occurrence-count window run once,
+    # not once per side (the dedup_prefix_filter_pairs persist precedent)
+    rare = (
+        psh.withColumn(
+            "occ", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        )
+        .where(F.col("occ") <= SPAN_MAX_SHINGLE_OCC)
+        .persist()
+    )
     a, b = rare.alias("a"), rare.alias("b")
     m = a.join(
         b,
@@ -2508,9 +2515,15 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(
         table(spark, sf_dir, "documents").select("doc_id", "text"), spark
     )
+    # r15 (guide §5, the dedup_prefix_filter_pairs precedent): the token
+    # arrays are read by THREE consumers below (the positional-shingle
+    # explode, the survivor re-explode, and the totals) and the regex
+    # tokenize is a higher-order expression with no codegen subexpression
+    # elimination — cache it once. At 100 TB this cache is the tokenized
+    # staging table the removal pipeline writes anyway.
     with_toks = docs.select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
-    )
+    ).persist()
     psh = (
         with_toks.where(F.size("toks") >= SHINGLE_N)
         .select(
@@ -2526,9 +2539,16 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "sh")
     )
-    rare = psh.withColumn(
-        "occ", F.count(F.lit(1)).over(Window.partitionBy("sh"))
-    ).where(F.col("occ") <= SPAN_MAX_SHINGLE_OCC)
+    # r15: both sides of the diagonal self-join read this relation; cache
+    # it so the tokenize + explode + occurrence-count window run once,
+    # not once per side (the dedup_prefix_filter_pairs persist precedent)
+    rare = (
+        psh.withColumn(
+            "occ", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        )
+        .where(F.col("occ") <= SPAN_MAX_SHINGLE_OCC)
+        .persist()
+    )
     a, b = rare.alias("a"), rare.alias("b")
     m = a.join(
         b,
@@ -2676,7 +2696,12 @@ def near_dup_verified_pairs(
     # corpus — at 100 TB the verify stage reads candidates, not data. No
     # widen here: the join filters to the (small) candidate set before any
     # heavy compute, and at scale the scan has its own splits.
-    sh = doc_shingles(verify_docs.join(cand_ids, "doc_id"))
+    # r15 (guide §5): persist the candidate shingles — they are read three
+    # times below (sizes + both sides of the intersection join), and each
+    # read re-ran the scan + join + tokenize + explode. The cache is
+    # candidate-bounded (the same argument that makes `cand` a checkpoint),
+    # and the ContextCleaner frees it when the returned plan dies.
+    sh = doc_shingles(verify_docs.join(cand_ids, "doc_id")).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("__doc_b"), F.col("sh").alias("sh_b"))

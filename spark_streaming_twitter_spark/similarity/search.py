@@ -115,7 +115,14 @@ def _corpus_with_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # widen: per-element vector expressions over a single-file scan would
     # run one task; at scale the corpus has many splits and this is a no-op.
     emb = widen(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
-    return emb.withColumn("n2", scaled_norm2(F.col("embedding")))
+    # r15 (guide §5): every consumer evaluates this frame 2-4 times (both
+    # sides of the bucket/cell joins, plus the exact re-rank's query and
+    # neighbor sides), each paying the scan + per-element norm transform.
+    # Cache it: this is the prepared-vectors table an ANN build
+    # materializes anyway; it reads only the fixture parquet (never a
+    # path any query writes), so no recacheByPath hazard, and the
+    # ContextCleaner frees the per-call entry when the plan dies.
+    return emb.withColumn("n2", scaled_norm2(F.col("embedding"))).persist()
 
 
 _COSINE_SQL = (
@@ -567,8 +574,14 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"),
         spark,
     )
-    corpus = emb.withColumn("n2", scaled_norm2(F.col("embedding"))).withColumn(
-        "qv", _quantized(F.col("embedding"))
+    # r15 (guide §5): three consumers below (centroid dims, the query
+    # subset, the cell scan) each re-ran the scan + norm + quantization
+    # array transforms; cache the prepared corpus once (at 100 TB this is
+    # the prepared-vectors table an IVF build materializes anyway)
+    corpus = (
+        emb.withColumn("n2", scaled_norm2(F.col("embedding")))
+        .withColumn("qv", _quantized(F.col("embedding")))
+        .persist()
     )
     # exact per-dim integer centroid: posexplode -> (label, d, sum//count)
     dims = corpus.select(

@@ -133,12 +133,21 @@ def spool_ordered_batches(
     id order — the deterministic-arrival harness every self-referential
     (first-occurrence-wins) streaming query needs for its oracle to
     replay ownership as min-id-per-key."""
-    lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
-    cuts = [lo + (hi - lo + 1) * q // n_batches for q in range(1, n_batches)]
-    b = F.lit(0)
-    for cut in cuts:
-        b = b + (F.col(id_col) > cut).cast("int")
-    _spool_bucketed(df, b, spool_dir, n_batches)
+    # r15 (guide §5): the bounds agg and the bucketed write are two full
+    # evaluations of df's plan — for the media fixtures that plan is the
+    # mapInPandas payload synthesis, so cache it across the two passes
+    df = df.persist()
+    try:
+        lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
+        cuts = [
+            lo + (hi - lo + 1) * q // n_batches for q in range(1, n_batches)
+        ]
+        b = F.lit(0)
+        for cut in cuts:
+            b = b + (F.col(id_col) > cut).cast("int")
+        _spool_bucketed(df, b, spool_dir, n_batches)
+    finally:
+        df.unpersist()
 
 
 def spool_roundrobin_batches(
@@ -181,20 +190,26 @@ def spool_block_reversed_batches(
     D - 1 s), which is exactly the bounded-delay contract a real Kafka
     consumer group provides and the watermark-swept TTL dedup's state
     bound relies on."""
-    lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
-    n = hi - lo + 1
-    if block is None:
-        block = max(2, n // (2 * n_batches))
-    idn = F.col(id_col) - F.lit(lo)
-    ak = (
-        idn
-        - F.pmod(idn, F.lit(block))
-        + (F.lit(block - 1) - F.pmod(idn, F.lit(block)))
-    )
-    b = F.lit(0)
-    for q in range(1, n_batches):
-        b = b + (ak >= F.lit(n * q // n_batches)).cast("int")
-    _spool_bucketed(df, b, spool_dir, n_batches)
+    # r15: cache across the bounds agg + bucketed write, as in
+    # spool_ordered_batches
+    df = df.persist()
+    try:
+        lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
+        n = hi - lo + 1
+        if block is None:
+            block = max(2, n // (2 * n_batches))
+        idn = F.col(id_col) - F.lit(lo)
+        ak = (
+            idn
+            - F.pmod(idn, F.lit(block))
+            + (F.lit(block - 1) - F.pmod(idn, F.lit(block)))
+        )
+        b = F.lit(0)
+        for q in range(1, n_batches):
+            b = b + (ak >= F.lit(n * q // n_batches)).cast("int")
+        _spool_bucketed(df, b, spool_dir, n_batches)
+    finally:
+        df.unpersist()
     return block
 
 
