@@ -29,9 +29,36 @@ TABLES: tuple[str, ...] = (
 )
 
 
+# Session-scoped RELATION cache (r15, guide §6 file-listing costs): each
+# spark.read.parquet call re-lists the path and re-reads the footer schema
+# (~100 ms of driver time), and most queries open the same fixture table
+# 1-3 times; with 70+ bench entries x 3 runs that is pure replanning
+# overhead. The cache holds the lazy DataFrame RELATION only — no rows, no
+# persist, nothing computed — so every action still reads the parquet
+# bytes fresh; the key carries the session id plus the file's
+# (size, mtime_ns), so a regenerated fixture or a new session gets a new
+# relation (the _STAGED_CACHE keying convention applied to scans).
+_RELATION_CACHE: dict[tuple, DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = Path(path).stat()
+        key = (
+            spark.sparkContext.applicationId,
+            path,
+            st.st_size,
+            st.st_mtime_ns,
+        )
+    except OSError:
+        key = None
+    if key is not None:
+        hit = _RELATION_CACHE.get(key)
+        if hit is not None:
+            return hit
     if name == "events":
         # The driver fixture's events.ts is parquet TIMESTAMP(NANOS), which
         # Spark's vectorized reader rejects. Read nanos as INT64 (runtime
@@ -41,11 +68,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # carry a real TIMESTAMP already — convert only when ts reads back
         # as a long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        raw = spark.read.parquet(path)
         if dict(raw.dtypes)["ts"] == "bigint":
             raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        return raw
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        raw = spark.read.parquet(path)
+    if key is not None:
+        if len(_RELATION_CACHE) >= 64:  # bound growth across sessions
+            _RELATION_CACHE.pop(next(iter(_RELATION_CACHE)))
+        _RELATION_CACHE[key] = raw
+    return raw
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -71,13 +103,30 @@ def widen(df: DataFrame, spark: SparkSession, *cols: str) -> DataFrame:
     second shuffle — measured 1.4x on the simhash wide agg). Same no-op
     guard, so at scale the aggregate's own shuffle (which moves only
     partial-agg rows, not text) remains the plan.
+
+    r15: the split-count probe (``df.rdd.getNumPartitions()``) costs
+    ~55 ms of driver-side physical planning per call and returns the
+    same answer for the same analyzed plan in the same session, so it
+    is memoized on (applicationId, semanticHash). A hash collision
+    could only skip/add a repartition — a performance choice, never a
+    correctness one.
     """
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    key = (spark.sparkContext.applicationId, df.semanticHash())
+    n = _SPLITS_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if len(_SPLITS_CACHE) >= 512:
+            _SPLITS_CACHE.pop(next(iter(_SPLITS_CACHE)))
+        _SPLITS_CACHE[key] = n
+    if n >= target:
         return df
     if cols:
         return df.repartition(target, *[F.col(c) for c in cols])
     return df.repartition(target)
+
+
+_SPLITS_CACHE: dict[tuple, int] = {}
 
 
 def _fixture_fingerprint(sf_dir: str) -> str:

@@ -361,3 +361,94 @@ def test_caption_drops_are_image_linked_and_never_the_keeper(spark):
         assert r.doc_id % 3 == 0, r
         assert r.kept_media_id % 3 == 0, r
         assert r.caption_len > 0 and r.kept_caption_len > 0, r
+
+
+def test_keeper_prober_report_is_pinned_across_index_append(spark, tmp_path):
+    """r15 prober contract: probe_and_keep returns the batch's PINNED
+    decision report, and the pin must survive the index append. The
+    append fires recacheByPath on every cached plan reading the index
+    dir — a merely-persisted report would silently rebuild against the
+    post-append listing and self-match its own batch (every kept item
+    gains >= n_chunks hits). Regression shape: epoch-2 report read
+    AFTER the append must still match the ledger rows written for that
+    epoch, bit for bit."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitter_spark.registry import load_all
+
+    load_all()  # phash's oracles compose registry entries from dedup
+    from spark_streaming_twitter_spark.multimodal import phash as ph
+
+    idx_dir = str(tmp_path / "index")
+    ledger_dir = str(tmp_path / "ledger")
+    prober = ph.make_chunk_keeper_prober(
+        spark, idx_dir, ledger_dir, ph.PHASH_RADIUS
+    )
+    media = ph.phash_media_table(spark, SF)
+    sig = ph.perceptual_hashes(media)
+    mask = (1 << 14) - 1
+    chunks = (
+        sig.select(
+            "media_id",
+            F.col("dhash").alias("sig"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(ph.PHASH_CHUNKS - 1))
+            ).alias("c"),
+        )
+        .withColumn(
+            "chunk_val",
+            F.expr("shiftright(sig, c * 14)")
+            .bitwiseAND(F.lit(mask))
+            .cast("bigint"),
+        )
+        .select("media_id", "sig", "c", "chunk_val")
+    )
+    lo, hi = media.agg(F.min("media_id"), F.max("media_id")).first()
+    cut = lo + (hi - lo) // 2
+    r1 = prober(chunks.where(F.col("media_id") <= cut))
+    r2 = prober(chunks.where(F.col("media_id") > cut))
+    # read AFTER both appends: the pinned reports must equal the ledger
+    ledger = {
+        (r.media_id, r.n_index_hits)
+        for r in spark.read.parquet(ledger_dir).collect()
+    }
+    got = {(r.media_id, r.n_index_hits) for r in r1.collect()} | {
+        (r.media_id, r.n_index_hits) for r in r2.collect()
+    }
+    assert got == ledger
+    # epoch 2 must contain real probe results against epoch 1 only —
+    # a recache-poisoned report would give EVERY epoch-2 item hits
+    e2_hits = [r.n_index_hits for r in r2.collect()]
+    assert any(h == 0 for h in e2_hits), "poisoned report: all self-matched"
+
+
+def test_pack_batch_observed_total_and_empty_batch(spark, tmp_path):
+    """r15 packer internals: the running total rides the ledger write as
+    an observed metric. An EMPTY micro-batch must write nothing, leave
+    the carried offset unchanged (sum over zero rows observes NULL), and
+    a following batch must continue from the same offset."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_twitter_spark.registry import load_all
+
+    load_all()  # corpus oracles compose registry entries from dedup/phash
+    from spark_streaming_twitter_spark.text.corpus import _make_pack_batch
+
+    ledger = str(tmp_path / "ledger")
+    carry = {"offset": 0}
+    pack = _make_pack_batch(ledger, carry)
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f")], "doc_id long, text string"
+    )
+    pack(docs.where(F.col("doc_id") <= 2), 0)
+    assert carry["offset"] == 5
+    empty = docs.where(F.col("doc_id") < 0)
+    pack(empty, 1)
+    assert carry["offset"] == 5  # NULL-sum guard: unchanged
+    pack(docs.where(F.col("doc_id") == 3), 2)
+    assert carry["offset"] == 6
+    rows = {
+        (r.doc_id, r.n_tokens, r.start_offset)
+        for r in spark.read.parquet(ledger).collect()
+    }
+    assert rows == {(1, 3, 0), (2, 2, 3), (3, 1, 5)}
