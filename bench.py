@@ -71,9 +71,19 @@ def main() -> None:
     # exactly how BENCH_r05 fabricated a 2.4x "regression" for
     # stream_events_per_minute (VERDICT r5 #1).
     runs = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # r16 (VERDICT r15 #3): release every scoped staging persist between
+    # timed runs — CacheManager keys cached relations by canonical plan,
+    # so without this the first run's staging cache serves reruns and
+    # sibling queries and the bench prices warm staging, not the query.
+    # Runs outside the timed window; each run's first touch then pays
+    # the staging build inside its own timing. Timed region, min-of-N
+    # and the JSON contract are unchanged.
+    from spark_streaming_twitter_spark.catalog import release_staged
+
     staged_times = []
     for _ in range(runs):
         _dedup._STAGED_CACHE.clear()
+        release_staged()
         t0 = time.perf_counter()
         _dedup.staged_dedup_artifacts(spark, sf_dir)
         staged_times.append(time.perf_counter() - t0)
@@ -99,6 +109,7 @@ def main() -> None:
             # Time fn + collect: some queries do their real work inside fn
             # (streaming runs to completion, the CC label loop iterates) —
             # timing only the collect would report those as near-zero.
+            release_staged()
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             n = len(df.collect())
@@ -116,6 +127,7 @@ def main() -> None:
             if statistics.median(times) <= 1.25 * min(times):
                 break
             for _ in range(2):
+                release_staged()
                 t0 = time.perf_counter()
                 df = spec.fn(spark, sf_dir)
                 n = len(df.collect())
@@ -332,7 +344,10 @@ def _load_indicator(spark, specs) -> "dict | None":
     None when the anchor file or fixture is unavailable or stale."""
     import math
 
-    from spark_streaming_twitter_spark.catalog import _fixture_fingerprint
+    from spark_streaming_twitter_spark.catalog import (
+        _fixture_fingerprint,
+        release_staged,
+    )
 
     anchor_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -358,6 +373,7 @@ def _load_indicator(spark, specs) -> "dict | None":
             continue
         times = []
         for _ in range(3):
+            release_staged()
             t0 = time.perf_counter()
             spec.fn(spark, ref_dir).collect()
             times.append(time.perf_counter() - t0)

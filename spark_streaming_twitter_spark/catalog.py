@@ -35,9 +35,12 @@ TABLES: tuple[str, ...] = (
 # 1-3 times; with 70+ bench entries x 3 runs that is pure replanning
 # overhead. The cache holds the lazy DataFrame RELATION only — no rows, no
 # persist, nothing computed — so every action still reads the parquet
-# bytes fresh; the key carries the session id plus the file's
-# (size, mtime_ns), so a regenerated fixture or a new session gets a new
-# relation (the _STAGED_CACHE keying convention applied to scans).
+# bytes fresh; the key carries the session identity (id(spark), not just
+# applicationId: sibling sessions from spark.newSession() share an appId
+# but must not share relations bound to another session — ADVICE r15)
+# plus the file's (size, mtime_ns), so a regenerated fixture or a new
+# session gets a new relation (the _STAGED_CACHE keying convention
+# applied to scans).
 _RELATION_CACHE: dict[tuple, DataFrame] = {}
 
 
@@ -45,10 +48,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        # Set the nanos conf BEFORE the cache lookup (ADVICE r15): a
+        # session that gets a cache hit must still carry the conf in its
+        # own scope, or a later uncached read in that session would
+        # reject the TIMESTAMP(NANOS) column.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         st = Path(path).stat()
         key = (
             spark.sparkContext.applicationId,
+            id(spark),
             path,
             st.st_size,
             st.st_mtime_ns,
@@ -62,12 +72,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # The driver fixture's events.ts is parquet TIMESTAMP(NANOS), which
         # Spark's vectorized reader rejects. Read nanos as INT64 (runtime
-        # conf), then convert to a proper TimestampType with integer
-        # division (ts DIV 1000 → micros; float division would lose
+        # conf, set above), then convert to a proper TimestampType with
+        # integer division (ts DIV 1000 → micros; float division would lose
         # precision above 2^53 ns). Re-written copies (tools/scale_probe.py)
         # carry a real TIMESTAMP already — convert only when ts reads back
         # as a long.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
         if dict(raw.dtypes)["ts"] == "bigint":
             raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
@@ -127,6 +136,40 @@ def widen(df: DataFrame, spark: SparkSession, *cols: str) -> DataFrame:
 
 
 _SPLITS_CACHE: dict[tuple, int] = {}
+
+
+# Scoped STAGING persists (VERDICT r15 #3). Intra-query staging tables —
+# prepared ANN vectors, tokenized arrays, candidate shingles — persist so
+# ONE query evaluation computes them once instead of once per consumer.
+# But Spark's CacheManager keys cached relations by canonical plan and
+# holds them until an explicit unpersist or session stop (the
+# ContextCleaner does NOT free them when the returned plan dies), so a
+# bare .persist() with no unpersist lets the SAME entry serve bench
+# reruns and sibling queries — the bench would then price warm staging,
+# not the query. Every staging persist registers here, and bench.py
+# releases the registry between timed runs: each run pays its own
+# staging build, first touch inside the timed region.
+_STAGED_PERSISTS: list[DataFrame] = []
+
+
+def stage(df: DataFrame) -> DataFrame:
+    """Persist an intra-query staging relation, registered for scoped
+    release (``release_staged``). Use for relations a single query reads
+    more than once; never for cross-run result caching."""
+    df = df.persist()
+    _STAGED_PERSISTS.append(df)
+    return df
+
+
+def release_staged() -> None:
+    """Unpersist every registered staging relation (bench.py calls this
+    between timed runs so no staging cache survives into the next run)."""
+    while _STAGED_PERSISTS:
+        df = _STAGED_PERSISTS.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # a stopped session's entries are already gone
 
 
 def _fixture_fingerprint(sf_dir: str) -> str:

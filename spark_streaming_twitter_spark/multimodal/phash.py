@@ -102,6 +102,25 @@ def phash_media_from_ids(docs: DataFrame) -> DataFrame:
     return docs.mapInPandas(encode, "media_id long, payload binary")
 
 
+def media_id_bounds(
+    spark: SparkSession, sf_dir: str, mod3: int
+) -> "tuple[int, int]":
+    """Exact (min, max) media_id of a modality's fixture slice, computed
+    from the documents ID SCAN — not from the synthesized payload frame.
+    media_id IS doc_id for every payload builder (identity mapInPandas),
+    so these are bitwise the bounds the spool's own agg would compute,
+    without paying a full payload-synthesis pass for them (VERDICT r15
+    next #5; guide §8)."""
+    row = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == mod3)
+        .agg(F.min("doc_id"), F.max("doc_id"))
+        .first()
+    )
+    return row[0], row[1]
+
+
 def perceptual_hashes(df: DataFrame) -> DataFrame:
     """(media_id, dhash, ahash) from decoded PPM payloads.
 
@@ -1497,20 +1516,52 @@ def _phash_keeper_oracle(batch_label: str | None = None) -> str:
     )
 
 
-def make_chunk_keeper_prober(
-    spark: SparkSession, idx_dir: str, ledger_dir: str, radius: int
-):
+def keeper_store_dirs(store_dir: str) -> "tuple[str, str]":
+    """(ledger subdir, index subdir) of a keeper's partitioned store.
+
+    r16 layout (VERDICT r15 next #1): each keeper owns ONE parquet store
+    partitioned by ``side`` — ``side=ledger`` holds the per-item decision
+    rows, ``side=index`` the kept entries — so every trigger lands both
+    in a SINGLE write job instead of two."""
+    import os
+
+    return (
+        os.path.join(store_dir, "side=ledger"),
+        os.path.join(store_dir, "side=index"),
+    )
+
+
+def keeper_ledger_frame(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The keeper store's decision-ledger relation (media_id,
+    n_index_hits), total: an all-empty stream (no ledger rows ever
+    written) yields an empty typed frame instead of a schema-inference
+    error."""
+    import glob
+    import os
+
+    ledger_dir, _ = keeper_store_dirs(store_dir)
+    if not glob.glob(os.path.join(ledger_dir, "*.parquet")):
+        return spark.createDataFrame(
+            [], "media_id long, n_index_hits long"
+        )
+    return spark.read.parquet(ledger_dir).select("media_id", "n_index_hits")
+
+
+def make_chunk_keeper_prober(spark: SparkSession, store_dir: str, radius: int):
     """ONE trigger's worth of the chunk-LSH keeper protocol, as a
-    reusable closure over (kept-index dir, decision-ledger dir): probe
+    reusable closure over a keeper STORE (see keeper_store_dirs): probe
     the batch's distinct (media_id, sig, c, chunk_val) keys against the
     kept index (broadcast join + full-signature Hamming verify <=
-    radius + per-item verified-hit count), append the per-item decision
-    to the ledger, and append ONLY kept items' chunk entries to the
-    index. Returns the batch's PINNED (localCheckpointed) decision
-    report (media_id, n_index_hits) for caption propagation / drop
-    collection by the caller. Shared by the standalone keeper streams
-    and the fused single-stream flagship — one protocol, two trigger
-    topologies."""
+    radius + per-item verified-hit count), then land the per-item
+    decision rows (side=ledger) and ONLY kept items' chunk entries
+    (side=index) in ONE partitioned write. Returns the batch's PINNED
+    (localCheckpointed) decision report (media_id, n_index_hits) for
+    caption propagation / drop collection by the caller. Shared by the
+    standalone keeper streams and the fused single-stream flagship —
+    one protocol, two trigger topologies."""
+    import os
+
+    ledger_dir, idx_dir = keeper_store_dirs(store_dir)
     state = {"has_index": False}
     hamming = F.bit_count(F.col("sig").bitwiseXOR(F.col("ref_sig")))
 
@@ -1522,20 +1573,27 @@ def make_chunk_keeper_prober(
         # arrives in exactly one spool batch, so that read-back is
         # bitwise `report.where(n_index_hits = 0)`. localCheckpoint (not
         # persist) is load-bearing: the index append below triggers
-        # recacheByPath on every cached plan reading idx_dir, which would
-        # silently REBUILD a merely-persisted report against the
+        # recacheByPath on every cached plan reading the store, which
+        # would silently REBUILD a merely-persisted report against the
         # post-append file listing (self-matches); the checkpoint
         # truncates lineage so the report can never be recomputed. The
         # kept-index relation is likewise read once per trigger (probe +
         # anti-join share it), not twice.
-        media = keys.select("media_id").distinct()
+        # r16: the batch's media set is the c=0 slice — every item
+        # carries exactly one row per chunk index (explode of a per-item
+        # 0..n_chunks-1 sequence over unique batch ids), so the filter
+        # is row-for-row what the old distinct() computed, without the
+        # distinct's exchange + agg inside every trigger (guide §2.4)
+        media = keys.where(F.col("c") == 0).select("media_id")
         idx = None
         if not state["has_index"]:
             report = media.select(
                 "media_id", F.lit(0).cast("bigint").alias("n_index_hits")
             )
         else:
-            idx = spark.read.parquet(idx_dir)
+            idx = spark.read.parquet(idx_dir).select(
+                "c", "chunk_val", "ref_sig"
+            )
             nhits = (
                 keys.join(F.broadcast(idx), ["c", "chunk_val"])
                 .where(hamming <= radius)
@@ -1549,9 +1607,6 @@ def make_chunk_keeper_prober(
                 ),
             )
         report = report.localCheckpoint()
-        # executor-side parquet ledger, not a driver list (written from
-        # the checkpointed blocks — the probe join never re-runs)
-        report.write.mode("append").parquet(ledger_dir)
         kept = report.where(F.col("n_index_hits") == 0).select("media_id")
         novel = (
             keys.join(F.broadcast(kept), "media_id")
@@ -1564,8 +1619,20 @@ def make_chunk_keeper_prober(
                 ["c", "chunk_val", "ref_sig"],
                 "left_anti",
             )
-        novel.write.mode("append").parquet(idx_dir)
-        state["has_index"] = True
+        # r16 (VERDICT r15 next #1, guide §2.4): ledger rows + novel
+        # index entries land in ONE partitioned write job — the ledger
+        # side comes straight from the checkpointed blocks, so the probe
+        # join still runs exactly once per trigger. The rows are bitwise
+        # the two frames the old pair of writes appended; only the
+        # action count per trigger changes (3 -> 2).
+        report.withColumn("side", F.lit("ledger")).unionByName(
+            novel.withColumn("side", F.lit("index")),
+            allowMissingColumns=True,
+        ).write.mode("append").partitionBy("side").parquet(store_dir)
+        # the partition dir exists iff index rows have ever landed — an
+        # empty micro-batch (or an all-dropped one) must not flip the
+        # flag onto an unreadable empty dir
+        state["has_index"] = os.path.isdir(idx_dir)
         # contract: the PINNED (localCheckpointed) per-batch decision
         # report — callers filter it (drops/captions) without re-reading
         # the ledger; lineage-free, so safe after the index append
@@ -1574,14 +1641,14 @@ def make_chunk_keeper_prober(
     return probe_and_keep
 
 
-def make_video_keeper_prober(
-    spark: SparkSession, idx_dir: str, ledger_dir: str
-):
+def make_video_keeper_prober(spark: SparkSession, store_dir: str):
     """The video instance of the keeper protocol (frame-signature
     containment: a clip drops when it shares >= VIDEO_MIN_SHARED
-    distinct frames with ANY kept clip), same probe/ledger/index
-    contract as make_chunk_keeper_prober over distinct
-    (media_id, frame_sig) rows."""
+    distinct frames with ANY kept clip), same probe/store contract as
+    make_chunk_keeper_prober over distinct (media_id, frame_sig) rows."""
+    import os
+
+    ledger_dir, idx_dir = keeper_store_dirs(store_dir)
     state = {"has_index": False}
 
     def probe_and_keep(dsig: DataFrame) -> DataFrame:
@@ -1591,7 +1658,7 @@ def make_video_keeper_prober(
                 "media_id", F.lit(0).cast("bigint").alias("n_index_hits")
             )
         else:
-            idx = spark.read.parquet(idx_dir)
+            idx = spark.read.parquet(idx_dir).select("frame_sig", "kept_id")
             nhits = (
                 dsig.join(F.broadcast(idx), "frame_sig")
                 .groupBy("media_id", "kept_id")
@@ -1608,17 +1675,25 @@ def make_video_keeper_prober(
             )
         # r15 optimization: pin the per-batch report (localCheckpoint —
         # see make_chunk_keeper_prober for why persist() is unsafe here:
-        # the index append recaches every plan reading idx_dir) and
+        # the index append recaches every plan reading the store) and
         # derive the kept set from it directly — each media_id arrives in
         # exactly one spool batch, so the old ledger read-back +
         # broadcast join was bitwise `report.where(n_index_hits = 0)`.
         report = report.localCheckpoint()
-        report.write.mode("append").parquet(ledger_dir)
-        kept = report.where(F.col("n_index_hits") == 0).select("media_id")
-        dsig.join(F.broadcast(kept), "media_id").select(
-            "frame_sig", F.col("media_id").alias("kept_id")
-        ).distinct().write.mode("append").parquet(idx_dir)
-        state["has_index"] = True
+        novel = (
+            dsig.join(F.broadcast(
+                report.where(F.col("n_index_hits") == 0).select("media_id")
+            ), "media_id")
+            .select("frame_sig", F.col("media_id").alias("kept_id"))
+            .distinct()
+        )
+        # r16 (VERDICT r15 next #1): ledger + index in ONE write job —
+        # same rows as the old pair of appends, one action fewer
+        report.withColumn("side", F.lit("ledger")).unionByName(
+            novel.withColumn("side", F.lit("index")),
+            allowMissingColumns=True,
+        ).write.mode("append").partitionBy("side").parquet(store_dir)
+        state["has_index"] = os.path.isdir(idx_dir)
         return report
 
     return probe_and_keep
@@ -1636,6 +1711,7 @@ def _chunk_keeper_stream(
     caption_dir: "str | None" = None,
     roundrobin: bool = False,
     keep_ledger_dir: "str | None" = None,
+    id_bounds: "tuple[int, int] | None" = None,
 ) -> DataFrame:
     """Keeper-aware online chunk-LSH dedup stream, generic over the
     signature family (image dHash, audio fingerprint): probe every
@@ -1665,31 +1741,41 @@ def _chunk_keeper_stream(
 
     mask = (1 << chunk_bits) - 1
     tmp = tempfile.mkdtemp(prefix="chunk_keeper_stream_")
-    idx_dir = os.path.join(tmp, "index")
+    # the spool lives in its own subdir: the partitioned keeper store
+    # (side=...) must not share a root with the FileStreamSource's scan,
+    # or its partition inference sees conflicting directory structures
+    spool_dir = os.path.join(tmp, "spool")
     if keep_ledger_dir is not None:
-        # production read-back shape (VERDICT r14 #4): ledger outlives
-        # the query; overwrite-at-start with the pre-rmtree ownership
-        # recheck, returned frame is the parquet-backed ledger itself
+        # production read-back shape (VERDICT r14 #4): the keeper STORE
+        # (side=ledger decisions + side=index kept entries — r16 fused
+        # single-write layout) outlives the query; overwrite-at-start
+        # with the pre-rmtree ownership recheck, returned frame is the
+        # parquet-backed ledger side itself
         from spark_streaming_twitter_spark.text.corpus import (
             _reclaim_ledger_dir,
         )
 
         _reclaim_ledger_dir(keep_ledger_dir)
-        ledger_dir = keep_ledger_dir
+        store_dir = keep_ledger_dir
     else:
-        ledger_dir = os.path.join(tmp, "ledger")
+        store_dir = os.path.join(tmp, "store")
     try:
-        spool = (
-            spool_roundrobin_batches if roundrobin else spool_ordered_batches
-        )
-        spool(src, "media_id", tmp)
+        if roundrobin:
+            spool_roundrobin_batches(src, "media_id", spool_dir)
+        else:
+            # id_bounds from the underlying id scan (media_id_bounds):
+            # the payload synthesis then runs once, in the bucketed
+            # write, not again for the bounds agg (r16, VERDICT r15 #5)
+            spool_ordered_batches(
+                src, "media_id", spool_dir, bounds=id_bounds
+            )
         par = spark.sparkContext.defaultParallelism
         stream = (
             spark.readStream.schema("media_id long, payload binary")
             .option("maxFilesPerTrigger", 1)
             .option("latestFirst", "false")
             .option("pathGlobFilter", "batch_*.parquet")
-            .parquet(tmp)
+            .parquet(spool_dir)
         )
         chunks = (
             sig_stream(stream.repartition(par))
@@ -1708,7 +1794,7 @@ def _chunk_keeper_stream(
             )
         )
 
-        prober = make_chunk_keeper_prober(spark, idx_dir, ledger_dir, radius)
+        prober = make_chunk_keeper_prober(spark, store_dir, radius)
 
         def probe_and_keep(bdf: DataFrame, _epoch_id: int) -> None:
             bdf = bdf.persist()
@@ -1734,7 +1820,7 @@ def _chunk_keeper_stream(
             bdf.unpersist()
 
         run_foreach_batch(chunks, probe_and_keep, output_mode="append")
-        ledger = spark.read.parquet(ledger_dir).select(
+        ledger = keeper_ledger_frame(spark, store_dir).select(
             "media_id",
             "n_index_hits",
             (F.col("n_index_hits") == 0).alias("kept"),
@@ -1770,6 +1856,7 @@ def _phash_keeper_stream(
         caption_docs=docs,
         caption_dir=caption_dir,
         keep_ledger_dir=keep_ledger_dir,
+        id_bounds=media_id_bounds(spark, sf_dir, 0),
     )
 
 
@@ -2449,35 +2536,41 @@ def _video_keeper_stream(
     )
 
     tmp = tempfile.mkdtemp(prefix="vfp_keeper_stream_")
-    idx_dir = os.path.join(tmp, "index")
+    # spool in its own subdir — see _chunk_keeper_stream (the partitioned
+    # store must not share a root with the stream source's scan)
+    spool_dir = os.path.join(tmp, "spool")
     if keep_ledger_dir is not None:
         from spark_streaming_twitter_spark.text.corpus import (
             _reclaim_ledger_dir,
         )
 
         _reclaim_ledger_dir(keep_ledger_dir)
-        ledger_dir = keep_ledger_dir
+        store_dir = keep_ledger_dir
     else:
-        ledger_dir = os.path.join(tmp, "ledger")
+        store_dir = os.path.join(tmp, "store")
     try:
         src = fp_video_table(spark, sf_dir)
-        spool = (
-            spool_roundrobin_batches if roundrobin else spool_ordered_batches
-        )
-        spool(src, "media_id", tmp)
+        if roundrobin:
+            spool_roundrobin_batches(src, "media_id", spool_dir)
+        else:
+            # bounds from the id scan — synthesis runs once (r16, #5)
+            spool_ordered_batches(
+                src, "media_id", spool_dir,
+                bounds=media_id_bounds(spark, sf_dir, 2),
+            )
         par = spark.sparkContext.defaultParallelism
         stream = (
             spark.readStream.schema("media_id long, payload binary")
             .option("maxFilesPerTrigger", 1)
             .option("latestFirst", "false")
             .option("pathGlobFilter", "batch_*.parquet")
-            .parquet(tmp)
+            .parquet(spool_dir)
         )
         sigs = video_frame_signatures(stream.repartition(par)).select(
             "media_id", "frame_sig"
         )
 
-        prober = make_video_keeper_prober(spark, idx_dir, ledger_dir)
+        prober = make_video_keeper_prober(spark, store_dir)
 
         def probe_and_keep(bdf: DataFrame, _epoch_id: int) -> None:
             bdf = bdf.persist()
@@ -2487,7 +2580,7 @@ def _video_keeper_stream(
             bdf.unpersist()
 
         run_foreach_batch(sigs, probe_and_keep, output_mode="append")
-        ledger = spark.read.parquet(ledger_dir).select(
+        ledger = keeper_ledger_frame(spark, store_dir).select(
             "media_id",
             "n_index_hits",
             (F.col("n_index_hits") == 0).alias("kept"),
@@ -2554,6 +2647,7 @@ def stream_media_audio_keeper_dedup(
         AFP_CHUNKS,
         12,
         AFP_RADIUS,
+        id_bounds=media_id_bounds(spark, sf_dir, 1),
     )
 
 
@@ -2586,6 +2680,7 @@ def stream_media_audio_keeper_dedup_persisted(
         12,
         AFP_RADIUS,
         keep_ledger_dir=_kept_ledger_dir("audio_keeper_ledger"),
+        id_bounds=media_id_bounds(spark, sf_dir, 1),
     )
 
 
@@ -3690,7 +3785,11 @@ def _chunk_ttl_bounded_stream(
 
     tmp = tempfile.mkdtemp(prefix="chunk_ttl_bounded_")
     try:
-        disorder_bound = spool_block_reversed_batches(src, "media_id", tmp)
+        # r16: the horizon agg above already computed the exact bounds —
+        # pass them so the payload synthesis runs once (VERDICT r15 #5)
+        disorder_bound = spool_block_reversed_batches(
+            src, "media_id", tmp, bounds=(lo, hi)
+        )
 
         class SweptSigWindow(StatefulProcessor):
             def init(self, handle: StatefulProcessorHandle) -> None:
@@ -3897,7 +3996,11 @@ def stream_media_video_ttl_dedup_bounded_disorder(
 
     tmp = tempfile.mkdtemp(prefix="vfp_ttl_bounded_")
     try:
-        disorder_bound = spool_block_reversed_batches(src, "media_id", tmp)
+        # r16: the horizon agg above already computed the exact bounds —
+        # pass them so the payload synthesis runs once (VERDICT r15 #5)
+        disorder_bound = spool_block_reversed_batches(
+            src, "media_id", tmp, bounds=(lo, hi)
+        )
 
         class SweptIdWindow(StatefulProcessor):
             def init(self, handle: StatefulProcessorHandle) -> None:

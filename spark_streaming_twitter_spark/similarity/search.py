@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from spark_streaming_twitter_spark.catalog import table, widen
+from spark_streaming_twitter_spark.catalog import stage, table, widen
 from spark_streaming_twitter_spark.dedup.dedup import (
     scaled_dot,
     scaled_dot_sql,
@@ -120,9 +120,11 @@ def _corpus_with_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # neighbor sides), each paying the scan + per-element norm transform.
     # Cache it: this is the prepared-vectors table an ANN build
     # materializes anyway; it reads only the fixture parquet (never a
-    # path any query writes), so no recacheByPath hazard, and the
-    # ContextCleaner frees the per-call entry when the plan dies.
-    return emb.withColumn("n2", scaled_norm2(F.col("embedding"))).persist()
+    # path any query writes), so no recacheByPath hazard. r16 (VERDICT
+    # r15 #3): registered as a SCOPED staging persist — bench.py releases
+    # it between timed runs, so reruns and sibling ANN entries rebuild it
+    # inside their own timed region instead of riding a warm cache.
+    return stage(emb.withColumn("n2", scaled_norm2(F.col("embedding"))))
 
 
 _COSINE_SQL = (
@@ -577,11 +579,12 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r15 (guide §5): three consumers below (centroid dims, the query
     # subset, the cell scan) each re-ran the scan + norm + quantization
     # array transforms; cache the prepared corpus once (at 100 TB this is
-    # the prepared-vectors table an IVF build materializes anyway)
-    corpus = (
+    # the prepared-vectors table an IVF build materializes anyway).
+    # r16 (VERDICT r15 #3): scoped staging persist — released between
+    # bench runs, see catalog.stage.
+    corpus = stage(
         emb.withColumn("n2", scaled_norm2(F.col("embedding")))
         .withColumn("qv", _quantized(F.col("embedding")))
-        .persist()
     )
     # exact per-dim integer centroid: posexplode -> (label, d, sum//count)
     dims = corpus.select(

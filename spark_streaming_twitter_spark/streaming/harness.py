@@ -124,7 +124,11 @@ def _spool_bucketed(
 
 
 def spool_ordered_batches(
-    df: DataFrame, id_col: str, spool_dir: str, n_batches: int = 4
+    df: DataFrame,
+    id_col: str,
+    spool_dir: str,
+    n_batches: int = 4,
+    bounds: "tuple[int, int] | None" = None,
 ) -> None:
     """Write ``df`` as ``n_batches`` id-range files with strictly
     increasing mtimes under ``spool_dir`` (batch_0.parquet ...), so a
@@ -132,22 +136,40 @@ def spool_ordered_batches(
     pathGlobFilter='batch_*.parquet' replays them as micro-batches in
     id order — the deterministic-arrival harness every self-referential
     (first-occurrence-wins) streaming query needs for its oracle to
-    replay ownership as min-id-per-key."""
-    # r15 (guide §5): the bounds agg and the bucketed write are two full
-    # evaluations of df's plan — for the media fixtures that plan is the
-    # mapInPandas payload synthesis, so cache it across the two passes
-    df = df.persist()
-    try:
-        lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
-        cuts = [
-            lo + (hi - lo + 1) * q // n_batches for q in range(1, n_batches)
-        ]
-        b = F.lit(0)
-        for cut in cuts:
-            b = b + (F.col(id_col) > cut).cast("int")
-        _spool_bucketed(df, b, spool_dir, n_batches)
-    finally:
-        df.unpersist()
+    replay ownership as min-id-per-key.
+
+    ``bounds``: optional exact (min, max) of ``id_col``, for callers
+    that can compute them from a CHEAPER relation than ``df``'s plan —
+    the media fixtures synthesize payloads in mapInPandas over an id
+    scan, so the id scan's own min/max lets the synthesis run exactly
+    once, inside the bucketed write, instead of once more for the
+    bounds agg (VERDICT r15 next #5; guide §8: decide with small rows,
+    move big rows once). The values MUST be the frame's true id min/max
+    — they define the batch cuts the oracles replay."""
+    if bounds is None:
+        # r15 (guide §5): the bounds agg and the bucketed write are two
+        # full evaluations of df's plan — cache it across the two passes
+        df = df.persist()
+        try:
+            lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
+            _spool_ordered_cuts(df, id_col, spool_dir, n_batches, lo, hi)
+        finally:
+            df.unpersist()
+    else:
+        lo, hi = bounds
+        _spool_ordered_cuts(df, id_col, spool_dir, n_batches, lo, hi)
+
+
+def _spool_ordered_cuts(
+    df: DataFrame, id_col: str, spool_dir: str, n_batches: int, lo: int, hi: int
+) -> None:
+    cuts = [
+        lo + (hi - lo + 1) * q // n_batches for q in range(1, n_batches)
+    ]
+    b = F.lit(0)
+    for cut in cuts:
+        b = b + (F.col(id_col) > cut).cast("int")
+    _spool_bucketed(df, b, spool_dir, n_batches)
 
 
 def spool_roundrobin_batches(
@@ -176,6 +198,7 @@ def spool_block_reversed_batches(
     spool_dir: str,
     n_batches: int = 6,
     block: int | None = None,
+    bounds: "tuple[int, int] | None" = None,
 ) -> int:
     """BOUNDED-disorder spool — the production middle ground between
     ``spool_ordered_batches`` (no disorder) and
@@ -190,26 +213,48 @@ def spool_block_reversed_batches(
     D - 1 s), which is exactly the bounded-delay contract a real Kafka
     consumer group provides and the watermark-swept TTL dedup's state
     bound relies on."""
+    # r16: callers that already know the exact id bounds (the TTL media
+    # streams compute them for their horizon) pass them in, so the
+    # payload-synthesis plan runs once, in the bucketed write only
+    if bounds is not None:
+        lo, hi = bounds
+        return _spool_block_reversed_cuts(
+            df, id_col, spool_dir, n_batches, block, lo, hi
+        )
     # r15: cache across the bounds agg + bucketed write, as in
     # spool_ordered_batches
     df = df.persist()
     try:
         lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
-        n = hi - lo + 1
-        if block is None:
-            block = max(2, n // (2 * n_batches))
-        idn = F.col(id_col) - F.lit(lo)
-        ak = (
-            idn
-            - F.pmod(idn, F.lit(block))
-            + (F.lit(block - 1) - F.pmod(idn, F.lit(block)))
+        return _spool_block_reversed_cuts(
+            df, id_col, spool_dir, n_batches, block, lo, hi
         )
-        b = F.lit(0)
-        for q in range(1, n_batches):
-            b = b + (ak >= F.lit(n * q // n_batches)).cast("int")
-        _spool_bucketed(df, b, spool_dir, n_batches)
     finally:
         df.unpersist()
+
+
+def _spool_block_reversed_cuts(
+    df: DataFrame,
+    id_col: str,
+    spool_dir: str,
+    n_batches: int,
+    block: "int | None",
+    lo: int,
+    hi: int,
+) -> int:
+    n = hi - lo + 1
+    if block is None:
+        block = max(2, n // (2 * n_batches))
+    idn = F.col(id_col) - F.lit(lo)
+    ak = (
+        idn
+        - F.pmod(idn, F.lit(block))
+        + (F.lit(block - 1) - F.pmod(idn, F.lit(block)))
+    )
+    b = F.lit(0)
+    for q in range(1, n_batches):
+        b = b + (ak >= F.lit(n * q // n_batches)).cast("int")
+    _spool_bucketed(df, b, spool_dir, n_batches)
     return block
 
 

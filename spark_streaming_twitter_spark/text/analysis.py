@@ -878,7 +878,12 @@ def doc_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(
         table(spark, sf_dir, "documents").select("doc_id", "text"), spark
     )
-    words = wordpiece_words(docs)
+    # r16 (VERDICT r15 #6, guide §5): the word-occurrence stream feeds
+    # BOTH the distinct-word tokenizer input and the join's left side —
+    # pin it so the regex split + explode runs once per doc, not twice
+    # (per-call localCheckpoint: no CacheManager entry, no cross-run
+    # warmth, freed when the returned plan dies)
+    words = wordpiece_words(docs).localCheckpoint()
     piece_counts = wordpiece_piece_counts(words)
     return words.join(piece_counts, "tok").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
@@ -966,10 +971,19 @@ FROM ranked WHERE rank <= 20
 )
 def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
-    toks = docs.select(
-        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    # r16 (guide §2.3/§2.4): doc length is size(tokens), computed narrow —
+    # the old explode + groupBy(doc_id) shuffled one row per TOKEN to
+    # count them. The where(dl > 0) keeps the oracle's semantics exactly:
+    # unnest/explode of an empty token list emits no row, so a zero-token
+    # doc was absent from dl (and from n_docs/total_len) before too.
+    dl = (
+        docs.select(
+            "doc_id",
+            F.size(tokens(F.lower(F.col("text")))).cast("bigint").alias("dl"),
+        )
+        .where(F.col("dl") > 0)
+        .localCheckpoint()
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).localCheckpoint()
     corpus = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     )
@@ -1233,10 +1247,16 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = widen(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
-    toks = docs.select(
-        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    # r16: narrow size(tokens) doc lengths — same rewrite as
+    # keyword_search_bm25 (the BM25 leg is that query's shape)
+    dl = (
+        docs.select(
+            "doc_id",
+            F.size(tokens(F.lower(F.col("text")))).cast("bigint").alias("dl"),
+        )
+        .where(F.col("dl") > 0)
+        .localCheckpoint()
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).localCheckpoint()
     corpus_stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     )

@@ -839,77 +839,83 @@ def _make_pack_batch(
         # stays persisted too: the max_id broadcast subquery and the toks
         # scan are separate evaluations of bdf's plan (which for the
         # flagship is the reject anti-join — worth computing exactly once).
+        # try/finally (ADVICE r15): an exception mid-trigger (the write,
+        # obs.get) must not leak the persisted frames for the session
         bdf = bdf.persist()
-        max_id = bdf.agg(F.max("doc_id").alias("max_doc_id"))
-        toks = (
-            bdf.crossJoin(F.broadcast(max_id))
-            .select(
-                "doc_id",
-                F.expr(
-                    f"doc_id DIV greatest({PACK_SHARD}L, "
-                    f"max_doc_id DIV {PACK_MAX_SHARDS} + 1)"
-                ).alias("shard"),
-                count_expr.alias("n_tokens"),
+        toks = None
+        try:
+            max_id = bdf.agg(F.max("doc_id").alias("max_doc_id"))
+            toks = (
+                bdf.crossJoin(F.broadcast(max_id))
+                .select(
+                    "doc_id",
+                    F.expr(
+                        f"doc_id DIV greatest({PACK_SHARD}L, "
+                        f"max_doc_id DIV {PACK_MAX_SHARDS} + 1)"
+                    ).alias("shard"),
+                    count_expr.alias("n_tokens"),
+                )
+                .persist()
             )
-            .persist()
-        )
-        w_in = (
-            Window.partitionBy("shard")
-            .orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        with_cs = toks.withColumn("cs_in_shard", F.sum("n_tokens").over(w_in))
-        shard_tot = toks.groupBy("shard").agg(F.sum("n_tokens").alias("tot"))
-        w_sh = Window.orderBy("shard").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        shard_pre = shard_tot.select(
-            "shard",
-            F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias(
-                "shard_prefix"
-            ),
-        )
-        packed = (
-            with_cs.join(shard_pre, "shard")
-            .select(
-                "doc_id",
-                "n_tokens",
-                (
-                    F.lit(carry["offset"])
-                    + F.col("shard_prefix")
-                    + F.col("cs_in_shard")
-                    - F.col("n_tokens")
-                ).alias("start_offset"),
+            w_in = (
+                Window.partitionBy("shard")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
             )
-            .select(
-                "doc_id",
-                "n_tokens",
-                "start_offset",
-                F.expr(f"start_offset DIV {SEQ_LEN}").alias("first_seq"),
-                F.expr(
-                    f"CASE WHEN n_tokens = 0 "
-                    f"THEN start_offset DIV {SEQ_LEN} "
-                    f"ELSE (start_offset + n_tokens - 1) DIV {SEQ_LEN} "
-                    f"END"
-                ).alias("last_seq"),
+            with_cs = toks.withColumn("cs_in_shard", F.sum("n_tokens").over(w_in))
+            shard_tot = toks.groupBy("shard").agg(F.sum("n_tokens").alias("tot"))
+            w_sh = Window.orderBy("shard").rowsBetween(
+                Window.unboundedPreceding, -1
             )
-        )
-        if with_arrival_epoch:
-            packed = packed.withColumn(
-                "arrival_epoch", F.lit(carry["batch"]).cast("bigint")
+            shard_pre = shard_tot.select(
+                "shard",
+                F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias(
+                    "shard_prefix"
+                ),
             )
-        # r15: the running total rides the write action as an observed
-        # metric (CollectMetrics) — sum(n_tokens) over `packed` is the
-        # same rows as over `toks` (the shard join drops nothing), so
-        # the old separate agg job per trigger is folded into the write
-        obs = Observation()
-        packed = packed.observe(obs, F.sum("n_tokens").alias("total"))
-        packed.write.mode("append").parquet(ledger_dir)
-        total = obs.get["total"]
-        carry["offset"] += int(total or 0)
-        carry["batch"] = carry.get("batch", 0) + 1
-        toks.unpersist()
-        bdf.unpersist()
+            packed = (
+                with_cs.join(shard_pre, "shard")
+                .select(
+                    "doc_id",
+                    "n_tokens",
+                    (
+                        F.lit(carry["offset"])
+                        + F.col("shard_prefix")
+                        + F.col("cs_in_shard")
+                        - F.col("n_tokens")
+                    ).alias("start_offset"),
+                )
+                .select(
+                    "doc_id",
+                    "n_tokens",
+                    "start_offset",
+                    F.expr(f"start_offset DIV {SEQ_LEN}").alias("first_seq"),
+                    F.expr(
+                        f"CASE WHEN n_tokens = 0 "
+                        f"THEN start_offset DIV {SEQ_LEN} "
+                        f"ELSE (start_offset + n_tokens - 1) DIV {SEQ_LEN} "
+                        f"END"
+                    ).alias("last_seq"),
+                )
+            )
+            if with_arrival_epoch:
+                packed = packed.withColumn(
+                    "arrival_epoch", F.lit(carry["batch"]).cast("bigint")
+                )
+            # r15: the running total rides the write action as an observed
+            # metric (CollectMetrics) — sum(n_tokens) over `packed` is the
+            # same rows as over `toks` (the shard join drops nothing), so
+            # the old separate agg job per trigger is folded into the write
+            obs = Observation()
+            packed = packed.observe(obs, F.sum("n_tokens").alias("total"))
+            packed.write.mode("append").parquet(ledger_dir)
+            total = obs.get["total"]
+            carry["offset"] += int(total or 0)
+            carry["batch"] = carry.get("batch", 0) + 1
+        finally:
+            if toks is not None:
+                toks.unpersist()
+            bdf.unpersist()
 
     return pack_batch
 
@@ -932,99 +938,105 @@ def _make_ranged_pack_batch(ledger_dir: str, carry: dict):
     def pack_batch(bdf: DataFrame, _epoch_id: int) -> None:
         # r15: same narrow-cache + observed-total shape as _make_pack_batch
         # — tokenize once per trigger, running total rides the write
+        # try/finally (ADVICE r15): an exception mid-trigger must not
+        # leak the persisted frames for the session
         bdf = bdf.persist()
-        bmax = bdf.agg(F.max("doc_id").alias("bmax"))
-        toks = (
-            bdf.crossJoin(F.broadcast(bmax))
-            .select(
-                "doc_id",
-                F.expr(
-                    f"doc_id DIV greatest({PACK_PART_MIN}L, "
-                    f"bmax DIV {PACK_MAX_PARTS} + 1)"
-                ).alias("part"),
-                F.expr(
-                    f"doc_id DIV greatest({PACK_SHARD}L, "
-                    f"bmax DIV {PACK_MAX_SHARDS} + 1)"
-                ).alias("shard"),
-                F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        toks = None
+        try:
+            bmax = bdf.agg(F.max("doc_id").alias("bmax"))
+            toks = (
+                bdf.crossJoin(F.broadcast(bmax))
+                .select(
+                    "doc_id",
+                    F.expr(
+                        f"doc_id DIV greatest({PACK_PART_MIN}L, "
+                        f"bmax DIV {PACK_MAX_PARTS} + 1)"
+                    ).alias("part"),
+                    F.expr(
+                        f"doc_id DIV greatest({PACK_SHARD}L, "
+                        f"bmax DIV {PACK_MAX_SHARDS} + 1)"
+                    ).alias("shard"),
+                    F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+                )
+                .persist()
             )
-            .persist()
-        )
-        # COORDINATOR: per-part totals -> range starts, seeded by the
-        # carried cross-trigger running total. Bounded rows.
-        part_tot = toks.groupBy("part").agg(F.sum("n_tokens").alias("tot"))
-        w_part = Window.orderBy("part").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        part_ranges = part_tot.select(
-            "part",
-            (
-                F.lit(carry["offset"])
-                + F.coalesce(F.sum("tot").over(w_part), F.lit(0))
-            ).cast("bigint").alias("part_range_start"),
-        )
-        # WORKERS: per-part independent sharded two-stage cumsum.
-        w_in = (
-            Window.partitionBy("part", "shard")
-            .orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        with_cs = toks.withColumn("cs_in_shard", F.sum("n_tokens").over(w_in))
-        shard_tot = toks.groupBy("part", "shard").agg(
-            F.sum("n_tokens").alias("tot")
-        )
-        w_sh = (
-            Window.partitionBy("part")
-            .orderBy("shard")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        shard_pre = shard_tot.select(
-            "part",
-            "shard",
-            F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias(
-                "shard_prefix"
-            ),
-        )
-        packed = (
-            with_cs.join(shard_pre, ["part", "shard"])
-            .join(F.broadcast(part_ranges), "part")
-            .select(
-                "doc_id",
-                "n_tokens",
-                (
-                    F.col("part_range_start")
-                    + F.col("shard_prefix")
-                    + F.col("cs_in_shard")
-                    - F.col("n_tokens")
-                ).alias("start_offset"),
-                F.lit(carry["batch"]).cast("bigint").alias("batch"),
-                F.col("part").cast("bigint").alias("part"),
-                "part_range_start",
+            # COORDINATOR: per-part totals -> range starts, seeded by the
+            # carried cross-trigger running total. Bounded rows.
+            part_tot = toks.groupBy("part").agg(F.sum("n_tokens").alias("tot"))
+            w_part = Window.orderBy("part").rowsBetween(
+                Window.unboundedPreceding, -1
             )
-            .select(
-                "doc_id",
-                "n_tokens",
-                "start_offset",
-                F.expr(f"start_offset DIV {SEQ_LEN}").alias("first_seq"),
-                F.expr(
-                    f"CASE WHEN n_tokens = 0 "
-                    f"THEN start_offset DIV {SEQ_LEN} "
-                    f"ELSE (start_offset + n_tokens - 1) DIV {SEQ_LEN} "
-                    f"END"
-                ).alias("last_seq"),
-                "batch",
+            part_ranges = part_tot.select(
                 "part",
-                "part_range_start",
+                (
+                    F.lit(carry["offset"])
+                    + F.coalesce(F.sum("tot").over(w_part), F.lit(0))
+                ).cast("bigint").alias("part_range_start"),
             )
-        )
-        obs = Observation()
-        packed = packed.observe(obs, F.sum("n_tokens").alias("total"))
-        packed.write.mode("append").parquet(ledger_dir)
-        total = obs.get["total"]
-        carry["offset"] += int(total or 0)
-        carry["batch"] += 1
-        toks.unpersist()
-        bdf.unpersist()
+            # WORKERS: per-part independent sharded two-stage cumsum.
+            w_in = (
+                Window.partitionBy("part", "shard")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            with_cs = toks.withColumn("cs_in_shard", F.sum("n_tokens").over(w_in))
+            shard_tot = toks.groupBy("part", "shard").agg(
+                F.sum("n_tokens").alias("tot")
+            )
+            w_sh = (
+                Window.partitionBy("part")
+                .orderBy("shard")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            shard_pre = shard_tot.select(
+                "part",
+                "shard",
+                F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias(
+                    "shard_prefix"
+                ),
+            )
+            packed = (
+                with_cs.join(shard_pre, ["part", "shard"])
+                .join(F.broadcast(part_ranges), "part")
+                .select(
+                    "doc_id",
+                    "n_tokens",
+                    (
+                        F.col("part_range_start")
+                        + F.col("shard_prefix")
+                        + F.col("cs_in_shard")
+                        - F.col("n_tokens")
+                    ).alias("start_offset"),
+                    F.lit(carry["batch"]).cast("bigint").alias("batch"),
+                    F.col("part").cast("bigint").alias("part"),
+                    "part_range_start",
+                )
+                .select(
+                    "doc_id",
+                    "n_tokens",
+                    "start_offset",
+                    F.expr(f"start_offset DIV {SEQ_LEN}").alias("first_seq"),
+                    F.expr(
+                        f"CASE WHEN n_tokens = 0 "
+                        f"THEN start_offset DIV {SEQ_LEN} "
+                        f"ELSE (start_offset + n_tokens - 1) DIV {SEQ_LEN} "
+                        f"END"
+                    ).alias("last_seq"),
+                    "batch",
+                    "part",
+                    "part_range_start",
+                )
+            )
+            obs = Observation()
+            packed = packed.observe(obs, F.sum("n_tokens").alias("total"))
+            packed.write.mode("append").parquet(ledger_dir)
+            total = obs.get["total"]
+            carry["offset"] += int(total or 0)
+            carry["batch"] += 1
+        finally:
+            if toks is not None:
+                toks.unpersist()
+            bdf.unpersist()
 
     return pack_batch
 
@@ -3332,9 +3344,23 @@ def importance_weights(docs: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    feats = docs.select(
-        "doc_id", "lang", F.explode(F.concat(toks, bigrams)).alias("f")
-    ).withColumn("b", portable_hash(F.col("f")) % _DSIR_BUCKETS)
+    # r16 (VERDICT r15 #6, guide §5): the hashed feature stream feeds BOTH
+    # the bucket-count aggregation and the per-doc weight join — pin it
+    # (projected to the 3 columns the consumers need; the feature string
+    # dies at the hash) so the tokenize + bigram build + explode runs
+    # once per doc, not twice. Per-call localCheckpoint: no CacheManager
+    # entry, freed when the returned plan dies.
+    feats = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.concat(toks, bigrams)).alias("f")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (portable_hash(F.col("f")) % _DSIR_BUCKETS).alias("b"),
+        )
+        .localCheckpoint()
+    )
     counts = feats.groupBy("b").agg(
         F.count(F.lit(1)).alias("s_b"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
@@ -3682,21 +3708,18 @@ def _mm_fused_impl(
         ledger_dir = keep_ledger_dir
     else:
         ledger_dir = os.path.join(tmp, "ledger")
-    mod_ledgers = {
-        k: os.path.join(tmp, f"{k}_ledger")
-        for k in ("image", "audio", "video")
-    }
+    # r16: each modality owns one partitioned keeper STORE (side=ledger +
+    # side=index), so every trigger's decisions + index entries land in a
+    # single write job per modality (see make_chunk_keeper_prober)
     probers = {
         "image": ph.make_chunk_keeper_prober(
-            spark, os.path.join(tmp, "image_index"),
-            mod_ledgers["image"], ph.PHASH_RADIUS,
+            spark, os.path.join(tmp, "image_store"), ph.PHASH_RADIUS
         ),
         "audio": ph.make_chunk_keeper_prober(
-            spark, os.path.join(tmp, "audio_index"),
-            mod_ledgers["audio"], ph.AFP_RADIUS,
+            spark, os.path.join(tmp, "audio_store"), ph.AFP_RADIUS
         ),
         "video": ph.make_video_keeper_prober(
-            spark, os.path.join(tmp, "video_index"), mod_ledgers["video"]
+            spark, os.path.join(tmp, "video_store")
         ),
     }
 
@@ -3815,9 +3838,14 @@ def _mm_fused_impl(
     spool = spool_roundrobin_batches if unordered else spool_ordered_batches
     try:
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-        spool(docs, "doc_id", tmp)
+        # spool in its own subdir — the partitioned keeper stores must
+        # not share a root with the FileStreamSource's scan
+        spool_dir = os.path.join(tmp, "spool")
+        spool(docs, "doc_id", spool_dir)
         run_foreach_batch(
-            _stream_docs_from_spool(spark, tmp), fused, output_mode="append"
+            _stream_docs_from_spool(spark, spool_dir),
+            fused,
+            output_mode="append",
         )
         led = _ledger_or_none(spark, ledger_dir)
         if led is None:  # zero survivors packed: total, not AnalysisException

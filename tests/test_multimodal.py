@@ -379,11 +379,8 @@ def test_keeper_prober_report_is_pinned_across_index_append(spark, tmp_path):
     load_all()  # phash's oracles compose registry entries from dedup
     from spark_streaming_twitter_spark.multimodal import phash as ph
 
-    idx_dir = str(tmp_path / "index")
-    ledger_dir = str(tmp_path / "ledger")
-    prober = ph.make_chunk_keeper_prober(
-        spark, idx_dir, ledger_dir, ph.PHASH_RADIUS
-    )
+    store_dir = str(tmp_path / "store")
+    prober = ph.make_chunk_keeper_prober(spark, store_dir, ph.PHASH_RADIUS)
     media = ph.phash_media_table(spark, SF)
     sig = ph.perceptual_hashes(media)
     mask = (1 << 14) - 1
@@ -408,9 +405,10 @@ def test_keeper_prober_report_is_pinned_across_index_append(spark, tmp_path):
     r1 = prober(chunks.where(F.col("media_id") <= cut))
     r2 = prober(chunks.where(F.col("media_id") > cut))
     # read AFTER both appends: the pinned reports must equal the ledger
+    # (side=ledger of the r16 fused store)
     ledger = {
         (r.media_id, r.n_index_hits)
-        for r in spark.read.parquet(ledger_dir).collect()
+        for r in ph.keeper_ledger_frame(spark, store_dir).collect()
     }
     got = {(r.media_id, r.n_index_hits) for r in r1.collect()} | {
         (r.media_id, r.n_index_hits) for r in r2.collect()
