@@ -1617,8 +1617,10 @@ def _text_keeper_stream(
             # impossible) and derive the kept set from it directly —
             # each doc_id arrives in exactly one spool batch, so the old
             # whole-ledger read-back + broadcast join was bitwise
-            # `report.where(n_index_hits = 0)`; the kept-index relation
-            # is read once per trigger (probe + anti-join share it)
+            # `report.where(n_index_hits = 0)`. (r16 measured NEGATIVE:
+            # folding the unpinned report subtree into the single write
+            # job re-evaluates the probe DAG per branch and grows the
+            # AQE stage count — the pin stays.)
             report = report.localCheckpoint()
             kept = report.where(F.col("n_index_hits") == 0).select("doc_id")
             novel = (

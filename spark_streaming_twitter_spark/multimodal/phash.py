@@ -1556,9 +1556,13 @@ def make_chunk_keeper_prober(spark: SparkSession, store_dir: str, radius: int):
     decision rows (side=ledger) and ONLY kept items' chunk entries
     (side=index) in ONE partitioned write. Returns the batch's PINNED
     (localCheckpointed) decision report (media_id, n_index_hits) for
-    caption propagation / drop collection by the caller. Shared by the
-    standalone keeper streams and the fused single-stream flagship —
-    one protocol, two trigger topologies."""
+    caption propagation / drop collection by the caller. (r16 measured
+    NEGATIVE: skipping the checkpoint and folding the report subtree
+    into the single write job re-evaluates the probe DAG per branch and
+    grows the AQE stage count — jobs/run 54->69, video slower — so the
+    pin stays even for callers that never read the report.) Shared by
+    the standalone keeper streams and the fused single-stream flagship
+    — one protocol, two trigger topologies."""
     import os
 
     ledger_dir, idx_dir = keeper_store_dirs(store_dir)

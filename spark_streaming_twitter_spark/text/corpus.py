@@ -643,7 +643,12 @@ def _mm_ingest_impl(
         (F.col("doc_id") % 3 + 1).cast("int"),
     ).cast("bigint")
     count_expr = F.size(tokens(F.col("text"))).cast("bigint") + media_cost
-    inner = _make_pack_batch(ledger_dir, carry, count_expr=count_expr)
+    # r16: shard bound from the one id-scan agg below — kills the
+    # per-trigger max-id agg job (offsets are shard-size invariant)
+    lo, hi = _doc_id_bounds(spark, sf_dir)
+    inner = _make_pack_batch(
+        ledger_dir, carry, count_expr=count_expr, max_id_bound=hi
+    )
 
     try:
         # persist inside the try so a failure anywhere after (incl. the
@@ -665,7 +670,10 @@ def _mm_ingest_impl(
                 epoch_id,
             )
 
-        spool(docs, "doc_id", tmp)
+        if spool is spool_ordered_batches:
+            spool(docs, "doc_id", tmp, bounds=(lo, hi))
+        else:
+            spool(docs, "doc_id", tmp)
         run_foreach_batch(
             _stream_docs_from_spool(spark, tmp),
             pack_survivors,
@@ -791,10 +799,14 @@ def _pack_training_stream(
     carry = {"offset": 0}
     try:
         docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-        spool_ordered_batches(docs, "doc_id", tmp)
+        # r16: one id-scan agg serves the spool cuts AND the packer's
+        # shard bound (was: a docs persist + 2 passes, then a per-trigger
+        # max-id agg job)
+        lo, hi = _doc_id_bounds(spark, sf_dir)
+        spool_ordered_batches(docs, "doc_id", tmp, bounds=(lo, hi))
         run_foreach_batch(
             _stream_docs_from_spool(spark, tmp),
-            _make_pack_batch(ledger_dir, carry),
+            _make_pack_batch(ledger_dir, carry, max_id_bound=hi),
             output_mode="append",
         )
         out = spark.read.parquet(ledger_dir).select(
@@ -810,7 +822,11 @@ def _pack_training_stream(
 
 
 def _make_pack_batch(
-    ledger_dir: str, carry: dict, with_arrival_epoch=False, count_expr=None
+    ledger_dir: str,
+    carry: dict,
+    with_arrival_epoch=False,
+    count_expr=None,
+    max_id_bound: "int | None" = None,
 ):
     """The streaming packer's per-trigger body, shared by the plain,
     resumed, unordered(+resumed), and multimodal variants: the batch
@@ -824,7 +840,15 @@ def _make_pack_batch(
     with the carried trigger counter (the disordered variants' arrival
     pin); ``count_expr`` swaps the per-row token count (the multimodal
     variant's combined text+media budget) — the layout machinery is
-    count-agnostic."""
+    count-agnostic.
+
+    ``max_id_bound`` (r16): an UPPER BOUND on every batch's max doc_id
+    — the spooled stream's global id max, which the caller already
+    computed for the spool cuts. Sharding from the bound instead of a
+    per-trigger max agg removes one job per trigger, and is safe
+    because offsets are shard-size invariant (the ledger carries no
+    shard column) while the #shards cap still holds: bound >= batch max
+    ⇒ shard span >= the per-batch span ⇒ <= PACK_MAX_SHARDS shards."""
     if count_expr is None:
         count_expr = F.size(tokens(F.col("text"))).cast("bigint")
 
@@ -844,19 +868,30 @@ def _make_pack_batch(
         bdf = bdf.persist()
         toks = None
         try:
-            max_id = bdf.agg(F.max("doc_id").alias("max_doc_id"))
-            toks = (
-                bdf.crossJoin(F.broadcast(max_id))
-                .select(
-                    "doc_id",
-                    F.expr(
-                        f"doc_id DIV greatest({PACK_SHARD}L, "
-                        f"max_doc_id DIV {PACK_MAX_SHARDS} + 1)"
-                    ).alias("shard"),
-                    count_expr.alias("n_tokens"),
+            if max_id_bound is not None:
+                shard_expr = F.expr(
+                    f"doc_id DIV greatest({PACK_SHARD}L, "
+                    f"{int(max_id_bound)}L DIV {PACK_MAX_SHARDS} + 1)"
                 )
-                .persist()
-            )
+                toks = bdf.select(
+                    "doc_id",
+                    shard_expr.alias("shard"),
+                    count_expr.alias("n_tokens"),
+                ).persist()
+            else:
+                max_id = bdf.agg(F.max("doc_id").alias("max_doc_id"))
+                toks = (
+                    bdf.crossJoin(F.broadcast(max_id))
+                    .select(
+                        "doc_id",
+                        F.expr(
+                            f"doc_id DIV greatest({PACK_SHARD}L, "
+                            f"max_doc_id DIV {PACK_MAX_SHARDS} + 1)"
+                        ).alias("shard"),
+                        count_expr.alias("n_tokens"),
+                    )
+                    .persist()
+                )
             w_in = (
                 Window.partitionBy("shard")
                 .orderBy("doc_id")
@@ -1039,6 +1074,20 @@ def _make_ranged_pack_batch(ledger_dir: str, carry: dict):
             bdf.unpersist()
 
     return pack_batch
+
+
+def _doc_id_bounds(spark: SparkSession, sf_dir: str) -> "tuple[int, int]":
+    """Exact (min, max) doc_id of the documents fixture, from a narrow
+    id-column scan — one cheap job that serves BOTH the spool's batch
+    cuts (spool bounds=, killing the text persist + second pass) and the
+    packer's shard bound (killing the per-trigger max-id agg)."""
+    row = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .agg(F.min("doc_id"), F.max("doc_id"))
+        .first()
+    )
+    return row[0], row[1]
 
 
 def _stream_docs_from_spool(spark: SparkSession, spool_dir: str) -> DataFrame:
@@ -3753,7 +3802,12 @@ def _mm_fused_impl(
         (F.col("doc_id") % 3 + 1).cast("int"),
     ).cast("bigint")
     count_expr = F.size(tokens(F.col("text"))).cast("bigint") + media_cost
-    inner = _make_pack_batch(ledger_dir, carry, count_expr=count_expr)
+    # r16: one id-scan agg serves the spool cuts and the packer's shard
+    # bound (offsets are shard-size invariant; one job fewer per trigger)
+    doc_lo, doc_hi = _doc_id_bounds(spark, sf_dir)
+    inner = _make_pack_batch(
+        ledger_dir, carry, count_expr=count_expr, max_id_bound=doc_hi
+    )
 
     def fused(bdf: DataFrame, epoch_id: int) -> None:
         from concurrent.futures import ThreadPoolExecutor
@@ -3841,7 +3895,10 @@ def _mm_fused_impl(
         # spool in its own subdir — the partitioned keeper stores must
         # not share a root with the FileStreamSource's scan
         spool_dir = os.path.join(tmp, "spool")
-        spool(docs, "doc_id", spool_dir)
+        if spool is spool_ordered_batches:
+            spool(docs, "doc_id", spool_dir, bounds=(doc_lo, doc_hi))
+        else:
+            spool(docs, "doc_id", spool_dir)
         run_foreach_batch(
             _stream_docs_from_spool(spark, spool_dir),
             fused,
