@@ -2723,6 +2723,12 @@ def near_dup_verified_pairs(
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
+    # (r16 measured NEGATIVE: right-sizing cand here costs an extra count
+    # action per call and slowed dedup_near_duplicates 1.37 -> 1.61 s —
+    # the three consumers run in ONE query evaluation, so the saved task
+    # launches never repay the count. The STAGED pairs artifact is the
+    # opposite case: many downstream queries read it, so it is
+    # right-sized at the build barrier in staged_dedup_artifacts.)
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
@@ -2840,6 +2846,10 @@ def staged_dedup_artifacts(
     copies = exact_copy_map(docs)
     canon = widen(docs, spark).join(copies.select("doc_id"), "doc_id", "left_anti")
     pairs = near_dup_verified_pairs(canon, docs).localCheckpoint()
+    # r16: right-size the artifact — the checkpoint lands
+    # shuffle-partition-wide and every consumer (drop list, group ids,
+    # both capstones, each CC round) would pay 32 tasks for ~240 rows
+    pairs = _right_size(pairs, pairs.count())
     if len(_STAGED_CACHE) >= 8:  # bound growth across many test sessions
         _STAGED_CACHE.pop(next(iter(_STAGED_CACHE)))
     _STAGED_CACHE[key] = (copies, pairs)
@@ -3122,6 +3132,26 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_CKPT_ROWS_PER_TASK = 50_000
+
+
+def _right_size(df: DataFrame, n_rows: int) -> DataFrame:
+    """Coalesce a CHECKPOINTED relation down to its measured row count
+    (>= _CKPT_ROWS_PER_TASK rows per task, floor 1) — narrow, no shuffle,
+    nothing recomputed. r16: the staged-artifact and CC-loop checkpoints
+    came out shuffle-partition-wide (32 partitions for a 240-row pair
+    set), so EVERY downstream stage — each CC round, every artifact
+    consumer — paid 32 task launches for a few hundred rows; r14 measured
+    1 partition for the same data (dedup_group_ids 0.67 s -> 0.91 s,
+    dedup_drop_list 0.10 -> 0.16 co-timed). Scale-adaptive by
+    construction: a genuinely large artifact keeps its width."""
+    cur = df.rdd.getNumPartitions()
+    want = max(
+        1, min(cur, (n_rows + _CKPT_ROWS_PER_TASK - 1) // _CKPT_ROWS_PER_TASK)
+    )
+    return df.coalesce(want) if want < cur else df
+
+
 def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     """Min-label propagation to a fixpoint: (node, group_id=min reachable id).
 
@@ -3168,8 +3198,14 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
                 ).alias("changed"),
             )
         ).localCheckpoint()
-        n_changed = updated.where(F.col("changed")).count()
-        labels = updated.select("node", "label")
+        # one agg action gives BOTH the convergence count and the row
+        # count the right-sizing needs (r16 — was a changed-only count)
+        stats = updated.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("changed").cast("int")).alias("ch"),
+        ).first()
+        n_changed = int(stats["ch"] or 0)
+        labels = _right_size(updated, int(stats["n"])).select("node", "label")
         if n_changed == 0:
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("label").alias("group_id")
