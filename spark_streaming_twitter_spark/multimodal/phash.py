@@ -121,6 +121,18 @@ def media_id_bounds(
     return row[0], row[1]
 
 
+def media_ids(spark: SparkSession, sf_dir: str, mod3: int) -> DataFrame:
+    """A modality's fixture id slice (doc_id % 3 == mod3) — the NARROW
+    frame the spool shuffles when payload synthesis runs post-shuffle
+    (guide §8); no widen: the spool's bucket repartition re-partitions
+    it anyway."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == mod3)
+    )
+
+
 def perceptual_hashes(df: DataFrame) -> DataFrame:
     """(media_id, dhash, ahash) from decoded PPM payloads.
 
@@ -1705,7 +1717,8 @@ def make_video_keeper_prober(spark: SparkSession, store_dir: str):
 
 def _chunk_keeper_stream(
     spark: SparkSession,
-    src: DataFrame,
+    src_ids: DataFrame,
+    src_builder,
     sig_stream,
     sig_col: str,
     n_chunks: int,
@@ -1764,14 +1777,20 @@ def _chunk_keeper_stream(
     else:
         store_dir = os.path.join(tmp, "store")
     try:
+        # r16 (guide §8): the spool shuffles IDS ONLY — the payload
+        # builder runs post-shuffle inside the bucketed write
+        # (spool synth=), so the synthesized bytes never cross an
+        # exchange and the builder runs exactly once per spool; bounds
+        # come from the id scan (media_id_bounds), not a payload pass
         if roundrobin:
-            spool_roundrobin_batches(src, "media_id", spool_dir)
+            spool_roundrobin_batches(
+                src_ids, "doc_id", spool_dir,
+                synth=src_builder, synth_id_col="media_id",
+            )
         else:
-            # id_bounds from the underlying id scan (media_id_bounds):
-            # the payload synthesis then runs once, in the bucketed
-            # write, not again for the bounds agg (r16, VERDICT r15 #5)
             spool_ordered_batches(
-                src, "media_id", spool_dir, bounds=id_bounds
+                src_ids, "doc_id", spool_dir, bounds=id_bounds,
+                synth=src_builder, synth_id_col="media_id",
             )
         par = spark.sparkContext.defaultParallelism
         stream = (
@@ -1851,7 +1870,8 @@ def _phash_keeper_stream(
     )
     return _chunk_keeper_stream(
         spark,
-        phash_media_table(spark, sf_dir),
+        media_ids(spark, sf_dir, 0),
+        phash_media_from_ids,
         perceptual_hashes,
         "dhash",
         PHASH_CHUNKS,
@@ -2553,14 +2573,19 @@ def _video_keeper_stream(
     else:
         store_dir = os.path.join(tmp, "store")
     try:
-        src = fp_video_table(spark, sf_dir)
+        # r16 (guide §8): ids-only spool shuffle, MP4 synthesis runs
+        # post-shuffle inside the bucketed write (see _chunk_keeper_stream)
+        ids = media_ids(spark, sf_dir, 2)
         if roundrobin:
-            spool_roundrobin_batches(src, "media_id", spool_dir)
+            spool_roundrobin_batches(
+                ids, "doc_id", spool_dir,
+                synth=fp_video_from_ids, synth_id_col="media_id",
+            )
         else:
-            # bounds from the id scan — synthesis runs once (r16, #5)
             spool_ordered_batches(
-                src, "media_id", spool_dir,
+                ids, "doc_id", spool_dir,
                 bounds=media_id_bounds(spark, sf_dir, 2),
+                synth=fp_video_from_ids, synth_id_col="media_id",
             )
         par = spark.sparkContext.defaultParallelism
         stream = (
@@ -2645,7 +2670,8 @@ def stream_media_audio_keeper_dedup(
 ) -> DataFrame:
     return _chunk_keeper_stream(
         spark,
-        fp_audio_table(spark, sf_dir),
+        media_ids(spark, sf_dir, 1),
+        fp_audio_from_ids,
         audio_fingerprints,
         "fingerprint",
         AFP_CHUNKS,
@@ -2677,7 +2703,8 @@ def stream_media_audio_keeper_dedup_persisted(
 
     return _chunk_keeper_stream(
         spark,
-        fp_audio_table(spark, sf_dir),
+        media_ids(spark, sf_dir, 1),
+        fp_audio_from_ids,
         audio_fingerprints,
         "fingerprint",
         AFP_CHUNKS,
@@ -4124,7 +4151,8 @@ def stream_media_phash_keeper_dedup_unordered(
 ) -> DataFrame:
     return _chunk_keeper_stream(
         spark,
-        phash_media_table(spark, sf_dir),
+        media_ids(spark, sf_dir, 0),
+        phash_media_from_ids,
         perceptual_hashes,
         "dhash",
         PHASH_CHUNKS,
@@ -4151,7 +4179,8 @@ def stream_media_audio_keeper_dedup_unordered(
 ) -> DataFrame:
     return _chunk_keeper_stream(
         spark,
-        fp_audio_table(spark, sf_dir),
+        media_ids(spark, sf_dir, 1),
+        fp_audio_from_ids,
         audio_fingerprints,
         "fingerprint",
         AFP_CHUNKS,

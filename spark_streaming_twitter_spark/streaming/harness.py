@@ -71,7 +71,12 @@ def stream_events(
 
 
 def _spool_bucketed(
-    df: DataFrame, bucket: "F.Column", spool_dir: str, n_batches: int
+    df: DataFrame,
+    bucket: "F.Column",
+    spool_dir: str,
+    n_batches: int,
+    synth=None,
+    synth_bucket: "F.Column | None" = None,
 ) -> None:
     """Write ``df`` as ``n_batches`` files (batch_0.parquet ...) under
     ``spool_dir`` with strictly increasing mtimes, bucketed by the
@@ -82,14 +87,28 @@ def _spool_bucketed(
     single file into the flat batch_i.parquet layout. A bucket with no
     rows gets an EMPTY parquet placeholder (schema-only), so sparse id
     spaces replay as zero-row micro-batches instead of crashing on a
-    missing _b=i dir."""
+    missing _b=i dir.
+
+    ``synth`` (r16, guide §8: decide with small rows, move big rows
+    once): an optional payload builder applied AFTER the bucket shuffle
+    — the exchange then carries only ids (8 bytes/row), never the
+    synthesized payload bytes, and the builder runs exactly once, in the
+    write pass, already co-located with its output file. The builder is
+    a narrow map (mapInPandas), so the one-file-per-bucket invariant
+    survives; ``synth_bucket`` restamps ``_b`` from the builder's output
+    id (the payload builders are identity-mapped on id), bitwise the
+    same label the pre-shuffle expression assigned."""
     import os
     import shutil
 
     stage = os.path.join(spool_dir, "_stage")
-    df.withColumn("_b", bucket).repartition("_b").write.partitionBy(
-        "_b"
-    ).parquet(stage)
+    staged_df = df.withColumn("_b", bucket).repartition("_b")
+    if synth is not None:
+        staged_df = synth(staged_df).withColumn("_b", synth_bucket)
+        # the empty placeholder below must carry the SPOOL file schema
+        # (the builder's output, without the bucket label)
+        df = staged_df.drop("_b")
+    staged_df.write.partitionBy("_b").parquet(stage)
     empty_src: str | None = None
     for i in range(n_batches):
         bdir = os.path.join(stage, f"_b={i}")
@@ -129,6 +148,8 @@ def spool_ordered_batches(
     spool_dir: str,
     n_batches: int = 4,
     bounds: "tuple[int, int] | None" = None,
+    synth=None,
+    synth_id_col: "str | None" = None,
 ) -> None:
     """Write ``df`` as ``n_batches`` id-range files with strictly
     increasing mtimes under ``spool_dir`` (batch_0.parquet ...), so a
@@ -145,7 +166,15 @@ def spool_ordered_batches(
     once, inside the bucketed write, instead of once more for the
     bounds agg (VERDICT r15 next #5; guide §8: decide with small rows,
     move big rows once). The values MUST be the frame's true id min/max
-    — they define the batch cuts the oracles replay."""
+    — they define the batch cuts the oracles replay.
+
+    ``synth``/``synth_id_col`` (r16, guide §8): pass the payload BUILDER
+    and its output id column instead of a pre-synthesized ``df`` — the
+    bucket shuffle then moves only ids and the builder runs post-shuffle
+    in the write pass (see _spool_bucketed). Requires ``bounds`` (the id
+    frame is too cheap to be worth a dedicated persist) and an
+    identity-mapped builder (out id == in id), which every media payload
+    builder is."""
     if bounds is None:
         # r15 (guide §5): the bounds agg and the bucketed write are two
         # full evaluations of df's plan — cache it across the two passes
@@ -157,23 +186,50 @@ def spool_ordered_batches(
             df.unpersist()
     else:
         lo, hi = bounds
-        _spool_ordered_cuts(df, id_col, spool_dir, n_batches, lo, hi)
+        _spool_ordered_cuts(
+            df, id_col, spool_dir, n_batches, lo, hi, synth, synth_id_col
+        )
+
+
+def _ordered_bucket(id_col: str, cuts: list) -> "F.Column":
+    b = F.lit(0)
+    for cut in cuts:
+        b = b + (F.col(id_col) > cut).cast("int")
+    return b
 
 
 def _spool_ordered_cuts(
-    df: DataFrame, id_col: str, spool_dir: str, n_batches: int, lo: int, hi: int
+    df: DataFrame,
+    id_col: str,
+    spool_dir: str,
+    n_batches: int,
+    lo: int,
+    hi: int,
+    synth=None,
+    synth_id_col: "str | None" = None,
 ) -> None:
     cuts = [
         lo + (hi - lo + 1) * q // n_batches for q in range(1, n_batches)
     ]
-    b = F.lit(0)
-    for cut in cuts:
-        b = b + (F.col(id_col) > cut).cast("int")
-    _spool_bucketed(df, b, spool_dir, n_batches)
+    _spool_bucketed(
+        df,
+        _ordered_bucket(id_col, cuts),
+        spool_dir,
+        n_batches,
+        synth=synth,
+        synth_bucket=(
+            _ordered_bucket(synth_id_col, cuts) if synth is not None else None
+        ),
+    )
 
 
 def spool_roundrobin_batches(
-    df: DataFrame, id_col: str, spool_dir: str, n_batches: int = 4
+    df: DataFrame,
+    id_col: str,
+    spool_dir: str,
+    n_batches: int = 4,
+    synth=None,
+    synth_id_col: "str | None" = None,
 ) -> None:
     """The DISORDERED twin of ``spool_ordered_batches``: batch i holds the
     rows with ``id % n_batches == i``, so every micro-batch spans the full
@@ -183,12 +239,21 @@ def spool_roundrobin_batches(
     (TwitterDatasetTrendingHashtag.java:64-72) guarantees order only
     within a partition, and a consumer interleaves partitions exactly
     like this round-robin — which is what the *_unordered self-dedup
-    variants must survive without an ordered-arrival assumption."""
+    variants must survive without an ordered-arrival assumption.
+
+    ``synth``/``synth_id_col``: post-shuffle payload synthesis, exactly
+    as in spool_ordered_batches (guide §8)."""
     _spool_bucketed(
         df,
         F.pmod(F.col(id_col), F.lit(n_batches)).cast("int"),
         spool_dir,
         n_batches,
+        synth=synth,
+        synth_bucket=(
+            F.pmod(F.col(synth_id_col), F.lit(n_batches)).cast("int")
+            if synth is not None
+            else None
+        ),
     )
 
 
